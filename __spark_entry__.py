@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship enrichment pipeline on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — matching ANSI SQL for the DuckDB oracle.
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name before value-hashing). Timestamp outputs are formatted
+to 'yyyy-MM-dd' strings on both sides to avoid cross-engine timestamp
+canonicalization differences.
 """
 
 from __future__ import annotations
@@ -12,27 +15,242 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.functions import errors as E
+from labs_stream_processing_examples_scala_spark.operators import relational as R
+from labs_stream_processing_examples_scala_spark.plans import enrichment as P
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → the reference's message stream Data(id, value): payload
+    synthesized exactly as MessageProcessor.scala:22 (FIXTURES.md §1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("Input Data: "), F.col("event_id").cast("string")).alias("value"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full enrichment pipeline (P1-P5, J1 select-form, J4)."""
+    return P.enrichment_pipeline(_messages(spark, SF0001))
+
+
+# --- P-queries: scalar transforms + errors-as-data (FIXTURES.md §4) ---
+
+
+def _p1_reverse_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _messages(spark, sf_dir)
+    return m.select(
+        "id",
+        "value",
+        F.reverse("value").alias("rev"),
+        F.upper("value").alias("up"),
+    )
+
+
+def _p2_charsort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _messages(spark, sf_dir)
+    return m.select(
+        "id",
+        F.concat_ws("", F.array_sort(F.split("value", ""))).alias("charsorted"),
+    )
+
+
+def _p3_enrich_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.enrichment_pipeline(_messages(spark, sf_dir))
+
+
+def _p3_gather_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.gather_groupby_form(_messages(spark, sf_dir))
+
+
+def _p4_errors_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = P.enrichment_with_errors(_messages(spark, sf_dir), chaos=True)
+    ok, _ = E.split_ok_err(df)
+    return ok
+
+
+def _p4_errors_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = P.enrichment_with_errors(_messages(spark, sf_dir), chaos=True)
+    _, bad = E.split_ok_err(df)
+    return bad.select(
+        "id",
+        "value",
+        F.col("err.cls").alias("err_cls"),
+        F.col("err.msg").alias("err_msg"),
+        E.is_temporary(F.col("err")).alias("is_temporary"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # scalar transforms / enrichment pipeline (SURVEY §2.2-2.3, §2.8)
+        "p1_reverse_upper": _p1_reverse_upper,
+        "p2_charsort": _p2_charsort,
+        "p3_enrich_full": _p3_enrich_full,
+        "p3_gather_form": _p3_gather_form,
+        "p4_errors_main": _p4_errors_main,
+        "p4_errors_dlq": _p4_errors_dlq,
+        # relational surface (SURVEY §2.5)
+        "q1_scan_project": R.q1_scan_project,
+        "q2_filter": R.q2_filter,
+        "q3_scalar_json": R.q3_scalar_json,
+        "q4_agg_tpch_q1": R.q4_agg_tpch_q1,
+        "q5_count_distinct": R.q5_count_distinct,
+        "q6_rollup": R.q6_rollup,
+        "q7_join_revenue": R.q7_join_revenue,
+        "q8_outer_join": R.q8_outer_join,
+        "q9_semi_join": R.q9_semi_join,
+        "q9_anti_join": R.q9_anti_join,
+        "q10_window_rank": R.q10_window_rank,
+        "q11_window_running": R.q11_window_running,
+        "q12_topk": R.q12_topk,
+        "q13_union": R.q13_union,
+        "q13_intersect": R.q13_intersect,
+        "q13_except": R.q13_except,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB-side helpers (inlined per query): v = 'Input Data: ' || event_id;
+# charsort = array_to_string(list_sort(string_split(v, '')), '').
+_V = "('Input Data: ' || CAST(event_id AS VARCHAR))"
+_CSORT = f"array_to_string(list_sort(string_split({_V}, '')), '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "p1_reverse_upper": f"""
+            SELECT event_id AS id, {_V} AS value,
+                   reverse({_V}) AS rev, upper({_V}) AS up
+            FROM events
+        """,
+        "p2_charsort": f"""
+            SELECT event_id AS id, {_CSORT} AS charsorted FROM events
+        """,
+        "p3_enrich_full": f"""
+            SELECT event_id AS id, {_V} AS value,
+                   reverse({_V}) AS extra1, upper({_V}) AS extra2,
+                   {_CSORT} AS extra3_name,
+                   'transformed ' || CAST(event_id AS VARCHAR) AS additional
+            FROM events
+        """,
+        "p3_gather_form": f"""
+            SELECT event_id AS id, {_V} AS value,
+                   reverse({_V}) AS extra1, upper({_V}) AS extra2,
+                   {_CSORT} AS extra3_name,
+                   'transformed ' || CAST(event_id AS VARCHAR) AS additional
+            FROM events
+        """,
+        "p4_errors_main": f"""
+            SELECT event_id AS id, {_V} AS value,
+                   reverse({_V}) AS extra1, upper({_V}) AS extra2,
+                   {_CSORT} AS extra3_name,
+                   'transformed ' || CAST(event_id AS VARCHAR) AS additional
+            FROM events WHERE event_id % 5 <> 0
+        """,
+        "p4_errors_dlq": f"""
+            SELECT event_id AS id, {_V} AS value,
+                   CASE WHEN event_id % 10 = 0 THEN 'IOException' ELSE 'Exception' END AS err_cls,
+                   'chaos failure for id ' || CAST(event_id AS VARCHAR) AS err_msg,
+                   (event_id % 10 = 0) AS is_temporary
+            FROM events WHERE event_id % 5 = 0
+        """,
+        "q1_scan_project": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS disc_price
+            FROM lineitem
+        """,
+        "q2_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+                   l_extendedprice, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q3_scalar_json": """
+            SELECT event_id, upper(event_type) AS type_upper,
+                   length(props) AS props_len,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+            FROM events
+        """,
+        "q4_agg_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q5_count_distinct": """
+            SELECT count(DISTINCT o_custkey) AS n_custs FROM orders
+        """,
+        "q6_rollup": """
+            SELECT o_orderpriority, o_orderstatus,
+                   sum(o_totalprice) AS total, count(*) AS n
+            FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "q7_join_revenue": """
+            SELECT r_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q8_outer_join": """
+            SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name
+        """,
+        "q9_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q9_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q10_window_rank": """
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER w AS rn, rank() OVER w AS rnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q11_window_running": """
+            SELECT o_orderkey, o_custkey,
+                   sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+                   strftime(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                            '%Y-%m-%d') AS prev_order_date
+            FROM orders
+        """,
+        "q12_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q13_union": """
+            SELECT c_nationkey AS nk FROM customer
+            UNION
+            SELECT s_nationkey AS nk FROM supplier
+        """,
+        "q13_intersect": """
+            SELECT c_nationkey AS nk FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nk FROM supplier
+        """,
+        "q13_except": """
+            SELECT c_nationkey AS nk FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nk FROM supplier
+        """,
+    }

@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink (full materialization on the
+JVM side, no driver collect) — the honest cost of the whole plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod
+from labs_stream_processing_examples_scala_spark import get_spark
+
+# Headline set: every big plan family — scan, filter, agg, joins, windows,
+# top-k, the flagship enrichment, the errors split, and (as added)
+# dedup / similarity / text extensions.
+HEADLINE = [
+    "p3_enrich_full",
+    "p4_errors_main",
+    "q1_scan_project",
+    "q2_filter",
+    "q4_agg_tpch_q1",
+    "q6_rollup",
+    "q7_join_revenue",
+    "q8_outer_join",
+    "q10_window_rank",
+    "q12_topk",
+    "x_dedup_exact",
+    "x_dedup_minhash_sig",
+    "x_dedup_lsh_pairs",
+    "x_sim_bruteforce_topk",
+    "x_text_quality",
+    "x_text_langid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] or sorted(qs)
+
+    # JVM/codegen warm-up on the smallest plan so query 1 isn't charged
+    # for class loading.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

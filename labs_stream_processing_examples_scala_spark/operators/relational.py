@@ -1,0 +1,205 @@
+"""Relational operator surface — SURVEY §2.5 and FIXTURES.md Q1-Q13.
+
+The reference has no relational operators (no groupBy/join/sort anywhere
+in src/main — SURVEY §2.5); this module declares the engine's standard
+set as thin, idiomatic DataFrame builders over the fixture tables. Every
+builder is pure Catalyst built-ins — predicate pushdown, column pruning,
+partial aggregation, AQE join selection all apply with zero custom code.
+
+Scale notes (the 100 TB posture):
+- Dimension joins (nation, region, customer at TPC-H ratios) are
+  broadcast explicitly — no shuffle of the fact side.
+- Aggregations rely on partial+final (map-side combine); group keys here
+  are low-cardinality so the shuffle is tiny regardless of input size.
+- Window functions partition by a key (never a global window), so state
+  is bounded per partition; top-k uses orderBy+limit which Spark plans
+  as TakeOrderedAndProject (per-partition heap, no full sort).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; aliases are
+chosen to match the DuckDB oracle SQL in ``__spark_entry__.oracle_sql``
+(driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+
+def q1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — scan + projection with an arithmetic expression. The scan
+    should read only 3 columns (check ReadSchema in explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+def q2_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — TPC-H Q6-shaped filter; all three predicates push to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+def q3_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — string + JSON scalar functions over events (props is a JSON
+    string; ``get_json_object`` stays JVM-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.length("props").alias("props_len"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+def q4_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — TPC-H Q1 shape: hash aggregation, partial+final automatic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q5_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — exact distinct (oracle-checked); approx_count_distinct is
+    smoke-tested engine-side only (tests/test_relational.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("n_custs"))
+
+
+def q6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — ROLLUP grouping sets over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("total"), F.count("*").alias("n"))
+    )
+
+
+def q7_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — orders ⋈ customer ⋈ nation ⋈ region revenue by region name.
+
+    customer/nation/region are dims: broadcast them so the orders fact
+    never shuffles (at TPC-H ratios customer is 1.5% of lineitem; still
+    broadcastable at 100 TB-of-lineitem scale where customer is ~GBs —
+    if not, AQE falls back to sort-merge).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+def q8_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 — customers LEFT JOIN orders; zero-order customers kept."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q9_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9a — customers with ≥1 order (left semi ≡ EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q9_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9b — customers with no orders (left anti ≡ NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 — ranking window functions; partitioned by customer so window
+    state is bounded per key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+    )
+
+
+def q11_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 — analytic window: running sum + lag per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("o_totalprice")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_total"),
+        F.date_format(F.lag("o_orderdate").over(w), "yyyy-MM-dd").alias("prev_order_date"),
+    )
+
+
+def q12_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 — top 10 orders by price (ties broken by key). orderBy+limit
+    plans as TakeOrderedAndProject: per-partition heaps, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q13_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13a — UNION (distinct) of customer vs supplier nation keys."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+def q13_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+def q13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)  # subtract = SQL EXCEPT (set semantics)

@@ -1,0 +1,54 @@
+"""Batch (parquet) sources — SURVEY §2.1 S4.
+
+The reference has no file/table source (its only source is a timer tick,
+MessageProcessor.scala:21-22); the batch surface exists so every operator
+is checkable against an offline oracle, and because at 100 TB the real
+input IS a columnar table. Reads are plain ``spark.read.parquet`` so
+Catalyst gets predicate pushdown / column pruning / partition pruning
+for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    reads only as a nanosecond long (``spark.sql.legacy.parquet.
+    nanosAsLong``, set in session.py); convert it back to a timestamp
+    here (lossless — fixture nanos are exact microsecond multiples).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,70 @@
+"""Relational surface Q1-Q13 vs the DuckDB oracle at sf0.001 (fast lane;
+the driver re-checks at sf0.01). Also plan-shape assertions: pushdown,
+broadcast, TakeOrdered — the scale posture is part of the contract."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE, assert_df_equals_oracle
+
+QUERIES = sorted(entrymod.queries())
+
+
+def plan_str(df) -> str:
+    """Full formatted physical plan (untruncated, unlike toString)."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    sql = entrymod.oracle_sql().get(name)
+    df = entrymod.queries()[name](spark, SF_SMOKE)
+    if sql is None:
+        assert df.count() >= 0  # rows-only contract
+    else:
+        assert_df_equals_oracle(df, duck, sql)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert {"id", "value", "extra1", "extra2", "extra3_name", "additional"} <= set(df.columns)
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = plan_str(entrymod.queries()["q1_scan_project"](spark, SF_SMOKE))
+    assert "l_orderkey" in plan
+    # projection needs 4 of 11 lineitem columns; scan schema must not
+    # contain the unused ones (column pruning reached the parquet scan)
+    assert "l_returnflag" not in plan
+
+
+def test_q2_filter_pushdown(spark):
+    plan = plan_str(entrymod.queries()["q2_filter"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q7_join_broadcasts_dims(spark):
+    plan = plan_str(entrymod.queries()["q7_join_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must not shuffle
+
+
+def test_q12_topk_plans_take_ordered(spark):
+    plan = plan_str(entrymod.queries()["q12_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_approx_count_distinct_close(spark):
+    from pyspark.sql import functions as F
+
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).head()[0]
+    approx = o.select(F.approx_count_distinct("o_custkey", 0.02)).head()[0]
+    assert abs(approx - exact) / exact < 0.1
