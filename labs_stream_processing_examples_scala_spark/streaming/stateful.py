@@ -1,0 +1,182 @@
+"""Stateful streaming operators — SURVEY §2.3 (J1/J3 distributed forms)
+and §2.9 (watermarks, windows, dedup).
+
+The reference's only stateful operator is the per-message 3-slot gather
+(AkkaEnrichmentPipeline.scala:133-163). Three Spark-native forms exist,
+in preference order:
+
+1. :func:`plans.enrichment.enrichment_pipeline` — a narrow projection
+   (all enrichments derive from the same row): no state at all. The one
+   to run.
+2. :func:`stream_stream_enrichment_join` — the distributed-system
+   reading of J1 (three independent enrichment streams re-keyed by id):
+   stream-stream inner equi-joins with watermarks bounding state.
+3. :func:`stateful_gather` — J3's explicit slot-state as
+   ``transformWithStateInPandas``-style processing via
+   ``applyInPandasWithState``: accumulate (extra1, extra2, extra3)
+   slots per id, emit when complete — the cameo actor's literal
+   semantics, including the all-3-present check.
+
+Windowed aggregation / watermarked dedup are engine additions (§2.9)
+needed by the north-star extensions; each has a batch-equivalence test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+
+from labs_stream_processing_examples_scala_spark.functions import transforms as X
+
+
+def derived_enrichment_streams(messages: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split one message stream into the three enrichment streams the
+    reference fans out to (scatter, AkkaEnrichmentPipeline.scala:110-115)."""
+    e1 = messages.select("id", "ts", X.reverse_value("value").alias("extra1"))
+    e2 = messages.select("id", "ts", X.upper_value("value").alias("extra2"))
+    e3 = messages.select("id", "ts", X.char_sort("value").alias("extra3_name"))
+    return e1, e2, e3
+
+
+def stream_stream_enrichment_join(messages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """J1 as stream-stream inner equi-joins on id with watermarks.
+
+    State is bounded by the watermark: rows older than it are evicted
+    from the join buffers, so the plan survives unbounded input. The
+    equi-join keys include the event-time window implicitly via the
+    watermark columns (Spark requires watermarks on both sides for
+    state cleanup in inner joins).
+    """
+    base = messages.select("id", "ts", "value").withWatermark("ts", watermark)
+    # the watermark set on `base` propagates to the derived streams;
+    # re-applying it counts as "redefining" and is disallowed
+    e1, e2, e3 = derived_enrichment_streams(base)
+    e2 = e2.withColumnRenamed("id", "id2").withColumnRenamed("ts", "ts2")
+    e3 = e3.withColumnRenamed("id", "id3").withColumnRenamed("ts", "ts3")
+    joined = (
+        base.join(e1.withColumnRenamed("id", "id1").withColumnRenamed("ts", "ts1"),
+                  (F.col("id") == F.col("id1")) & (F.col("ts") == F.col("ts1")))
+        .join(e2, (F.col("id") == F.col("id2")) & (F.col("ts") == F.col("ts2")))
+        .join(e3, (F.col("id") == F.col("id3")) & (F.col("ts") == F.col("ts3")))
+    )
+    return joined.select(
+        "id",
+        "value",
+        "extra1",
+        "extra2",
+        "extra3_name",
+        X.transform_additional("id").alias("additional"),
+    )
+
+
+# --- J3: explicit slot-state gather (applyInPandasWithState) ---
+
+GATHER_OUTPUT_SCHEMA = (
+    "id long, value string, extra1 string, extra2 string, extra3_name string, additional string"
+)
+GATHER_STATE_SCHEMA = "value string, extra1 string, extra2 string, extra3_name string"
+
+
+def _gather_fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+    """Accumulate slot values for one message id; emit when all three
+    enrichments are present (completeness check ≡
+    AkkaEnrichmentPipeline.scala:154-163). State is dropped on emit
+    (the cameo actor stops itself)."""
+    (msg_id,) = key
+    value, e1, e2, e3 = state.get if state.exists else (None, None, None, None)
+    for pdf in pdf_iter:
+        for row in pdf.itertuples(index=False):
+            value = row.value if row.value is not None else value
+            if row.slot == "extra1":
+                e1 = row.res
+            elif row.slot == "extra2":
+                e2 = row.res
+            elif row.slot == "extra3":
+                e3 = row.res
+            # unexpected slots are dropped-and-logged in the reference
+            # (F3, AkkaPipelineActors.scala:55) — here simply ignored
+    if e1 is not None and e2 is not None and e3 is not None:
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "id": msg_id,
+                    "value": value,
+                    "extra1": e1,
+                    "extra2": e2,
+                    "extra3_name": e3,
+                    "additional": f"transformed {msg_id}",
+                }
+            ]
+        )
+    else:
+        state.update((value, e1, e2, e3))
+
+
+def slot_stream(messages: DataFrame) -> DataFrame:
+    """Scatter: one (id, slot, res) record per enrichment per message —
+    the union-of-slots shape the gather consumes."""
+    base = messages.select("id", "value")
+    return (
+        base.select("id", "value", F.lit("extra1").alias("slot"), X.reverse_value("value").alias("res"))
+        .unionAll(base.select("id", "value", F.lit("extra2").alias("slot"), X.upper_value("value").alias("res")))
+        .unionAll(base.select("id", "value", F.lit("extra3").alias("slot"), X.char_sort("value").alias("res")))
+    )
+
+
+def stateful_gather(slots: DataFrame) -> DataFrame:
+    """J3 — gather slot records per id with explicit state; emit complete
+    EnrichedData+transform rows (update mode)."""
+    return slots.groupBy("id").applyInPandasWithState(
+        _gather_fn,
+        outputStructType=GATHER_OUTPUT_SCHEMA,
+        stateStructType=GATHER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+# --- §2.9 engine streaming surface ---
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a watermark for
+    late data. Batch equivalent: group by date_trunc(hour)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def watermarked_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Drop duplicate event_ids within the watermark horizon — bounded
+    state (vs unbounded exact dedup). At 100 TB stream scale this is the
+    only dedup that holds; exact-history dedup belongs to the batch
+    dedup operators (operators/dedup.py)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based), counting events per session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )

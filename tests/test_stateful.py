@@ -1,0 +1,102 @@
+"""Stateful streaming forms vs their batch equivalents — SURVEY §2.3
+(J1 stream-stream join, J3 applyInPandasWithState gather) and §2.9
+(windowed agg, watermarked dedup, session windows). Each streaming run is
+bounded (availableNow) so the comparison is deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.plans.enrichment import enrichment_pipeline
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+from labs_stream_processing_examples_scala_spark.streaming import stateful as S
+from labs_stream_processing_examples_scala_spark.streaming.sources import events_message_stream, file_stream
+from tests.conftest import SF_SMOKE
+
+
+def _run_to_memory(spark, sdf, name, mode="append"):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    assert q.exception() is None, str(q.exception())
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _events_stream(spark):
+    batch = load_table(spark, SF_SMOKE, "events")
+    raw = file_stream(spark, f"{SF_SMOKE}/events.parquet", schema=spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return batch, raw
+
+
+def test_stream_stream_join_form_equals_select_form(spark):
+    msgs = events_message_stream(spark, SF_SMOKE)
+    got = _run_to_memory(spark, S.stream_stream_enrichment_join(msgs), "ssj").orderBy("id").collect()
+    batch_msgs = load_table(spark, SF_SMOKE, "events").select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("Input Data: "), F.col("event_id").cast("string")).alias("value"),
+    )
+    want = enrichment_pipeline(batch_msgs).orderBy("id").collect()
+    assert got == want
+
+
+def test_stateful_gather_equals_select_form(spark):
+    msgs = events_message_stream(spark, SF_SMOKE)
+    slots = S.slot_stream(msgs)
+    got = _run_to_memory(spark, S.stateful_gather(slots), "gather", mode="update").orderBy("id").collect()
+    batch_msgs = load_table(spark, SF_SMOKE, "events").select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("Input Data: "), F.col("event_id").cast("string")).alias("value"),
+    )
+    want = enrichment_pipeline(batch_msgs).orderBy("id").collect()
+    assert got == want
+
+
+def test_windowed_counts_equal_batch(spark):
+    batch, raw = _events_stream(spark)
+    # complete mode: append would (correctly) hold back windows the final
+    # watermark hasn't closed; for batch-parity we want every window
+    got = _run_to_memory(spark, S.windowed_counts(raw), "wc", mode="complete").orderBy("win_start", "event_type").collect()
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("win_start", "event_type")
+        .collect()
+    )
+    assert got == want
+
+
+def test_watermarked_dedup(spark, tmp_path):
+    """Duplicate the events table, stream it, and assert dedup-by-id
+    restores the original distinct count (batch equivalent: distinct)."""
+    batch, _ = _events_stream(spark)
+    dup_path = str(tmp_path / "dup_events")
+    batch.unionAll(batch).write.parquet(dup_path)
+    raw = file_stream(spark, dup_path, schema=batch.schema)
+    got = _run_to_memory(spark, S.watermarked_dedup(raw), "dedup")
+    assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_sessionized_counts_equal_batch(spark):
+    """session_window streaming == session_window batch aggregation."""
+    batch, raw = _events_stream(spark)
+    got = _run_to_memory(spark, S.sessionized_counts(raw, gap="10 minutes"), "sess", mode="complete")
+    want = (
+        batch.groupBy(F.session_window("ts", "10 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -1,0 +1,202 @@
+"""Streaming reliability scenarios — SURVEY §5.2.
+
+Ports of the reference's test suite (AkkaPipelineActorsTest.scala:58-121:
+happy path, retry-then-succeed with timing lower bound, unrecoverable
+never retried, output routing) plus the R5 negative requirement
+(README.md:53 — a data error must not kill the query) and the S3/K5
+ack/nack checkpoint semantics (README.md:13-14).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.plans.enrichment import enrichment_pipeline, enrichment_with_errors
+from labs_stream_processing_examples_scala_spark.streaming.pipeline import StreamingEnrichmentPipeline
+from labs_stream_processing_examples_scala_spark.streaming.retry import RetryExhausted, with_retry
+from labs_stream_processing_examples_scala_spark.streaming.sinks import RecordSink, idempotent_write
+from labs_stream_processing_examples_scala_spark.streaming.sources import events_message_stream
+from tests.conftest import SF_SMOKE
+
+
+def _bounded_messages(spark):
+    return events_message_stream(spark, SF_SMOKE)
+
+
+def _batch_messages(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("Input Data: "), F.col("event_id").cast("string")).alias("value"),
+    )
+
+
+def _pipeline(tmp_path, chaos: bool) -> StreamingEnrichmentPipeline:
+    return StreamingEnrichmentPipeline(
+        output_path=str(tmp_path / "out"),
+        dlq_path=str(tmp_path / "dlq"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        chaos=chaos,
+    )
+
+
+def test_happy_path_stream_equals_batch(spark, tmp_path):
+    """Test 1 (happy path) + stream≡batch: streaming output content ==
+    batch enrichment of the same input."""
+    pipe = _pipeline(tmp_path, chaos=False)
+    pipe.run_bounded(_bounded_messages(spark))
+    got = pipe.output(spark).drop("err").orderBy("id").collect()
+    want = (
+        enrichment_with_errors(_batch_messages(spark), chaos=False)
+        .drop("err")
+        .orderBy("id")
+        .collect()
+    )
+    assert got == want
+    assert pipe.dlq(spark).count() == 0
+
+
+def test_errors_routed_to_dlq_and_query_survives(spark, tmp_path):
+    """Tests 3+4 routing + R5 negative: poison rows land (once) in the
+    DLQ with classification, clean rows in the output, and the query
+    completes despite 20% failures."""
+    pipe = _pipeline(tmp_path, chaos=True)
+    pipe.run_bounded(_bounded_messages(spark))
+    out = pipe.output(spark)
+    dlq = pipe.dlq(spark)
+    n = _batch_messages(spark).count()
+    assert out.count() == n * 4 // 5
+    assert dlq.count() == n // 5
+    # routing: no failed id in the main output, no clean id in the DLQ
+    assert out.filter(F.col("id") % 5 == 0).count() == 0
+    assert dlq.filter(F.col("id") % 5 != 0).count() == 0
+    # unrecoverable vs temporary classification preserved in DLQ record
+    assert dlq.filter((F.col("id") % 10 == 0) & (F.col("err_cls") != "IOException")).count() == 0
+    # DLQ'd exactly once (idempotent write, no duplicate delivery)
+    assert dlq.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_ack_no_reprocessing_after_success(spark, tmp_path):
+    """S3/K5 ack direction: a committed batch is never reprocessed —
+    restarting the query over the same checkpoint adds nothing."""
+    pipe = _pipeline(tmp_path, chaos=False)
+    pipe.run_bounded(_bounded_messages(spark))
+    first = pipe.output(spark).count()
+    pipe.run_bounded(_bounded_messages(spark))  # same checkpoint, no new files
+    assert pipe.output(spark).count() == first
+
+
+def test_nack_replay_after_sink_failure(spark, tmp_path):
+    """S3/K5 nack direction: if the sink fails before the batch commits,
+    a restart replays the batch (at-least-once) and the idempotent write
+    keeps output exactly-once-ish."""
+    marker = tmp_path / "fail_once"
+    marker.write_text("arm")
+
+    def flaky_write(df, path, batch_id):
+        if marker.exists():
+            marker.unlink()
+            raise ValueError("permanent-looking sink crash before commit")
+        idempotent_write(df, path, batch_id)
+
+    pipe = _pipeline(tmp_path, chaos=False)
+    q = pipe.start(_bounded_messages(spark), trigger_once=True, on_write=flaky_write)
+    with pytest.raises(Exception, match="sink crash"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+    # restart from the same checkpoint: batch replays, data arrives
+    pipe.run_bounded(_bounded_messages(spark))
+    assert pipe.output(spark).count() == _batch_messages(spark).count()
+    # no duplicates despite redelivery
+    assert pipe.output(spark).groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_retry_then_succeed_with_timing(spark):
+    """Test 2 port (AkkaPipelineActorsTest.scala:72-88): two temporary
+    failures then success; asserts the result arrives and not before
+    2 × retry interval."""
+    attempts = {"n": 0}
+    backoff = 0.05
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] <= 2:
+            raise IOError("temporary")
+        return "done"
+
+    t0 = time.monotonic()
+    assert with_retry(flaky, times=5, backoff=backoff) == "done"
+    elapsed = time.monotonic() - t0
+    assert attempts["n"] == 3
+    assert elapsed >= 2 * backoff  # the reference's within(2*retryTime) lower bound
+
+
+def test_unrecoverable_never_retried(spark):
+    """Test 3 port (AkkaPipelineActorsTest.scala:90-105): permanent
+    failure propagates immediately, exactly one attempt."""
+    attempts = {"n": 0}
+
+    def broken():
+        attempts["n"] += 1
+        raise ValueError("unrecoverable")
+
+    with pytest.raises(ValueError):
+        with_retry(broken, times=5, backoff=0.01)
+    assert attempts["n"] == 1
+
+
+def test_retry_exhaustion(spark):
+    """R3 bound: temporary failures exhaust into RetryExhausted."""
+    with pytest.raises(RetryExhausted) as e:
+
+        def always(): raise TimeoutError("slow")
+
+        with_retry(always, times=3, backoff=0.0)
+    assert e.value.attempts == 3
+
+
+def test_record_sink_lifecycle(spark):
+    """K2 — open/process/close contract (OutputWriter actor parity)."""
+    seen = []
+
+    class Sink(RecordSink):
+        def save(self, row):
+            seen.append(row)
+
+    s = Sink()
+    with pytest.raises(RuntimeError):
+        s.process("too early")
+    assert s.open(0, 0)
+    s.process("a")
+    s.close(None)
+    assert not s.connected and seen == ["a"]
+
+
+def test_rate_source_shape(spark):
+    """S1/S2 — the rate source minting Data(id, 'Input Data: $id')."""
+    from labs_stream_processing_examples_scala_spark.streaming.sources import rate_messages
+
+    df = rate_messages(spark, rows_per_second=10)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["id", "value", "ts"]
+    q = (
+        enrichment_pipeline(df.select("id", "value"))
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and spark.sql("SELECT * FROM rate_smoke").count() == 0:
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM rate_smoke WHERE id = 0").collect()
+        assert rows and rows[0].value == "Input Data: 0"
+        assert rows[0].extra1 == "0 :ataD tupnI"
+    finally:
+        q.stop()
