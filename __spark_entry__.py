@@ -17,8 +17,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from labs_stream_processing_examples_scala_spark import oracles as O
 from labs_stream_processing_examples_scala_spark.functions import errors as E
+from labs_stream_processing_examples_scala_spark.functions import text as TX
+from labs_stream_processing_examples_scala_spark.multimodal import columns as MM
+from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.operators import relational as R
+from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
 from labs_stream_processing_examples_scala_spark.plans import enrichment as P
 from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
@@ -113,6 +118,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_union": R.q13_union,
         "q13_intersect": R.q13_intersect,
         "q13_except": R.q13_except,
+        # LLM-data-pipeline extensions (SURVEY §7 step 7)
+        "x_dedup_exact": DD.exact_dedup,
+        "x_dedup_minhash_sig": DD.minhash_signatures,
+        "x_dedup_lsh_pairs": DD.lsh_candidate_pairs,
+        "x_dedup_ngram_pairs": DD.ngram_jaccard_pairs,
+        "x_dedup_simhash": DD.simhash,
+        "x_sim_bruteforce_topk": SIM.brute_force_topk,
+        "x_sim_neardup_pairs": SIM.cosine_neardup_pairs,
+        "x_sim_lsh_topk": SIM.lsh_topk,  # approximate → rows-only
+        "x_sim_ivf_topk": SIM.ivf_topk,  # approximate → rows-only
+        "x_text_stats": TX.token_stats,
+        "x_text_quality": TX.quality_score,
+        "x_text_langid": TX.lang_id,
+        "x_text_fingerprint": TX.fingerprint,
+        "x_multimodal_meta": MM.multimodal_meta,
+        # binary→feature plumbing (stubbed decode) → rows-only
+        "x_multimodal_features": lambda spark, sf: MM.extract_features(MM.binary_documents(spark, sf)),
     }
 
 
@@ -253,4 +275,21 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT s_nationkey AS nk FROM supplier
         """,
+        # extensions (SQL rendered from the same constants as the Spark
+        # expressions — labs_stream_processing_examples_scala_spark/oracles.py). x_sim_lsh_topk /
+        # x_sim_ivf_topk are approximate and x_multimodal_features is a
+        # pandas-UDF pipeline: intentionally no oracle (rows-only check);
+        # recall/determinism are covered by tests/test_extensions.py.
+        "x_dedup_exact": O.dedup_exact(),
+        "x_dedup_minhash_sig": O.dedup_minhash_signatures(),
+        "x_dedup_lsh_pairs": O.dedup_lsh_pairs(),
+        "x_dedup_ngram_pairs": O.dedup_ngram_pairs(),
+        "x_dedup_simhash": O.dedup_simhash(),
+        "x_sim_bruteforce_topk": O.sim_bruteforce_topk(),
+        "x_sim_neardup_pairs": O.sim_neardup_pairs(),
+        "x_text_stats": O.text_stats(),
+        "x_text_quality": O.text_quality(),
+        "x_text_langid": O.text_langid(),
+        "x_text_fingerprint": O.text_fingerprint(),
+        "x_multimodal_meta": O.multimodal_meta(),
     }

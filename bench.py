@@ -37,9 +37,12 @@ HEADLINE = [
     "x_dedup_exact",
     "x_dedup_minhash_sig",
     "x_dedup_lsh_pairs",
+    "x_dedup_simhash",
     "x_sim_bruteforce_topk",
+    "x_sim_lsh_topk",
     "x_text_quality",
     "x_text_langid",
+    "x_multimodal_features",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Text analysis operators — north-star extension (SURVEY §7 step 7).
+
+All pure Catalyst expressions over ``documents.text`` (no Python in the
+hot path): token statistics, BPE-ish regex token counting, quality
+scoring, stopword-ratio language ID, and rolling-hash fingerprinting.
+Each has an exact DuckDB oracle because every step is deterministic
+string/integer arithmetic shared via functions/hashing.py.
+
+At 100 TB these are the map-side of a corpus-filter pipeline: narrow
+projections + a final filter, no shuffles at all; Catalyst pipelines
+them into one codegen stage per scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.functions import hashing as H
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+# tiny deterministic stopword lists (heuristic language ID; real lists
+# would be config, the operator shape is what matters)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+}
+SUBTOKEN_RE = "[a-z]+|[A-Z][a-z]*|[0-9]+"  # BPE-ish: runs of letters/digits
+
+
+def _tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda w: w != "")
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count, subtoken (regex) count, char stats."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(SUBTOKEN_RE), 0)).alias("n_subtokens"),
+        F.round(
+            (F.length(F.regexp_replace("text", " ", "")) / F.size(toks)), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: length band + stopword ratio + repetition.
+
+    score = 0.4·len_ok + 0.3·stop_ratio_clipped + 0.3·distinct_ratio —
+    a standard web-corpus filter shape (C4/Gopher-style rules reduced
+    to deterministic arithmetic).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    n = F.size(toks)
+    stop_ratio = _stopword_hits(toks, "en") / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    len_ok = F.when((F.length("text") >= 100) & (F.length("text") <= 5000), 1.0).otherwise(0.0)
+    score = F.round(
+        0.4 * len_ok + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.3 * distinct_ratio, 6
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio argmax language guess ('und' if no evidence).
+
+    Ties break in fixed order en>de>fr>es (strictly-greater chain)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    hits = {lang: _stopword_hits(toks, lang) for lang in STOPWORDS}
+    best = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]) & (hits["de"] > 0), F.lit("de"))
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] > 0), F.lit("fr"))
+        .when(hits["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select(
+        "doc_id",
+        best.alias("lang_guess"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: rolling hash of normalized text (lowercase,
+    whitespace collapsed) — the exact-dedup key that survives trivial
+    formatting differences."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return d.select(
+        "doc_id",
+        H.rolling_hash(normalized).alias("fp"),
+        F.md5(normalized).alias("fp_md5"),
+    )

@@ -1,0 +1,8 @@
+from labs_stream_processing_examples_scala_spark.multimodal.columns import (
+    FEATURE_DIM,
+    binary_documents,
+    extract_features,
+    multimodal_meta,
+)
+
+__all__ = ["FEATURE_DIM", "binary_documents", "extract_features", "multimodal_meta"]

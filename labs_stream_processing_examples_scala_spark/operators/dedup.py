@@ -1,0 +1,178 @@
+"""Deduplication operators — north-star extension (SURVEY §7 step 7).
+
+Four dedup families over the ``documents`` table, each designed for the
+100 TB posture and each (except where noted) checkable against a DuckDB
+oracle because the hashing is explicit cross-engine arithmetic
+(functions/hashing.py):
+
+- exact_dedup          — md5(text) groupBy. One shuffle on a 128-bit key;
+                         at scale this is the cheapest possible full dedup
+                         (hash-partitioned, map-side partial agg).
+- minhash_signatures   — word-shingle MinHash (16 perms). explode(shingles)
+                         → groupBy(doc) min per perm: one shuffle keyed by
+                         doc_id, partial mins combine map-side.
+- lsh_candidate_pairs  — band the signature (4 bands × 4 rows), self-join
+                         on (band, bucket): only docs sharing a bucket are
+                         compared — the quadratic all-pairs never happens.
+                         Jaccard is then verified exactly on the candidate
+                         set. This is the scale path: state ∝ near-dups,
+                         not ∝ pairs.
+- simhash              — 32-bit SimHash from word hashes (bit-tally sign).
+                         Near-dup = small Hamming distance; banding the 32
+                         bits gives the same LSH trick for scale.
+- ngram_jaccard_pairs  — exact Jaccard for every pair sharing ≥1 shingle
+                         (inverted-index join). Correct but candidate-
+                         unbounded; prefer LSH at scale. Kept because the
+                         reference point needs the exact baseline.
+
+Shingles are 3-word n-grams (distinct per doc). Text fixtures are
+single-space-separated words, so tokenize = split(' ').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.functions import hashing as H
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+SHINGLE_WORDS = 3
+
+
+def tokens(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda w: w != "")
+
+
+def shingles(col, n: int = SHINGLE_WORDS) -> "F.Column":
+    """Distinct n-word shingles: positions 0..len-n (empty for docs with
+    fewer than n words — Spark's sequence() would otherwise count *down*
+    and produce garbage indices)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash: keeper (min doc_id) + count.
+    Returns one row per distinct content."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated table itself: first doc_id per content wins."""
+    d = load_table(spark, sf_dir, "documents")
+    w_min = exact_dedup(spark, sf_dir).select(F.col("keep_id").alias("doc_id"))
+    return d.join(w_min, "doc_id", "left_semi")
+
+
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(shingles("text")).alias("shingle")
+    ).withColumn("h", H.rolling_hash("shingle"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + m00..m15 MinHash signature columns."""
+    sh = _shingle_hashes(spark, sf_dir)
+    aggs = [F.min(H.minhash_slot("h", i)).alias(f"m{i:02d}") for i in range(H.NUM_PERMS)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    shingle→minhash→band→bucket-join→verify. The self-join is on
+    (band_idx, bucket): at 100 TB the bucket key is the shuffle key and
+    candidate volume scales with collision rate, not n². Verification
+    joins the two shingle sets only for candidate pairs.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(H.BANDS):
+        slots = [F.col(f"m{b * H.ROWS_PER_BAND + r:02d}") for r in range(H.ROWS_PER_BAND)]
+        bands.append(
+            sig.select("doc_id", F.lit(b).alias("band"), H.band_hash(slots).alias("bucket"))
+        )
+    banded = bands[0]
+    for bd in bands[1:]:
+        banded = banded.unionAll(bd)
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = _shingle_hashes(spark, sf_dir).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.alias("c")
+        .join(sh.alias("sa"), F.col("c.doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("c.doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("c.doc_a", "c.doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from word hashes (bit-tally sign)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokens("text")).alias("w")).withColumn(
+        "wh", H.word_hash32("w")
+    )
+    # shiftright/shiftleft with a *column* bit count only exist in SQL form
+    bits = words.select(
+        "doc_id", "wh", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    ).withColumn(
+        "delta",
+        F.when(F.expr("shiftright(wh, b) & 1") == 1, 1).otherwise(-1),
+    )
+    tallies = bits.groupBy("doc_id", "b").agg(F.sum("delta").alias("tally"))
+    return tallies.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("tally") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard for all pairs sharing ≥1 shingle (inverted index)."""
+    sh = _shingle_hashes(spark, sf_dir).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

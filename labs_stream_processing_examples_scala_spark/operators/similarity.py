@@ -1,0 +1,230 @@
+"""Similarity search over embeddings — north-star extension.
+
+Embedding column is ``array<float>`` (64-dim fixtures). Everything is
+computed in double precision with explicit left-to-right folds so the
+DuckDB oracle reproduces results bit-for-bit before rounding.
+
+Operators:
+- brute_force_topk     — exact cosine top-k vs one query vector. The
+                         baseline: a broadcast of the single query row +
+                         one narrow pass + TakeOrderedAndProject. At 100
+                         TB this is the per-query scan you fall back to.
+- cosine_neardup_pairs — exact all-pairs near-dup (bounded: only for
+                         oracle scale; quadratic by construction).
+- lsh_topk             — the scale path: deterministic random-hyperplane
+                         LSH (16 planes → 2^16 buckets); candidates =
+                         query's bucket ∪ Hamming-1 neighbors, exact
+                         cosine re-rank on candidates only. Approximate →
+                         rows-only check + recall test vs brute force.
+- ivf_topk             — IVF-style: k seed centroids (first k vectors),
+                         one assignment pass, search nprobe nearest
+                         cells. Iterative refinement intentionally absent
+                         (deterministic single pass); approximate →
+                         recall-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+DIM = 64
+N_PLANES = 16
+
+
+def _dvec(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double fold — matches the oracle's list_reduce."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, query_id: int) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") == query_id).select(
+        _dvec("embedding").alias("qvec")
+    )
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine vs the embedding of ``query_id`` (excluded
+    from results). Single-row broadcast join → narrow projection →
+    TakeOrderedAndProject; no shuffle of the embedding table."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    q = _query_vec(spark, sf_dir, query_id)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
+    """Exact embedding near-duplicate pairs (cosine ≥ threshold).
+
+    All-pairs is O(n²) — correct at oracle scale, the wrong plan at 100
+    TB (use lsh buckets there: same verify, candidates from buckets).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# --- LSH (random hyperplanes, deterministic integer-derived components) ---
+
+N_TABLES = 8
+BITS_PER_TABLE = 6
+
+
+def _plane_component(table: int, bit: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    integer avalanche mixer (murmur-style finalizer) — a plain LCG mod
+    small-power-of-two yields arithmetic-progression planes that all
+    point the same way."""
+    x = ((table * 64 + bit) * DIM + j) & 0xFFFFFFFF
+    x = (x * 2654435761) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 2246822519) & 0xFFFFFFFF
+    x ^= x >> 13
+    return (x % 4096) / 4096.0 - 0.5
+
+
+def _signature_expr(vec: Column, table: int, bits: int) -> Column:
+    """b-bit signature for one table: bit i = sign(plane_i · vec)."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        plane = [_plane_component(table, i, j) for j in range(DIM)]
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return acc
+
+
+def lsh_buckets(
+    spark: SparkSession, sf_dir: str, n_tables: int = N_TABLES, bits: int = BITS_PER_TABLE
+) -> DataFrame:
+    """(vec_id, vec, table, bucket) — one row per vector per hash table.
+
+    Multi-table sign-LSH: recall ≈ 1-(1-p^bits)^n_tables with
+    p = 1 - θ/π; more tables buy recall, more bits buy pruning. At 100
+    TB the banded table is written partitioned by (table, bucket) — a
+    query reads n_tables partitions, the rest is pruned at the source.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    per_table = [
+        e.select(
+            "vec_id",
+            "vec",
+            F.lit(t).alias("table"),
+            _signature_expr(F.col("vec"), t, bits).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    out = per_table[0]
+    for df in per_table[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_tables: int = N_TABLES,
+    bits: int = BITS_PER_TABLE,
+) -> DataFrame:
+    """ANN top-k: candidates = vectors sharing the query's bucket in ANY
+    table (union-of-tables multiprobe), exact cosine re-rank on the
+    candidate set only."""
+    b = lsh_buckets(spark, sf_dir, n_tables, bits)
+    q = b.filter(F.col("vec_id") == query_id).select(
+        "table", F.col("bucket").alias("qbucket"), F.col("vec").alias("qvec")
+    )
+    cand = (
+        b.join(F.broadcast(q), ["table"])
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_id))
+        .select("vec_id", "vec", "qvec")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        cand.select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: seed centroids = first n_cells vectors (by vec_id),
+    assign every vector to its nearest centroid (one pass), then search
+    only the nprobe cells nearest to the query.
+
+    At 100 TB: centroids are a broadcast table; assignment is a narrow
+    map; the inverted file is a table partitioned by cell — the probe
+    reads nprobe partitions. (Proper k-means training is an offline
+    batch job; the operator takes any centroid table.)
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    cents = (
+        e.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("vec").alias("cvec"))
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cell")
+    )
+    qvec = e.filter(F.col("vec_id") == query_id).select(F.col("vec").alias("qvec"))
+    probe_cells = (
+        cents.crossJoin(F.broadcast(qvec))
+        .select("cell", cosine(F.col("cvec"), F.col("qvec")).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

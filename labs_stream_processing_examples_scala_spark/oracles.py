@@ -1,0 +1,241 @@
+"""DuckDB oracle SQL for the extension operators.
+
+Each builder renders SQL that computes *exactly* what the corresponding
+Spark operator computes — same tokenization, same shingles, same hash
+constants (functions/hashing.py renders its literals into both sides).
+Used by ``__spark_entry__.oracle_sql()``; kept here so the constants
+can't drift from the Spark expressions.
+"""
+
+from __future__ import annotations
+
+from labs_stream_processing_examples_scala_spark.functions import hashing as H
+from labs_stream_processing_examples_scala_spark.functions.text import STOPWORDS, SUBTOKEN_RE
+
+# shared CTE fragments ---------------------------------------------------
+
+TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+# 3-word shingles, distinct, of documents with >= 3 words
+SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                            i -> array_to_string(t[i:i+2], ' '))) AS shs
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl)
+"""
+
+SHINGLE_HASH = H.rolling_hash_sql("shingle")
+
+
+def _sig_cols() -> str:
+    return ",\n               ".join(
+        f"min({H.minhash_slot_sql('h', i)}) AS m{i:02d}" for i in range(H.NUM_PERMS)
+    )
+
+
+SIG_CTE = f"""
+    shh AS (SELECT doc_id, {SHINGLE_HASH} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+               {_sig_cols()}
+        FROM shh GROUP BY doc_id
+    )
+"""
+
+
+def _banded_cte() -> str:
+    arms = []
+    for b in range(H.BANDS):
+        slots = [f"m{b * H.ROWS_PER_BAND + r:02d}" for r in range(H.ROWS_PER_BAND)]
+        arms.append(
+            f"SELECT doc_id, {b} AS band, {H.band_hash_sql(slots)} AS bucket FROM sig"
+        )
+    return "banded AS (\n        " + "\n        UNION ALL ".join(arms) + "\n    )"
+
+
+def dedup_exact() -> str:
+    return """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """
+
+
+def dedup_minhash_signatures() -> str:
+    return f"WITH {SHINGLES_CTE}, {SIG_CTE} SELECT * FROM sig"
+
+
+def dedup_lsh_pairs(threshold: float = 0.5) -> str:
+    return f"""
+        WITH {SHINGLES_CTE}, {SIG_CTE},
+        {_banded_cte()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               i.n_inter / (za.sz + zb.sz - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= {threshold}
+    """
+
+
+def dedup_ngram_pairs(threshold: float = 0.5) -> str:
+    return f"""
+        WITH {SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               i.n_inter / (za.sz + zb.sz - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= {threshold}
+    """
+
+
+def dedup_simhash() -> str:
+    wh = H.word_hash32_sql("w")
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest({TOKS}) AS w FROM documents
+        ),
+        wh AS (SELECT doc_id, {wh} AS wh FROM words),
+        bits AS (
+            SELECT doc_id, s.b,
+                   sum(CASE WHEN (wh >> s.b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+            FROM wh, (SELECT unnest(generate_series(0, 31)) AS b) s
+            GROUP BY doc_id, s.b
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN tally > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """
+
+
+# similarity -------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, {n}), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _dot(a: str, b: str, n: int = 64) -> str:
+    return _DOT.format(a=a, b=b, n=n)
+
+
+def _cos(a: str, b: str, n: int = 64) -> str:
+    return f"({_dot(a, b, n)} / (sqrt({_dot(a, a, n)}) * sqrt({_dot(b, b, n)})))"
+
+
+def sim_bruteforce_topk(query_id: int = 0, k: int = 10) -> str:
+    return f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_id})
+        SELECT vec_id, round({_cos('embedding', 'qvec')}, 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> {query_id}
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def sim_neardup_pairs(threshold: float = 0.9) -> str:
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_cos('a.embedding', 'b.embedding')}, 6) >= {threshold}
+    """
+
+
+# text analysis ----------------------------------------------------------
+
+
+def _stop_hits(lang: str, toks: str = "t") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks}, w -> w IN ({words})))"
+
+
+def text_stats() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, text, {TOKS} AS t FROM documents)
+        SELECT doc_id,
+               length(text) AS n_chars_,
+               len(t) AS n_tokens,
+               len(regexp_extract_all(text, '{SUBTOKEN_RE}')) AS n_subtokens,
+               round(length(replace(text, ' ', '')) / len(t), 6) AS avg_token_len
+        FROM toks
+    """
+
+
+def text_quality() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, text, {TOKS} AS t FROM documents)
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               round({_stop_hits('en')} / len(t), 6) AS stop_ratio,
+               round(len(list_distinct(t)) / len(t), 6) AS distinct_ratio,
+               round(0.4 * (CASE WHEN length(text) >= 100 AND length(text) <= 5000 THEN 1.0 ELSE 0.0 END)
+                     + 0.3 * least(({_stop_hits('en')} / len(t)) * 5, 1.0)
+                     + 0.3 * (len(list_distinct(t)) / len(t)), 6) AS quality
+        FROM toks
+    """
+
+
+def text_langid() -> str:
+    h = {lang: _stop_hits(lang) for lang in STOPWORDS}
+    return f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents)
+        SELECT doc_id,
+               CASE
+                 WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']} AND {h['en']} >= {h['es']} AND {h['en']} > 0 THEN 'en'
+                 WHEN {h['de']} >= {h['fr']} AND {h['de']} >= {h['es']} AND {h['de']} > 0 THEN 'de'
+                 WHEN {h['fr']} >= {h['es']} AND {h['fr']} > 0 THEN 'fr'
+                 WHEN {h['es']} > 0 THEN 'es'
+                 ELSE 'und'
+               END AS lang_guess,
+               {h['en']} AS hits_en, {h['de']} AS hits_de,
+               {h['fr']} AS hits_fr, {h['es']} AS hits_es
+        FROM toks
+    """
+
+
+def text_fingerprint() -> str:
+    norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+    return f"""
+        SELECT doc_id,
+               {H.rolling_hash_sql(norm)} AS fp,
+               md5({norm}) AS fp_md5
+        FROM documents
+    """
+
+
+# multimodal ---------------------------------------------------------------
+
+
+def multimodal_meta() -> str:
+    return """
+        SELECT doc_id, 'text' AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
+    """

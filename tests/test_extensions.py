@@ -1,0 +1,117 @@
+"""Extension operators: dedup, similarity, text, multimodal.
+
+Oracle parity runs via tests/test_relational.py (parametrized over all
+queries()); here: the properties an oracle can't state — ANN recall vs
+brute force, approximation sanity, pandas-UDF plumbing determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.multimodal import binary_documents, extract_features
+from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_dups_have_jaccard_one(spark):
+    """Documents with identical text must surface as LSH pairs with
+    jaccard == 1.0 (MinHash of equal shingle sets collides in every
+    band)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    dup_groups = (
+        docs.groupBy("text").agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in DD.lsh_candidate_pairs(spark, SF_SMOKE).collect()}
+    for g in dup_groups:
+        ids = sorted(g.ids)
+        for i in range(len(ids) - 1):
+            key = (ids[i], ids[i + 1])
+            assert key in pairs and abs(pairs[key] - 1.0) < 1e-9, f"missing exact dup pair {key}"
+
+
+def test_minhash_jaccard_estimate_tracks_exact(spark):
+    """Signature agreement rate ≈ exact Jaccard for verified pairs."""
+    sig = DD.minhash_signatures(spark, SF_SMOKE)
+    exact = DD.ngram_jaccard_pairs(spark, SF_SMOKE, threshold=0.4)
+    cols_a = [F.col(f"a.m{i:02d}") for i in range(16)]
+    cols_b = [F.col(f"b.m{i:02d}") for i in range(16)]
+    agree = sum((ca == cb).cast("int") for ca, cb in zip(cols_a, cols_b)) / 16.0
+    joined = (
+        exact.join(sig.alias("a"), exact.doc_a == F.col("a.doc_id"))
+        .join(sig.alias("b"), exact.doc_b == F.col("b.doc_id"))
+        .select("jaccard", agree.alias("est"))
+        .collect()
+    )
+    assert joined, "fixture should contain near-dup pairs"
+    for r in joined:
+        assert abs(r.est - r.jaccard) <= 0.45  # 16 perms → coarse but correlated
+
+
+def test_lsh_topk_recall_and_pruning(spark):
+    """Fixture embeddings are near-random (top cosine ≈ 0.33, θ≈70°), the
+    hard case for sign-LSH: assert both that recall beats the scanned
+    fraction (it's finding signal, not just sampling) and that the scan
+    actually pruned."""
+    brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
+    ann = [r.vec_id for r in SIM.lsh_topk(spark, SF_SMOKE, k=10).collect()]
+    recall = len(set(brute) & set(ann)) / 10
+    b = SIM.lsh_buckets(spark, SF_SMOKE)
+    q = b.filter(F.col("vec_id") == 0).select("table", F.col("bucket").alias("qbucket"))
+    n_cand = (
+        b.join(q, ["table"]).filter(F.col("bucket") == F.col("qbucket")).select("vec_id").distinct().count()
+    )
+    total = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    frac = n_cand / total
+    assert frac <= 0.6, f"LSH is not pruning: scanned {frac:.0%}"
+    assert recall >= 0.2, f"LSH recall too low: {recall} (scanned {frac:.0%})"
+    assert recall > frac * 0.5, "recall should beat random sampling at this scan fraction"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
+    ann = [r.vec_id for r in SIM.ivf_topk(spark, SF_SMOKE, k=10, nprobe=4).collect()]
+    recall = len(set(brute) & set(ann)) / 10
+    assert recall >= 0.2, f"IVF recall too low: {recall}"
+
+
+def test_topk_self_excluded_and_bounded(spark):
+    rows = SIM.brute_force_topk(spark, SF_SMOKE, query_id=0, k=10).collect()
+    assert len(rows) == 10
+    assert all(r.vec_id != 0 for r in rows)
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_feature_plumbing(spark):
+    """Schema, batch shape, determinism of the stubbed decode path."""
+    feats = extract_features(binary_documents(spark, SF_SMOKE))
+    assert feats.schema.simpleString() == "struct<doc_id:bigint,n_bytes:bigint,features:array<double>>"
+    rows = feats.orderBy("doc_id").limit(20).collect()
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.features)
+    rows2 = extract_features(binary_documents(spark, SF_SMOKE)).orderBy("doc_id").limit(20).collect()
+    assert rows == rows2
+    # n_bytes must equal the metadata's byte count (plumbing consistency)
+    meta = binary_documents(spark, SF_SMOKE).select("doc_id", F.col("meta.n_bytes").alias("nb"))
+    mismatch = feats.join(meta, "doc_id").filter(F.col("n_bytes") != F.col("nb")).count()
+    assert mismatch == 0
+
+
+def test_simhash_near_for_exact_dups(spark):
+    """Identical texts → identical simhash (hamming 0)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = DD.simhash(spark, SF_SMOKE)
+    joined = (
+        docs.alias("a").join(docs.alias("b"), (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .join(sh.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(F.col("sa.simhash") != F.col("sb.simhash"))
+        .count()
+    )
+    assert joined == 0
