@@ -56,6 +56,28 @@ def rolling_hash_sql(expr: str) -> str:
     )
 
 
+def rolling_hash_word(col: Column | str) -> Column:
+    """Alias of :func:`rolling_hash` for per-word hashing (the shingle
+    fast path hashes each word once, then composes)."""
+    return rolling_hash(col)
+
+
+def compose_hashes(cols: list[Column]) -> Column:
+    """Fold word hashes into a shingle hash: acc := (acc*31 + h) mod P,
+    seeded by the first hash. Values stay < P so acc*31 + h < 2^35."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = (acc * 31 + c) % P
+    return acc
+
+
+def compose_hashes_sql(exprs: list[str]) -> str:
+    acc = exprs[0]
+    for e in exprs[1:]:
+        acc = f"(({acc}) * 31 + ({e})) % {P}"
+    return acc
+
+
 def minhash_slot(base_hash: Column | str, i: int) -> Column:
     """Permuted hash for slot i: (A_i * h + B_i) mod P."""
     return (F.lit(A[i]) * _col(base_hash) + F.lit(B[i])) % P

@@ -31,7 +31,7 @@ single-space-separated words, so tokenize = split(' ').
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from labs_stream_processing_examples_scala_spark.functions import hashing as H
@@ -57,6 +57,14 @@ def shingles(col, n: int = SHINGLE_WORDS) -> "F.Column":
     ).otherwise(F.array().cast("array<string>"))
 
 
+# NOTE (perf pitfall, measured 14× slower): composing shingle hashes
+# from a per-row word-hash *array* looks natural —
+#   whs = transform(tokens, rolling_hash); shingle_i = f(whs[i..i+2])
+# — but Catalyst's CollapseProject inlines the whole `whs` transform
+# into every element_at, so each shingle recomputes every word hash.
+# The explode+window form below hashes each word exactly once.
+
+
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by content hash: keeper (min doc_id) + count.
     Returns one row per distinct content."""
@@ -75,10 +83,23 @@ def exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): the distinct shingle-hash set per document.
+
+    posexplode words → hash each word once → compose 3 consecutive word
+    hashes via window lead() — one scan, one shuffle on doc_id (which the
+    downstream groupBy(doc_id) then reuses), every hash computed once.
+    """
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(shingles("text")).alias("shingle")
-    ).withColumn("h", H.rolling_hash("shingle"))
+    words = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    wh = words.select("doc_id", "pos", H.rolling_hash("w").alias("wh"))
+    composed = wh.select(
+        "doc_id",
+        H.compose_hashes(
+            [F.col("wh"), F.lead("wh", 1).over(win), F.lead("wh", 2).over(win)]
+        ).alias("h"),
+    )
+    return composed.filter(F.col("h").isNotNull()).select("doc_id", "h").distinct()
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,15 +118,16 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     joins the two shingle sets only for candidate pairs.
     """
     sig = minhash_signatures(spark, sf_dir)
-    bands = []
+    # all bands in ONE projection + stack — a unionAll of per-band
+    # selects would recompute the whole signature pipeline per band
+    bucket_cols = []
     for b in range(H.BANDS):
         slots = [F.col(f"m{b * H.ROWS_PER_BAND + r:02d}") for r in range(H.ROWS_PER_BAND)]
-        bands.append(
-            sig.select("doc_id", F.lit(b).alias("band"), H.band_hash(slots).alias("bucket"))
-        )
-    banded = bands[0]
-    for bd in bands[1:]:
-        banded = banded.unionAll(bd)
+        bucket_cols.append(H.band_hash(slots).alias(f"bh{b}"))
+    stack_args = ", ".join(f"{b}, bh{b}" for b in range(H.BANDS))
+    banded = sig.select("doc_id", *bucket_cols).select(
+        "doc_id", F.expr(f"stack({H.BANDS}, {stack_args}) AS (band, bucket)")
+    )
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
@@ -114,14 +136,14 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = _shingle_hashes(spark, sf_dir).select("doc_id", "shingle").distinct()
+    sh = _shingle_hashes(spark, sf_dir)  # already distinct per doc
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cand.alias("c")
         .join(sh.alias("sa"), F.col("c.doc_a") == F.col("sa.doc_id"))
         .join(
             sh.alias("sb"),
-            (F.col("c.doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
+            (F.col("c.doc_b") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")),
         )
         .groupBy("c.doc_a", "c.doc_b")
         .agg(F.count("*").alias("n_inter"))
@@ -161,11 +183,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard for all pairs sharing ≥1 shingle (inverted index)."""
-    sh = _shingle_hashes(spark, sf_dir).select("doc_id", "shingle").distinct()
+    sh = _shingle_hashes(spark, sf_dir)  # already distinct per doc
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )

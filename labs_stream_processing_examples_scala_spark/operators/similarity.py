@@ -25,6 +25,8 @@ Operators:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -109,18 +111,32 @@ def _plane_component(table: int, bit: int, j: int) -> float:
     return (x % 4096) / 4096.0 - 0.5
 
 
-def _signature_expr(vec: Column, table: int, bits: int) -> Column:
-    """b-bit signature for one table: bit i = sign(plane_i · vec)."""
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        plane = [_plane_component(table, i, j) for j in range(DIM)]
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, w: x * w),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return acc
+def _make_signature_udf(n_tables: int, bits: int):
+    """All tables' bucket ids in one numpy matmul per Arrow batch.
+
+    The Catalyst-fold alternative (48 aggregate(zip_with(...)) columns)
+    is correct but builds a ~3000-literal expression tree that doesn't
+    codegen — measured slower than the Arrow round-trip. This is the
+    legitimate pandas-UDF case: dense linear algebra.
+    """
+    planes = np.array(
+        [
+            [_plane_component(t, b, j) for j in range(DIM)]
+            for t in range(n_tables)
+            for b in range(bits)
+        ]
+    )  # (n_tables*bits, DIM)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def signature(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy()).astype(np.float64)  # (n, DIM)
+        proj = mat @ planes.T  # (n, n_tables*bits)
+        sign_bits = (proj > 0).astype(np.int64).reshape(len(mat), n_tables, bits)
+        buckets = (sign_bits * weights).sum(axis=2)  # (n, n_tables)
+        return pd.Series(list(buckets))
+
+    return signature
 
 
 def lsh_buckets(
@@ -134,19 +150,10 @@ def lsh_buckets(
     query reads n_tables partitions, the rest is pruned at the source.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
-    per_table = [
-        e.select(
-            "vec_id",
-            "vec",
-            F.lit(t).alias("table"),
-            _signature_expr(F.col("vec"), t, bits).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    out = per_table[0]
-    for df in per_table[1:]:
-        out = out.unionAll(df)
-    return out
+    sig = _make_signature_udf(n_tables, bits)
+    return e.withColumn("sigs", sig("vec")).select(
+        "vec_id", "vec", F.posexplode("sigs").alias("table", "bucket")
+    )
 
 
 def lsh_topk(

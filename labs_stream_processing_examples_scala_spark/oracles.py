@@ -16,19 +16,21 @@ from labs_stream_processing_examples_scala_spark.functions.text import STOPWORDS
 
 TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
-# 3-word shingles, distinct, of documents with >= 3 words
+# Distinct 3-word shingle *hashes* per doc, composed from per-word
+# rolling hashes — mirrors operators.dedup.shingle_hashes exactly.
+_COMPOSE = H.compose_hashes_sql(["wh[i]", "wh[i+1]", "wh[i+2]"])
+
 SHINGLES_CTE = f"""
     toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    whs AS (SELECT doc_id, list_transform(t, w -> {H.rolling_hash_sql('w')}) AS wh FROM toks),
     shl AS (
         SELECT doc_id,
-               list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                            i -> array_to_string(t[i:i+2], ' '))) AS shs
-        FROM toks WHERE len(t) >= 3
+               list_distinct(list_transform(generate_series(1, len(wh) - 2),
+                                            i -> {_COMPOSE})) AS shs
+        FROM whs WHERE len(wh) >= 3
     ),
-    sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl)
+    sh AS (SELECT doc_id, unnest(shs) AS h FROM shl)
 """
-
-SHINGLE_HASH = H.rolling_hash_sql("shingle")
 
 
 def _sig_cols() -> str:
@@ -38,11 +40,10 @@ def _sig_cols() -> str:
 
 
 SIG_CTE = f"""
-    shh AS (SELECT doc_id, {SHINGLE_HASH} AS h FROM sh),
     sig AS (
         SELECT doc_id,
                {_sig_cols()}
-        FROM shh GROUP BY doc_id
+        FROM sh GROUP BY doc_id
     )
 """
 
@@ -82,7 +83,7 @@ def dedup_lsh_pairs(threshold: float = 0.5) -> str:
             SELECT c.doc_a, c.doc_b, count(*) AS n_inter
             FROM cand c
             JOIN sh sa ON sa.doc_id = c.doc_a
-            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
             GROUP BY c.doc_a, c.doc_b
         )
         SELECT i.doc_a, i.doc_b,
@@ -100,7 +101,7 @@ def dedup_ngram_pairs(threshold: float = 0.5) -> str:
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT i.doc_a, i.doc_b,
