@@ -24,6 +24,7 @@ from labs_stream_processing_examples_scala_spark.multimodal import columns as MM
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.operators import relational as R
 from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
+from labs_stream_processing_examples_scala_spark.operators import temporal as TP
 from labs_stream_processing_examples_scala_spark.plans import enrichment as P
 from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
@@ -118,6 +119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_union": R.q13_union,
         "q13_intersect": R.q13_intersect,
         "q13_except": R.q13_except,
+        "q14_pivot": R.q14_pivot,
+        "q15_unpivot": R.q15_unpivot,
+        "q16_percentile": R.q16_percentile,
+        "q17_hourly": R.q17_hourly,
+        # temporal joins (as-of / range — SURVEY §2.3 absent-join gap)
+        "q18_asof_join": TP.clicks_last_view,
+        "q19_range_join": TP.big_order_shipments,
         # LLM-data-pipeline extensions (SURVEY §7 step 7)
         "x_dedup_exact": DD.exact_dedup,
         "x_dedup_minhash_sig": DD.minhash_signatures,
@@ -274,6 +282,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey AS nk FROM customer
             EXCEPT
             SELECT s_nationkey AS nk FROM supplier
+        """,
+        "q14_pivot": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+                   sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q15_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'price' AS metric, l_extendedprice AS val FROM lineitem
+        """,
+        "q16_percentile": """
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q17_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n, sum(value) AS total
+            FROM events GROUP BY 1, 2
+        """,
+        "q18_asof_join": """
+            WITH u AS (
+                SELECT event_id, user_id, ts, 1 AS side, NULL::BIGINT AS view_id
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT NULL, user_id, ts, 0, event_id FROM events WHERE event_type = 'view'
+            ),
+            c AS (
+                SELECT *, last_value(view_id IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, side, view_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id
+                FROM u
+            )
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts, last_view_id
+            FROM c WHERE side = 1
+        """,
+        "q19_range_join": """
+            SELECT o_orderkey, count(*) AS n_nearby,
+                   min(l_orderkey) AS min_lok, max(l_orderkey) AS max_lok
+            FROM orders JOIN lineitem
+              ON l_shipdate >= o_orderdate - INTERVAL 1 DAY
+             AND l_shipdate <= o_orderdate + INTERVAL 1 DAY
+            WHERE o_totalprice > 450000
+            GROUP BY o_orderkey
         """,
         # extensions (SQL rendered from the same constants as the Spark
         # expressions — labs_stream_processing_examples_scala_spark/oracles.py). x_sim_lsh_topk /

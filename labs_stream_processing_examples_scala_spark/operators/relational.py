@@ -186,6 +186,51 @@ def q12_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 — pivot: quantity by returnflag × linestatus (wide form).
+    Catalyst rewrites pivot into one aggregation with conditional aggs —
+    a single shuffle regardless of pivot-value count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).agg(F.sum("l_quantity"))
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+def q15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 — unpivot/melt via stack (narrow form; no shuffle at all)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (metric, val)"
+        ),
+    )
+
+
+def q16_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 — exact percentiles (linear interpolation) per group;
+    percentile_approx is the at-scale variant (smoke-tested in tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    )
+
+
+def q17_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 — time-bucket aggregation (batch form of the streaming
+    windowed counts, SURVEY §2.9)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+
+
 def q13_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13a — UNION (distinct) of customer vs supplier nation keys."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))

@@ -1,0 +1,151 @@
+"""Temporal join operators — as-of and range joins.
+
+Spark has no native as-of/range join (SURVEY §2.3 "absent join types");
+these implement the two standard scale-safe plans:
+
+- as-of: union-tag + window carry-forward. ONE shuffle on the join key,
+  state bounded per key, no per-group pandas needed. (pd.merge_asof via
+  applyInPandas is the common alternative; it shuffles the same data AND
+  pays the Arrow+Python tax, so the window form wins at scale — the
+  tests cross-check against merge_asof for semantics.)
+- range: bucketize the time axis and equi-join on (bucket) + residual
+  filter. Catalyst plans a theta time-range join as
+  BroadcastNestedLoopJoin — O(n·m) compares; bucketing turns it into a
+  hash join touching only ±1 bucket, i.e. output-proportional work.
+
+Both are generic over (keys, timestamps); fixture-bound query builders
+(`clicks_last_view`, `big_order_shipments`) feed the oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, the latest right row with the same key and
+    ``right_ts <= left_ts`` (right rows at exactly left_ts count as
+    'before': the union sorts right rows ahead of left rows on ties).
+
+    Implementation: tag and union both sides, sort per key by
+    (ts, side, order-col), carry the right side's values forward with
+    ``last(..., ignorenulls=True)``, keep left rows. One shuffle on
+    ``on``; no state beyond the window frame.
+    """
+    lcols = left.columns
+    l = left.select(*lcols).withColumn("_side", F.lit(1))
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # tie order: ts, then right-before-left (right rows at the same ts
+    # count as 'before'), then the first right column so several right
+    # rows at one ts resolve deterministically (note: Spark sorts nulls
+    # first ASC, DuckDB nulls last — only left rows carry nulls here and
+    # _side already separates the sides, so the difference can't bite)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(left_ts), F.col("_side"), F.col(f"_r_{right_cols[0]}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols, *[f"asof_{c}" for c in right_cols]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower: Column,
+    upper: Column,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """All (left, right) pairs with ``left_ts + lower <= right_ts <=
+    left_ts + upper``, planned as a bucketed equi-join.
+
+    Each side maps its timestamp to day buckets; the left side explodes
+    over the buckets its window spans (bounded: window/bucket + 2), then
+    an equi hash join on bucket + exact residual filter. At 100 TB the
+    bucket key is also the partition key, so the join is co-located.
+    """
+    if bucket != "1 day":
+        raise NotImplementedError("day buckets cover the fixture surface")
+    l = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.to_date(F.col(left_ts) + lower),
+                F.to_date(F.col(left_ts) + upper),
+            )
+        ),
+    )
+    r = right.withColumn("_bucket", F.to_date(F.col(right_ts)))
+    joined = l.join(r, "_bucket").filter(
+        (F.col(right_ts) >= F.col(left_ts) + lower)
+        & (F.col(right_ts) <= F.col(left_ts) + upper)
+    )
+    return joined.drop("_bucket")
+
+
+# --- fixture-bound query builders (oracle-checkable) ---
+
+
+def clicks_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of: for each click event, the most recent view event of the
+    same user at-or-before the click."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=["view_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("asof_view_id").alias("last_view_id"),
+    )
+
+
+def big_order_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems (any order) shipped within 1 day of a big
+    order's order date — the time-window correlation shape."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    joined = range_join(
+        o.select("o_orderkey", "o_orderdate"),
+        li,
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lower=F.expr("INTERVAL -1 DAY"),
+        upper=F.expr("INTERVAL 1 DAY"),
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_nearby"),
+        F.min("l_orderkey").alias("min_lok"),
+        F.max("l_orderkey").alias("max_lok"),
+    )
