@@ -93,6 +93,21 @@ def _p4_errors_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p5_malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — schema enforcement at source: rows with (deterministically)
+    corrupted JSON parse to null + a populated corrupt-record flag."""
+    ev = load_table(spark, sf_dir, "events")
+    props2 = F.when(F.col("event_id") % 7 == 0, F.substring("props", 1, 3)).otherwise(
+        F.col("props")
+    )
+    parsed = E.parse_json_strict(props2, "k int")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        parsed.getField("_corrupt_record").isNotNull().alias("is_malformed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scalar transforms / enrichment pipeline (SURVEY §2.2-2.3, §2.8)
@@ -102,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_gather_form": _p3_gather_form,
         "p4_errors_main": _p4_errors_main,
         "p4_errors_dlq": _p4_errors_dlq,
+        "p5_malformed_json": _p5_malformed_json,
         # relational surface (SURVEY §2.5)
         "q1_scan_project": R.q1_scan_project,
         "q2_filter": R.q2_filter,
@@ -189,6 +205,17 @@ def oracle_sql() -> dict[str, str]:
                    'chaos failure for id ' || CAST(event_id AS VARCHAR) AS err_msg,
                    (event_id % 10 = 0) AS is_temporary
             FROM events WHERE event_id % 5 = 0
+        """,
+        "p5_malformed_json": """
+            WITH p AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 3) ELSE props END AS p2
+                FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN json_valid(p2) THEN CAST(json_extract_string(p2, '$.k') AS INT) END AS k_val,
+                   NOT json_valid(p2) AS is_malformed
+            FROM p
         """,
         "q1_scan_project": """
             SELECT l_orderkey, l_linenumber,

@@ -68,6 +68,25 @@ def is_temporary(err: Column) -> Column:
     return err.isNotNull() & err["cls"].isin(*TEMPORARY_ERROR_CLASSES)
 
 
+def parse_json_strict(col: Column | str, schema: str) -> Column:
+    """F3 — malformed-input guard (the reference drops-and-logs
+    unrecognized messages, AkkaPipelineActors.scala:55,79-81; the engine
+    enforces schema at the source instead, SURVEY §2.4).
+
+    Returns ``struct<...schema fields, _corrupt_record string>``:
+    fields null + _corrupt_record populated for rows that don't parse —
+    feed `_corrupt_record IS NOT NULL` into the F2 split to dead-letter
+    them. PERMISSIVE from_json alone can't distinguish malformed input
+    from valid-but-null fields.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(
+        c,
+        f"{schema}, _corrupt_record string",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+
+
 def split_ok_err(df: DataFrame, err: str = "err") -> tuple[DataFrame, DataFrame]:
     """F2 — success/failure stream split (ErrorHandlingRx….scala:50-65):
     one plan, two filters; main rows drop the err column, DLQ rows keep it

@@ -48,6 +48,21 @@ def test_reverse_matches_python(spark, s):
     assert _one(spark, s, X.reverse_value("v")) == s[::-1]
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0xFFFF, exclude_categories=("Cs",)),
+        max_size=20,
+    )
+)
+def test_charsort_unicode_bmp(spark, s):
+    """BMP parity: Scala .sorted sorts UTF-16 code units, Python sorted
+    sorts code points — identical within the BMP (1 unit = 1 point).
+    Astral chars would diverge (Scala: surrogate order); fixtures and the
+    declared contract are BMP-only."""
+    assert _one(spark, s, X.char_sort("v")) == "".join(sorted(s))
+
+
 def test_output_struct_parity(spark):
     """Nested OutputData shape (Services.scala:26-35) is reconstructable."""
     df = spark.createDataFrame([(3, "abc")], ["id", "value"])
