@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal joins (as-of / range — SURVEY §2.3 absent-join gap)
         "q18_asof_join": TP.clicks_last_view,
         "q19_range_join": TP.big_order_shipments,
+        "q20_scalar_subquery": R.q20_scalar_subquery,
+        "q21_having": R.q21_having,
+        "q22_scalar_funcs": R.q22_scalar_funcs,
+        "q23_cube": R.q23_cube,
+        "q24_window_navigation": R.q24_window_navigation,
         # LLM-data-pipeline extensions (SURVEY §7 step 7)
         "x_dedup_exact": DD.exact_dedup,
         "x_dedup_minhash_sig": DD.minhash_signatures,
@@ -357,6 +362,56 @@ def oracle_sql() -> dict[str, str]:
              AND l_shipdate <= o_orderdate + INTERVAL 1 DAY
             WHERE o_totalprice > 450000
             GROUP BY o_orderkey
+        """,
+        "q20_scalar_subquery": """
+            WITH w AS (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+                FROM orders
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 6) AS cust_avg
+            FROM w WHERE o_totalprice > cust_avg
+        """,
+        "q21_having": """
+            SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        """,
+        "q22_scalar_funcs": """
+            SELECT o_orderkey,
+                   substr(o_orderpriority, 1, 1) AS prio_code,
+                   lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+                   o_orderstatus || '|' || o_orderpriority AS status_prio,
+                   year(o_orderdate) AS yr,
+                   month(o_orderdate) AS mo,
+                   dayofmonth(o_orderdate) AS dom,
+                   round(sqrt(o_totalprice), 6) AS sqrt_price,
+                   round(ln(o_totalprice + 1), 6) AS log_price,
+                   fmod(o_totalprice, 1000) AS mod_price,
+                   CASE o_orderstatus WHEN 'F' THEN 'filled' WHEN 'O' THEN 'open'
+                        ELSE 'partial' END AS status_word,
+                   coalesce(nullif(o_orderstatus, 'P'), '?') AS status_nz,
+                   greatest(o_totalprice, 100000.0) AS floored,
+                   abs(o_totalprice - 250000) AS dist_from_250k
+            FROM orders
+        """,
+        "q23_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   sum(o_totalprice) AS total, count(*) AS n
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "q24_window_navigation": """
+            SELECT o_orderkey, o_custkey,
+                   first_value(o_orderkey) OVER wall AS first_key,
+                   last_value(o_orderkey) OVER wall AS last_key,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cum_dist,
+                   lead(o_orderkey, 1) OVER w AS next_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_orderkey
         """,
         # extensions (SQL rendered from the same constants as the Spark
         # expressions — labs_stream_processing_examples_scala_spark/oracles.py). x_sim_lsh_topk /

@@ -231,6 +231,80 @@ def q17_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
 
 
+def q20_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 — correlated-style analytics without the correlation: orders
+    above their customer's average price. The idiomatic Spark plan is a
+    window (one shuffle), not a re-scanning correlated subquery."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", F.round("cust_avg", 6).alias("cust_avg"))
+    )
+
+
+def q21_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 — aggregation + HAVING (post-agg filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        .filter(F.col("n") >= 15)
+    )
+
+
+def q22_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 — scalar function library breadth: string, math, date,
+    conditional — one projection, codegen'd end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("padded_key"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("o_totalprice") + 1), 6).alias("log_price"),
+        (F.col("o_totalprice") % 1000).cast("double").alias("mod_price"),
+        F.when(F.col("o_orderstatus") == "F", "filled")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_word"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("?")).alias("status_nz"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored"),
+        F.abs(F.col("o_totalprice") - 250000).alias("dist_from_250k"),
+    )
+
+
+def q23_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q23 — CUBE grouping sets (rollup's big sibling, Q6)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("o_totalprice").alias("total"), F.count("*").alias("n")
+    )
+
+
+def q24_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q24 — navigation window functions: first/last value, ntile,
+    percent_rank, cume_dist, lead."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(wall).alias("first_key"),
+        F.last("o_orderkey").over(wall).alias("last_key"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    )
+
+
 def q13_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13a — UNION (distinct) of customer vs supplier nation keys."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
