@@ -147,6 +147,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_scalar_funcs": R.q22_scalar_funcs,
         "q23_cube": R.q23_cube,
         "q24_window_navigation": R.q24_window_navigation,
+        "q25_array_hof": R.q25_array_hof,
+        "q26_stats_agg": R.q26_stats_agg,
+        "q27_datetime": R.q27_datetime,
+        "q28_grouping_sets": R.q28_grouping_sets,
+        "q29_range_frame": R.q29_range_frame,
+        "q30_tpch_q3": R.q30_tpch_q3,
+        "q31_in_subquery": R.q31_in_subquery,
+        "q32_string_funcs": R.q32_string_funcs,
         # LLM-data-pipeline extensions (SURVEY §7 step 7)
         "x_dedup_exact": DD.exact_dedup,
         "x_dedup_minhash_sig": DD.minhash_signatures,
@@ -412,6 +420,89 @@ def oracle_sql() -> dict[str, str]:
                    wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY o_orderkey
+        """,
+        "q25_array_hof": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(toks) AS n_toks,
+                   len(list_filter(toks, w -> length(w) > 6)) AS n_long,
+                   CAST(coalesce(list_aggregate(list_transform(toks, w -> length(w)), 'sum'), 0) AS BIGINT) AS sum_chars,
+                   array_to_string(list_transform(toks[1:3], w -> upper(w)), ' ') AS head3_upper
+            FROM t
+        """,
+        "q26_stats_agg": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_extendedprice), 6) AS sd_price,
+                   round(var_samp(l_quantity), 6) AS var_qty,
+                   round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                   round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_cov,
+                   round(covar_pop(l_quantity, l_extendedprice), 6) AS qty_price_covp,
+                   CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+                   bool_or(l_quantity > 49) AS any_bulk,
+                   arg_max(l_orderkey, l_extendedprice) AS priciest_order
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q27_datetime": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+                   datediff('day', o_orderdate, DATE '1998-06-17') AS age_days,
+                   strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+                   dayofweek(o_orderdate) AS dow_sun0,
+                   weekofyear(o_orderdate) AS iso_week,
+                   quarter(o_orderdate) AS qtr,
+                   strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start
+            FROM orders
+        """,
+        "q28_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   grouping(o_orderstatus) AS g_status,
+                   grouping(o_orderpriority) AS g_prio,
+                   sum(o_totalprice) AS total, count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "q29_range_frame": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 6) AS rolling_30d
+            FROM orders
+        """,
+        "q30_tpch_q3": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q31_in_subquery": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+              AND o_totalprice > 300000
+        """,
+        "q32_string_funcs": """
+            SELECT p_partkey,
+                   levenshtein(p_brand, 'Brand#33') AS brand_dist,
+                   split_part(p_name, ' ', 1) AS first_word,
+                   strpos(p_name, 'e') AS e_pos,
+                   repeat(p_brand, 2) AS brand2,
+                   CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                   md5(p_name) AS name_md5,
+                   sha256(p_type) AS type_sha,
+                   ascii(p_name) AS first_ascii
+            FROM part
         """,
         # extensions (SQL rendered from the same constants as the Spark
         # expressions — labs_stream_processing_examples_scala_spark/oracles.py). x_sim_lsh_topk /

@@ -322,3 +322,169 @@ def q13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.subtract(s)  # subtract = SQL EXCEPT (set semantics)
+
+
+# --- Breadth batch 2: arrays/HOFs, statistics, datetime, grouping sets,
+# range frames, TPC-H Q3, subqueries-via-SQL, string library ---------------
+
+
+def q25_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q25 — array columns + higher-order functions over documents.
+
+    transform/filter/aggregate are Catalyst lambda expressions: they
+    evaluate inside codegen with zero Python crossing, so per-row array
+    work is as cheap as scalar work at 100 TB. No explode → no row
+    blow-up; the array never leaves its row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.filter(toks, lambda w: F.length(w) > 6)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).alias("sum_chars"),
+        F.concat_ws(" ", F.transform(F.slice(toks, 1, 3), F.upper)).alias("head3_upper"),
+    )
+
+
+def q26_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q26 — statistical aggregates (one pass, partial+final like any
+    hash agg: moments combine associatively map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_cov"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("qty_price_covp"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_bulk"),
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+    )
+
+
+def q27_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q27 — date/time arithmetic library (all Catalyst built-ins;
+    dayofweek aliased to Sunday=0 to pin one cross-engine convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("1998-06-17").cast("date"), F.col("o_orderdate")).alias(
+            "age_days"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    )
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q28 — GROUPING SETS + grouping() flags, via the engine's SQL entry
+    point (spark.sql over registered views) rather than the builder API:
+    both converge on the same Catalyst plan (SURVEY §3.4)."""
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               sum(o_totalprice) AS total, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q29_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q29 — RANGE window frame: per customer, rolling 30-day order total
+    (value-based frame over epoch seconds, not row counts — peers with
+    equal timestamps aggregate identically, so the result is
+    deterministic under ties, unlike a ROWS frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("rolling_30d"),
+    )
+
+
+def q30_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q30 — TPC-H Q3 (shipping priority): segment-filtered customer dim
+    broadcast into orders, joined to lineitem on the shuffle key
+    l_orderkey, aggregated, then top-10 via TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q31_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q31 — IN / NOT IN subqueries via the SQL entry point (Catalyst
+    rewrites them to left-semi / null-aware anti joins — the rewrite is
+    the optimizer's, not ours)."""
+    _register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+          AND o_totalprice > 300000
+        """
+    )
+
+
+def q32_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q32 — string library breadth over part: edit distance, token
+    extraction, search, regex, hashing. All JVM-side built-ins."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#33")).alias("brand_dist"),
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("first_word"),
+        F.instr("p_name", "e").alias("e_pos"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_type"), 256).alias("type_sha"),
+        F.ascii("p_name").alias("first_ascii"),
+    )

@@ -68,3 +68,24 @@ def test_approx_count_distinct_close(spark):
     exact = o.select(F.countDistinct("o_custkey")).head()[0]
     approx = o.select(F.approx_count_distinct("o_custkey", 0.02)).head()[0]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_q25_hof_stays_jvm_side(spark):
+    # higher-order array fns are Catalyst lambdas: no Python crossing
+    plan = plan_str(entrymod.queries()["q25_array_hof"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q30_tpch_q3_plan_shape(spark):
+    # dims broadcast (fact never shuffles for the join) + top-10 as
+    # TakeOrderedAndProject (per-partition heap, no global sort)
+    plan = plan_str(entrymod.queries()["q30_tpch_q3"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q31_in_subquery_rewrites_to_semi_join(spark):
+    # Catalyst rewrites IN (subquery) to a left-semi join — no
+    # nested-loop / per-row subquery execution
+    plan = plan_str(entrymod.queries()["q31_in_subquery"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
