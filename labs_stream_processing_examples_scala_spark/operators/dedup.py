@@ -102,11 +102,14 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return composed.filter(F.col("h").isNotNull()).select("doc_id", "h").distinct()
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + m00..m15 MinHash signature columns."""
-    sh = _shingle_hashes(spark, sf_dir)
+def _signatures_from(sh: DataFrame) -> DataFrame:
     aggs = [F.min(H.minhash_slot("h", i)).alias(f"m{i:02d}") for i in range(H.NUM_PERMS)]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + m00..m15 MinHash signature columns."""
+    return _signatures_from(_shingle_hashes(spark, sf_dir))
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
@@ -116,8 +119,15 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     (band_idx, bucket): at 100 TB the bucket key is the shuffle key and
     candidate volume scales with collision rate, not n². Verification
     joins the two shingle sets only for candidate pairs.
+
+    The shingle-hash set feeds BOTH the signature pipeline and the
+    exact-Jaccard verification; Spark does not reuse the exchange across
+    the two subtrees (measured: 11 exchanges, no ReusedExchange), so we
+    persist it — at 100 TB recomputing it is a second full scan +
+    explode + window over the corpus.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    sh = _shingle_hashes(spark, sf_dir).persist()
+    sig = _signatures_from(sh)
     # all bands in ONE projection + stack — a unionAll of per-band
     # selects would recompute the whole signature pipeline per band
     bucket_cols = []
@@ -136,7 +146,6 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = _shingle_hashes(spark, sf_dir)  # already distinct per doc
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cand.alias("c")
@@ -183,7 +192,8 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard for all pairs sharing ≥1 shingle (inverted index)."""
-    sh = _shingle_hashes(spark, sf_dir)  # already distinct per doc
+    # persisted: feeds the self-join (both sides) plus the sizes agg
+    sh = _shingle_hashes(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
