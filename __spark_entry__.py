@@ -170,8 +170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_langid": TX.lang_id,
         "x_text_fingerprint": TX.fingerprint,
         "x_multimodal_meta": MM.multimodal_meta,
-        # binary→feature plumbing (stubbed decode) → rows-only
+        # binary→feature/resize/frame plumbing (stubbed decode) → rows-only
         "x_multimodal_features": lambda spark, sf: MM.extract_features(MM.binary_documents(spark, sf)),
+        "x_multimodal_resize": lambda spark, sf: MM.resize_images(MM.binary_documents(spark, sf)),
+        "x_multimodal_frames": lambda spark, sf: MM.sample_frames(MM.binary_documents(spark, sf)),
     }
 
 

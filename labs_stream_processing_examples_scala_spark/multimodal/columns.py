@@ -108,3 +108,75 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema="doc_id long, n_bytes long, features array<double>")
+
+
+def _resize_one(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize. Real implementation: PIL.Image.open(BytesIO(payload))
+    .resize((width, height)).tobytes(). Without PIL, a deterministic
+    fake: stride-sample the payload down to width*height bytes (content-
+    sensitive, size-exact, testable)."""
+    if _HAVE_PIL:
+        raise NotImplementedError("real resize wiring reserved for images")
+    target = width * height
+    if not payload:
+        return bytes(target)
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    idx = (np.arange(target) * len(arr)) // target
+    return arr[idx].tobytes()
+
+
+def resize_images(df: DataFrame, width: int = 4, height: int = 4, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas resize: binary → fixed-size binary thumbnail.
+
+    1:1 row mapping, partition-parallel, no shuffle; output payload size
+    is exactly width*height bytes so downstream batch memory is bounded
+    and predictable regardless of input image sizes — the property that
+    matters when a 100 TB corpus mixes 10 KB and 50 MB images."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": pdf[payload_col].map(
+                        lambda b: _resize_one(bytes(b), width, height) if b is not None else None
+                    ),
+                    "thumb_w": width,
+                    "thumb_h": height,
+                }
+            )
+
+    return df.mapInPandas(batches, schema="doc_id long, thumb binary, thumb_w int, thumb_h int")
+
+
+def sample_frames(df: DataFrame, n_frames: int = 16, every: int = 4, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas frame sampling: one binary "video" row → one row per
+    sampled frame (doc_id, frame_idx, frame).
+
+    STUB decode: the payload is split into ``n_frames`` equal chunks
+    standing in for decoded frames (real implementation: pyav/ffmpeg
+    keyframe iteration); every ``every``-th chunk is emitted. The 1→N
+    fan-out happens inside the Arrow batch — no explode shuffle, no
+    driver involvement, and output row count is bounded at
+    ceil(n_frames/every) per input regardless of payload size."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                if b is None:
+                    continue
+                payload = bytes(b)
+                chunk = max(len(payload) // n_frames, 1)
+                for fi in range(0, n_frames, every):
+                    frame = payload[fi * chunk : (fi + 1) * chunk]
+                    if not frame:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(frame)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(batches, schema="doc_id long, frame_idx int, frame binary")

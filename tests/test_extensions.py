@@ -115,3 +115,35 @@ def test_simhash_near_for_exact_dups(spark):
         .count()
     )
     assert joined == 0
+
+
+def test_multimodal_resize_plumbing(spark):
+    """Resize: fixed output size regardless of input size, deterministic,
+    1:1 rows, no shuffle in the plan."""
+    from labs_stream_processing_examples_scala_spark.multimodal import resize_images
+
+    src = binary_documents(spark, SF_SMOKE)
+    thumbs = resize_images(src, width=4, height=4)
+    assert thumbs.schema.simpleString() == (
+        "struct<doc_id:bigint,thumb:binary,thumb_w:int,thumb_h:int>"
+    )
+    rows = thumbs.orderBy("doc_id").limit(20).collect()
+    assert all(len(r.thumb) == 16 for r in rows)
+    assert thumbs.count() == src.count()
+    rows2 = resize_images(src, width=4, height=4).orderBy("doc_id").limit(20).collect()
+    assert rows == rows2
+    assert "Exchange" not in thumbs._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multimodal_frame_sampling(spark):
+    """Frame sampling: bounded fan-out (≤ ceil(16/4) per doc), sampled
+    indices are every 4th, frames are non-empty."""
+    from labs_stream_processing_examples_scala_spark.multimodal import sample_frames
+
+    src = binary_documents(spark, SF_SMOKE)
+    frames = sample_frames(src, n_frames=16, every=4)
+    per_doc = frames.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert per_doc <= 4
+    idxs = {r.frame_idx for r in frames.select("frame_idx").distinct().collect()}
+    assert idxs <= {0, 4, 8, 12}
+    assert frames.filter(F.octet_length("frame") == 0).count() == 0
