@@ -100,3 +100,27 @@ def test_sessionized_counts_equal_batch(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_transform_with_state_gather(spark):
+    """TWS form of the gather: equivalence when the env has protobuf,
+    a clear gate error when it doesn't (this container lacks it)."""
+    import pytest
+
+    msgs = events_message_stream(spark, SF_SMOKE)
+    slots = S.slot_stream(msgs)
+    if not S.has_transform_with_state():
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            S.transform_with_state_gather(slots)
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    got = _run_to_memory(spark, S.transform_with_state_gather(slots), "tws", mode="update").orderBy("id").collect()
+    batch_msgs = load_table(spark, SF_SMOKE, "events").select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("Input Data: "), F.col("event_id").cast("string")).alias("value"),
+    )
+    want = enrichment_pipeline(batch_msgs).orderBy("id").collect()
+    assert got == want
