@@ -34,6 +34,8 @@ HEADLINE = [
     "q8_outer_join",
     "q10_window_rank",
     "q12_topk",
+    "q25_array_hof",
+    "q30_tpch_q3",
     "x_dedup_exact",
     "x_dedup_minhash_sig",
     "x_dedup_lsh_pairs",
