@@ -23,6 +23,7 @@ from labs_stream_processing_examples_scala_spark.functions import text as TX
 from labs_stream_processing_examples_scala_spark.multimodal import columns as MM
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.operators import relational as R
+from labs_stream_processing_examples_scala_spark.operators import sketches as SK
 from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
 from labs_stream_processing_examples_scala_spark.operators import temporal as TP
 from labs_stream_processing_examples_scala_spark.plans import enrichment as P
@@ -155,6 +156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_tpch_q3": R.q30_tpch_q3,
         "q31_in_subquery": R.q31_in_subquery,
         "q32_string_funcs": R.q32_string_funcs,
+        "q33_tpch_q5": R.q33_tpch_q5,
+        "q34_tpch_q10": R.q34_tpch_q10,
+        "q35_tpch_q18": R.q35_tpch_q18,
+        # mergeable sketches (no cross-engine oracle → rows-only;
+        # tolerance-tested vs exact in tests/test_sketches.py)
+        "q36_hll_distinct": SK.hll_distinct_per_group,
+        "q36_hll_rollup": SK.hll_mergeable_rollup,
+        "q36_approx_percentile": SK.approx_percentiles,
         # LLM-data-pipeline extensions (SURVEY §7 step 7)
         "x_dedup_exact": DD.exact_dedup,
         "x_dedup_minhash_sig": DD.minhash_signatures,
@@ -492,6 +501,45 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
               AND o_totalprice > 300000
+        """,
+        "q33_tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q34_tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q35_tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   o_totalprice, sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "q32_string_funcs": """
             SELECT p_partkey,
