@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_lsh_pairs": DD.lsh_candidate_pairs,
         "x_dedup_ngram_pairs": DD.ngram_jaccard_pairs,
         "x_dedup_simhash": DD.simhash,
+        "x_dedup_lsh_groups": DD.lsh_dedup_groups,
+        "x_dedup_keep_first": DD.lsh_dedup_keep_first,
         "x_sim_bruteforce_topk": SIM.brute_force_topk,
         "x_sim_neardup_pairs": SIM.cosine_neardup_pairs,
         "x_sim_lsh_topk": SIM.lsh_topk,  # approximate → rows-only
@@ -564,6 +566,12 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_lsh_pairs": O.dedup_lsh_pairs(),
         "x_dedup_ngram_pairs": O.dedup_ngram_pairs(),
         "x_dedup_simhash": O.dedup_simhash(),
+        "x_dedup_lsh_groups": O.dedup_lsh_components(),
+        "x_dedup_keep_first": f"""
+            WITH comp AS ({O.dedup_lsh_components()})
+            SELECT * FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> rep_id)
+        """,
         "x_sim_bruteforce_topk": O.sim_bruteforce_topk(),
         "x_sim_neardup_pairs": O.sim_neardup_pairs(),
         "x_text_stats": O.text_stats(),

@@ -208,3 +208,65 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def lsh_dedup_groups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the LSH near-dup pair graph:
+    (doc_id, rep_id) where rep_id = min doc_id in the doc's component —
+    the grouping that turns pairwise near-dups into an actual dedup.
+
+    Iterative min-label propagation, driver-coordinated but fully
+    partition-parallel per iteration (each round = one shuffle keyed by
+    node id; labels persisted, previous generation unpersisted).
+    Converges in O(component diameter) rounds — near-dup components are
+    shallow in practice (dup clusters, not chains). At extreme scale the
+    round count can be cut to O(log n) with large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), same
+    primitives, more rounds of the same shape.
+    """
+    pairs = lsh_candidate_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("rep", F.col("id")).persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                labels.id,
+                F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("rep_id"))
+
+
+def lsh_dedup_keep_first(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """The near-deduplicated corpus: drop every doc whose component rep
+    is a smaller doc_id (keep-first within each near-dup group)."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = lsh_dedup_groups(spark, sf_dir, threshold)
+    drop = groups.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
+    return d.join(drop, "doc_id", "left_anti")

@@ -240,3 +240,46 @@ def multimodal_meta() -> str:
                sha256(text) AS sha256
         FROM documents
     """
+
+
+def dedup_lsh_components(threshold: float = 0.5) -> str:
+    """Connected components over the LSH near-dup pair graph via a
+    recursive CTE: rep_id = min doc_id reachable in the undirected
+    graph — the oracle for the engine's iterative min-label
+    propagation (operators.dedup.lsh_dedup_groups)."""
+    return f"""
+        WITH RECURSIVE {SHINGLES_CTE}, {SIG_CTE},
+        {_banded_cte()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        pairs AS (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.doc_a
+            JOIN sizes zb ON zb.doc_id = i.doc_b
+            WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= {threshold}
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+        )
+        SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id
+    """

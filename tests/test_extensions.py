@@ -147,3 +147,19 @@ def test_multimodal_frame_sampling(spark):
     idxs = {r.frame_idx for r in frames.select("frame_idx").distinct().collect()}
     assert idxs <= {0, 4, 8, 12}
     assert frames.filter(F.octet_length("frame") == 0).count() == 0
+
+
+def test_lsh_dedup_groups_are_components(spark):
+    """Labels are canonical: rep ≤ id, rep is its own rep (closure), and
+    every near-dup pair lands in one component."""
+    groups = DD.lsh_dedup_groups(spark, SF_SMOKE)
+    g = {r.doc_id: r.rep_id for r in groups.collect()}
+    assert all(rep <= d for d, rep in g.items())
+    assert all(g[rep] == rep for rep in g.values())
+    for p in DD.lsh_candidate_pairs(spark, SF_SMOKE).collect():
+        assert g[p.doc_a] == g[p.doc_b]
+    # keep-first drops exactly the non-representatives
+    kept = DD.lsh_dedup_keep_first(spark, SF_SMOKE).count()
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    dropped = sum(1 for d, rep in g.items() if d != rep)
+    assert kept == total - dropped
