@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_stats": TX.token_stats,
         "x_text_quality": TX.quality_score,
         "x_text_langid": TX.lang_id,
+        "x_text_langid_ngram": TX.lang_id_ngram,
         "x_text_fingerprint": TX.fingerprint,
         "x_multimodal_meta": MM.multimodal_meta,
         # binary→feature/resize/frame plumbing (stubbed decode) → rows-only
@@ -577,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "x_text_stats": O.text_stats(),
         "x_text_quality": O.text_quality(),
         "x_text_langid": O.text_langid(),
+        "x_text_langid_ngram": O.text_langid_ngram(),
         "x_text_fingerprint": O.text_fingerprint(),
         "x_multimodal_meta": O.multimodal_meta(),
     }

@@ -115,3 +115,48 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         H.rolling_hash(normalized).alias("fp"),
         F.md5(normalized).alias("fp_md5"),
     )
+
+
+# characteristic char-trigrams per language (tiny deterministic sets —
+# real signatures would be config; the operator shape is what matters).
+# Shared with the DuckDB oracle renderer (oracles.text_langid_ngram).
+LANG_TRIGRAMS = {
+    "en": ["the", "ing", "and", "ion"],
+    "de": ["der", "die", "und", "sch"],
+    "fr": ["les", "des", "ent", "que"],
+    "es": ["que", "los", "ción", "ado"],
+}
+
+
+def _trigram_count(lowered: Column, tri: str) -> Column:
+    # occurrences of `tri` = (len(text) - len(remove(text, tri))) / len(tri)
+    return (F.length(lowered) - F.length(F.replace(lowered, F.lit(tri)))) / len(tri)
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID: score each language by summed
+    occurrence counts of its signature trigrams in the lowercased text;
+    argmax with fixed tie order en>de>fr>es, 'und' on zero evidence.
+    Pure substring arithmetic — one narrow projection, no shuffle, and
+    bit-identical in the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: sum((_trigram_count(lowered, t) for t in tris), F.lit(0.0)).cast("long")
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
+    best = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["es"]) & (scores["en"] > 0),
+            F.lit("en"),
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]) & (scores["de"] > 0), F.lit("de"))
+        .when((scores["fr"] >= scores["es"]) & (scores["fr"] > 0), F.lit("fr"))
+        .when(scores["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select(
+        "doc_id",
+        best.alias("lang_guess"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_TRIGRAMS],
+    )

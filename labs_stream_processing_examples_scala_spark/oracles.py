@@ -283,3 +283,32 @@ def dedup_lsh_components(threshold: float = 0.5) -> str:
         )
         SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id
     """
+
+
+def text_langid_ngram() -> str:
+    """Char-trigram language ID — rendered from the same LANG_TRIGRAMS
+    constants as functions.text.lang_id_ngram."""
+    from labs_stream_processing_examples_scala_spark.functions.text import LANG_TRIGRAMS
+
+    def score(lang: str) -> str:
+        terms = " + ".join(
+            f"(length(lt) - length(replace(lt, '{t}', ''))) / {len(t)}"
+            for t in LANG_TRIGRAMS[lang]
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    s = {lang: score(lang) for lang in LANG_TRIGRAMS}
+    cols = ",\n               ".join(f"{s[l]} AS score_{l}" for l in LANG_TRIGRAMS)
+    return f"""
+        WITH lt_cte AS (SELECT doc_id, lower(text) AS lt FROM documents)
+        SELECT doc_id,
+               CASE
+                 WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} AND {s['en']} > 0 THEN 'en'
+                 WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} AND {s['de']} > 0 THEN 'de'
+                 WHEN {s['fr']} >= {s['es']} AND {s['fr']} > 0 THEN 'fr'
+                 WHEN {s['es']} > 0 THEN 'es'
+                 ELSE 'und'
+               END AS lang_guess,
+               {cols}
+        FROM lt_cte
+    """
