@@ -23,6 +23,7 @@ from labs_stream_processing_examples_scala_spark.functions import text as TX
 from labs_stream_processing_examples_scala_spark.multimodal import columns as MM
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.operators import relational as R
+from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
 from labs_stream_processing_examples_scala_spark.operators import sketches as SK
 from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
 from labs_stream_processing_examples_scala_spark.operators import temporal as TP
@@ -182,6 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_langid_ngram": TX.lang_id_ngram,
         "x_text_fingerprint": TX.fingerprint,
         "x_multimodal_meta": MM.multimodal_meta,
+        "x_sample_hash_split": SMP.hash_split,
+        "x_sample_stratified": SMP.stratified_sample,
         # binary→feature/resize/frame plumbing (stubbed decode) → rows-only
         "x_multimodal_features": lambda spark, sf: MM.extract_features(MM.binary_documents(spark, sf)),
         "x_multimodal_resize": lambda spark, sf: MM.resize_images(MM.binary_documents(spark, sf)),
@@ -581,4 +584,6 @@ def oracle_sql() -> dict[str, str]:
         "x_text_langid_ngram": O.text_langid_ngram(),
         "x_text_fingerprint": O.text_fingerprint(),
         "x_multimodal_meta": O.multimodal_meta(),
+        "x_sample_hash_split": O.sampling_hash_split(),
+        "x_sample_stratified": O.sampling_stratified(),
     }

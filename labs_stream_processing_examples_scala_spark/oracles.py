@@ -312,3 +312,31 @@ def text_langid_ngram() -> str:
                {cols}
         FROM lt_cte
     """
+
+
+def sampling_hash_split(train_pct: int = 80, valid_pct: int = 10) -> str:
+    b = f"({rolling_hash_sql_key()} % 100)"
+    return f"""
+        SELECT doc_id,
+               CAST({b} AS INT) AS bucket,
+               CASE WHEN {b} < {train_pct} THEN 'train'
+                    WHEN {b} < {train_pct + valid_pct} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
+def rolling_hash_sql_key() -> str:
+    return H.rolling_hash_sql("CAST(doc_id AS VARCHAR)")
+
+
+def sampling_stratified(fractions: dict[str, int] | None = None) -> str:
+    fractions = fractions or {"en": 50, "de": 100, "fr": 100, "es": 100}
+    b = f"({rolling_hash_sql_key()} % 100)"
+    arms = " ".join(f"WHEN '{lang}' THEN {p}" for lang, p in sorted(fractions.items()))
+    return f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE (CASE lang {arms} END) IS NOT NULL
+          AND {b} < (CASE lang {arms} END)
+    """

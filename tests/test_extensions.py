@@ -163,3 +163,24 @@ def test_lsh_dedup_groups_are_components(spark):
     total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     dropped = sum(1 for d, rep in g.items() if d != rep)
     assert kept == total - dropped
+
+
+def test_hash_split_proportions_and_stability(spark):
+    from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
+
+    split = SMP.hash_split(spark, SF_SMOKE)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.7 < counts["train"] / total < 0.9
+    assert counts.get("valid", 0) > 0 and counts.get("test", 0) > 0
+    # assignment is a pure function of doc_id: re-run identical
+    again = {r.doc_id: r.split for r in SMP.hash_split(spark, SF_SMOKE).collect()}
+    for r in split.collect():
+        assert again[r.doc_id] == r.split
+    # stratified: dropped stratum absent, full strata complete
+    samp = SMP.stratified_sample(spark, SF_SMOKE)
+    langs = {r.lang for r in samp.select("lang").distinct().collect()}
+    assert "zh" not in langs
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert samp.filter(F.col("lang") == "de").count() == n_de
