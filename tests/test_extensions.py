@@ -184,3 +184,27 @@ def test_hash_split_proportions_and_stability(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     n_de = docs.filter(F.col("lang") == "de").count()
     assert samp.filter(F.col("lang") == "de").count() == n_de
+
+
+def test_shingle_edge_cases(spark):
+    """Docs with <3 words produce zero shingles (no garbage indices);
+    shingle count = n_distinct among (n_words - 2) positions."""
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "one two"),
+        (4, "one two three"),
+        (5, "a b c d e"),
+        (6, "x x x x"),  # repeated words → duplicate shingles collapse
+        (7, "  padded   spaces  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", F.size(DD.shingles("text")).alias("n")).collect()
+    }
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0
+    assert got[4] == 1
+    assert got[5] == 3
+    assert got[6] == 1  # 'x x x' twice, distinct → 1
+    assert got[7] == 0  # 3 real words? 'padded spaces' = 2 words → 0
