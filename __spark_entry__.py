@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_in_subquery": R.q31_in_subquery,
         "q32_string_funcs": R.q32_string_funcs,
         "q33_tpch_q5": R.q33_tpch_q5,
+        "q37_promo_share": R.q37_promo_share,
+        "q38_supplier_balance": R.q38_supplier_balance,
         "q34_tpch_q10": R.q34_tpch_q10,
         "q35_tpch_q18": R.q35_tpch_q18,
         # mergeable sketches (no cross-engine oracle → rows-only;
@@ -507,6 +509,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
               AND o_totalprice > 300000
+        """,
+        "q37_promo_share": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS economy_share_pct,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "q38_supplier_balance": """
+            SELECT n_name,
+                   count(*) AS n_suppliers,
+                   round(avg(s_acctbal), 6) AS avg_bal,
+                   round(min(s_acctbal), 6) AS min_bal,
+                   round(max(s_acctbal), 6) AS max_bal,
+                   CAST(count_if(s_acctbal < 0) AS BIGINT) AS n_negative
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "q33_tpch_q5": """
             SELECT n_name,

@@ -568,3 +568,40 @@ def q35_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+def q37_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q37 — TPC-H Q14 shape (promotion revenue share): conditional
+    aggregate over lineitem ⋈ broadcast(part)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("economy_share_pct"),
+            F.round(F.sum(rev), 6).alias("total_revenue"),
+        )
+    )
+
+
+def q38_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q38 — supplier account-balance profile per nation (dim⋈dim
+    broadcast join + multi-stat agg)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_bal"),
+            F.round(F.min("s_acctbal"), 6).alias("min_bal"),
+            F.round(F.max("s_acctbal"), 6).alias("max_bal"),
+            F.count_if(F.col("s_acctbal") < 0).alias("n_negative"),
+        )
+    )
