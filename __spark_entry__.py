@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_lsh_pairs": DD.lsh_candidate_pairs,
         "x_dedup_ngram_pairs": DD.ngram_jaccard_pairs,
         "x_dedup_simhash": DD.simhash,
+        "x_dedup_simhash_pairs": DD.simhash_neardup_pairs,
         "x_dedup_lsh_groups": DD.lsh_dedup_groups,
         "x_dedup_keep_first": DD.lsh_dedup_keep_first,
         "x_sim_bruteforce_topk": SIM.brute_force_topk,
@@ -590,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_lsh_pairs": O.dedup_lsh_pairs(),
         "x_dedup_ngram_pairs": O.dedup_ngram_pairs(),
         "x_dedup_simhash": O.dedup_simhash(),
+        "x_dedup_simhash_pairs": O.dedup_simhash_neardup_pairs(),
         "x_dedup_lsh_groups": O.dedup_lsh_components(),
         "x_dedup_keep_first": f"""
             WITH comp AS ({O.dedup_lsh_components()})

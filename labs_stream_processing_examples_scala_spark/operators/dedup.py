@@ -270,3 +270,52 @@ def lsh_dedup_keep_first(spark: SparkSession, sf_dir: str, threshold: float = 0.
     groups = lsh_dedup_groups(spark, sf_dir, threshold)
     drop = groups.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
     return d.join(drop, "doc_id", "left_anti")
+
+
+SIMHASH_BANDS = 4
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+
+
+def simhash_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = HAMMING_MAX
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming,
+    found via band-bucketing (never quadratic).
+
+    The 32-bit simhash splits into 4 bands of 8 bits; by pigeonhole,
+    two hashes differing in ≤3 bits agree on ≥1 whole band, so the
+    banded self-join finds EVERY qualifying pair — banding here is a
+    lossless candidate generator (unlike MinHash-LSH's probabilistic
+    one), which is why the quadratic oracle must agree exactly. At
+    100 TB the shuffle key is (band, band_value): candidates scale with
+    band collisions, not n².
+    """
+    assert max_hamming < SIMHASH_BANDS, "pigeonhole completeness needs hamming < bands"
+    sh = simhash(spark, sf_dir)  # (doc_id, simhash)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    arms = ", ".join(
+        f"{b}, CAST(shiftright(simhash, {b * band_width}) & {(1 << band_width) - 1} AS BIGINT)"
+        for b in range(SIMHASH_BANDS)
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.expr(f"stack({SIMHASH_BANDS}, {arms}) AS (band, bval)")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bval"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bval"
+    )
+    return (
+        left.join(right, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

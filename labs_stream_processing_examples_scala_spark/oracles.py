@@ -340,3 +340,16 @@ def sampling_stratified(fractions: dict[str, int] | None = None) -> str:
         WHERE (CASE lang {arms} END) IS NOT NULL
           AND {b} < (CASE lang {arms} END)
     """
+
+
+def dedup_simhash_neardup_pairs(max_hamming: int = 3) -> str:
+    """Quadratic all-pairs hamming filter over the simhash oracle — the
+    engine's banded form is provably complete for hamming < n_bands
+    (pigeonhole), so exact agreement is required, not approximate."""
+    return f"""
+        WITH sims AS ({dedup_simhash()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
