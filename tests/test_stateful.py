@@ -124,3 +124,56 @@ def test_transform_with_state_gather(spark):
     )
     want = enrichment_pipeline(batch_msgs).orderBy("id").collect()
     assert got == want
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1): batch 0 fills window
+    [10:00,11:00); batch 1 advances the watermark past it, emitting the
+    window (append = at most once); batch 2 delivers a LATE row for the
+    emitted window. The row must be dropped by the watermark — not
+    reopen state, not duplicate the emission."""
+    import datetime as dt
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "id long, ts timestamp"
+    d = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    write_file("f1", [(1, d(10, 0)), (2, d(10, 30)), (3, d(13, 0))])
+    _time.sleep(1.1)  # distinct mtimes → deterministic file order
+    write_file("f2", [(5, d(14, 30))])  # advances watermark to 13:30
+    _time.sleep(1.1)
+    write_file("f3", [(4, d(10, 45))])  # late: window closed AND emitted
+
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+    )
+    emitted = []
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: emitted.extend((str(r.win.start), r.n) for r in df.collect())
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, str(q.exception())
+    # exactly one emission of the 10:00 window, with the on-time rows only
+    assert emitted.count(("2024-01-01 10:00:00", 2)) == 1, emitted
+    assert not any(s.startswith("2024-01-01 10:00") and n != 2 for s, n in emitted), emitted
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1, dropped
