@@ -76,3 +76,39 @@ def test_ack_tracker_observes_batch_commits(spark, tmp_path):
         assert tracker.log.exception is None
     finally:
         spark.streams.removeListener(tracker)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join handling — the first line of defense
+    before explicit salting (operators/skew.py): a hot key's oversized
+    shuffle partition is split at runtime (AQEShuffleRead ... skewed) and
+    the join result is still exact."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds scaled down so local-size data exhibits the 100 TB
+        # phenomenon: one key owning 75% of the fact
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") < 300_000, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = fact.join(dim.hint("merge"), "k")
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert any("skewed" in line for line in plan.splitlines() if "AQEShuffleRead" in line), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
