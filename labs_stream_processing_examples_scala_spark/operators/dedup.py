@@ -170,24 +170,35 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document from word hashes (bit-tally sign)."""
+    """32-bit SimHash per document from word hashes (bit-tally sign).
+
+    Computed as a single narrow fold: aggregate() over the word-hash
+    array builds the 32-slot bit tally per row, a second fold collapses
+    sign bits into the hash — ZERO shuffles, embarrassingly parallel.
+    The alternative (explode words × 32 bits → two groupBys) pushes
+    ~30M intermediate rows through two shuffles at sf0.1; measured only
+    ~0.2 s faster on an idle box (whole-stage codegen vs interpreted
+    HOFs) but swings 5-10× under load (shuffle/spill sensitivity) and
+    its shuffle volume scales with corpus size — the fold's does not.
+    Both produce identical hashes (A/B-verified before switching).
+    """
     d = load_table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(tokens("text")).alias("w")).withColumn(
-        "wh", H.word_hash32("w")
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    whs = F.transform(tokens("text"), H.word_hash32)
+    zero32 = F.array_repeat(F.lit(0).cast("long"), 32)
+    tally = F.aggregate(
+        whs,
+        zero32,
+        lambda acc, wh: F.zip_with(
+            acc, pow2, lambda a, p: a + 2 * (F.floor(wh / p).cast("long") % 2) - 1
+        ),
     )
-    # shiftright/shiftleft with a *column* bit count only exist in SQL form
-    bits = words.select(
-        "doc_id", "wh", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    ).withColumn(
-        "delta",
-        F.when(F.expr("shiftright(wh, b) & 1") == 1, 1).otherwise(-1),
+    sim = F.aggregate(
+        F.zip_with(tally, pow2, lambda t, p: F.when(t > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
     )
-    tallies = bits.groupBy("doc_id", "b").agg(F.sum("delta").alias("tally"))
-    return tallies.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("tally") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
-        ).alias("simhash")
-    )
+    return d.select("doc_id", sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
