@@ -8,9 +8,9 @@ oracle because the hashing is explicit cross-engine arithmetic
 - exact_dedup          — md5(text) groupBy. One shuffle on a 128-bit key;
                          at scale this is the cheapest possible full dedup
                          (hash-partitioned, map-side partial agg).
-- minhash_signatures   — word-shingle MinHash (16 perms). explode(shingles)
-                         → groupBy(doc) min per perm: one shuffle keyed by
-                         doc_id, partial mins combine map-side.
+- minhash_signatures   — word-shingle MinHash (16 perms) as per-row folds
+                         over the cached shingle-hash arrays: ZERO
+                         shuffles (no explode, no groupBy).
 - lsh_candidate_pairs  — band the signature (4 bands × 4 rows), self-join
                          on (band, bucket): only docs sharing a bucket are
                          compared — the quadratic all-pairs never happens.
