@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_supplier_balance": R.q38_supplier_balance,
         "q34_tpch_q10": R.q34_tpch_q10,
         "q35_tpch_q18": R.q35_tpch_q18,
+        "q39_tpch_q4": R.q39_tpch_q4,
+        "q40_tpch_q6": R.q40_tpch_q6,
+        "q41_brand_suppliers": R.q41_brand_suppliers,
+        "q42_tpch_q17": R.q42_tpch_q17,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -567,6 +571,39 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             JOIN big ON o_orderkey = l_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "q39_tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q40_tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q41_brand_suppliers": """
+            SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 20 AND p_brand <> 'Brand#11'
+            GROUP BY p_brand, p_size
+        """,
+        "q42_tpch_q17": """
+            SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+                   count(*) AS n_small_lines
+            FROM lineitem l
+            JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+                  FROM lineitem GROUP BY l_partkey) a
+              ON l.l_partkey = a.ap_partkey
+            WHERE l.l_quantity < 0.2 * a.avg_qty
         """,
         "q32_string_funcs": """
             SELECT p_partkey,

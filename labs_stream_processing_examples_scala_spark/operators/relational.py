@@ -605,3 +605,83 @@ def q38_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("s_acctbal") < 0).alias("n_negative"),
         )
     )
+
+
+def q39_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q39 — TPC-H Q4 shape (order priority checking): count orders per
+    priority in one quarter having at least one line shipped after the
+    order date. EXISTS → left-semi join (no fact duplication), then a
+    small agg; Catalyst plans the semi side as the build."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q40_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q40 — TPC-H Q6 (forecasting revenue change): the canonical
+    filtered single-table aggregate. Every predicate must reach the
+    parquet scan as a pushed filter; the agg is partial+final with no
+    grouping key (one-row result)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q41_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q41 — TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier count per (p_brand, p_size) over the lineitem link, small
+    sizes only, one brand excluded. Distinct-agg after a broadcast dim
+    join: partial distinct runs map-side on (brand, size, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dims = p.filter((F.col("p_size") <= 20) & (F.col("p_brand") != "Brand#11"))
+    return (
+        li.join(F.broadcast(dims), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q42_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q42 — TPC-H Q17 shape (small-quantity-order revenue): lines with
+    quantity below 20% of their part's average quantity. The correlated
+    scalar subquery becomes one agg over the fact re-joined to the fact
+    — both sides shuffle on l_partkey once (AQE can co-locate); the
+    per-part avg table is tiny → broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )

@@ -97,6 +97,13 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.
 N_TABLES = 8
 BITS_PER_TABLE = 6
 
+# one cached signature table per (session, sf_dir, n_tables, bits) —
+# both sides of the bucket join (corpus and query) read the same
+# materialization, so the Arrow-batched signature UDF runs exactly once
+# per corpus (same pattern as dedup.shingle_hash_arrays). At 100 TB this
+# is the precomputed index table you'd write partitioned by bucket.
+_SIG_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
 
 def _plane_component(table: int, bit: int, j: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
@@ -149,11 +156,25 @@ def lsh_buckets(
     TB the banded table is written partitioned by (table, bucket) — a
     query reads n_tables partitions, the rest is pruned at the source.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
-    sig = _make_signature_udf(n_tables, bits)
-    return e.withColumn("sigs", sig("vec")).select(
+    return _signed_vectors(spark, sf_dir, n_tables, bits).select(
         "vec_id", "vec", F.posexplode("sigs").alias("table", "bucket")
     )
+
+
+def _signed_vectors(
+    spark: SparkSession, sf_dir: str, n_tables: int, bits: int
+) -> DataFrame:
+    """(vec_id, vec, sigs: array<long>) — persisted so every consumer
+    (bucket explode, query-side lookup) reads the one materialized
+    signature pass instead of re-running the UDF per plan branch."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_tables, bits)
+    if key in _SIG_CACHE:
+        return _SIG_CACHE[key]
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    sig = _make_signature_udf(n_tables, bits)
+    out = e.withColumn("sigs", sig("vec")).persist()
+    _SIG_CACHE[key] = out
+    return out
 
 
 def lsh_topk(
