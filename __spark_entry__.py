@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_keep_first": DD.lsh_dedup_keep_first,
         "x_sim_bruteforce_topk": SIM.brute_force_topk,
         "x_sim_neardup_pairs": SIM.cosine_neardup_pairs,
+        "x_sim_lsh_neardup": SIM.lsh_neardup_pairs,  # approximate → rows-only
         "x_sim_lsh_topk": SIM.lsh_topk,  # approximate → rows-only
         "x_sim_ivf_topk": SIM.ivf_topk,  # approximate → rows-only
         "x_text_stats": TX.token_stats,

@@ -256,3 +256,36 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def lsh_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_tables: int = N_TABLES,
+    bits: int = BITS_PER_TABLE,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates = pairs sharing a
+    bucket in ANY hash table, exact cosine verify ≥ threshold on the
+    candidate set only.
+
+    Same verify as cosine_neardup_pairs, but the quadratic all-pairs
+    never materializes — the join is keyed on (table, bucket), so work
+    ∝ Σ bucket² within each table, not n². Approximate (a pair whose θ
+    splits every table's planes is missed) → rows-only check + recall
+    test vs the exact operator; recall rises with n_tables.
+    """
+    b = lsh_buckets(spark, sf_dir, n_tables, bits).select("table", "bucket", "vec_id", "vec")
+    a = b.select("table", "bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    c = b.select("table", "bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    cand = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

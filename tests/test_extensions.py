@@ -71,6 +71,28 @@ def test_lsh_topk_recall_and_pruning(spark):
     assert recall > frac * 0.5, "recall should beat random sampling at this scan fraction"
 
 
+def test_lsh_neardup_pairs_subset_of_exact_with_recall(spark):
+    """lsh_neardup_pairs = bucket candidates + exact verify, so every
+    returned pair MUST be in the exact set (precision 1.0 by
+    construction); recall on the near-random fixture (θ≈72° at
+    thr=0.3) should land near the sign-LSH theory value
+    1-(1-p^bits)^tables ≈ 0.32, well above zero."""
+    thr = 0.3
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.cosine_neardup_pairs(spark, SF_SMOKE, thr).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b) for r in SIM.lsh_neardup_pairs(spark, SF_SMOKE, thr).collect()
+    }
+    assert exact, "fixture should have pairs at thr=0.3"
+    assert lsh <= exact, "verified candidates can never be false positives"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.2, f"LSH near-dup recall too low: {recall:.2f}"
+    # high threshold on near-random vectors: both must agree on "none"
+    assert SIM.lsh_neardup_pairs(spark, SF_SMOKE, 0.9).count() == 0
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
     ann = [r.vec_id for r in SIM.ivf_topk(spark, SF_SMOKE, k=10, nprobe=4).collect()]
