@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_tpch_q10": R.q34_tpch_q10,
         "q35_tpch_q18": R.q35_tpch_q18,
         "q39_tpch_q4": R.q39_tpch_q4,
+        "q43_full_outer": R.q43_full_outer,
+        "q44_explode_tokens": R.q44_explode_tokens,
         "q40_tpch_q6": R.q40_tpch_q6,
         "q41_brand_suppliers": R.q41_brand_suppliers,
         "q42_tpch_q17": R.q42_tpch_q17,
@@ -605,6 +607,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY l_partkey) a
               ON l.l_partkey = a.ap_partkey
             WHERE l.l_quantity < 0.2 * a.avg_qty
+        """,
+        "q43_full_outer": """
+            SELECT coalesce(nk_c, nk_s) AS nationkey,
+                   coalesce(n_customers, 0) AS n_customers,
+                   coalesce(n_suppliers, 0) AS n_suppliers
+            FROM (SELECT c_nationkey AS nk_c, count(*) AS n_customers
+                  FROM customer GROUP BY c_nationkey) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey AS nk_s, count(*) AS n_suppliers
+                  FROM supplier GROUP BY s_nationkey) s
+              ON nk_c = nk_s
+        """,
+        "q44_explode_tokens": """
+            SELECT token, count(*) AS n_occurrences
+            FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+                  FROM documents)
+            WHERE length(token) > 5
+            GROUP BY token
         """,
         "q32_string_funcs": """
             SELECT p_partkey,

@@ -685,3 +685,34 @@ def q42_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_small_lines"),
         )
     )
+
+
+def q43_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q43 — full-outer join: per-nation customer and supplier counts,
+    keeping nations that have only one side. Aggregate-then-join keeps
+    the outer join on two tiny pre-aggregated sides (at scale the aggs
+    shuffle on nationkey once; the join itself is broadcast-able)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(F.count("*").alias("n_customers"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(F.count("*").alias("n_suppliers"))
+    return cn.join(sn, cn.nk_c == sn.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def q44_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q44 — generator (LATERAL/UNNEST shape): explode document tokens
+    to rows, count occurrences of tokens longer than 5 chars. The
+    explode is a narrow Generate node; the only shuffle is the final
+    agg on the token key (map-side partial combine first)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .filter(F.length("token") > 5)
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
