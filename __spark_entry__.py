@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_tpch_q6": R.q40_tpch_q6,
         "q41_brand_suppliers": R.q41_brand_suppliers,
         "q42_tpch_q17": R.q42_tpch_q17,
+        "q45_tpch_q13": R.q45_tpch_q13,
+        "q46_tpch_q15": R.q46_tpch_q15,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -625,6 +627,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE length(token) > 5
             GROUP BY token
+        """,
+        "q45_tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q46_tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey AS supplier_no,
+                       round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         """,
         "q32_string_funcs": """
             SELECT p_partkey,

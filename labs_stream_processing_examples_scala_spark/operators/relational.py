@@ -716,3 +716,39 @@ def q44_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n_occurrences"))
     )
+
+
+def q45_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q45 — TPC-H Q13 (customer order distribution): histogram of
+    orders-per-customer including zero-order customers. Double agg: the
+    outer-join count shuffles on custkey, the histogram on the (tiny)
+    count value — the second exchange is negligible at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q46_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q46 — TPC-H Q15 (top supplier): supplier(s) whose quarter revenue
+    equals the maximum. The max is a scalar subquery → one-row broadcast
+    back onto the per-supplier agg (no second scan of the fact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
