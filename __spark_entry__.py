@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_tpch_q17": R.q42_tpch_q17,
         "q45_tpch_q13": R.q45_tpch_q13,
         "q46_tpch_q15": R.q46_tpch_q15,
+        "q47_sliding_window": R.q47_sliding_window,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -627,6 +628,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE length(token) > 5
             GROUP BY token
+        """,
+        "q47_sliding_window": """
+            WITH assigned AS (
+                SELECT date_trunc('hour', ts) AS win_start, event_type, value
+                FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE
+                           AS win_start, event_type, value
+                FROM events
+            )
+            SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type, count(*) AS n, round(sum(value), 6) AS total
+            FROM assigned GROUP BY 1, 2
         """,
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist

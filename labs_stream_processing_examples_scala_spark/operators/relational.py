@@ -752,3 +752,22 @@ def q46_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+def q47_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q47 — sliding event-time window (1 h window, 30 min slide):
+    per-window, per-type counts and value sums. Spark's window()
+    generator assigns each row to win/slide = 2 buckets (a narrow
+    Expand), then one agg shuffle on (window, type) — identical shape
+    streaming or batch; the streaming variant only adds a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
