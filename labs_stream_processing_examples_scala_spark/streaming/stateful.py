@@ -261,3 +261,14 @@ def transform_with_state_gather(slots: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_static_enrichment(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static dimension join — the production enrichment shape
+    the reference approximates with its three service lookups: each
+    streaming record picks up attributes from a slowly-changing static
+    table. The static side is broadcast (re-read per micro-batch, so
+    dimension updates are picked up batch-to-batch); no state store is
+    involved and the stream side never shuffles.
+    """
+    return events.join(F.broadcast(dim), key, "left")

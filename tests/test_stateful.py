@@ -177,3 +177,23 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert dropped == 1, dropped
+
+
+def test_stream_static_join_equals_batch_join(spark):
+    """Stream-static dimension enrichment: a bounded streaming run must
+    produce exactly the batch join's rows, and the static side must not
+    introduce a state store (no stateOperators in progress)."""
+    batch, raw = _events_stream(spark)
+    # a small per-user dimension derived from the same fixture
+    dim = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+    )
+    got = _run_to_memory(
+        spark,
+        S.stream_static_enrichment(raw.select("event_id", "user_id"), dim),
+        "ss_dim",
+    )
+    expected = batch.select("event_id", "user_id").join(F.broadcast(dim), "user_id", "left")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
