@@ -29,14 +29,30 @@ TABLES = (
 )
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make parquet TIMESTAMP(NANOS) columns readable on ANY session.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS); without
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` the scan throws
+    PARQUET_TYPE_ILLEGAL. The conf is runtime-settable, so set it here
+    rather than relying on the session builder (session.py) — callers
+    (e.g. an external correctness harness) may hand us a plain session.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf may be locked down; the read will surface the error
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (TESTDATA.md) as a DataFrame.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    reads only as a nanosecond long (``spark.sql.legacy.parquet.
-    nanosAsLong``, set in session.py); convert it back to a timestamp
-    here (lossless — fixture nanos are exact microsecond multiples).
+    reads only as a nanosecond long (``ensure_nanos_readable``);
+    convert it back to a timestamp here (lossless — fixture nanos are
+    exact microsecond multiples).
     """
+    ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

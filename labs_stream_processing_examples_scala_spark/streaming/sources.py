@@ -78,6 +78,9 @@ def events_message_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's ``Data`` (id, value) + event time."""
     import os
 
+    from labs_stream_processing_examples_scala_spark.sources.batch import ensure_nanos_readable
+
+    ensure_nanos_readable(spark)
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = file_stream(spark, os.path.join(sf_dir, "events.parquet"), schema=batch.schema)
     if dict(stream.dtypes).get("ts") == "bigint":
