@@ -105,17 +105,19 @@ def q6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 — orders ⋈ customer ⋈ nation ⋈ region revenue by region name.
 
-    customer/nation/region are dims: broadcast them so the orders fact
-    never shuffles (at TPC-H ratios customer is 1.5% of lineitem; still
-    broadcastable at 100 TB-of-lineitem scale where customer is ~GBs —
-    if not, AQE falls back to sort-merge).
+    Broadcast policy (applies file-wide): only fixed-cardinality tables
+    get a forced ``F.broadcast`` hint — nation (25 rows) and region
+    (5 rows) never grow with SF. customer scales linearly with the
+    corpus, so it carries NO hint: AQE broadcasts it while its runtime
+    size is under ``autoBroadcastJoinThreshold`` and falls back to a
+    shuffle join at scale, which is the plan you want at 100×.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
@@ -426,9 +428,13 @@ def q29_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q30_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q30 — TPC-H Q3 (shipping priority): segment-filtered customer dim
-    broadcast into orders, joined to lineitem on the shuffle key
-    l_orderkey, aggregated, then top-10 via TakeOrderedAndProject."""
+    """Q30 — TPC-H Q3 (shipping priority): segment-filtered customer
+    joined into orders, then lineitem ⋈ orders on l_orderkey,
+    aggregated, then top-10 via TakeOrderedAndProject.
+
+    No forced broadcast: both orders and customer scale with SF, so the
+    fact⋈fact edge must stay a shuffle join at scale; AQE broadcasts
+    the small side at low SF where that is actually cheaper."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -439,7 +445,7 @@ def q30_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.join(o.join(c, o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
@@ -492,9 +498,12 @@ def q32_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q33_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q33 — TPC-H Q5 (local supplier volume): revenue per nation where
-    the supplier and the customer share the nation. All four dims
-    broadcast; lineitem (the fact) joins orders on its own key and never
-    shuffles for the dimension hops."""
+    the supplier and the customer share the nation.
+
+    Only nation/region (fixed 25/5 rows) are force-broadcast. orders is
+    a year of the fact — it scales with SF, so lineitem ⋈ orders is a
+    shuffle join on l_orderkey at scale (AQE broadcasts it at low SF);
+    supplier/customer carry no hint for the same reason."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -505,9 +514,9 @@ def q33_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == su.s_nationkey))
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == su.s_nationkey))
         .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -521,7 +530,10 @@ def q33_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q34_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q34 — TPC-H Q10 (returned-item reporting): top 20 customers by
-    lost revenue on returned items in one quarter."""
+    lost revenue on returned items in one quarter.
+
+    orders (a quarter of the fact) and customer both scale with SF —
+    no forced broadcast; only nation (25 rows) keeps the hint."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -530,8 +542,8 @@ def q34_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -558,7 +570,7 @@ def q35_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -572,12 +584,16 @@ def q35_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q37_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q37 — TPC-H Q14 shape (promotion revenue share): conditional
-    aggregate over lineitem ⋈ broadcast(part)."""
+    aggregate over lineitem ⋈ part.
+
+    part scales with SF (TPC-H sf100 ⇒ 20 M parts) — no forced
+    broadcast; AQE broadcasts while small, shuffle-joins on l_partkey
+    at scale."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
@@ -654,13 +670,14 @@ def q40_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q41 — TPC-H Q16 shape (parts/supplier relationship): distinct
     supplier count per (p_brand, p_size) over the lineitem link, small
-    sizes only, one brand excluded. Distinct-agg after a broadcast dim
-    join: partial distinct runs map-side on (brand, size, suppkey)."""
+    sizes only, one brand excluded. Partial distinct runs map-side on
+    (brand, size, suppkey). part scales with SF — no forced broadcast
+    (AQE broadcasts the filtered slice while it fits)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     dims = p.filter((F.col("p_size") <= 20) & (F.col("p_brand") != "Brand#11"))
     return (
-        li.join(F.broadcast(dims), li.l_partkey == p.p_partkey)
+        li.join(dims, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -670,15 +687,17 @@ def q42_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q42 — TPC-H Q17 shape (small-quantity-order revenue): lines with
     quantity below 20% of their part's average quantity. The correlated
     scalar subquery becomes one agg over the fact re-joined to the fact
-    — both sides shuffle on l_partkey once (AQE can co-locate); the
-    per-part avg table is tiny → broadcast back."""
+    — both sides shuffle on l_partkey once (AQE can co-locate). The
+    per-part avg has one row per partkey, i.e. it scales with the
+    corpus — NO broadcast hint; AQE picks broadcast only while it
+    actually fits."""
     li = load_table(spark, sf_dir, "lineitem")
     avg_qty = (
         li.groupBy(F.col("l_partkey").alias("ap_partkey"))
         .agg(F.avg("l_quantity").alias("avg_qty"))
     )
     return (
-        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        li.join(avg_qty, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
@@ -736,7 +755,9 @@ def q45_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q46_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q46 — TPC-H Q15 (top supplier): supplier(s) whose quarter revenue
     equals the maximum. The max is a scalar subquery → one-row broadcast
-    back onto the per-supplier agg (no second scan of the fact)."""
+    back onto the per-supplier agg (no second scan of the fact). The
+    one-row max keeps its hint (cardinality is literally 1); supplier
+    scales with SF so it carries none."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = (
@@ -749,7 +770,7 @@ def q46_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("mx"))
-        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .join(s, rev.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
