@@ -159,6 +159,30 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time window (streaming form of relational.q47):
+    per-window, per-type counts and value sums. Identical plan shape to
+    the batch query — window() expands each row into window/slide
+    buckets (a narrow Expand), then one agg shuffle on (window, type);
+    streaming only adds the watermark that bounds state eviction."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
 def watermarked_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Drop duplicate event_ids within the watermark horizon — bounded
     state (vs unbounded exact dedup). At 100 TB stream scale this is the

@@ -74,6 +74,21 @@ def test_windowed_counts_equal_batch(spark):
     assert got == want
 
 
+def test_sliding_window_counts_equal_batch_q47(spark):
+    """Streaming sliding window == the q47 batch query on the same input
+    (complete mode so no window is held back by the final watermark)."""
+    from labs_stream_processing_examples_scala_spark.operators.relational import q47_sliding_window
+
+    _, raw = _events_stream(spark)
+    got = (
+        _run_to_memory(spark, S.sliding_window_counts(raw), "swc", mode="complete")
+        .orderBy("win_start", "event_type")
+        .collect()
+    )
+    want = q47_sliding_window(spark, SF_SMOKE).orderBy("win_start", "event_type").collect()
+    assert got == want
+
+
 def test_watermarked_dedup(spark, tmp_path):
     """Duplicate the events table, stream it, and assert dedup-by-id
     restores the original distinct count (batch equivalent: distinct)."""
