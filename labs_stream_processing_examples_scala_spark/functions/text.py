@@ -41,7 +41,11 @@ def _stopword_hits(toks: Column, lang: str) -> Column:
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count, subtoken (regex) count, char stats."""
+    """Whitespace token count, subtoken (regex) count, char stats.
+
+    Zero-token docs: ``x / 0`` is NULL in both Spark and DuckDB, so
+    avg_token_len is NULL on both sides of the oracle — aligned by
+    construction (same for the quality_score ratios below)."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens("text")
     return d.select(

@@ -92,6 +92,22 @@ _SLICE_BIG = 1 << 30  # "to the end" length for slice()
 _ARR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def invalidate_cache(sf_dir: str | None = None) -> None:
+    """Unpersist and drop the cached shingle arrays — all entries, or
+    only those under ``sf_dir``. Call when the parquet under a cached
+    dir changes: entries are otherwise held (and would serve stale
+    rows) for the session lifetime. Also cascades to the similarity
+    signature cache, which is derived from the same fixture dirs."""
+    for key in list(_ARR_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            _ARR_CACHE.pop(key).unpersist()
+    from labs_stream_processing_examples_scala_spark.operators import similarity as _sim
+
+    for key in list(_sim._SIG_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            _sim._SIG_CACHE.pop(key).unpersist()
+
+
 def shingle_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shs: array<long>, sz) — the distinct shingle-hash SET per
     document as a row-local array, persisted.
@@ -227,7 +243,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    return d.select("doc_id", sim.alias("simhash"))
+    # zero-token docs have no tally and therefore no meaningful hash —
+    # exclude them (keeps parity with the oracle's unnest-over-words
+    # form, which emits no row for an empty word list)
+    return d.filter(F.size(tokens("text")) > 0).select("doc_id", sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:

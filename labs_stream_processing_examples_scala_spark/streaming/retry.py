@@ -54,19 +54,34 @@ def with_retry(
     ``backoff`` seconds between them (the reference's fixed
     ``retryInterval``), permanent failures re-raise immediately (R4
     routing: the caller dead-letters them), temporary failures exhaust
-    into :class:`RetryExhausted`. ``timeout`` bounds each attempt's
-    duration check (R6) for callables that report elapsed cost —
-    enforcement for arbitrary blocking calls belongs to the caller's
-    executor, as in the reference (Await.result, AkkaPipelineActors.scala:68).
+    into :class:`RetryExhausted`.
+
+    ``timeout`` (R6) bounds each attempt for real: the attempt runs on
+    a worker thread and a ``TimeoutError`` is raised at the deadline —
+    the reference's ``Await.result`` semantics (AkkaPipelineActors.scala:68).
+    As there (and in any timeout-then-retry scheme), an attempt that
+    times out may still complete in the background, so wrap only
+    idempotent effects (K1's sinks are, by design) when a timeout is
+    set. Python threads can't be killed, so the abandoned attempt holds
+    its worker until it finishes.
     """
     last: BaseException | None = None
     for attempt in range(1, times + 1):
-        start = time.monotonic()
         try:
-            result = fn()
-            if timeout is not None and time.monotonic() - start > timeout:
-                raise TimeoutError(f"attempt exceeded {timeout}s")
-            return result
+            if timeout is None:
+                return fn()
+            import concurrent.futures as cf
+
+            pool = cf.ThreadPoolExecutor(max_workers=1)
+            fut = pool.submit(fn)
+            try:
+                return fut.result(timeout=timeout)
+            except cf.TimeoutError:
+                raise TimeoutError(f"attempt exceeded {timeout}s") from None
+            finally:
+                # wait=False: don't block on an abandoned (timed-out)
+                # attempt — its thread drains in the background
+                pool.shutdown(wait=False)
         except BaseException as exc:  # noqa: BLE001 — classification decides
             if not classify(exc):
                 raise  # permanent: fail the record now (R4)

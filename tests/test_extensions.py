@@ -230,3 +230,17 @@ def test_shingle_edge_cases(spark):
     assert got[5] == 3
     assert got[6] == 1  # 'x x x' twice, distinct → 1
     assert got[7] == 0  # 3 real words? 'padded spaces' = 2 words → 0
+
+def test_cache_invalidation_unpersists(spark):
+    """invalidate_cache drops + unpersists cached shingle arrays (and
+    cascades to the similarity signature cache) so a changed fixture
+    dir can't serve stale rows."""
+    arrs = DD.shingle_hash_arrays(spark, SF_SMOKE)
+    assert any(k[1] == SF_SMOKE for k in DD._ARR_CACHE)
+    DD.invalidate_cache(SF_SMOKE)
+    assert not any(k[1] == SF_SMOKE for k in DD._ARR_CACHE)
+    assert not any(k[1] == SF_SMOKE for k in SIM._SIG_CACHE)
+    assert arrs.storageLevel.useMemory is False  # unpersisted
+    # rebuild works and re-caches
+    DD.shingle_hash_arrays(spark, SF_SMOKE)
+    assert any(k[1] == SF_SMOKE for k in DD._ARR_CACHE)

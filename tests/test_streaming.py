@@ -160,6 +160,18 @@ def test_retry_exhaustion(spark):
     assert e.value.attempts == 3
 
 
+def test_retry_timeout_bounds_attempt_latency(spark):
+    """R6 — a blocking attempt is cut off at the deadline (real
+    enforcement, not a post-hoc elapsed check) and, being temporary,
+    exhausts into RetryExhausted; a fast success is returned as-is."""
+    t0 = time.monotonic()
+    with pytest.raises(RetryExhausted) as e:
+        with_retry(lambda: time.sleep(5) or "late", times=2, backoff=0.0, timeout=0.2)
+    assert isinstance(e.value.last, TimeoutError)
+    assert time.monotonic() - t0 < 4  # 2 attempts × 0.2s deadline ≪ 2 × 5s sleep
+    assert with_retry(lambda: "fast", times=2, backoff=0.0, timeout=5.0) == "fast"
+
+
 def test_record_sink_lifecycle(spark):
     """K2 — open/process/close contract (OutputWriter actor parity)."""
     seen = []
