@@ -171,6 +171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_tpch_q13": R.q45_tpch_q13,
         "q46_tpch_q15": R.q46_tpch_q15,
         "q47_sliding_window": R.q47_sliding_window,
+        "q48_tpch_q7": R.q48_tpch_q7,
+        "q49_tpch_q8": R.q49_tpch_q8,
+        "q50_tpch_q12": R.q50_tpch_q12,
+        "q51_tpch_q19": R.q51_tpch_q19,
+        "q52_tpch_q21": R.q52_tpch_q21,
+        "q53_tpch_q22": R.q53_tpch_q22,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -641,6 +647,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
                    event_type, count(*) AS n, round(sum(value), 6) AS total
             FROM assigned GROUP BY 1, 2
+        """,
+        "q48_tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q49_tpch_q8": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN n1.n_name = 'NATION_2'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_volume
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "q50_tpch_q12": """
+            SELECT l_linestatus,
+                   count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                       AS high_line_count,
+                   count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1
+        """,
+        "q51_tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q52_tpch_q21": """
+            WITH lines AS (
+                SELECT l_orderkey, l_suppkey,
+                       l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM lines l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.late
+              AND EXISTS (SELECT 1 FROM lines l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lines l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
+        """,
+        "q53_tpch_q22": """
+            WITH eligible AS (
+                SELECT * FROM customer
+                WHERE c_nationkey IN (1, 3, 5, 7, 11, 13, 17)
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 6) AS totacctbal
+            FROM eligible c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM eligible
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY 1
         """,
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist

@@ -792,3 +792,192 @@ def q47_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+def q48_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q48 — TPC-H Q7 (volume shipping): bilateral trade volume between
+    two nations per ship year. lineitem ⋈ orders and the supplier/
+    customer hops are shuffle joins (all SF-scaled, no hints); the two
+    nation lookups broadcast (25 rows each). The nation-pair disjunction
+    lands after both lookups, where it is a cheap row-local filter."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
+def q49_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q49 — TPC-H Q8 (national market share): NATION_2's share of PROMO
+    part revenue sold into ASIA customers, per order year. The share is
+    a conditional-sum ratio inside one agg — no second pass. part is
+    SF-scaled (no hint); nation/region broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_regionkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("c_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 6).alias("total_volume"),
+        )
+    )
+
+
+def q50_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q50 — TPC-H Q12 shape (shipping-delay priority audit): per line
+    status, count late-shipped 1996 lines split by order urgency. (The
+    fixture has no l_shipmode/commitdate; l_linestatus stands in for the
+    mode and ship-lag > 90 days for the late predicate — the shape, a
+    fact⋈fact join feeding a two-way conditional count, is Q12's.)"""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(urgent).alias("high_line_count"),
+            F.count_if(~urgent).alias("low_line_count"),
+        )
+    )
+
+
+def q51_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q51 — TPC-H Q19 (discounted revenue, disjunctive predicates):
+    three (brand, size-range, quantity-range) clauses OR-ed across the
+    lineitem ⋈ part join. Catalyst extracts the common join key so this
+    stays an equi-join (plan must be free of BroadcastNestedLoopJoin);
+    the disjunction evaluates row-local post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q52_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q52 — TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finalized orders, suppliers whose line shipped >60 days after the
+    order date while every other supplier on the order shipped on time
+    — EXISTS(another supplier) as a left-semi join, NOT EXISTS(another
+    late supplier) as a left-anti join, then count per supplier, top 10.
+    All joins key on l_orderkey (one shuffle family, AQE co-locates);
+    nation broadcast. (Fixture lacks commit/receipt dates; ship-lag
+    stands in for the late predicate, the semi/anti structure is Q21's.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    l1 = lines.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = lines.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = lines.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+def q53_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q53 — TPC-H Q22 shape (global sales opportunity): customers in a
+    7-nation subset with above-average positive balance and no recent
+    orders. The average is a one-row scalar → broadcast back; the
+    no-recent-orders test is a left-anti join on custkey. (Fixture has
+    no c_phone, so c_nationkey stands in for the country code; every
+    fixture customer has *some* order, so "recent" replaces Q22's
+    lifetime NOT EXISTS to keep the predicate non-vacuous.)"""
+    nations = [1, 3, 5, 7, 11, 13, 17]
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )

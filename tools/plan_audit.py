@@ -56,6 +56,14 @@ AUDITS = [
     ("q46_tpch_q15", ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # sliding window = narrow Expand (2 buckets/row) + one agg; no join
     ("q47_sliding_window", ["Expand", "partial_count"], ["Join"]),
+    # TPC-H shapes batch 4 (Q7/Q8/Q12/Q19/Q21/Q22 adaptations)
+    ("q48_tpch_q7", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("q49_tpch_q8", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("q50_tpch_q12", ["PushedFilters"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # the disjunctive predicate must NOT degrade the equi-join
+    ("q51_tpch_q19", [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("q52_tpch_q21", ["LeftSemi", "LeftAnti"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("q53_tpch_q22", ["LeftAnti"], ["CartesianProduct"]),
 ]
 
 
@@ -75,6 +83,12 @@ BROADCAST_ALLOWED = {
     "q41_brand_suppliers": set(),
     "q42_tpch_q17": set(),
     "q46_tpch_q15": {"max_rev"},
+    "q48_tpch_q7": {"n1", "n2"},
+    "q49_tpch_q8": {"n1", "n2", "r"},
+    "q50_tpch_q12": set(),
+    "q51_tpch_q19": set(),
+    "q52_tpch_q21": set(),
+    "q53_tpch_q22": {"avg_bal"},
 }
 
 
