@@ -21,6 +21,7 @@ from labs_stream_processing_examples_scala_spark import oracles as O
 from labs_stream_processing_examples_scala_spark.functions import errors as E
 from labs_stream_processing_examples_scala_spark.functions import text as TX
 from labs_stream_processing_examples_scala_spark.multimodal import columns as MM
+from labs_stream_processing_examples_scala_spark.operators import corpus as CP
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.operators import relational as R
 from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
@@ -204,6 +205,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_multimodal_meta": MM.multimodal_meta,
         "x_sample_hash_split": SMP.hash_split,
         "x_sample_stratified": SMP.stratified_sample,
+        # corpus assembly (packing, decontamination, embedding prep)
+        "x_pack_sequences": CP.pack_sequences,
+        "x_pack_stats": CP.pack_stats,
+        "x_corpus_contamination": CP.contamination_report,
+        "x_corpus_clean": CP.decontaminate,
+        "x_embed_normalize": CP.embed_normalize,
         # binary→feature/resize/frame plumbing (stubbed decode) → rows-only
         "x_multimodal_features": lambda spark, sf: MM.extract_features(MM.binary_documents(spark, sf)),
         "x_multimodal_resize": lambda spark, sf: MM.resize_images(MM.binary_documents(spark, sf)),
@@ -802,4 +809,9 @@ def oracle_sql() -> dict[str, str]:
         "x_multimodal_meta": O.multimodal_meta(),
         "x_sample_hash_split": O.sampling_hash_split(),
         "x_sample_stratified": O.sampling_stratified(),
+        "x_pack_sequences": O.pack_sequences(),
+        "x_pack_stats": O.pack_stats(),
+        "x_corpus_contamination": O.contamination_report(),
+        "x_corpus_clean": O.decontaminate(),
+        "x_embed_normalize": O.embed_normalize(),
     }

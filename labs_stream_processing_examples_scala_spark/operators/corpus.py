@@ -1,0 +1,134 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+The dedup/similarity/text modules cover filtering; this module covers
+the *assembly* side of a training run:
+
+- :func:`pack_sequences` — token-budget sharding: assign documents to
+  fixed-budget training sequences (the "sequence packing" step before
+  tokenizer batching).
+- :func:`pack_stats` — per-shard packing-efficiency report.
+- :func:`contamination_report` / :func:`decontaminate` — benchmark
+  n-gram-overlap contamination detection and removal (the eval-leakage
+  guard every corpus pipeline needs).
+- :func:`embed_normalize` — L2 normalization of the embedding column
+  with norm diagnostics (the projection ANN indexes consume).
+
+All are pure Catalyst (window functions, HOF folds, hash joins) — no
+Python in any hot path — and each has an exact DuckDB oracle
+(``oracles.py``) because every step is deterministic arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.functions.text import _tokens
+from labs_stream_processing_examples_scala_spark.operators.dedup import _shingle_hashes
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+PACK_BUDGET = 512  # tokens per packed sequence
+PACK_SHARDS = 32  # packing parallelism (scale knob: one window per shard)
+BENCHMARK_DOCS = 20  # fixture stand-in for the benchmark suite: doc_id < 20
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Assign each document to a (shard, seq_id) training-sequence slot.
+
+    Documents are sharded by ``doc_id % n_shards`` and packed in doc_id
+    order within the shard: a running token count assigns each doc the
+    sequence index ``floor(tokens_before_doc / budget)`` — contiguous
+    token-budget chunking (docs longer than the budget spill over,
+    exactly like cross-document attention-masked packing).
+
+    Scale: the window partitions by shard, so state is one running sum
+    per shard — raise ``n_shards`` with the cluster and no partition
+    ever holds more than corpus/n_shards rows. A single global window
+    (no partitionBy) would serialize the whole corpus through one task;
+    this never does.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    toks = d.select("doc_id", shard, F.size(_tokens("text")).alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("seq_id"),
+    )
+
+
+def pack_stats(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Packing-efficiency report: docs and tokens per packed sequence,
+    and the fill ratio against the budget. Second-stage agg over
+    :func:`pack_sequences` — one extra shuffle on (shard, seq_id)."""
+    packed = pack_sequences(spark, sf_dir, budget, n_shards)
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn("fill_ratio", F.round(F.col("n_tokens") / budget, 6))
+    )
+
+
+def contamination_report(
+    spark: SparkSession, sf_dir: str, n_benchmark: int = BENCHMARK_DOCS
+) -> DataFrame:
+    """(doc_id, n_shared) for corpus docs sharing ≥1 word-3-gram shingle
+    with the benchmark set (doc_id < n_benchmark stands in for an eval
+    suite). Reuses the cached shingle arrays from the dedup pipeline.
+
+    The benchmark shingle set is broadcast — justified by cardinality:
+    eval suites are fixed-size (thousands of docs) and do NOT grow with
+    the corpus, so the broadcast is bounded at any SF. The corpus side
+    streams through a broadcast-hash semi-probe: no shuffle of corpus
+    shingles at all.
+    """
+    sh = _shingle_hashes(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") < n_benchmark).select("h").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= n_benchmark)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, n_benchmark: int = BENCHMARK_DOCS
+) -> DataFrame:
+    """The decontaminated corpus: drop every non-benchmark doc that
+    shares a shingle with the benchmark set (left-anti against the
+    contamination report)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= n_benchmark)
+    dirty = contamination_report(spark, sf_dir, n_benchmark).select("doc_id")
+    return d.join(dirty, "doc_id", "left_anti").select("doc_id", "lang", "source", "n_chars")
+
+
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + normalized head component per embedding row.
+
+    The fold runs in double (the float32 components are upcast first)
+    so the arithmetic matches the DuckDB oracle exactly; accumulation
+    order is the array order on both sides. Pure row-local HOFs — zero
+    shuffle at any scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at(dbl, 1) / norm, 6).alias("u0"),
+    )

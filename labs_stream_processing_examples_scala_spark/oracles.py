@@ -353,3 +353,70 @@ def dedup_simhash_neardup_pairs(max_hamming: int = 3) -> str:
         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# corpus assembly --------------------------------------------------------
+
+
+def pack_sequences(budget: int = 512, n_shards: int = 32) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, doc_id % {n_shards} AS shard,
+                   len({TOKS}) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                           - n_tokens) / {budget}) AS BIGINT) AS seq_id
+        FROM toks
+    """
+
+
+def pack_stats(budget: int = 512, n_shards: int = 32) -> str:
+    return f"""
+        WITH packed AS ({pack_sequences(budget, n_shards)})
+        SELECT shard, seq_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(sum(n_tokens) / {budget}, 6) AS fill_ratio
+        FROM packed GROUP BY shard, seq_id
+    """
+
+
+def contamination_report(n_benchmark: int = 20) -> str:
+    return f"""
+        WITH {SHINGLES_CTE},
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < {n_benchmark})
+        SELECT doc_id, count(*) AS n_shared
+        FROM sh JOIN bench USING (h)
+        WHERE doc_id >= {n_benchmark}
+        GROUP BY doc_id
+    """
+
+
+def decontaminate(n_benchmark: int = 20) -> str:
+    return f"""
+        WITH {SHINGLES_CTE},
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < {n_benchmark}),
+        dirty AS (
+            SELECT DISTINCT doc_id FROM sh JOIN bench USING (h)
+            WHERE doc_id >= {n_benchmark}
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM documents d
+        WHERE doc_id >= {n_benchmark}
+          AND NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = d.doc_id)
+    """
+
+
+def embed_normalize() -> str:
+    return """
+        WITH dbl AS (
+            SELECT vec_id, len(embedding) AS dim,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        )
+        SELECT vec_id, dim,
+               round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS l2_norm,
+               round(e[1] / sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS u0
+        FROM dbl
+    """

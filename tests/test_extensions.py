@@ -244,3 +244,51 @@ def test_cache_invalidation_unpersists(spark):
     # rebuild works and re-caches
     DD.shingle_hash_arrays(spark, SF_SMOKE)
     assert any(k[1] == SF_SMOKE for k in DD._ARR_CACHE)
+
+def test_pack_sequences_partition_invariants(spark):
+    """Every doc packed exactly once; within a (shard, seq) the docs are
+    contiguous in doc_id order; a sequence never starts past the budget
+    boundary it belongs to (running-sum chunking semantics)."""
+    from labs_stream_processing_examples_scala_spark.operators import corpus as CP
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    packed = CP.pack_sequences(spark, SF_SMOKE, budget=100, n_shards=8)
+    rows = packed.orderBy("shard", "doc_id").collect()
+    assert len(rows) == docs.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        cum = 0
+        for r in rs:
+            assert r.doc_id % 8 == shard
+            assert r.seq_id == cum // 100, (shard, r.doc_id, cum, r.seq_id)
+            cum += r.n_tokens
+        # seq ids are non-decreasing within the shard
+        seqs = [r.seq_id for r in rs]
+        assert seqs == sorted(seqs)
+
+
+def test_decontamination_partitions_corpus(spark):
+    """clean ∪ contaminated = all non-benchmark docs (disjoint), and
+    benchmark docs appear in neither."""
+    from labs_stream_processing_examples_scala_spark.operators import corpus as CP
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_bench = CP.BENCHMARK_DOCS
+    clean = {r.doc_id for r in CP.decontaminate(spark, SF_SMOKE).collect()}
+    dirty = {r.doc_id for r in CP.contamination_report(spark, SF_SMOKE).collect()}
+    non_bench = {r.doc_id for r in docs.filter(F.col("doc_id") >= n_bench).collect()}
+    assert clean | dirty == non_bench
+    assert not (clean & dirty)
+    assert all(d >= n_bench for d in clean | dirty)
+
+
+def test_embed_normalize_unit_bounds(spark):
+    """Norms are positive and the normalized head component is in
+    [-1, 1] (it is one coordinate of a unit vector)."""
+    from labs_stream_processing_examples_scala_spark.operators import corpus as CP
+
+    rows = CP.embed_normalize(spark, SF_SMOKE).collect()
+    assert rows and all(r.l2_norm > 0 for r in rows)
+    assert all(-1.0 <= r.u0 <= 1.0 for r in rows)
