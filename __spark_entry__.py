@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_tpch_q19": R.q51_tpch_q19,
         "q52_tpch_q21": R.q52_tpch_q21,
         "q53_tpch_q22": R.q53_tpch_q22,
+        "q54_tpch_q2": R.q54_tpch_q2,
+        "q55_tpch_q9": R.q55_tpch_q9,
+        "q56_tpch_q11": R.q56_tpch_q11,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -748,6 +751,48 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c.c_custkey
                                 AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY 1
+        """,
+        "q54_tpch_q2": """
+            WITH offers AS (
+                SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+                       l_extendedprice / l_quantity AS unit_price
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+                WHERE p_size <= 10 AND r_name = 'ASIA'
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                             ORDER BY unit_price, s_suppkey) AS rn
+                FROM offers
+            )
+            SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+                   round(unit_price, 6) AS min_unit_price
+            FROM ranked WHERE rn = 1
+        """,
+        "q55_tpch_q9": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 6) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%g%'
+            GROUP BY 1, 2
+        """,
+        "q56_tpch_q11": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS part_value
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, round(part_value, 6) AS part_value
+            FROM per_part
+            WHERE part_value > 0.0005 * (SELECT sum(part_value) FROM per_part)
         """,
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist

@@ -981,3 +981,87 @@ def q53_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
         )
     )
+
+
+def q54_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q54 — TPC-H Q2 shape (minimum-cost supplier): for each small part,
+    the supplier offering the lowest observed unit price in an ASIA
+    nation, ties broken by supplier key. The fixture has no partsupp, so
+    lineitem stands in as the part⋈supplier price link (unit price =
+    l_extendedprice / l_quantity); the correlated min-subquery becomes a
+    per-part window min — one shuffle on l_partkey instead of a
+    re-scan + re-join of the link table. nation/region broadcast;
+    part/supplier/lineitem are SF-scaled and carry no hints."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    offers = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_price"), F.asc("s_suppkey"))
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("unit_price", 6).alias("min_unit_price"),
+        )
+    )
+
+
+def q55_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q55 — TPC-H Q9 shape (product-type profit): profit per supplier
+    nation per order year for green-named parts. Without partsupp,
+    supply cost is modeled as 60% of p_retailprice × quantity — the
+    shape (fact ⋈ two SF-scaled dims ⋈ orders, then a two-key agg) is
+    Q9's. nation broadcast only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("g"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 6).alias("sum_profit"))
+    )
+
+
+def q56_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q56 — TPC-H Q11 shape (important stock): parts whose revenue
+    exceeds a fixed fraction of total revenue. The global total is a
+    one-row scalar → broadcast back onto the per-part agg (no second
+    scan: both aggs reuse one shuffle family on l_partkey, and the
+    HAVING-against-global-subquery shape is Q11's)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("part_value"))
+    total = per_part.agg(F.sum("part_value").alias("tv"))
+    return (
+        per_part.join(F.broadcast(total), F.col("part_value") > 0.0005 * F.col("tv"))
+        .select("l_partkey", F.round("part_value", 6).alias("part_value"))
+    )

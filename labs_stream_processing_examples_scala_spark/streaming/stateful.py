@@ -73,6 +73,28 @@ def stream_stream_enrichment_join(messages: DataFrame, watermark: str = "10 minu
     )
 
 
+def stream_left_enrichment_join(
+    messages: DataFrame, attrs: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Left-outer stream-stream join: every message emits exactly once —
+    enriched when the attribute stream produced a matching (id, ts) row,
+    null-padded otherwise. The outer semantics are what the reference's
+    enrichment CANNOT express (a missing service response stalls its
+    gather forever, AkkaEnrichmentPipeline.scala:133-163); here the
+    watermark closes the wait: once it passes a message's event time,
+    the unmatched row is emitted with nulls and its join state evicted.
+
+    Both sides need watermarks (state cleanup) and the join condition
+    must bound event time — (id, ts) equality does. ``attrs`` columns:
+    (aid, ats, <payload...>).
+    """
+    lhs = messages.select("id", "ts", "value").withWatermark("ts", watermark)
+    rhs = attrs.withWatermark("ats", watermark)
+    return lhs.join(
+        rhs, (F.col("id") == F.col("aid")) & (F.col("ts") == F.col("ats")), "left_outer"
+    ).drop("aid", "ats")
+
+
 # --- J3: explicit slot-state gather (applyInPandasWithState) ---
 
 GATHER_OUTPUT_SCHEMA = (

@@ -212,3 +212,50 @@ def test_stream_static_join_equals_batch_join(spark):
     )
     expected = batch.select("event_id", "user_id").join(F.broadcast(dim), "user_id", "left")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows carry the attribute,
+    unmatched rows emit null-padded once the watermark passes their
+    event time (the sentinel files advance it), and nothing emits twice."""
+    import datetime as dt
+    import time as _time
+
+    src = tmp_path / "lo_src"
+    src.mkdir()
+    schema = "id long, ts timestamp, value string"
+    d = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    write_file("f1", [(1, d(10), "a"), (2, d(10, 30), "b"), (3, d(11), "c")])
+    _time.sleep(1.1)
+    write_file("f2", [(100, d(20), "s1")])  # advances watermark past f1
+    _time.sleep(1.1)
+    write_file("f3", [(101, d(22), "s2")])  # eviction pass with f2's watermark
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    # attribute stream: only even ids get an attribute
+    attrs = raw.filter(F.col("id") % 2 == 0).select(
+        F.col("id").alias("aid"), F.col("ts").alias("ats"), F.upper("value").alias("extra")
+    )
+    joined = S.stream_left_enrichment_join(raw, attrs, watermark="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("lo_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, str(q.exception())
+    rows = {r.id: (r.value, r.extra) for r in spark.sql("SELECT * FROM lo_join").collect()}
+    n_rows = spark.sql("SELECT count(*) AS n FROM lo_join").collect()[0].n
+    assert n_rows == len(rows), "a row emitted twice"
+    assert rows[2] == ("b", "B")  # matched → enriched
+    assert rows[1] == ("a", None) and rows[3] == ("c", None)  # unmatched → null-padded

@@ -64,6 +64,11 @@ AUDITS = [
     ("q51_tpch_q19", [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("q52_tpch_q21", ["LeftSemi", "LeftAnti"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("q53_tpch_q22", ["LeftAnti"], ["CartesianProduct"]),
+    # correlated-min as per-part window; profit agg; global-scalar HAVING
+    ("q54_tpch_q2", ["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("q55_tpch_q9", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # the (>) join against the one-row total is a 1-row BNLJ build — allowed
+    ("q56_tpch_q11", ["HashAggregate"], ["CartesianProduct"]),
 ]
 
 
@@ -89,6 +94,9 @@ BROADCAST_ALLOWED = {
     "q51_tpch_q19": set(),
     "q52_tpch_q21": set(),
     "q53_tpch_q22": {"avg_bal"},
+    "q54_tpch_q2": {"n", "r"},
+    "q55_tpch_q9": {"n"},
+    "q56_tpch_q11": {"total"},  # one-row global scalar
 }
 
 
