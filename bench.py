@@ -36,6 +36,9 @@ HEADLINE = [
     "q12_topk",
     "q25_array_hof",
     "q30_tpch_q3",
+    "q48_tpch_q7",
+    "x_pack_sequences",
+    "x_corpus_contamination",
     "x_dedup_exact",
     "x_dedup_minhash_sig",
     "x_dedup_lsh_pairs",
