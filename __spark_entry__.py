@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_simhash": DD.simhash,
         "x_dedup_simhash_pairs": DD.simhash_neardup_pairs,
         "x_dedup_lsh_groups": DD.lsh_dedup_groups,
+        "x_dedup_lsh_groups2": DD.lsh_dedup_groups_twostar,  # O(log n)-round form
         "x_dedup_keep_first": DD.lsh_dedup_keep_first,
         "x_sim_bruteforce_topk": SIM.brute_force_topk,
         "x_sim_neardup_pairs": SIM.cosine_neardup_pairs,
@@ -839,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_simhash": O.dedup_simhash(),
         "x_dedup_simhash_pairs": O.dedup_simhash_neardup_pairs(),
         "x_dedup_lsh_groups": O.dedup_lsh_components(),
+        "x_dedup_lsh_groups2": O.dedup_lsh_components(),
         "x_dedup_keep_first": f"""
             WITH comp AS ({O.dedup_lsh_components()})
             SELECT * FROM documents

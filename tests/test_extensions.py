@@ -292,3 +292,19 @@ def test_embed_normalize_unit_bounds(spark):
     rows = CP.embed_normalize(spark, SF_SMOKE).collect()
     assert rows and all(r.l2_norm > 0 for r in rows)
     assert all(-1.0 <= r.u0 <= 1.0 for r in rows)
+
+def test_twostar_components_equal_propagation(spark):
+    """Two-star connected components == min-label propagation on the
+    real LSH pair graph, and on a synthetic deep chain (the case
+    propagation is slow at and two-star exists for)."""
+    got = {(r.doc_id, r.rep_id) for r in DD.lsh_dedup_groups_twostar(spark, SF_SMOKE).collect()}
+    want = {(r.doc_id, r.rep_id) for r in DD.lsh_dedup_groups(spark, SF_SMOKE).collect()}
+    assert got == want
+
+    # chain 0-1-2-...-40 plus a disjoint triangle {100,101,102}
+    chain = [(i, i + 1) for i in range(40)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    comp = {r.doc_id: r.rep_id for r in DD.connected_components_twostar(pairs).collect()}
+    assert all(comp[i] == 0 for i in range(41))
+    assert all(comp[i] == 100 for i in (100, 101, 102))
