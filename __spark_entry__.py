@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_langid": TX.lang_id,
         "x_text_langid_ngram": TX.lang_id_ngram,
         "x_text_fingerprint": TX.fingerprint,
+        "x_text_repetition": TX.repetition_stats,
         "x_multimodal_meta": MM.multimodal_meta,
         "x_sample_hash_split": SMP.hash_split,
         "x_sample_stratified": SMP.stratified_sample,
@@ -853,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "x_text_langid": O.text_langid(),
         "x_text_langid_ngram": O.text_langid_ngram(),
         "x_text_fingerprint": O.text_fingerprint(),
+        "x_text_repetition": O.text_repetition(),
         "x_multimodal_meta": O.multimodal_meta(),
         "x_sample_hash_split": O.sampling_hash_split(),
         "x_sample_stratified": O.sampling_stratified(),

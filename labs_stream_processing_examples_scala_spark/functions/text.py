@@ -164,3 +164,39 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.alias("lang_guess"),
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_TRIGRAMS],
     )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-token fraction and duplicate
+    bigram fraction per document. High values flag boilerplate/spam.
+
+    Row-local HOFs only (the per-distinct-token count is O(distinct·n)
+    within one row — bounded by document length, not corpus size, so
+    the operator stays a narrow projection at any SF). Zero-token docs
+    yield NULL ratios on both engines (x/0 → NULL in Spark and DuckDB).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda x: x == w)),
+    )
+    top_ratio = F.array_max(counts) / n
+    # zip_with pads the shorter (shifted) side with null; mapping the
+    # padded slot to null and filtering leaves exactly the n-1 bigrams
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, 1 << 30),
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    dup_bigram_ratio = 1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+        F.round(dup_bigram_ratio, 6).alias("dup_bigram_ratio"),
+    )

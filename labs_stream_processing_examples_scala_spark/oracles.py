@@ -420,3 +420,21 @@ def embed_normalize() -> str:
                round(e[1] / sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS u0
         FROM dbl
     """
+
+
+def text_repetition() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        bi AS (
+            SELECT doc_id, t,
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1]) AS bgs
+            FROM toks
+        )
+        SELECT doc_id, len(t) AS n_tokens,
+               round(list_max(list_transform(list_distinct(t),
+                              w -> len(list_filter(t, x -> x = w)))) / len(t), 6)
+                   AS top_token_ratio,
+               round(1 - len(list_distinct(bgs)) / len(bgs), 6) AS dup_bigram_ratio
+        FROM bi
+    """
