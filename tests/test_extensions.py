@@ -308,3 +308,43 @@ def test_twostar_components_equal_propagation(spark):
     comp = {r.doc_id: r.rep_id for r in DD.connected_components_twostar(pairs).collect()}
     assert all(comp[i] == 0 for i in range(41))
     assert all(comp[i] == 100 for i in (100, 101, 102))
+
+def test_twostar_components_match_union_find_property(spark):
+    """Property check: on random graphs, two-star components equal a
+    pure-Python union-find ground truth (few examples — each runs a
+    Spark iterative job)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edge_list):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edge_list:
+            union(a, b)
+        want = {x: find(x) for x in parent}
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edge_list], "doc_a long, doc_b long"
+        )
+        got = {r.doc_id: r.rep_id for r in DD.connected_components_twostar(pairs).collect()}
+        assert got == want, (sorted(got.items()), sorted(want.items()))
+
+    check()
