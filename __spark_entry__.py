@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_tpch_q2": R.q54_tpch_q2,
         "q55_tpch_q9": R.q55_tpch_q9,
         "q56_tpch_q11": R.q56_tpch_q11,
+        "q57_tpch_q20": R.q57_tpch_q20,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -795,6 +796,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, round(part_value, 6) AS part_value
             FROM per_part
             WHERE part_value > 0.0005 * (SELECT sum(part_value) FROM per_part)
+        """,
+        "q57_tpch_q20": """
+            WITH shipped AS (
+                SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%g%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey, l_partkey
+            ),
+            thr AS (
+                SELECT l_partkey AS t_partkey, avg(qty) * 1.5 AS thr
+                FROM shipped GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM shipped JOIN thr ON l_partkey = t_partkey
+                WHERE qty > thr
+            )
         """,
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist

@@ -1065,3 +1065,39 @@ def q56_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.join(F.broadcast(total), F.col("part_value") > 0.0005 * F.col("tv"))
         .select("l_partkey", F.round("part_value", 6).alias("part_value"))
     )
+
+
+def q57_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q57 — TPC-H Q20 shape (potential part promotion): suppliers who
+    shipped notably more of some 'g' part in 1996 than that part's
+    average supplier did — completing the 22-shape TPC-H sweep. Without
+    partsupp, per-(supplier, part) shipped quantity stands in for
+    availqty and the per-part mean (×1.5) for the half-of-shipped
+    threshold; the structure — agg-subquery feeding an IN/semi-join up
+    to the supplier dim — is Q20's. Both aggs share one shuffle family
+    keyed on l_partkey; the supplier hop is a semi-join (no fact
+    duplication)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("g"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("qty") * 1.5).alias("thr")
+    )
+    big = (
+        shipped.join(thr, shipped.l_partkey == thr.t_partkey)
+        .filter(F.col("qty") > F.col("thr"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )

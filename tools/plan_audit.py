@@ -69,6 +69,7 @@ AUDITS = [
     ("q55_tpch_q9", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # the (>) join against the one-row total is a 1-row BNLJ build — allowed
     ("q56_tpch_q11", ["HashAggregate"], ["CartesianProduct"]),
+    ("q57_tpch_q20", ["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
@@ -97,6 +98,7 @@ BROADCAST_ALLOWED = {
     "q54_tpch_q2": {"n", "r"},
     "q55_tpch_q9": {"n"},
     "q56_tpch_q11": {"total"},  # one-row global scalar
+    "q57_tpch_q20": {"n"},
 }
 
 
