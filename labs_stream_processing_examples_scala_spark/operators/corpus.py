@@ -132,3 +132,40 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("l2_norm"),
         F.round(F.element_at(dbl, 1) / norm, 6).alias("u0"),
     )
+
+
+def streaming_decontaminate(
+    stream_docs: DataFrame, bench_shingles: DataFrame
+) -> DataFrame:
+    """Streaming corpus filter: drop arriving documents that share a
+    word-3-gram shingle with the benchmark set — the online form of
+    :func:`decontaminate`.
+
+    The shingle computation is the same row-local HOF chain as the
+    batch path; the contamination test is ``arrays_overlap`` against
+    the benchmark shingle set collapsed to ONE static row (a
+    stream-static cross join of a broadcast single row — the same
+    "attach the small static thing to every stream row" shape as
+    brute_force_topk's query vector). No state store, no stream
+    shuffle, and legal in Structured Streaming (a derived-stream
+    anti-join would be stream-stream and is not). The benchmark set is
+    an eval suite: fixed-size by nature, so the one-row array is
+    bounded at any corpus SF.
+
+    ``stream_docs`` needs (doc_id, text); ``bench_shingles`` is one
+    column ``h`` (e.g. the batch pipeline's benchmark shingle set).
+    """
+    from labs_stream_processing_examples_scala_spark.functions import hashing as H
+    from labs_stream_processing_examples_scala_spark.functions.text import _tokens
+
+    whs = F.transform(_tokens("text"), H.rolling_hash)
+    c12 = F.zip_with(whs, F.slice(whs, 2, 1 << 30), lambda a, b: (a * 31 + b) % H.P)
+    c123 = F.zip_with(c12, F.slice(whs, 3, 1 << 30), lambda a, b: (a * 31 + b) % H.P)
+    shs = F.array_distinct(F.filter(c123, lambda x: x.isNotNull()))
+    bench_row = bench_shingles.agg(F.collect_set("h").alias("bench_shs"))
+    return (
+        stream_docs.withColumn("shs", shs)
+        .crossJoin(F.broadcast(bench_row))
+        .filter(~F.arrays_overlap("shs", "bench_shs"))
+        .drop("shs", "bench_shs")
+    )

@@ -259,3 +259,24 @@ def test_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path)
     assert n_rows == len(rows), "a row emitted twice"
     assert rows[2] == ("b", "B")  # matched → enriched
     assert rows[1] == ("a", None) and rows[3] == ("c", None)  # unmatched → null-padded
+
+
+def test_streaming_decontaminate_equals_batch(spark):
+    """Streaming corpus decontamination (stream-static, stateless) keeps
+    exactly the docs the batch operator keeps."""
+    from labs_stream_processing_examples_scala_spark.operators import corpus as CP
+    from labs_stream_processing_examples_scala_spark.operators.dedup import _shingle_hashes
+
+    docs_path = f"{SF_SMOKE}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    sh = _shingle_hashes(spark, SF_SMOKE)
+    bench = sh.filter(F.col("doc_id") < CP.BENCHMARK_DOCS).select("h").distinct()
+
+    stream = file_stream(spark, docs_path, schema=schema).filter(
+        F.col("doc_id") >= CP.BENCHMARK_DOCS
+    )
+    got = _run_to_memory(
+        spark, CP.streaming_decontaminate(stream.select("doc_id", "text"), bench), "sdecon"
+    )
+    want = CP.decontaminate(spark, SF_SMOKE)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(r.doc_id for r in want.collect())

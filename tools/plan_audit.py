@@ -70,6 +70,12 @@ AUDITS = [
     # the (>) join against the one-row total is a 1-row BNLJ build — allowed
     ("q56_tpch_q11", ["HashAggregate"], ["CartesianProduct"]),
     ("q57_tpch_q20", ["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # corpus ops: packing is one keyed window (no join); contamination
+    # probes the broadcast benchmark set (corpus side never shuffles);
+    # normalization is a pure narrow projection
+    ("x_pack_sequences", ["Window"], ["Join", "CartesianProduct"]),
+    ("x_corpus_contamination", ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    ("x_embed_normalize", [], ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
 ]
 
 
@@ -99,6 +105,12 @@ BROADCAST_ALLOWED = {
     "q55_tpch_q9": {"n"},
     "q56_tpch_q11": {"total"},  # one-row global scalar
     "q57_tpch_q20": {"n"},
+    # corpus ops: the benchmark shingle set is fixed-size (an eval
+    # suite), not SF-scaled — its broadcast is justified by cardinality
+    "x_corpus_contamination": {"bench"},
+    "x_corpus_clean": {"bench"},
+    "x_pack_sequences": set(),
+    "x_embed_normalize": set(),
 }
 
 
