@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_tpch_q9": R.q55_tpch_q9,
         "q56_tpch_q11": R.q56_tpch_q11,
         "q57_tpch_q20": R.q57_tpch_q20,
+        "q58_sessionize": TP.user_sessions,
+        "q59_rolling_1h": TP.rolling_user_activity,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -816,6 +818,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_suppkey FROM shipped JOIN thr ON l_partkey = t_partkey
                 WHERE qty > thr
             )
+        """,
+        "q58_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch_us(ts)
+                                 - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ),
+            numbered AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   round(sum(value), 6) AS sum_value
+            FROM numbered
+            GROUP BY user_id, session_id
+        """,
+        "q59_rolling_1h": """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   count(*) OVER w AS n_trailing,
+                   round(sum(value) OVER w, 6) AS sum_trailing
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist

@@ -131,6 +131,88 @@ def clicks_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30  # inactivity gap that closes a session
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Gap-based sessionization: assign every row a per-key session id.
+
+    The batch counterpart of streaming/stateful.py ``sessionized_counts``
+    (F.session_window): a row starts a new session when it arrives more
+    than ``gap_minutes`` after the key's previous row. Classic two-step
+    window: flag session starts with lag(), then a running sum of flags
+    numbers the sessions.
+
+    Scale: ONE shuffle on ``key``; both windows and the downstream
+    per-session groupBy reuse that partitioning (HashPartitioning(key)
+    satisfies ClusteredDistribution(key, session_id) — no second
+    exchange). State per task is one partition's rows, bounded by the
+    key-partitioning, not the corpus.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (
+        F.when(
+            F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w)) > gap_us, 1
+        )
+        .otherwise(0)
+    )
+    run = Window.partitionBy(key).orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(new_sess).over(run).cast("long"))
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup over events: bounds, size, and value sum for
+    every (user, session) — the query shape behind DAU/engagement
+    pipelines. Oracle-checkable because session assignment is
+    deterministic (ties at one timestamp share a session: lag diff 0).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    s = sessionize(ev, key="user_id", ts="ts")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def rolling_user_activity(
+    spark: SparkSession, sf_dir: str, window_hours: int = 1
+) -> DataFrame:
+    """Per-event trailing-window features: how many events (and how much
+    value) this user produced in the hour up to and including this one —
+    the time-based RANGE frame (q29 covers value-based frames).
+
+    The frame orders by epoch MICROSECONDS (unix_micros / epoch_us) so
+    the range arithmetic is integer and identical cross-engine; ties at
+    one timestamp all fall inside each other's frame, so the result is
+    order-independent. One shuffle on user_id, state = one frame per
+    task.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    span_us = window_hours * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-span_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count("*").over(w).alias("n_trailing"),
+        F.round(F.sum("value").over(w), 6).alias("sum_trailing"),
+    )
+
+
 def big_order_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: lineitems (any order) shipped within 1 day of a big
     order's order date — the time-window correlation shape."""

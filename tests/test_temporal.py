@@ -81,3 +81,52 @@ def test_asof_join_no_right_match(spark):
     )
     out = TP.asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", right_cols=["rid"]).collect()
     assert len(out) == 1 and out[0].asof_rid is None
+
+
+def test_sessionize_gap_semantics(spark):
+    """Rows within the gap share a session; a gap of > gap_minutes opens
+    a new one; numbering restarts per key."""
+    mins = lambda m: m * 60 * 1_000_000
+    rows = [
+        (1, mins(0)), (1, mins(10)), (1, mins(41)),  # 10' ok, 31' gap -> new
+        (2, mins(0)), (2, mins(30)),                  # exactly 30' -> same
+    ]
+    df = spark.createDataFrame(rows, "k long, t long").select(
+        "k", F.timestamp_micros(F.col("t")).alias("ts")
+    )
+    out = TP.sessionize(df, key="k", ts="ts", gap_minutes=30)
+    got = {(r.k, r.t): r.session_id for r in out.select("k", F.unix_micros("ts").alias("t"), "session_id").collect()}
+    assert got == {
+        (1, mins(0)): 0, (1, mins(10)): 0, (1, mins(41)): 1,
+        (2, mins(0)): 0, (2, mins(30)): 0,
+    }
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionize + per-session rollup must shuffle once: the groupBy on
+    (user_id, session_id) reuses the window's user_id partitioning."""
+    df = TP.user_sessions(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_rolling_window_includes_ties_and_bounds(spark):
+    """RANGE frame: events exactly window_hours old are inside; ties at
+    one timestamp see each other."""
+    h = 3600 * 1_000_000
+    rows = [(1, 0), (1, 0), (1, h), (1, 2 * h + 1)]
+    df = spark.createDataFrame(rows, "u long, t long").select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.col("u").alias("user_id"),
+        F.timestamp_micros(F.col("t")).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    import labs_stream_processing_examples_scala_spark.operators.temporal as T
+    span = h
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts"))).rangeBetween(-span, 0)
+    out = df.select(F.unix_micros("ts").alias("t"), F.count("*").over(w).alias("n")).collect()
+    got = sorted((r.t, r.n) for r in out)
+    # t=0 rows: both ties -> 2; t=h: includes the two t=0 rows -> 3;
+    # t=2h+1: its own only -> 1
+    assert got == [(0, 2), (0, 2), (h, 3), (2 * h + 1, 1)]
