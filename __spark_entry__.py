@@ -210,9 +210,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_langid_ngram": TX.lang_id_ngram,
         "x_text_fingerprint": TX.fingerprint,
         "x_text_repetition": TX.repetition_stats,
+        "x_text_quality_filter": TX.quality_filter,
+        "x_text_pii_redact": TX.pii_redact,
+        "x_vocab_topk": TX.vocab_topk,
         "x_multimodal_meta": MM.multimodal_meta,
         "x_sample_hash_split": SMP.hash_split,
         "x_sample_stratified": SMP.stratified_sample,
+        "x_sample_importance": SMP.importance_resample,
+        "x_dedup_spans": DD.dup_span_stats,
+        "x_chunk_documents": CP.chunk_documents,
         # corpus assembly (packing, decontamination, embedding prep)
         "x_pack_sequences": CP.pack_sequences,
         "x_pack_stats": CP.pack_stats,
@@ -911,6 +917,12 @@ def oracle_sql() -> dict[str, str]:
         "x_text_langid_ngram": O.text_langid_ngram(),
         "x_text_fingerprint": O.text_fingerprint(),
         "x_text_repetition": O.text_repetition(),
+        "x_text_quality_filter": O.text_quality_filter(),
+        "x_text_pii_redact": O.text_pii_redact(),
+        "x_vocab_topk": O.text_vocab_topk(),
+        "x_sample_importance": O.sampling_importance_resample(),
+        "x_dedup_spans": O.dedup_span_stats(),
+        "x_chunk_documents": O.corpus_chunks(),
         "x_multimodal_meta": O.multimodal_meta(),
         "x_sample_hash_split": O.sampling_hash_split(),
         "x_sample_stratified": O.sampling_stratified(),

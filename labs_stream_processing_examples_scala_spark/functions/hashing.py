@@ -118,3 +118,37 @@ def word_hash32_sql(expr: str) -> str:
         f"list_transform(string_split({expr}, ''), c -> ord(c))), "
         f"(h, c) -> (h * 31 + c) % {M32})"
     )
+
+
+# Second independent rolling-hash family (multiplier 37, prime P2) for
+# operators that need a near-injective key: one 30-bit hash collides
+# visibly at corpus scale (birthday bound ~50k keys), so span-dedup
+# combines two independent 30-bit hashes into one ~59-bit key:
+#     key = h1 * 2^30 + (h2 mod 2^30)
+# Both factors are per-character folds — same shape as rolling_hash, so
+# the DuckDB oracle reproduces them exactly.
+P2 = 999_999_937
+COMBINE = 1 << 30
+
+
+def rolling_hash2(col: Column | str) -> Column:
+    """(h*37 + code) mod P2 over the string's characters (fold from 0)."""
+    codes = F.transform(F.split(_col(col), ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(codes, F.lit(0).cast("long"), lambda h, c: (h * 37 + c) % P2)
+
+
+def rolling_hash2_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> ord(c))), "
+        f"(h, c) -> (h * 37 + c) % {P2})"
+    )
+
+
+def combine_hashes(h1: Column, h2: Column) -> Column:
+    """~59-bit key from two independent 30-bit hashes (fits in a long)."""
+    return h1 * F.lit(COMBINE) + (h2 % F.lit(COMBINE))
+
+
+def combine_hashes_sql(e1: str, e2: str) -> str:
+    return f"(({e1}) * {COMBINE} + (({e2}) % {COMBINE}))"

@@ -59,6 +59,21 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_parts() -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, stop_ratio, distinct_ratio, score) column expressions —
+    shared by quality_score and quality_filter so the arithmetic (and
+    therefore the cross-engine hash) can't drift between them."""
+    toks = _tokens("text")
+    n = F.size(toks)
+    stop_ratio = _stopword_hits(toks, "en") / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    len_ok = F.when((F.length("text") >= 100) & (F.length("text") <= 5000), 1.0).otherwise(0.0)
+    score = F.round(
+        0.4 * len_ok + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.3 * distinct_ratio, 6
+    )
+    return n, stop_ratio, distinct_ratio, score
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality: length band + stopword ratio + repetition.
 
@@ -68,13 +83,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens("text")
-    n = F.size(toks)
-    stop_ratio = _stopword_hits(toks, "en") / n
-    distinct_ratio = F.size(F.array_distinct(toks)) / n
-    len_ok = F.when((F.length("text") >= 100) & (F.length("text") <= 5000), 1.0).otherwise(0.0)
-    score = F.round(
-        0.4 * len_ok + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.3 * distinct_ratio, 6
-    )
+    n, stop_ratio, distinct_ratio, score = _quality_parts()
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -199,4 +208,109 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         F.round(top_ratio, 6).alias("top_token_ratio"),
         F.round(dup_bigram_ratio, 6).alias("dup_bigram_ratio"),
+    )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quality filter: keep the top half of documents by
+    quality within every (lang, source) shard — the percentile-based
+    corpus pruning step (C4-style "keep the best X%").
+
+    percent_rank's underlying ranks are integers over a deterministic
+    order (quality, doc_id — quality is engine-rounded to 6 so the sort
+    key is identical cross-engine), which makes the filter exactly
+    reproducible in the DuckDB oracle.
+
+    Scale: ONE shuffle on (lang, source). Partitioning by lang alone
+    would serialize each language through one task at 100 TB; the
+    source dimension fans the window out (and a real pipeline would
+    fan further with a hash-bucket column — same shape).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    _, _, _, score = _quality_parts()
+    scored = d.select("doc_id", "lang", "source", score.alias("quality"))
+    w = Window.partitionBy("lang", "source").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pr") >= 0.5)
+    )
+
+
+# RE2-safe patterns (no backrefs / lookaround) so Spark's Java regex and
+# DuckDB's RE2 agree on every match. Rendered into the oracle SQL.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _with_pii(doc_id: Column, text: Column) -> Column:
+    """Deterministically synthesize PII into the fixture text (the word-
+    soup fixtures contain none) so the redaction path actually fires;
+    the DuckDB oracle builds the identical string."""
+    return F.concat(
+        text,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad(F.pmod(doc_id, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod(doc_id, F.lit(256)).cast("string"),
+        F.lit(".7"),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace emails, phone numbers, and IPv4 addresses
+    with typed placeholders; report per-doc match counts.
+
+    Pure Catalyst regexp chain (email → phone → ip, in that order so a
+    redacted email's digits can't later match the phone pattern) — a
+    narrow projection that whole-stage-codegens with the scan; zero
+    shuffle at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = _with_pii(F.col("doc_id"), F.col("text"))
+    n_email = F.size(F.regexp_extract_all(s, F.lit(EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(s, F.lit(PHONE_RE), 0))
+    n_ip = F.size(F.regexp_extract_all(s, F.lit(IP_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(s, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ip.alias("n_ip"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+VOCAB_TOP_K = 100
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary: the k most frequent tokens with term frequency
+    and document frequency — the tokenizer-training / vocab-audit query.
+
+    explode → partial+final hash agg (map-side combine absorbs the
+    token explosion before the ONE shuffle on token) → global top-k as
+    TakeOrderedAndProject (no full sort). Ties break on the token
+    string so the cut is deterministic cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df_docs"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(k)
     )

@@ -465,3 +465,60 @@ def lsh_dedup_groups_twostar(
     return connected_components_twostar(
         lsh_candidate_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
     )
+
+
+SPAN_WORDS = 8  # span length for duplicated-substring detection
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> DataFrame:
+    """Duplicated-span detection: for every document, the fraction of its
+    k-word spans (positional, NOT distinct) that also occur in some
+    OTHER document — the scalable approximation of exact substring
+    dedup ("Deduplicating Training Data Makes Language Models Better"-
+    style, with a k-gram inverted index standing in for the suffix
+    array, which doesn't distribute).
+
+    Plan shape: per-row positional k-gram hashes (zip_with chain over
+    the word-hash array — same CollapseProject-safe construction as
+    shingle_hash_arrays), per-row (hash, count) pairs via HOFs, then
+    explode → global agg on hash → join back → per-doc agg. Three
+    shuffles of the distinct-gram stream (h, h, doc_id) and map-side
+    combine absorbs the positional multiplicity before the first one —
+    at 100 TB this is the standard inverted-index dedup shape and every
+    join key is the partition key.
+
+    The gram key is a ~59-bit combination of two independent rolling
+    hashes (hashing.combine_hashes): a single 30-bit hash false-
+    positives at the birthday bound (~50k distinct grams — measured on
+    the sf0.001 fixture!), which a dedup decision can't tolerate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wh1 = F.transform(tokens("text"), H.rolling_hash)
+    wh2 = F.transform(tokens("text"), H.rolling_hash2)
+    g1, g2 = wh1, wh2
+    for j in range(1, k):
+        g1 = F.zip_with(g1, F.slice(wh1, j + 1, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
+        g2 = F.zip_with(g2, F.slice(wh2, j + 1, _SLICE_BIG), lambda a, b: (a * 37 + b) % H.P2)
+    g8 = F.filter(F.zip_with(g1, g2, H.combine_hashes), lambda x: x.isNotNull())
+    arr = d.select("doc_id", g8.alias("g8")).filter(F.size("g8") >= 1)
+    pairs = F.transform(
+        F.array_distinct("g8"),
+        lambda h: F.struct(
+            h.alias("h"),
+            F.size(F.filter(F.col("g8"), lambda x: x == h)).alias("cnt"),
+        ),
+    )
+    per = arr.select(
+        "doc_id", F.size("g8").alias("n_grams"), F.explode(pairs).alias("p")
+    ).select("doc_id", "n_grams", F.col("p.h").alias("h"), F.col("p.cnt").alias("cnt"))
+    glob = per.groupBy("h").agg(F.count("*").alias("n_docs"))
+    dup_pos = F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(0))
+    return (
+        per.join(glob, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            dup_pos.alias("n_dup_pos"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup_pos") / F.col("n_grams"), 6))
+    )

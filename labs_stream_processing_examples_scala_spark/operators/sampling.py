@@ -72,3 +72,31 @@ def stratified_sample(
         *[x for lang, p in sorted(fractions.items()) for x in (F.lit(lang), F.lit(p))]
     )[F.col("lang")]
     return d.filter(pct.isNotNull() & (b < pct)).select("doc_id", "lang", "source")
+
+
+# per-band keep percentages for importance_resample: weight docs by the
+# stored n_chars length band (integer arithmetic only — no FP boundary
+# can disagree with the oracle). Rendered into the DuckDB SQL.
+RESAMPLE_BANDS = ((400, 100), (300, 75), (200, 50), (100, 25), (0, 10))
+
+
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: keep each document with a
+    probability set by its length band (longer → likelier kept), via
+    the same hash-bucket Bernoulli as :func:`hash_split`.
+
+    The standard corpus-rebalancing step (upweight scarce long-form
+    text by downsampling the short tail). Independence from other rows
+    + pure-function-of-key gives replay stability — a document's fate
+    never changes as the corpus grows. Narrow filter, zero shuffle,
+    predicate pushes to the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    w = F.lit(RESAMPLE_BANDS[-1][1])
+    for lo, pct in reversed(RESAMPLE_BANDS[:-1]):
+        w = F.when(F.col("n_chars") >= lo, pct).otherwise(w)
+    return (
+        d.select("doc_id", "n_chars", w.alias("keep_pct"), b.cast("int").alias("bucket"))
+        .filter(F.col("bucket") < F.col("keep_pct"))
+    )

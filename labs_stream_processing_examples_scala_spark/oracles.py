@@ -438,3 +438,122 @@ def text_repetition() -> str:
                round(1 - len(list_distinct(bgs)) / len(bgs), 6) AS dup_bigram_ratio
         FROM bi
     """
+
+
+def text_quality_filter() -> str:
+    # the quality expression is copied verbatim from text_quality() (same
+    # parenthesization — FP evaluation order must be identical)
+    return f"""
+        WITH toks AS (SELECT doc_id, lang, source, text, {TOKS} AS t FROM documents),
+        q AS (
+            SELECT doc_id, lang, source,
+                   round(0.4 * (CASE WHEN length(text) >= 100 AND length(text) <= 5000 THEN 1.0 ELSE 0.0 END)
+                         + 0.3 * least(({_stop_hits('en')} / len(t)) * 5, 1.0)
+                         + 0.3 * (len(list_distinct(t)) / len(t)), 6) AS quality
+            FROM toks
+        ),
+        r AS (
+            SELECT doc_id, lang, source, quality,
+                   round(percent_rank() OVER (PARTITION BY lang, source
+                                              ORDER BY quality, doc_id), 6) AS pr
+            FROM q
+        )
+        SELECT * FROM r WHERE pr >= 0.5
+    """
+
+
+def text_pii_redact() -> str:
+    from labs_stream_processing_examples_scala_spark.functions.text import EMAIL_RE, IP_RE, PHONE_RE
+
+    s = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace({s}, '{EMAIL_RE}', '<EMAIL>', 'g'),"
+        f" '{PHONE_RE}', '<PHONE>', 'g'), '{IP_RE}', '<IP>', 'g')"
+    )
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all({s}, '{EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all({s}, '{PHONE_RE}')) AS n_phone,
+               len(regexp_extract_all({s}, '{IP_RE}')) AS n_ip,
+               md5({red}) AS redacted_md5
+        FROM documents
+    """
+
+
+def text_vocab_topk(k: int = 100) -> str:
+    return f"""
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+        FROM (SELECT doc_id, unnest({TOKS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY tf DESC, token
+        LIMIT {k}
+    """
+
+
+def sampling_importance_resample() -> str:
+    from labs_stream_processing_examples_scala_spark.operators.sampling import RESAMPLE_BANDS
+
+    arms = " ".join(
+        f"WHEN n_chars >= {lo} THEN {pct}" for lo, pct in RESAMPLE_BANDS[:-1]
+    )
+    w = f"CASE {arms} ELSE {RESAMPLE_BANDS[-1][1]} END"
+    b = f"{rolling_hash_sql_key()} % 100"
+    return f"""
+        SELECT doc_id, n_chars, {w} AS keep_pct, CAST({b} AS INT) AS bucket
+        FROM documents
+        WHERE {b} < {w}
+    """
+
+
+def corpus_chunks(chunk: int = 64, stride: int = 48) -> str:
+    rh = H.rolling_hash_sql(f"array_to_string(list_slice(t, s, s + {chunk - 1}), ' ')")
+    return f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        starts AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t), {stride})) AS s
+            FROM toks WHERE len(t) >= 1
+        )
+        SELECT doc_id,
+               CAST((s - 1) // {stride} AS BIGINT) AS chunk_id,
+               len(list_slice(t, s, s + {chunk - 1})) AS n_chunk_tokens,
+               {rh} AS chunk_hash
+        FROM starts
+    """
+
+
+def dedup_span_stats(k: int = 8) -> str:
+    c1 = H.compose_hashes_sql([f"w1[i + {j}]" for j in range(k)])
+    c2 = "w2[i + 0]"
+    for j in range(1, k):
+        c2 = f"(({c2}) * 37 + (w2[i + {j}])) % {H.P2}"
+    combined = H.combine_hashes_sql(c1, c2)
+    return f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        whs AS (SELECT doc_id,
+                       list_transform(t, w -> {H.rolling_hash_sql('w')}) AS w1,
+                       list_transform(t, w -> {H.rolling_hash2_sql('w')}) AS w2
+                FROM toks),
+        g AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(w1) - {k - 1}), i -> {combined}) AS g8
+            FROM whs WHERE len(w1) >= {k}
+        ),
+        per AS (
+            SELECT doc_id, h, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(g8) AS h FROM g)
+            GROUP BY doc_id, h
+        ),
+        tot AS (SELECT doc_id, len(g8) AS n_grams FROM g),
+        gcount AS (SELECT h, count(*) AS n_docs FROM per GROUP BY h)
+        SELECT t.doc_id, t.n_grams,
+               CAST(COALESCE(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_dup_pos,
+               round(COALESCE(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END), 0) / t.n_grams, 6) AS dup_frac
+        FROM tot t
+        JOIN per p USING (doc_id)
+        JOIN gcount gc USING (h)
+        GROUP BY t.doc_id, t.n_grams
+    """

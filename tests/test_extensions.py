@@ -348,3 +348,131 @@ def test_twostar_components_match_union_find_property(spark):
         assert got == want, (sorted(got.items()), sorted(want.items()))
 
     check()
+
+
+# --- round-2 additions: pii, vocab, chunks, spans, resample, filter ---
+
+
+def test_pii_redact_matches_python_re(spark):
+    """Independent check: Python's re module (third engine) must agree
+    with Spark on counts AND on the md5 of the fully redacted string."""
+    import hashlib
+    import re
+
+    from labs_stream_processing_examples_scala_spark.functions import text as TX
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()}
+    got = {r.doc_id: r for r in TX.pii_redact(spark, SF_SMOKE).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in list(docs.items())[:50]:
+        s = (
+            f"{text} contact user{doc_id}@example.com call 555-"
+            f"{doc_id % 10000:04d} from 10.0.{doc_id % 256}.7"
+        )
+        r = got[doc_id]
+        assert r.n_email == len(re.findall(TX.EMAIL_RE, s)) >= 1
+        assert r.n_phone == len(re.findall(TX.PHONE_RE, s)) >= 1
+        assert r.n_ip == len(re.findall(TX.IP_RE, s)) >= 1
+        red = re.sub(TX.IP_RE, "<IP>", re.sub(TX.PHONE_RE, "<PHONE>", re.sub(TX.EMAIL_RE, "<EMAIL>", s)))
+        assert r.redacted_md5 == hashlib.md5(red.encode()).hexdigest()
+        assert "@" not in red and not re.search(r"\d{3}-\d{4}", red)
+
+
+def test_vocab_topk_matches_counter(spark):
+    from collections import Counter
+
+    from labs_stream_processing_examples_scala_spark.functions import text as TX
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    tf, df_ = Counter(), Counter()
+    for r in rows:
+        toks = [w for w in r.text.split(" ") if w]
+        tf.update(toks)
+        df_.update(set(toks))
+    got = TX.vocab_topk(spark, SF_SMOKE, k=10).collect()
+    want = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.token, r.tf, r.df_docs) for r in got] == [
+        (t, n, df_[t]) for t, n in want
+    ]
+
+
+def test_chunk_documents_tiles_and_covers(spark):
+    """Chunk grid: starts at 1, 1+stride, ...; every token of every doc
+    appears in at least one chunk; chunk sizes follow the slice rule."""
+    from labs_stream_processing_examples_scala_spark.operators import corpus as CP
+
+    docs = {r.doc_id: [w for w in r.text.split(" ") if w]
+            for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()}
+    out = CP.chunk_documents(spark, SF_SMOKE, chunk=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, toks in docs.items():
+        n = len(toks)
+        if n == 0:
+            assert doc_id not in by_doc
+            continue
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        want_starts = list(range(1, n + 1, 48))
+        assert len(chunks) == len(want_starts)
+        for c, s in zip(chunks, want_starts):
+            assert c.n_chunk_tokens == min(64, n - s + 1)
+        # coverage: last chunk reaches the last token
+        assert want_starts[-1] + chunks[-1].n_chunk_tokens - 1 == n
+
+
+def test_dup_span_stats_matches_python_ground_truth(spark):
+    """Third engine: pure-Python span counting on token tuples (no
+    hashing at all) must reproduce n_grams / n_dup_pos per doc."""
+    from collections import Counter
+
+    from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+
+    k = 8
+    docs = {r.doc_id: [w for w in r.text.split(" ") if w]
+            for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()}
+    grams = {
+        d: [tuple(t[i:i + k]) for i in range(len(t) - k + 1)]
+        for d, t in docs.items() if len(t) >= k
+    }
+    gram_docs = Counter()
+    for d, gs in grams.items():
+        gram_docs.update(set(gs))
+    got = {r.doc_id: r for r in DD.dup_span_stats(spark, SF_SMOKE).collect()}
+    assert set(got) == set(grams)
+    for d, gs in grams.items():
+        dup = sum(1 for g in gs if gram_docs[g] >= 2)
+        assert got[d].n_grams == len(gs)
+        assert got[d].n_dup_pos == dup, d
+
+
+def test_importance_resample_invariants(spark):
+    from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
+
+    out = SMP.importance_resample(spark, SF_SMOKE).collect()
+    assert out, "resample kept nothing"
+    for r in out:
+        assert r.bucket < r.keep_pct
+        want = 100 if r.n_chars >= 400 else 75 if r.n_chars >= 300 else \
+            50 if r.n_chars >= 200 else 25 if r.n_chars >= 100 else 10
+        assert r.keep_pct == want
+    # deterministic: second run identical
+    again = SMP.importance_resample(spark, SF_SMOKE).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+def test_quality_filter_is_top_half_per_shard(spark):
+    import pandas as pd
+
+    from labs_stream_processing_examples_scala_spark.functions import text as TX
+
+    scored = TX.quality_score(spark, SF_SMOKE).toPandas()
+    meta = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    ).toPandas()
+    df = scored.merge(meta, on="doc_id").sort_values(["quality", "doc_id"])
+    df["pr"] = df.groupby(["lang", "source"])["quality"].rank(method="first") \
+        .sub(1).div(df.groupby(["lang", "source"])["doc_id"].transform("size").sub(1))
+    want = set(df[df.pr >= 0.5].doc_id)
+    got = {r.doc_id for r in TX.quality_filter(spark, SF_SMOKE).collect()}
+    assert got == want
