@@ -76,6 +76,18 @@ AUDITS = [
     ("x_pack_sequences", ["Window"], ["Join", "CartesianProduct"]),
     ("x_corpus_contamination", ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     ("x_embed_normalize", [], ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
+    # round-2 batch: sessionization/rolling windows are one keyed
+    # window each; text ops are narrow projections; vocab is
+    # explode -> partial/final agg -> TakeOrdered; chunks are a narrow
+    # Generate; span dedup is the inverted-index agg+join shape
+    ("q58_sessionize", ["Window", "HashAggregate"], ["Join", "SortMergeJoin"]),
+    ("q59_rolling_1h", ["Window"], ["Join"]),
+    ("x_text_pii_redact", [], ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
+    ("x_text_quality_filter", ["Window"], ["Join"]),
+    ("x_vocab_topk", ["TakeOrderedAndProject", "Generate"], ["SortMergeJoin"]),
+    ("x_chunk_documents", ["Generate"], ["Exchange", "BatchEvalPython"]),
+    ("x_dedup_spans", ["HashAggregate", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("x_sample_importance", [], ["Exchange"]),
 ]
 
 
@@ -111,6 +123,15 @@ BROADCAST_ALLOWED = {
     "x_corpus_clean": {"bench"},
     "x_pack_sequences": set(),
     "x_embed_normalize": set(),
+    # round-2 batch: all hint-free by design
+    "q58_sessionize": set(),
+    "q59_rolling_1h": set(),
+    "x_text_pii_redact": set(),
+    "x_text_quality_filter": set(),
+    "x_vocab_topk": set(),
+    "x_chunk_documents": set(),
+    "x_dedup_spans": set(),
+    "x_sample_importance": set(),
 }
 
 
