@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_tpch_q20": R.q57_tpch_q20,
         "q58_sessionize": TP.user_sessions,
         "q59_rolling_1h": TP.rolling_user_activity,
+        "q60_lateral_topn": R.q60_lateral_topn,
+        "q61_date_spine": R.q61_date_spine,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -858,6 +860,18 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
+        "q60_lateral_topn": """
+            SELECT n.n_name, l.s_suppkey, l.s_acctbal
+            FROM nation n,
+            LATERAL (
+                SELECT s_suppkey, s_acctbal
+                FROM supplier s
+                WHERE s.s_nationkey = n.n_nationkey
+                ORDER BY s_acctbal DESC, s_suppkey
+                LIMIT 2
+            ) l
+        """,
+        "q61_date_spine": R.__dict__["_DATE_SPINE_SQL"],
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist
             FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -1101,3 +1101,61 @@ def q57_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+def q60_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q60 — LATERAL correlated subquery (per-nation top-2 suppliers by
+    balance) via the SQL entry point. Catalyst decorrelates the LATERAL
+    LIMIT into a join + per-key window — at any SF that is one shuffle
+    on the correlation key, never a per-row re-execution (the oracle
+    runs the identical SQL, DuckDB plans it its own way)."""
+    _register_views(spark, sf_dir, "nation", "supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.s_suppkey, l.s_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT s_suppkey, s_acctbal
+            FROM supplier s
+            WHERE s.s_nationkey = n.n_nationkey
+            ORDER BY s_acctbal DESC, s_suppkey
+            LIMIT 2
+        ) l
+        """
+    )
+
+
+# months in the fixture order-date span (1992-01 .. 1998-12)
+SPINE_MONTHS = 84
+
+
+def q61_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q61 — recursive CTE (Spark 4.x WITH RECURSIVE): generate a month
+    spine and left-join monthly order counts, so empty months surface
+    as zeros — the standard time-series gap-fill every reporting
+    pipeline needs. Linear recursion (UNION ALL, bounded depth), and
+    the SQL is dialect-shared: the DuckDB oracle runs this exact text.
+    """
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(_DATE_SPINE_SQL)
+
+
+# written in the common Spark/DuckDB dialect (no div/strftime), shared
+# verbatim with the oracle so the two sides cannot drift
+_DATE_SPINE_SQL = f"""
+    WITH RECURSIVE spine(ym) AS (
+        SELECT 0
+        UNION ALL
+        SELECT ym + 1 FROM spine WHERE ym < {SPINE_MONTHS - 1}
+    ),
+    monthly AS (
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo, count(*) AS n
+        FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+    )
+    SELECT 1992 + CAST(floor(ym / 12) AS INT) AS year,
+           1 + ym % 12 AS month,
+           coalesce(n, 0) AS n_orders
+    FROM spine
+    LEFT JOIN monthly
+      ON y = 1992 + CAST(floor(ym / 12) AS INT) AND mo = 1 + ym % 12
+"""

@@ -89,3 +89,30 @@ def test_q31_in_subquery_rewrites_to_semi_join(spark):
     # nested-loop / per-row subquery execution
     plan = plan_str(entrymod.queries()["q31_in_subquery"](spark, SF_SMOKE))
     assert "LeftSemi" in plan
+
+
+def test_q60_lateral_decorrelates_to_window(spark):
+    """LATERAL ... LIMIT must become a per-key window + join, never a
+    per-outer-row re-execution or a nested-loop join."""
+    plan = plan_str(entrymod.queries()["q60_lateral_topn"](spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q60_at_most_two_per_nation(spark):
+    import collections
+
+    rows = entrymod.queries()["q60_lateral_topn"](spark, SF_SMOKE).collect()
+    per = collections.Counter(r.n_name for r in rows)
+    assert per and max(per.values()) <= 2
+
+
+def test_q61_spine_has_every_month(spark):
+    rows = entrymod.queries()["q61_date_spine"](spark, SF_SMOKE).collect()
+    assert len(rows) == 84
+    assert {(r.year, r.month) for r in rows} == {
+        (y, m) for y in range(1992, 1999) for m in range(1, 13)
+    }
+    # gap-filling: zero months are present (tiny fixture has gaps) or
+    # every month has orders — either way no NULL counts
+    assert all(r.n_orders >= 0 and r.n_orders is not None for r in rows)

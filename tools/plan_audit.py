@@ -88,6 +88,10 @@ AUDITS = [
     ("x_chunk_documents", ["Generate"], ["Exchange", "BatchEvalPython"]),
     ("x_dedup_spans", ["HashAggregate", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("x_sample_importance", [], ["Exchange"]),
+    # LATERAL must decorrelate to a window + join, never re-execute the
+    # subquery per outer row; the recursive spine runs as UnionLoop
+    ("q60_lateral_topn", ["Window", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("q61_date_spine", ["UnionLoop"], ["CartesianProduct"]),
 ]
 
 
@@ -132,6 +136,8 @@ BROADCAST_ALLOWED = {
     "x_chunk_documents": set(),
     "x_dedup_spans": set(),
     "x_sample_importance": set(),
+    "q60_lateral_topn": set(),
+    "q61_date_spine": set(),
 }
 
 
