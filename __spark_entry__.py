@@ -832,7 +832,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, value,
                        CASE WHEN epoch_us(ts)
                                  - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
-                                 > 1800000000
+                                 >= 1800000000
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
             ),

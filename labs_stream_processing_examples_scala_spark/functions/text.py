@@ -261,20 +261,17 @@ def _with_pii(doc_id: Column, text: Column) -> Column:
     )
 
 
-def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing: replace emails, phone numbers, and IPv4 addresses
-    with typed placeholders; report per-doc match counts.
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless PII scrub of ANY DataFrame — batch or streaming (a pure
+    projection is trivially streaming-legal): adds match counts and the
+    redacted text.
 
     Pure Catalyst regexp chain (email → phone → ip, in that order so a
     redacted email's digits can't later match the phone pattern) — a
     narrow projection that whole-stage-codegens with the scan; zero
     shuffle at any scale.
     """
-    d = load_table(spark, sf_dir, "documents")
-    s = _with_pii(F.col("doc_id"), F.col("text"))
-    n_email = F.size(F.regexp_extract_all(s, F.lit(EMAIL_RE), 0))
-    n_phone = F.size(F.regexp_extract_all(s, F.lit(PHONE_RE), 0))
-    n_ip = F.size(F.regexp_extract_all(s, F.lit(IP_RE), 0))
+    s = F.col(text_col)
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(s, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
@@ -282,12 +279,28 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         IP_RE,
         "<IP>",
     )
-    return d.select(
+    return (
+        df.withColumn("n_email", F.size(F.regexp_extract_all(s, F.lit(EMAIL_RE), 0)))
+        .withColumn("n_phone", F.size(F.regexp_extract_all(s, F.lit(PHONE_RE), 0)))
+        .withColumn("n_ip", F.size(F.regexp_extract_all(s, F.lit(IP_RE), 0)))
+        .withColumn("redacted", redacted)
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the documents table (oracle-checked form of
+    :func:`redact_pii`): synthesized PII, per-doc match counts, md5 of
+    the redacted text."""
+    d = load_table(spark, sf_dir, "documents")
+    out = redact_pii(
+        d.withColumn("text", _with_pii(F.col("doc_id"), F.col("text")))
+    )
+    return out.select(
         "doc_id",
-        n_email.alias("n_email"),
-        n_phone.alias("n_phone"),
-        n_ip.alias("n_ip"),
-        F.md5(redacted).alias("redacted_md5"),
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
     )
 
 

@@ -175,28 +175,29 @@ CHUNK_TOKENS = 64  # tokens per training chunk
 CHUNK_STRIDE = 48  # stride between chunk starts (overlap = 64 - 48)
 
 
-def chunk_documents(
-    spark: SparkSession, sf_dir: str, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+def chunk_tokens(
+    df: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
 ) -> DataFrame:
-    """Sliding-window document chunking: split each document into
-    overlapping ``chunk``-token windows every ``stride`` tokens — the
-    long-context preprocessing step (chunk for embedding/retrieval, or
-    for fixed-window pretraining with overlap).
+    """Sliding-window chunking of ANY DataFrame with (doc_id, text) —
+    batch or streaming (projection + Generate are both streaming-legal,
+    no state): split each document into overlapping ``chunk``-token
+    windows every ``stride`` tokens — the long-context preprocessing
+    step (chunk for embedding/retrieval, or for fixed-window
+    pretraining with overlap).
 
     Row-local: the start positions and slices are array HOFs computed
-    per document; posexplode then emits one row per chunk. The ONLY
-    wide operation is the explode itself (no shuffle — Generate is a
-    narrow node), so the operator scales as a projection. Chunk counts
-    are bounded by doc length, never corpus size.
+    per document; posexplode then emits one row per chunk (Generate is
+    a narrow node — no shuffle), so the operator scales as a
+    projection. Chunk counts are bounded by doc length, never corpus
+    size.
     """
-    d = load_table(spark, sf_dir, "documents")
+    from labs_stream_processing_examples_scala_spark.functions import hashing as H
+
     toks = _tokens("text")
     starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
     chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk))
-    from labs_stream_processing_examples_scala_spark.functions import hashing as H
-
     return (
-        d.filter(F.size(toks) >= 1)
+        df.filter(F.size(toks) >= 1)
         .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_toks"))
         .select(
             "doc_id",
@@ -205,3 +206,11 @@ def chunk_documents(
             H.rolling_hash(F.array_join("chunk_toks", " ")).alias("chunk_hash"),
         )
     )
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Oracle-checked form of :func:`chunk_tokens` over the documents
+    table."""
+    return chunk_tokens(load_table(spark, sf_dir, "documents"), chunk, stride)

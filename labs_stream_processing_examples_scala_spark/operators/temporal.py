@@ -140,10 +140,12 @@ def sessionize(
     """Gap-based sessionization: assign every row a per-key session id.
 
     The batch counterpart of streaming/stateful.py ``sessionized_counts``
-    (F.session_window): a row starts a new session when it arrives more
-    than ``gap_minutes`` after the key's previous row. Classic two-step
-    window: flag session starts with lag(), then a running sum of flags
-    numbers the sessions.
+    (F.session_window), with the SAME boundary convention: a gap of
+    exactly ``gap_minutes`` CLOSES the session (session_window extends
+    a session only while the next event lands strictly inside
+    last_ts + gap) — so the two independent algorithms are directly
+    equivalence-testable. Classic two-step window: flag session starts
+    with lag(), then a running sum of flags numbers the sessions.
 
     Scale: ONE shuffle on ``key``; both windows and the downstream
     per-session groupBy reuse that partitioning (HashPartitioning(key)
@@ -155,7 +157,7 @@ def sessionize(
     gap_us = gap_minutes * 60 * 1_000_000
     new_sess = (
         F.when(
-            F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w)) > gap_us, 1
+            F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w)) >= gap_us, 1
         )
         .otherwise(0)
     )

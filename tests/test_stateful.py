@@ -280,3 +280,37 @@ def test_streaming_decontaminate_equals_batch(spark):
     )
     want = CP.decontaminate(spark, SF_SMOKE)
     assert sorted(r.doc_id for r in got.collect()) == sorted(r.doc_id for r in want.collect())
+
+
+def test_streaming_pii_redact_equals_batch(spark):
+    """redact_pii is a pure projection — running it over a document
+    stream must produce exactly the batch result (counts + redacted
+    text), proving the corpus-filter chain is streaming-composable."""
+    from labs_stream_processing_examples_scala_spark.functions import text as TX
+
+    docs_path = f"{SF_SMOKE}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    stream = file_stream(spark, docs_path, schema=schema)
+    got = _run_to_memory(
+        spark,
+        TX.redact_pii(stream.select("doc_id", "text")).select(
+            "doc_id", "n_email", "n_phone", "n_ip", F.md5("redacted").alias("m")
+        ),
+        "spii",
+    )
+    want = TX.redact_pii(
+        spark.read.parquet(docs_path).select("doc_id", "text")
+    ).select("doc_id", "n_email", "n_phone", "n_ip", F.md5("redacted").alias("m"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_chunking_equals_batch(spark):
+    """chunk_tokens (projection + Generate) over a stream == batch."""
+    from labs_stream_processing_examples_scala_spark.operators import corpus as CP
+
+    docs_path = f"{SF_SMOKE}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    stream = file_stream(spark, docs_path, schema=schema)
+    got = _run_to_memory(spark, CP.chunk_tokens(stream.select("doc_id", "text")), "schunk")
+    want = CP.chunk_tokens(spark.read.parquet(docs_path).select("doc_id", "text"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

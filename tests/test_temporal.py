@@ -84,12 +84,13 @@ def test_asof_join_no_right_match(spark):
 
 
 def test_sessionize_gap_semantics(spark):
-    """Rows within the gap share a session; a gap of > gap_minutes opens
-    a new one; numbering restarts per key."""
+    """Rows strictly inside the gap share a session; a gap of exactly
+    gap_minutes closes it (session_window convention); numbering
+    restarts per key."""
     mins = lambda m: m * 60 * 1_000_000
     rows = [
         (1, mins(0)), (1, mins(10)), (1, mins(41)),  # 10' ok, 31' gap -> new
-        (2, mins(0)), (2, mins(30)),                  # exactly 30' -> same
+        (2, mins(0)), (2, mins(30)),                  # exactly 30' -> NEW
     ]
     df = spark.createDataFrame(rows, "k long, t long").select(
         "k", F.timestamp_micros(F.col("t")).alias("ts")
@@ -98,8 +99,41 @@ def test_sessionize_gap_semantics(spark):
     got = {(r.k, r.t): r.session_id for r in out.select("k", F.unix_micros("ts").alias("t"), "session_id").collect()}
     assert got == {
         (1, mins(0)): 0, (1, mins(10)): 0, (1, mins(41)): 1,
-        (2, mins(0)): 0, (2, mins(30)): 0,
+        (2, mins(0)): 0, (2, mins(30)): 1,
     }
+
+
+def test_sessionize_agrees_with_session_window(spark):
+    """Two independent algorithms — lag/cumsum sessionization and
+    Spark's session_window merge — must produce identical sessions
+    (per-user session start + event count) on real fixture events."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in TP.sessionize(ev, key="user_id", ts="ts")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.n
+        for r in ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+        )
+        .collect()
+    }
+    assert got == want
 
 
 def test_sessionize_single_shuffle(spark):
