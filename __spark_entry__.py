@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack_stats": CP.pack_stats,
         "x_corpus_contamination": CP.contamination_report,
         "x_corpus_clean": CP.decontaminate,
+        "x_corpus_pipeline": CP.corpus_pipeline,
         "x_embed_normalize": CP.embed_normalize,
         # binary→feature/resize/frame plumbing (stubbed decode) → rows-only
         "x_multimodal_features": lambda spark, sf: MM.extract_features(MM.binary_documents(spark, sf)),
@@ -944,5 +945,6 @@ def oracle_sql() -> dict[str, str]:
         "x_pack_stats": O.pack_stats(),
         "x_corpus_contamination": O.contamination_report(),
         "x_corpus_clean": O.decontaminate(),
+        "x_corpus_pipeline": O.corpus_pipeline(),
         "x_embed_normalize": O.embed_normalize(),
     }

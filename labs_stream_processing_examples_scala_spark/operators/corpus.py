@@ -214,3 +214,57 @@ def chunk_documents(
     """Oracle-checked form of :func:`chunk_tokens` over the documents
     table."""
     return chunk_tokens(load_table(spark, sf_dir, "documents"), chunk, stride)
+
+
+def corpus_pipeline(
+    spark: SparkSession, sf_dir: str, n_benchmark: int = BENCHMARK_DOCS
+) -> DataFrame:
+    """The full training-corpus assembly pipeline as ONE declarative
+    plan — the flagship composition of the extension operators:
+
+        documents
+          → decontaminate   (drop docs sharing a shingle with the
+                             benchmark set; broadcast bench probe)
+          → exact dedup     (keep-first per md5(text))
+          → quality filter  (top half by quality per (lang, source))
+          → resample        (length-band deterministic Bernoulli)
+
+    Every stage is the same arithmetic as its standalone operator, so
+    the whole chain is exactly reproducible in the DuckDB oracle.
+    Catalyst sees ONE plan: the narrow stages fuse, the dedup groupBy
+    and the percentile window are the only wide edges (plus the
+    broadcast bench probe) — at 100 TB that is two shuffles of the
+    surviving corpus, with every filter pushed as early as its inputs
+    allow.
+    """
+    from pyspark.sql import Window
+
+    from labs_stream_processing_examples_scala_spark.functions.text import _quality_parts
+    from labs_stream_processing_examples_scala_spark.operators.sampling import (
+        RESAMPLE_BANDS,
+        _bucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= n_benchmark)
+    dirty = contamination_report(spark, sf_dir, n_benchmark).select("doc_id")
+    s1 = d.join(dirty, "doc_id", "left_anti")
+    keepers = (
+        s1.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keepers, "doc_id", "left_semi")
+    _, _, _, score = _quality_parts()
+    scored = s2.select("doc_id", "lang", "source", "n_chars", score.alias("quality"))
+    w = Window.partitionBy("lang", "source").orderBy("quality", "doc_id")
+    s3 = scored.withColumn("pr", F.round(F.percent_rank().over(w), 6)).filter(
+        F.col("pr") >= 0.5
+    )
+    # n_chars rode along through the window, so the resample weight is
+    # a plain projection — no join back
+    pct = F.lit(RESAMPLE_BANDS[-1][1])
+    for lo, p in reversed(RESAMPLE_BANDS[:-1]):
+        pct = F.when(F.col("n_chars") >= lo, p).otherwise(pct)
+    return s3.filter(_bucket(F.col("doc_id")) < pct).select(
+        "doc_id", "lang", "source", "quality", "pr"
+    )

@@ -557,3 +557,46 @@ def dedup_span_stats(k: int = 8) -> str:
         JOIN gcount gc USING (h)
         GROUP BY t.doc_id, t.n_grams
     """
+
+
+def corpus_pipeline(n_benchmark: int = 20) -> str:
+    """End-to-end corpus assembly: decontaminate → exact dedup →
+    quality filter → length-band resample — each stage's SQL copied
+    verbatim from its standalone oracle so the chain cannot drift."""
+    from labs_stream_processing_examples_scala_spark.operators.sampling import RESAMPLE_BANDS
+
+    arms = " ".join(f"WHEN n_chars >= {lo} THEN {pct}" for lo, pct in RESAMPLE_BANDS[:-1])
+    w = f"CASE {arms} ELSE {RESAMPLE_BANDS[-1][1]} END"
+    b = f"{rolling_hash_sql_key()} % 100"
+    return f"""
+        WITH {SHINGLES_CTE},
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < {n_benchmark}),
+        dirty AS (
+            SELECT DISTINCT doc_id FROM sh JOIN bench USING (h)
+            WHERE doc_id >= {n_benchmark}
+        ),
+        s1 AS (
+            SELECT * FROM documents d
+            WHERE doc_id >= {n_benchmark}
+              AND NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = d.doc_id)
+        ),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+        s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        stoks AS (SELECT doc_id, lang, source, n_chars, text, {TOKS} AS t FROM s2),
+        q AS (
+            SELECT doc_id, lang, source, n_chars,
+                   round(0.4 * (CASE WHEN length(text) >= 100 AND length(text) <= 5000 THEN 1.0 ELSE 0.0 END)
+                         + 0.3 * least(({_stop_hits('en')} / len(t)) * 5, 1.0)
+                         + 0.3 * (len(list_distinct(t)) / len(t)), 6) AS quality
+            FROM stoks
+        ),
+        r AS (
+            SELECT doc_id, lang, source, n_chars, quality,
+                   round(percent_rank() OVER (PARTITION BY lang, source
+                                              ORDER BY quality, doc_id), 6) AS pr
+            FROM q
+        ),
+        s3 AS (SELECT * FROM r WHERE pr >= 0.5)
+        SELECT doc_id, lang, source, quality, pr
+        FROM s3 WHERE {b} < {w}
+    """

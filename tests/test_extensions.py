@@ -476,3 +476,20 @@ def test_quality_filter_is_top_half_per_shard(spark):
     want = set(df[df.pr >= 0.5].doc_id)
     got = {r.doc_id for r in TX.quality_filter(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_corpus_pipeline_stages_compose(spark):
+    """Pipeline output ⊆ each stage's standalone output: every surviving
+    doc is decontaminated, exact-unique, top-half quality, and passes
+    its resample band."""
+    from labs_stream_processing_examples_scala_spark.operators import corpus as CP
+    from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
+
+    out = {r.doc_id for r in CP.corpus_pipeline(spark, SF_SMOKE).collect()}
+    clean = {r.doc_id for r in CP.decontaminate(spark, SF_SMOKE).collect()}
+    keep_first = {r.keep_id for r in DD.exact_dedup(spark, SF_SMOKE).collect()}
+    resampled = {r.doc_id for r in SMP.importance_resample(spark, SF_SMOKE).collect()}
+    assert out, "pipeline kept nothing at smoke scale"
+    assert out <= clean
+    assert out <= keep_first
+    assert out <= resampled

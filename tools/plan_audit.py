@@ -92,6 +92,9 @@ AUDITS = [
     # subquery per outer row; the recursive spine runs as UnionLoop
     ("q60_lateral_topn", ["Window", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("q61_date_spine", ["UnionLoop"], ["CartesianProduct"]),
+    # end-to-end corpus assembly: bench probe broadcast, quality
+    # percentile window, narrow stages fused — never a cartesian
+    ("x_corpus_pipeline", ["BroadcastHashJoin", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
@@ -138,6 +141,7 @@ BROADCAST_ALLOWED = {
     "x_sample_importance": set(),
     "q60_lateral_topn": set(),
     "q61_date_spine": set(),
+    "x_corpus_pipeline": {"bench"},  # fixed-size eval suite, like contamination
 }
 
 
