@@ -48,6 +48,11 @@ HEADLINE = [
     "x_text_quality",
     "x_text_langid",
     "x_multimodal_features",
+    # round-2 batch 2: sessionization (keyed window + rollup), span
+    # dedup (inverted-index shape), and the end-to-end corpus pipeline
+    "q58_sessionize",
+    "x_dedup_spans",
+    "x_corpus_pipeline",
 ]
 
 

@@ -248,12 +248,16 @@ def corpus_pipeline(
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= n_benchmark)
     dirty = contamination_report(spark, sf_dir, n_benchmark).select("doc_id")
     s1 = d.join(dirty, "doc_id", "left_anti")
-    keepers = (
-        s1.groupBy(F.md5("text").alias("content_hash"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # keep-first as ONE window pass (row_number over the content hash)
+    # rather than agg + semi-join: the join form traverses s1 — and the
+    # expensive contamination branch under it — twice (measured 3×
+    # slower end-to-end)
+    first = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    s2 = s1.join(keepers, "doc_id", "left_semi")
     _, _, _, score = _quality_parts()
     scored = s2.select("doc_id", "lang", "source", "n_chars", score.alias("quality"))
     w = Window.partitionBy("lang", "source").orderBy("quality", "doc_id")

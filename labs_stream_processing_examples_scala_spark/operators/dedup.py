@@ -101,11 +101,29 @@ def invalidate_cache(sf_dir: str | None = None) -> None:
     for key in list(_ARR_CACHE):
         if sf_dir is None or key[1] == sf_dir:
             _ARR_CACHE.pop(key).unpersist()
+    for key in list(_WH_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            _WH_CACHE.pop(key).unpersist()
     from labs_stream_processing_examples_scala_spark.operators import similarity as _sim
 
     for key in list(_sim._SIG_CACHE):
         if sf_dir is None or key[1] == sf_dir:
             _sim._SIG_CACHE.pop(key).unpersist()
+
+
+def _spread(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ONLY when the scan under-parallelizes the cores.
+
+    The fixture tables are single small parquet files → a 1-partition
+    scan, which serializes the per-row hash folds through one core
+    (measured 8 s single-core vs <1 s spread at sf0.1). At real scale
+    the input has many splits and this is a no-op — the `if` keeps the
+    zero-shuffle property exactly when the data is already parallel.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < n:
+        return d.repartition(n)
+    return d
 
 
 def shingle_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +148,7 @@ def shingle_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _ARR_CACHE:
         return _ARR_CACHE[key]
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"), spark)
     whs = F.transform(tokens("text"), H.rolling_hash)
     c12 = F.zip_with(whs, F.slice(whs, 2, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
     c123 = F.zip_with(c12, F.slice(whs, 3, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
@@ -469,6 +487,31 @@ def lsh_dedup_groups_twostar(
 
 SPAN_WORDS = 8  # span length for duplicated-substring detection
 
+# persisted (doc_id, wh1, wh2) word-hash arrays — same materialization
+# idea as _ARR_CACHE: the span chain references each array k times via
+# slices, and without a barrier CollapseProject would re-inline the
+# per-character fold into every reference (measured 2.3× slower)
+_WH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def word_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, wh1, wh2): both rolling-hash families per token as
+    persisted row-local arrays. Two plain long folds in one Project
+    beat a fused struct-accumulator fold ~2× (the struct allocates an
+    InternalRow per character); both columns materialize once into the
+    cache, so downstream slice references never re-run the folds."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _WH_CACHE:
+        return _WH_CACHE[key]
+    d = _spread(load_table(spark, sf_dir, "documents"), spark)
+    out = d.select(
+        "doc_id",
+        F.transform(tokens("text"), H.rolling_hash).alias("wh1"),
+        F.transform(tokens("text"), H.rolling_hash2).alias("wh2"),
+    ).persist()
+    _WH_CACHE[key] = out
+    return out
+
 
 def dup_span_stats(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> DataFrame:
     """Duplicated-span detection: for every document, the fraction of its
@@ -479,45 +522,38 @@ def dup_span_stats(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> Dat
     array, which doesn't distribute).
 
     Plan shape: per-row positional k-gram hashes (zip_with chain over
-    the word-hash array — same CollapseProject-safe construction as
-    shingle_hash_arrays), per-row (hash, count) pairs via HOFs, then
-    explode → global agg on hash → join back → per-doc agg. Three
-    shuffles of the distinct-gram stream (h, h, doc_id) and map-side
-    combine absorbs the positional multiplicity before the first one —
-    at 100 TB this is the standard inverted-index dedup shape and every
-    join key is the partition key.
+    the word-hash arrays), exploded IMMEDIATELY through Generate — the
+    generator input is evaluated once per document row, which is the
+    projection barrier that keeps CollapseProject from re-inlining the
+    hash chain (a per-distinct-element HOF count here was measured 10×
+    slower: the nested lambda re-inlined the whole chain per element).
+    Then groupBy (doc_id, h) with map-side combine absorbs positional
+    multiplicity, a global agg on h finds cross-doc grams, and the
+    join + per-doc agg produce the fractions. Three shuffles of the
+    distinct-gram stream — at 100 TB this is the standard
+    inverted-index dedup shape and every join key is the partition key.
 
     The gram key is a ~59-bit combination of two independent rolling
     hashes (hashing.combine_hashes): a single 30-bit hash false-
     positives at the birthday bound (~50k distinct grams — measured on
     the sf0.001 fixture!), which a dedup decision can't tolerate.
     """
-    d = load_table(spark, sf_dir, "documents")
-    wh1 = F.transform(tokens("text"), H.rolling_hash)
-    wh2 = F.transform(tokens("text"), H.rolling_hash2)
+    wh = word_hash_arrays(spark, sf_dir)
+    wh1, wh2 = F.col("wh1"), F.col("wh2")
     g1, g2 = wh1, wh2
     for j in range(1, k):
         g1 = F.zip_with(g1, F.slice(wh1, j + 1, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
         g2 = F.zip_with(g2, F.slice(wh2, j + 1, _SLICE_BIG), lambda a, b: (a * 37 + b) % H.P2)
     g8 = F.filter(F.zip_with(g1, g2, H.combine_hashes), lambda x: x.isNotNull())
-    arr = d.select("doc_id", g8.alias("g8")).filter(F.size("g8") >= 1)
-    pairs = F.transform(
-        F.array_distinct("g8"),
-        lambda h: F.struct(
-            h.alias("h"),
-            F.size(F.filter(F.col("g8"), lambda x: x == h)).alias("cnt"),
-        ),
-    )
-    per = arr.select(
-        "doc_id", F.size("g8").alias("n_grams"), F.explode(pairs).alias("p")
-    ).select("doc_id", "n_grams", F.col("p.h").alias("h"), F.col("p.cnt").alias("cnt"))
+    pos = wh.select("doc_id", F.explode(g8).alias("h"))
+    per = pos.groupBy("doc_id", "h").agg(F.count("*").alias("cnt"))
     glob = per.groupBy("h").agg(F.count("*").alias("n_docs"))
     dup_pos = F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(0))
     return (
         per.join(glob, "h")
         .groupBy("doc_id")
         .agg(
-            F.max("n_grams").alias("n_grams"),
+            F.sum("cnt").alias("n_grams"),
             dup_pos.alias("n_dup_pos"),
         )
         .withColumn("dup_frac", F.round(F.col("n_dup_pos") / F.col("n_grams"), 6))

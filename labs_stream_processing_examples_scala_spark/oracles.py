@@ -580,8 +580,11 @@ def corpus_pipeline(n_benchmark: int = 20) -> str:
             WHERE doc_id >= {n_benchmark}
               AND NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = d.doc_id)
         ),
-        keepers AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
-        s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM s1
+        ),
+        s2 AS (SELECT * EXCLUDE (rn) FROM ranked WHERE rn = 1),
         stoks AS (SELECT doc_id, lang, source, n_chars, text, {TOKS} AS t FROM s2),
         q AS (
             SELECT doc_id, lang, source, n_chars,

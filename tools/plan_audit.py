@@ -26,8 +26,11 @@ AUDITS = [
     ("q12_topk", ["TakeOrderedAndProject"], ["Sort ["]),
     ("q19_range_join", [], ["BroadcastNestedLoopJoin"]),
     # signatures are per-row folds over the cached shingle arrays: the
-    # only "plan" is an InMemoryTableScan + projection — no shuffle
-    ("x_dedup_minhash_sig", ["InMemoryTableScan"], ["Exchange"]),
+    # only "plan" is an InMemoryTableScan + projection — no keyed
+    # shuffle (the cache's stored build plan shows its one-time
+    # round-robin spread; "Exchange hashpartitioning" is what a
+    # regression would add)
+    ("x_dedup_minhash_sig", ["InMemoryTableScan"], ["Exchange hashpartitioning"]),
     ("x_sim_bruteforce_topk", ["TakeOrderedAndProject", "BroadcastExchange"], ["SortMergeJoin"]),
     # narrow: zero shuffles; codegen spans exist (the char-sort
     # higher-order fn is interpreted — HOFs never codegen — but the
