@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sim_lsh_neardup": SIM.lsh_neardup_pairs,  # approximate → rows-only
         "x_sim_lsh_topk": SIM.lsh_topk,  # approximate → rows-only
         "x_sim_ivf_topk": SIM.ivf_topk,  # approximate → rows-only
+        "x_sim_kmeans_step": SIM.kmeans_step,
         "x_text_stats": TX.token_stats,
         "x_text_quality": TX.quality_score,
         "x_text_langid": TX.lang_id,
@@ -926,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_sim_bruteforce_topk": O.sim_bruteforce_topk(),
         "x_sim_neardup_pairs": O.sim_neardup_pairs(),
+        "x_sim_kmeans_step": O.sim_kmeans_step(),
         "x_text_stats": O.text_stats(),
         "x_text_quality": O.text_quality(),
         "x_text_langid": O.text_langid(),

@@ -289,3 +289,51 @@ def lsh_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans_step(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> DataFrame:
+    """One Lloyd iteration over the embedding table: assign every vector
+    to its nearest seed centroid (seeds = first ``n_cells`` vectors by
+    vec_id, as in :func:`ivf_topk`), then recompute each cell's mean —
+    the iterative-algorithm building block behind IVF/k-means index
+    training. Output per cell: member count, the updated centroid's
+    first component, and its L2 norm (compact diagnostics instead of a
+    64-wide array, same information for the oracle hash).
+
+    Plan: broadcast the centroid table (fixed n_cells — never
+    SF-scaled), one narrow assignment pass with a per-vector window
+    argmin, then posexplode + groupBy (cell, pos) with map-side
+    combine for the elementwise means — the classic distributed
+    k-means update (shuffle volume = n_cells × dim, independent of
+    corpus size). Iterating = re-running with the updated centroids;
+    each step is this same bounded-shuffle shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    cents = (
+        e.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("vec").alias("cvec"))
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "vec")
+    )
+    per = assigned.select(
+        "cell", F.posexplode("vec").alias("pos0", "val")
+    ).select("cell", (F.col("pos0") + 1).alias("pos"), "val")
+    upd = per.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    diag = upd.groupBy("cell").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("new_norm"),
+        F.round(F.max(F.when(F.col("pos") == 1, F.col("m"))), 6).alias("c0"),
+    )
+    # diag is exactly n_cells rows (fixed, never SF-scaled) — broadcast
+    return counts.join(F.broadcast(diag), "cell")

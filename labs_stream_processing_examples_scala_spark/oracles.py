@@ -603,3 +603,36 @@ def corpus_pipeline(n_benchmark: int = 20) -> str:
         SELECT doc_id, lang, source, quality, pr
         FROM s3 WHERE {b} < {w}
     """
+
+
+def sim_kmeans_step(n_cells: int = 16, dim: int = 64) -> str:
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+        ),
+        sims AS (
+            SELECT e.vec_id, c.cell, {_cos('e.embedding', 'c.cvec')} AS sim
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+                FROM sims
+            ) WHERE rn = 1
+        ),
+        per AS (
+            SELECT a.cell, i.pos, CAST(e.embedding[i.pos] AS DOUBLE) AS val
+            FROM assigned a
+            JOIN embeddings e USING (vec_id)
+            CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) i
+        ),
+        upd AS (SELECT cell, pos, avg(val) AS m FROM per GROUP BY cell, pos),
+        counts AS (SELECT cell, count(*) AS n_members FROM assigned GROUP BY cell)
+        SELECT c.cell, c.n_members,
+               round(sqrt(sum(m * m)), 6) AS new_norm,
+               round(max(CASE WHEN pos = 1 THEN m END), 6) AS c0
+        FROM upd u JOIN counts c USING (cell)
+        GROUP BY c.cell, c.n_members
+    """

@@ -493,3 +493,30 @@ def test_corpus_pipeline_stages_compose(spark):
     assert out <= clean
     assert out <= keep_first
     assert out <= resampled
+
+
+def test_kmeans_step_matches_numpy(spark):
+    """Third engine: numpy recomputes the Lloyd step (argmax cosine
+    assignment with cell tie-break, then per-cell means) and must agree
+    on member counts, updated-centroid first component, and norm."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    cents = {c: vecs[c] for c in ids[:16]}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assign = {}
+    for v in ids:
+        best = max(cents, key=lambda c: (cos(vecs[v], cents[c]), -c))
+        assign.setdefault(best, []).append(v)
+    got = {r.cell: r for r in SIM.kmeans_step(spark, SF_SMOKE).collect()}
+    assert set(got) == set(assign)
+    for cell, members in assign.items():
+        m = np.mean([vecs[v] for v in members], axis=0)
+        assert got[cell].n_members == len(members)
+        assert abs(got[cell].c0 - round(m[0], 6)) < 2e-6
+        assert abs(got[cell].new_norm - round(float(np.linalg.norm(m)), 6)) < 2e-6

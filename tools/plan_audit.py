@@ -98,6 +98,9 @@ AUDITS = [
     # end-to-end corpus assembly: bench probe broadcast, quality
     # percentile window, narrow stages fused — never a cartesian
     ("x_corpus_pipeline", ["BroadcastHashJoin", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # Lloyd step: centroid broadcast + per-vector window argmin +
+    # elementwise-mean agg with map-side combine; no SF-scaled cartesian
+    ("x_sim_kmeans_step", ["BroadcastNestedLoopJoin", "Window", "partial_avg"], ["SortMergeJoin"]),
 ]
 
 
@@ -145,6 +148,7 @@ BROADCAST_ALLOWED = {
     "q60_lateral_topn": set(),
     "q61_date_spine": set(),
     "x_corpus_pipeline": {"bench"},  # fixed-size eval suite, like contamination
+    "x_sim_kmeans_step": {"cents", "diag"},  # both exactly n_cells rows, never SF-scaled
 }
 
 
