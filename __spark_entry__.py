@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_rolling_1h": TP.rolling_user_activity,
         "q60_lateral_topn": R.q60_lateral_topn,
         "q61_date_spine": R.q61_date_spine,
+        "q62_funnel": TP.conversion_funnel,
+        "q63_cohort": TP.cohort_retention,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -216,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_quality_filter": TX.quality_filter,
         "x_text_pii_redact": TX.pii_redact,
         "x_vocab_topk": TX.vocab_topk,
+        "x_text_tfidf": TX.tfidf_top_terms,
         "x_multimodal_meta": MM.multimodal_meta,
         "x_sample_hash_split": SMP.hash_split,
         "x_sample_stratified": SMP.stratified_sample,
@@ -874,6 +877,8 @@ def oracle_sql() -> dict[str, str]:
             ) l
         """,
         "q61_date_spine": R.__dict__["_DATE_SPINE_SQL"],
+        "q62_funnel": O.funnel(),
+        "q63_cohort": O.cohort(),
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist
             FROM (SELECT c_custkey, count(o_orderkey) AS c_count
@@ -937,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "x_text_quality_filter": O.text_quality_filter(),
         "x_text_pii_redact": O.text_pii_redact(),
         "x_vocab_topk": O.text_vocab_topk(),
+        "x_text_tfidf": O.text_tfidf(),
         "x_sample_importance": O.sampling_importance_resample(),
         "x_dedup_spans": O.dedup_span_stats(),
         "x_chunk_documents": O.corpus_chunks(),

@@ -327,3 +327,36 @@ def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFr
         .orderBy(F.desc("tf"), "token")
         .limit(k)
     )
+
+
+TFIDF_TOP_TERMS = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, top: int = TFIDF_TOP_TERMS) -> DataFrame:
+    """TF-IDF: the ``top`` most characteristic terms per document —
+    tf(t,d)/|d| · ln(N/df(t)) with deterministic (score desc, token)
+    tie-break. The retrieval-weighting counterpart of vocab_topk.
+
+    Plan: explode → groupBy (doc, token) with map-side combine, a
+    corpus-wide df agg on token, a shuffle join on token, then the
+    per-doc top-k window on doc_id. Every wide edge keys on token or
+    doc_id — the standard inverted-index build, linear in corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, one job — the corpus size constant
+    toks = d.select("doc_id", F.size(_tokens("text")).alias("n_toks"),
+                    F.explode(_tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "n_toks", "token").agg(F.count("*").alias("cnt"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df_docs"))
+    scored = tf.join(df_, "token").withColumn(
+        "tfidf",
+        F.round((F.col("cnt") / F.col("n_toks")) * F.log(F.lit(float(n_docs)) / F.col("df_docs")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .select("doc_id", "token", "tfidf", F.col("rn").cast("int").alias("rank"))
+    )

@@ -233,3 +233,72 @@ def big_order_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_lok"),
         F.max("l_orderkey").alias("max_lok"),
     )
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view, first click
+    AFTER that view, first purchase AFTER that click — the product-
+    analytics sequence-match query.
+
+    Three conditional min-aggs with join-backs, every wide edge keyed
+    on user_id — the first groupBy's hash partitioning is reused by
+    each join and re-agg, so the whole funnel is ONE real shuffle of
+    the events at any SF.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = (
+        t_view.join(t_click, "user_id", "left")
+        .join(t_buy, "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return out.select(
+        "user_id",
+        fmt("t_view").alias("t_view_s"),
+        fmt("t_click").alias("t_click_s"),
+        fmt("t_purchase").alias("t_purchase_s"),
+        stage.alias("stage"),
+    )
+
+
+COHORT_EPOCH = "2024-01-01"  # fixture events span Jan 2024
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention grid: users bucketed by first-activity
+    week, counted in every later week they were active — integer week
+    arithmetic from a fixed epoch (no engine week-truncation semantics
+    to disagree on). Two keyed shuffles (user_id, then the grid key).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.floor(F.datediff(F.col("ts").cast("date"), F.lit(COHORT_EPOCH).cast("date")) / 7).cast("long")
+    uw = ev.select("user_id", week.alias("week_idx")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

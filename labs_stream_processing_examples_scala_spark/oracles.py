@@ -636,3 +636,72 @@ def sim_kmeans_step(n_cells: int = 16, dim: int = 64) -> str:
         FROM upd u JOIN counts c USING (cell)
         GROUP BY c.cell, c.n_members
     """
+
+
+def text_tfidf(top: int = 3) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, len({TOKS}) AS n_toks, unnest({TOKS}) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, n_toks, token, count(*) AS cnt
+            FROM toks GROUP BY doc_id, n_toks, token
+        ),
+        dfreq AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.cnt, tf.n_toks, dfreq.df_docs,
+                   round((tf.cnt / tf.n_toks)
+                         * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfreq.df_docs), 6) AS tfidf
+            FROM tf JOIN dfreq USING (token)
+        )
+        SELECT doc_id, token, tfidf, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+            FROM scored
+        ) WHERE rn <= {top}
+    """
+
+
+def funnel() -> str:
+    return """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts > t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts > t_click
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id,
+               strftime(t_view, '%Y-%m-%d %H:%M:%S') AS t_view_s,
+               strftime(t_click, '%Y-%m-%d %H:%M:%S') AS t_click_s,
+               strftime(t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase_s,
+               CASE WHEN t_purchase IS NOT NULL THEN 3
+                    WHEN t_click IS NOT NULL THEN 2
+                    ELSE 1 END AS stage
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """
+
+
+def cohort(epoch: str = "2024-01-01") -> str:
+    return f"""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(datediff('day', DATE '{epoch}', CAST(ts AS DATE)) / 7) AS BIGINT) AS week_idx
+            FROM events
+        ),
+        coh AS (SELECT user_id, min(week_idx) AS cohort_week FROM uw GROUP BY user_id)
+        SELECT cohort_week, week_idx - cohort_week AS week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM uw JOIN coh USING (user_id)
+        GROUP BY cohort_week, week_idx - cohort_week
+    """

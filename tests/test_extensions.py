@@ -520,3 +520,32 @@ def test_kmeans_step_matches_numpy(spark):
         assert got[cell].n_members == len(members)
         assert abs(got[cell].c0 - round(m[0], 6)) < 2e-6
         assert abs(got[cell].new_norm - round(float(np.linalg.norm(m)), 6)) < 2e-6
+
+
+def test_tfidf_matches_python(spark):
+    """Third engine: Counter + math.log reproduce the per-doc top terms."""
+    import math
+    from collections import Counter
+
+    from labs_stream_processing_examples_scala_spark.functions import text as TX
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    docs = {r.doc_id: [w for w in r.text.split(" ") if w] for r in rows}
+    n_docs = len(docs)
+    df_ = Counter()
+    for toks in docs.values():
+        df_.update(set(toks))
+    got = {}
+    for r in TX.tfidf_top_terms(spark, SF_SMOKE).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.token, r.tfidf))
+    for doc_id, toks in docs.items():
+        if not toks:
+            assert doc_id not in got
+            continue
+        tf = Counter(toks)
+        scored = sorted(
+            ((round(c / len(toks) * math.log(n_docs / df_[t]), 6), t) for t, c in tf.items()),
+            key=lambda st: (-st[0], st[1]),
+        )[:3]
+        want = [(i + 1, t, s) for i, (s, t) in enumerate(scored)]
+        assert sorted(got[doc_id]) == want, doc_id

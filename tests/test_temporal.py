@@ -164,3 +164,44 @@ def test_rolling_window_includes_ties_and_bounds(spark):
     # t=0 rows: both ties -> 2; t=h: includes the two t=0 rows -> 3;
     # t=2h+1: its own only -> 1
     assert got == [(0, 2), (0, 2), (h, 3), (2 * h + 1, 1)]
+
+
+def test_funnel_matches_python(spark):
+    """Third engine: pure-Python scan reproduces the ordered funnel."""
+    rows = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "event_type", F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts")
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    want = {}
+    for u, evs in by_user.items():
+        views = [t for t, k in evs if k == "view"]
+        if not views:
+            continue
+        tv = min(views)
+        clicks = [t for t, k in evs if k == "click" and t > tv]
+        tc = min(clicks) if clicks else None
+        buys = [t for t, k in evs if k == "purchase" and tc and t > tc]
+        tp_ = min(buys) if buys else None
+        want[u] = 3 if tp_ else 2 if tc else 1
+    got = {r.user_id: r.stage for r in TP.conversion_funnel(spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_cohort_counts_match_python(spark):
+    import collections
+    from datetime import date
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts")
+    ).collect()
+    epoch = date(2024, 1, 1)
+    uw = {(r.user_id, (r.ts.date() - epoch).days // 7) for r in rows}
+    coh = {}
+    for u, w in uw:
+        coh[u] = min(coh.get(u, w), w)
+    want = collections.Counter((coh[u], w - coh[u]) for u, w in uw)
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in TP.cohort_retention(spark, SF_SMOKE).collect()}
+    assert got == dict(want)

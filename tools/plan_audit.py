@@ -101,6 +101,11 @@ AUDITS = [
     # Lloyd step: centroid broadcast + per-vector window argmin +
     # elementwise-mean agg with map-side combine; no SF-scaled cartesian
     ("x_sim_kmeans_step", ["BroadcastNestedLoopJoin", "Window", "partial_avg"], ["SortMergeJoin"]),
+    # funnel/cohort: every wide edge keys on user_id / the grid key
+    ("q62_funnel", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("q63_cohort", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # tf-idf: inverted-index build + per-doc top-k window
+    ("x_text_tfidf", ["Window", "Generate"], ["CartesianProduct"]),
 ]
 
 
@@ -149,6 +154,9 @@ BROADCAST_ALLOWED = {
     "q61_date_spine": set(),
     "x_corpus_pipeline": {"bench"},  # fixed-size eval suite, like contamination
     "x_sim_kmeans_step": {"cents", "diag"},  # both exactly n_cells rows, never SF-scaled
+    "q62_funnel": set(),
+    "q63_cohort": set(),
+    "x_text_tfidf": set(),
 }
 
 
