@@ -25,6 +25,7 @@ from labs_stream_processing_examples_scala_spark.operators import corpus as CP
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.operators import relational as R
 from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
+from labs_stream_processing_examples_scala_spark.operators import skew as SKW
 from labs_stream_processing_examples_scala_spark.operators import sketches as SK
 from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
 from labs_stream_processing_examples_scala_spark.operators import temporal as TP
@@ -225,6 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sample_importance": SMP.importance_resample,
         "x_dedup_spans": DD.dup_span_stats,
         "x_chunk_documents": CP.chunk_documents,
+        # skew mitigation: result must equal the unsalted plain form
+        "x_skew_salted_agg": SKW.events_by_type_salted,
+        "x_skew_salted_join": SKW.events_by_segment_salted,
         # corpus assembly (packing, decontamination, embedding prep)
         "x_pack_sequences": CP.pack_sequences,
         "x_pack_stats": CP.pack_stats,
@@ -946,6 +950,8 @@ def oracle_sql() -> dict[str, str]:
         "x_sample_importance": O.sampling_importance_resample(),
         "x_dedup_spans": O.dedup_span_stats(),
         "x_chunk_documents": O.corpus_chunks(),
+        "x_skew_salted_agg": SKW.events_by_type_salted_oracle(),
+        "x_skew_salted_join": SKW.events_by_segment_salted_oracle(),
         "x_multimodal_meta": O.multimodal_meta(),
         "x_sample_hash_split": O.sampling_hash_split(),
         "x_sample_stratified": O.sampling_stratified(),

@@ -14,12 +14,23 @@ for when the skew is known upfront:
 Salts are derived with ``pmod(hash(...), n)`` over non-key columns —
 deterministic (re-runs produce identical partitioning, replay-safe under
 the streaming at-least-once contract) yet spreading, unlike rand().
+
+The ``events_by_type_salted`` / ``events_by_segment_salted`` wrappers
+run the pattern over the fixture tables; their oracles are the *plain*
+(unsalted) SQL forms — salting must be invisible in the result, which
+is exactly the property worth checking cross-engine.
+
+Reference parity: the reference (Services.scala:26-121) has no
+relational layer; skew handling belongs to the engine surface SURVEY
+§2.5 adds for the 100 TB posture.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
 SUPPORTED_AGGS = ("sum", "count", "min", "max")
 
@@ -70,3 +81,80 @@ def salted_join(
     l = large.withColumn("_salt", _salt_col(large, on, n_salts))
     r = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return l.join(r, [*on, "_salt"], how).drop("_salt")
+
+
+# fixture-level query forms (oracle-checked) -----------------------------
+
+
+def events_by_type_salted(spark: SparkSession, sf_dir: str, n_salts: int = 8) -> DataFrame:
+    """Per-event-type totals via the two-phase salted aggregation.
+
+    event_type has only 5 values — exactly the hot-key cardinality
+    profile (billions of rows, a handful of groups) where a single
+    final reducer per key is the bottleneck without phase 1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=n_salts,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        "max_value",
+    ).orderBy("event_type")
+
+
+def events_by_type_salted_oracle() -> str:
+    """Plain GROUP BY — salting must be invisible in the result."""
+    return """
+        SELECT event_type,
+               count(event_id) AS n_events,
+               round(sum(value), 4) AS total_value,
+               max(value) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
+def events_by_segment_salted(spark: SparkSession, sf_dir: str, n_salts: int = 8) -> DataFrame:
+    """events ⋈ customer per market segment via the salted join.
+
+    The dim side (customer) is replicated ``n_salts`` ways — the price
+    of admission, paid on the SMALL side only — and each fact row gets
+    a deterministic salt, so a hot user's events spread over
+    ``n_salts`` reducers. ``hint("merge")`` forces the shuffle join the
+    pattern exists for (a broadcastable dim wouldn't need salting).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .hint("merge")
+    )
+    joined = salted_join(ev, dim, ["user_id"], n_salts=n_salts)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def events_by_segment_salted_oracle() -> str:
+    """Plain join + GROUP BY — the salted join must match exactly."""
+    return """
+        SELECT c_mktsegment,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """

@@ -55,6 +55,41 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert got.filter(F.col("label").isNull()).count() == want.filter(F.col("label").isNull()).count()
 
 
+def test_events_by_type_salted_equals_plain_groupby(spark):
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    got = skew.events_by_type_salted(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+    assert got.collect() == want.collect()
+
+
+def test_events_by_segment_salted_forces_shuffle_join(spark):
+    # the salted form must (a) match the plain join, (b) actually take
+    # the shuffle-join path — a broadcast would silently defeat salting
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    got = skew.events_by_segment_salted(spark, SF_SMOKE)
+    assert "SortMergeJoin" in got._jdf.queryExecution().executedPlan().toString()
+    ev = load_table(spark, SF_SMOKE, "events")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    want = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("c_mktsegment")
+    )
+    assert got.collect() == want.collect()
+
+
 def test_ack_tracker_observes_batch_commits(spark, tmp_path):
     from labs_stream_processing_examples_scala_spark.streaming.pipeline import StreamingEnrichmentPipeline
     from labs_stream_processing_examples_scala_spark.streaming.sources import events_message_stream

@@ -106,6 +106,12 @@ AUDITS = [
     ("q63_cohort", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # tf-idf: inverted-index build + per-doc top-k window
     ("x_text_tfidf", ["Window", "Generate"], ["CartesianProduct"]),
+    # salted agg: two keyed shuffles (partial on (key,salt), final on
+    # key), both with map-side combine; no join anywhere
+    ("x_skew_salted_agg", ["HashAggregate", "Exchange hashpartitioning"], ["Join"]),
+    # salted join: dim replicated via Generate, fact⋈dim as the forced
+    # shuffle join the pattern exists for (broadcast would hide skew)
+    ("x_skew_salted_join", ["Generate", "SortMergeJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
@@ -157,6 +163,8 @@ BROADCAST_ALLOWED = {
     "q62_funnel": set(),
     "q63_cohort": set(),
     "x_text_tfidf": set(),
+    "x_skew_salted_agg": set(),
+    "x_skew_salted_join": set(),
 }
 
 
