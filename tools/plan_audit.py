@@ -27,10 +27,12 @@ AUDITS = [
     ("q19_range_join", [], ["BroadcastNestedLoopJoin"]),
     # signatures are per-row folds over the cached shingle arrays: the
     # only "plan" is an InMemoryTableScan + projection — no keyed
-    # shuffle (the cache's stored build plan shows its one-time
-    # round-robin spread; "Exchange hashpartitioning" is what a
-    # regression would add)
-    ("x_dedup_minhash_sig", ["InMemoryTableScan"], ["Exchange hashpartitioning"]),
+    # shuffle. Formatted explain prints "(N) Exchange" with the
+    # partitioning on a separate "Arguments:" line, so forbid the
+    # partitioning spelling itself: the cache's one-time spread renders
+    # as RoundRobinPartitioning, while a keyed-shuffle regression would
+    # introduce "hashpartitioning(".
+    ("x_dedup_minhash_sig", ["InMemoryTableScan"], ["hashpartitioning("]),
     ("x_sim_bruteforce_topk", ["TakeOrderedAndProject", "BroadcastExchange"], ["SortMergeJoin"]),
     # narrow: zero shuffles; codegen spans exist (the char-sort
     # higher-order fn is interpreted — HOFs never codegen — but the
@@ -107,8 +109,10 @@ AUDITS = [
     # tf-idf: inverted-index build + per-doc top-k window
     ("x_text_tfidf", ["Window", "Generate"], ["CartesianProduct"]),
     # salted agg: two keyed shuffles (partial on (key,salt), final on
-    # key), both with map-side combine; no join anywhere
-    ("x_skew_salted_agg", ["HashAggregate", "Exchange hashpartitioning"], ["Join"]),
+    # key), both with map-side combine; no join anywhere. Formatted
+    # explain splits the node name and its partitioning across lines, so
+    # check the two fragments it actually emits.
+    ("x_skew_salted_agg", ["HashAggregate", "Exchange", "hashpartitioning("], ["Join"]),
     # salted join: dim replicated via Generate, fact⋈dim as the forced
     # shuffle join the pattern exists for (broadcast would hide skew)
     ("x_skew_salted_join", ["Generate", "SortMergeJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
