@@ -1,0 +1,73 @@
+"""Full-registry oracle gate (VERDICT r2 next-round #1).
+
+The driver's CORRECTNESS gate checks a fixed 50-query list; everything
+else in ``__spark_entry__.queries()`` (TPC-H shapes past q39, q58+,
+sketches, every x_* LLM-pipeline operator) only has the repo's own
+harness as evidence. These tests make that evidence durable:
+
+- every registry entry is re-checked against its DuckDB oracle at
+  sf0.001 on every pytest run (so a regression in any of the ~117
+  queries fails CI, not just the 50 the driver sees), and
+- the committed sf0.01 artifact ``CORRECTNESS_LOCAL_r3.json`` is
+  asserted to cover the registry completely and be all-green (so the
+  artifact can't silently rot as queries are added).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+from tools.check_oracle import check_one
+
+REGISTRY = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+ARTIFACT = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL_r3.json"
+
+
+def _green(rec: dict) -> bool:
+    return bool(rec["rows_match"] and rec["schema_match"] and rec["hash_match"])
+
+
+def test_artifact_covers_whole_registry():
+    art = json.loads(ARTIFACT.read_text())
+    missing = sorted(set(REGISTRY) - set(art))
+    assert not missing, f"registry queries absent from {ARTIFACT.name}: {missing}"
+    bad = {k: v["err"] for k, v in art.items() if not _green(v)}
+    assert not bad, f"non-green artifact rows: {bad}"
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    """Rows-only (no oracle SQL) is reserved for genuinely
+    non-SQL-expressible ops; keep the list explicit so additions are a
+    conscious choice."""
+    exempt = {
+        # randomized/approximate: HLL sketches and LSH/IVF ANN have
+        # tolerance-based pytest oracles instead of exact SQL
+        "q36_hll_distinct",
+        "q36_hll_rollup",
+        "q36_approx_percentile",
+        "x_sim_lsh_neardup",
+        "x_sim_lsh_topk",
+        "x_sim_ivf_topk",
+        # binary decode paths: checked against pure-Python decoders in
+        # tests/test_extensions.py, not expressible in DuckDB SQL
+        "x_multimodal_features",
+        "x_multimodal_resize",
+        "x_multimodal_frames",
+    }
+    missing_sql = {k for k in REGISTRY if ORACLES.get(k) is None}
+    assert missing_sql == exempt, (
+        f"unexpected rows-only queries {sorted(missing_sql - exempt)}; "
+        f"stale exemptions {sorted(exempt - missing_sql)}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_registry_query_matches_oracle(name, spark, duck):
+    rec = check_one(spark, duck, REGISTRY[name], ORACLES.get(name), SF_SMOKE)
+    assert _green(rec), rec["err"]
