@@ -155,12 +155,10 @@ def sessionize(
     """
     w = Window.partitionBy(key).orderBy(ts)
     gap_us = gap_minutes * 60 * 1_000_000
-    new_sess = (
-        F.when(
-            F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w)) >= gap_us, 1
-        )
-        .otherwise(0)
-    )
+    # cast() tolerates TIMESTAMP_NTZ inputs (unix_micros alone rejects NTZ)
+    ts_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(ts).over(w).cast("timestamp"))
+    new_sess = F.when(ts_us - prev_us >= gap_us, 1).otherwise(0)
     run = Window.partitionBy(key).orderBy(ts).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -203,7 +201,7 @@ def rolling_user_activity(
     span_us = window_hours * 3600 * 1_000_000
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-span_us, 0)
     )
     return ev.select(

@@ -44,20 +44,35 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
         pass  # conf may be locked down; the read will surface the error
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (TESTDATA.md) as a DataFrame.
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a parquet event-time column to TIMESTAMP whatever shape
+    the writer used. Handles both fixture encodings seen so far:
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    reads only as a nanosecond long (``ensure_nanos_readable``);
-    convert it back to a timestamp here (lossless — fixture nanos are
-    exact microsecond multiples).
+    - TIMESTAMP(NANOS) surfaced as a nanosecond ``bigint`` (under
+      ``nanosAsLong``) — convert; fixture nanos are exact microsecond
+      multiples, so this is lossless.
+    - ``timestamp[us]`` with isAdjustedToUTC=false, read as
+      TIMESTAMP_NTZ — cast; lossless because the session zone is pinned
+      to UTC (session.py), so wall-clock == instant.
+
+    Consumers that need an instant (unix_micros, withWatermark,
+    window()) reject NTZ outright, so every source path funnels
+    through here. Works on batch and streaming DataFrames alike.
     """
+    kind = dict(df.dtypes).get(col)
+    if kind == "bigint":
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    elif kind == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (TESTDATA.md) as a DataFrame, with the
+    event-time column normalized to TIMESTAMP (``normalize_ts``)."""
     ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    return normalize_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -78,13 +78,11 @@ def events_message_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's ``Data`` (id, value) + event time."""
     import os
 
-    from labs_stream_processing_examples_scala_spark.sources.batch import ensure_nanos_readable
+    from labs_stream_processing_examples_scala_spark.sources.batch import ensure_nanos_readable, normalize_ts
 
     ensure_nanos_readable(spark)
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    stream = file_stream(spark, os.path.join(sf_dir, "events.parquet"), schema=batch.schema)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    stream = normalize_ts(file_stream(spark, os.path.join(sf_dir, "events.parquet"), schema=batch.schema))
     return stream.select(
         F.col("event_id").alias("id"),
         synth_payload("event_id").alias("value"),

@@ -8,13 +8,12 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from labs_stream_processing_examples_scala_spark.operators import temporal as TP
+from labs_stream_processing_examples_scala_spark.sources.batch import normalize_ts
 from tests.conftest import SF_SMOKE
 
 
 def test_asof_matches_pandas_merge_asof(spark):
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ev = normalize_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     got = {
         r.event_id: r.last_view_id
         for r in TP.clicks_last_view(spark, SF_SMOKE).collect()
@@ -107,10 +106,8 @@ def test_sessionize_agrees_with_session_window(spark):
     """Two independent algorithms — lag/cumsum sessionization and
     Spark's session_window merge — must produce identical sessions
     (per-user session start + event count) on real fixture events."""
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
-        "user_id",
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
-        F.lit(1.0).alias("value"),
+    ev = normalize_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).select(
+        "user_id", "ts", F.lit(1.0).alias("value")
     )
     got = {
         (r.user_id, r.session_start): r.n_events
@@ -168,8 +165,8 @@ def test_rolling_window_includes_ties_and_bounds(spark):
 
 def test_funnel_matches_python(spark):
     """Third engine: pure-Python scan reproduces the ordered funnel."""
-    rows = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
-        "user_id", "event_type", F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts")
+    rows = normalize_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).select(
+        "user_id", "event_type", "ts"
     ).collect()
     by_user = {}
     for r in rows:
@@ -193,8 +190,8 @@ def test_cohort_counts_match_python(spark):
     import collections
     from datetime import date
 
-    rows = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
-        "user_id", F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts")
+    rows = normalize_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).select(
+        "user_id", "ts"
     ).collect()
     epoch = date(2024, 1, 1)
     uw = {(r.user_id, (r.ts.date() - epoch).days // 7) for r in rows}
