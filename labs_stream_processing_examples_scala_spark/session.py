@@ -27,6 +27,12 @@ def get_spark(
     runtime statistics can re-plan joins (broadcast switch, skew split) —
     the 100 TB posture relies on it.
     """
+    # before the JVM launches: put a host protobuf runtime (if any) on
+    # PYTHONPATH so transformWithStateInPandas workers can import it
+    from labs_stream_processing_examples_scala_spark.protobuf_host import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)

@@ -228,32 +228,31 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
-# --- J3 on the Spark 4.x transformWithState API (feature-gated) ---
+# --- J3 on the Spark 4.x transformWithState API ---
 
 
 def has_transform_with_state() -> bool:
-    """transformWithStateInPandas runs a protobuf-speaking Python driver
+    """transformWithStateInPandas runs a protobuf-speaking Python
     worker; without the google.protobuf package the query crashes at
-    start (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Gate on it."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    start (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+    :func:`protobuf_host.ensure_protobuf` first tries the installed
+    package, then known host-bundled pure-Python runtimes."""
+    from labs_stream_processing_examples_scala_spark.protobuf_host import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 def transform_with_state_gather(slots: DataFrame) -> DataFrame:
     """J3 gather on ``transformWithStateInPandas`` — the Spark 4.x
     stateful API (typed per-key ValueState, timers, RocksDB-backed).
-    Same semantics as :func:`stateful_gather`; preferred on clusters
-    where the protobuf dependency is present because TWS state is
-    incrementally checkpointed (RocksDB changelog) instead of
-    full-snapshot per batch — the difference that matters when gather
-    state is large at 100 TB.
+    Same semantics as :func:`stateful_gather`; preferred where the
+    protobuf dependency resolves because TWS state is incrementally
+    checkpointed (RocksDB changelog) instead of full-snapshot per
+    batch — the difference that matters when gather state is large at
+    100 TB.
 
-    Raises RuntimeError in environments without google.protobuf (this
-    container); callers fall back to :func:`stateful_gather`.
+    Raises RuntimeError if no google.protobuf runtime can be resolved;
+    callers fall back to :func:`stateful_gather`.
     """
     if not has_transform_with_state():
         raise RuntimeError(

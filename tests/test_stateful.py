@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from labs_stream_processing_examples_scala_spark.plans.enrichment import enrichment_pipeline
-from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table, normalize_ts
 from labs_stream_processing_examples_scala_spark.streaming import stateful as S
 from labs_stream_processing_examples_scala_spark.streaming.sources import events_message_stream, file_stream
 from tests.conftest import SF_SMOKE
@@ -26,9 +26,7 @@ def _run_to_memory(spark, sdf, name, mode="append"):
 def _events_stream(spark):
     batch = load_table(spark, SF_SMOKE, "events")
     raw = file_stream(spark, f"{SF_SMOKE}/events.parquet", schema=spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return batch, raw
+    return batch, normalize_ts(raw)
 
 
 def test_stream_stream_join_form_equals_select_form(spark):
@@ -118,21 +116,33 @@ def test_sessionized_counts_equal_batch(spark):
 
 
 def test_transform_with_state_gather(spark):
-    """TWS form of the gather: equivalence when the env has protobuf,
-    a clear gate error when it doesn't (this container lacks it)."""
-    import pytest
-
-    msgs = events_message_stream(spark, SF_SMOKE)
-    slots = S.slot_stream(msgs)
-    if not S.has_transform_with_state():
-        with pytest.raises(RuntimeError, match="google.protobuf"):
-            S.transform_with_state_gather(slots)
-        return
+    """TWS (Spark 4.x transformWithStateInPandas) form of the gather ==
+    the batch select form. Runs for real: the protobuf runtime the TWS
+    Python worker needs is resolved from the host by
+    ``protobuf_host.ensure_protobuf`` (wired into get_spark), so this
+    test PASSES rather than gating out."""
+    assert S.has_transform_with_state(), (
+        "no google.protobuf runtime resolved — TWS cannot run; "
+        "see labs_stream_processing_examples_scala_spark/protobuf_host.py"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    got = _run_to_memory(spark, S.transform_with_state_gather(slots), "tws", mode="update").orderBy("id").collect()
+    try:
+        msgs = events_message_stream(spark, SF_SMOKE)
+        slots = S.slot_stream(msgs)
+        got = (
+            _run_to_memory(spark, S.transform_with_state_gather(slots), "tws", mode="update")
+            .orderBy("id")
+            .collect()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     batch_msgs = load_table(spark, SF_SMOKE, "events").select(
         F.col("event_id").alias("id"),
         F.concat(F.lit("Input Data: "), F.col("event_id").cast("string")).alias("value"),
