@@ -236,10 +236,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_corpus_clean": CP.decontaminate,
         "x_corpus_pipeline": CP.corpus_pipeline,
         "x_embed_normalize": CP.embed_normalize,
-        # binary→feature/resize/frame plumbing (stubbed decode) → rows-only
-        "x_multimodal_features": lambda spark, sf: MM.extract_features(MM.binary_documents(spark, sf)),
-        "x_multimodal_resize": lambda spark, sf: MM.resize_images(MM.binary_documents(spark, sf)),
-        "x_multimodal_frames": lambda spark, sf: MM.sample_frames(MM.binary_documents(spark, sf)),
+        # binary→feature/resize/frame over a mixed-modality corpus: real
+        # BMP/WAV containers decoded by stdlib codecs (multimodal/codecs.py);
+        # rows-only here, exact third-engine oracles in tests/test_extensions.py
+        "x_multimodal_features": lambda spark, sf: MM.extract_features(
+            MM.synthesize_mixed(MM.binary_documents(spark, sf))
+        ),
+        "x_multimodal_resize": lambda spark, sf: MM.resize_images(
+            MM.synthesize_mixed(MM.binary_documents(spark, sf))
+        ),
+        "x_multimodal_frames": lambda spark, sf: MM.sample_frames(
+            MM.synthesize_mixed(MM.binary_documents(spark, sf))
+        ),
     }
 
 

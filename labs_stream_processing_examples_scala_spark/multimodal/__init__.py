@@ -1,3 +1,4 @@
+from labs_stream_processing_examples_scala_spark.multimodal import codecs
 from labs_stream_processing_examples_scala_spark.multimodal.columns import (
     FEATURE_DIM,
     binary_documents,
@@ -5,13 +6,16 @@ from labs_stream_processing_examples_scala_spark.multimodal.columns import (
     multimodal_meta,
     resize_images,
     sample_frames,
+    synthesize_mixed,
 )
 
 __all__ = [
     "FEATURE_DIM",
     "binary_documents",
+    "codecs",
     "extract_features",
     "multimodal_meta",
     "resize_images",
     "sample_frames",
+    "synthesize_mixed",
 ]

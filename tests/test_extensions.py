@@ -549,3 +549,163 @@ def test_tfidf_matches_python(spark):
         )[:3]
         want = [(i + 1, t, s) for i, (s, t) in enumerate(scored)]
         assert sorted(got[doc_id]) == want, doc_id
+
+
+# --- real multimodal decode: stdlib codecs + third-engine oracles ---
+
+
+def _det_pixels(w, h, seed=7):
+    """Deterministic test pixels (no RNG: affine byte pattern)."""
+    import numpy as np
+
+    n = w * h * 3
+    return ((np.arange(n) * 31 + seed * 17) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def test_bmp_roundtrip_and_layout():
+    """encode→decode identity, and the bytes are a real BMP: 'BM' magic,
+    54-byte header, bottom-up BGR rows padded to 4 bytes."""
+    import struct
+
+    from labs_stream_processing_examples_scala_spark.multimodal import codecs
+
+    for w, h in [(8, 8), (5, 3), (1, 1)]:
+        px = _det_pixels(w, h)
+        raw = codecs.encode_bmp(px)
+        assert raw[:2] == b"BM"
+        (offset,) = struct.unpack_from("<I", raw, 10)
+        assert offset == 54
+        stride = w * 3 + (4 - (w * 3) % 4) % 4
+        assert len(raw) == 54 + stride * h
+        # bottom-up: first stored row is the image's last, in BGR
+        assert raw[54 : 54 + 3] == bytes(px[h - 1, 0, ::-1])
+        assert (codecs.decode_bmp(raw) == px).all()
+
+
+def test_ppm_roundtrip_stream_and_wav_roundtrip():
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.multimodal import codecs
+
+    px1, px2 = _det_pixels(4, 2, 1), _det_pixels(4, 2, 2)
+    assert (codecs.decode_ppm(codecs.encode_ppm(px1)) == px1).all()
+    frames = codecs.decode_ppm_stream(codecs.encode_ppm(px1) + codecs.encode_ppm(px2))
+    assert len(frames) == 2
+    assert (frames[0] == px1).all() and (frames[1] == px2).all()
+    samples = ((np.arange(64) * 997) % 65536 - 32768).astype(np.int16)
+    nch, rate, got = codecs.decode_wav(codecs.encode_wav(samples, framerate=8000))
+    assert (nch, rate) == (1, 8000)
+    assert (got == samples).all()
+
+
+def test_mixed_features_match_independent_oracle(spark):
+    """Third engine: expected features computed straight from the known
+    synthesis rule (text bytes cycled into pixels / samples) WITHOUT the
+    engine's decoders — so encode→sniff→decode→feature must all be
+    right for this to pass."""
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.multimodal import (
+        extract_features,
+        synthesize_mixed,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60).collect()
+    }
+    src = binary_documents(spark, SF_SMOKE).filter(F.col("doc_id").isin(*texts))
+    got = {
+        r.doc_id: r.features
+        for r in extract_features(synthesize_mixed(src)).collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        raw = text.encode("utf-8") or b"\x00"
+        if doc_id % 3 == 1:  # image: 8x8 RGB, pixels = bytes cycled
+            n = 8 * 8 * 3
+            buf = (raw * (-(-n // len(raw))))[:n]
+            flat = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+            want = [
+                8.0,
+                8.0,
+                round(float(flat[:, 0].mean()) / 255.0, 6),
+                round(float(flat[:, 1].mean()) / 255.0, 6),
+                round(float(flat[:, 2].mean()) / 255.0, 6),
+                round(float(flat.std()) / 255.0, 6),
+                round(float(flat.min()) / 255.0, 6),
+                round(float(flat.max()) / 255.0, 6),
+            ]
+        elif doc_id % 3 == 2:  # audio: 128 int16 samples = (byte-128)*256
+            buf = (raw * (-(-128 // len(raw))))[:128]
+            x = ((np.frombuffer(buf, dtype=np.uint8).astype(np.int16) - 128) * 256).astype(
+                np.float64
+            )
+            zc = float(np.count_nonzero(np.diff(np.signbit(x)))) / 127
+            want = [
+                1.0,
+                8000.0,
+                128.0,
+                round(float(np.abs(x).mean()) / 32768.0, 6),
+                round(float(np.sqrt((x**2).mean())) / 32768.0, 6),
+                round(float(np.abs(x).max()) / 32768.0, 6),
+                round(zc, 6),
+                round(128 / 8000.0, 6),
+            ]
+        else:  # text: stride means
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            stride = max(len(arr) // 8, 1)
+            want = []
+            for i in range(8):
+                chunk = arr[i * stride : (i + 1) * stride]
+                if chunk.size == 0:
+                    chunk = arr[-stride:]
+                want.append(round(float(chunk.mean()) / 255.0, 6))
+        assert got[doc_id] == want, f"doc {doc_id} ({doc_id % 3})"
+
+
+def test_image_resize_exact_nearest_neighbor(spark):
+    """A known 2x2 BMP resized to 4x4 must be the exact nearest-neighbor
+    expansion (each source pixel becomes a 2x2 block), as raw RGB."""
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.multimodal import codecs, resize_images
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    df = spark.createDataFrame([(1, bytearray(codecs.encode_bmp(px)))], "doc_id long, payload binary")
+    row = resize_images(df, width=4, height=4).first()
+    want = px[np.array([0, 0, 1, 1])][:, np.array([0, 0, 1, 1])]
+    assert bytes(row.thumb) == want.tobytes()
+    assert (row.thumb_w, row.thumb_h) == (4, 4)
+
+
+def test_video_frames_decoded_from_ppm_stream(spark):
+    """A concatenated-P6 'video' yields real decoded frames: every 2nd
+    frame, raw RGB bytes equal to the source pixels."""
+    from labs_stream_processing_examples_scala_spark.multimodal import codecs, sample_frames
+
+    frames_px = [_det_pixels(3, 2, s) for s in range(5)]
+    payload = b"".join(codecs.encode_ppm(p) for p in frames_px)
+    df = spark.createDataFrame([(9, bytearray(payload))], "doc_id long, payload binary")
+    rows = sample_frames(df, n_frames=16, every=2).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert bytes(r.frame) == frames_px[r.frame_idx].tobytes()
+
+
+def test_audio_frames_are_decoded_pcm(spark):
+    """A WAV payload's frames chunk the DECODED sample stream (not the
+    container bytes): reassembling all chunks re-yields the samples."""
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.multimodal import codecs, sample_frames
+
+    samples = ((np.arange(160) * 113) % 65536 - 32768).astype(np.int16)
+    df = spark.createDataFrame(
+        [(3, bytearray(codecs.encode_wav(samples)))], "doc_id long, payload binary"
+    )
+    rows = sample_frames(df, n_frames=4, every=1).orderBy("frame_idx").collect()
+    got = b"".join(bytes(r.frame) for r in rows)
+    assert got == samples.tobytes()
