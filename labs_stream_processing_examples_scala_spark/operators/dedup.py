@@ -267,10 +267,46 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.size(tokens("text")) > 0).select("doc_id", sim.alias("simhash"))
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+class CandidateExplosionError(ValueError):
+    """Raised when a quadratic oracle baseline would generate more
+    candidate pairs than its cap — the plan is correct but the wrong
+    tool at that scale; use the banded/bucketed operator instead."""
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_candidate_pairs: int | None = 50_000_000,
+) -> DataFrame:
     """Exact Jaccard for all pairs sharing ≥1 shingle (inverted index).
-    The exploded view and sizes both read the cached shingle arrays."""
+    The exploded view and sizes both read the cached shingle arrays.
+
+    ORACLE BASELINE: candidate count is sum over shingles of
+    C(freq, 2) — quadratic in the hottest shingle's document frequency.
+    Before building the join, that sum is computed (one linear
+    aggregate over the cached exploded view) and compared against
+    ``max_candidate_pairs``; a hot-shingle corpus fails fast with
+    :class:`CandidateExplosionError` instead of launching an
+    all-pairs-shaped shuffle. Pass ``None`` to bypass (the oracle
+    harness at fixture scale). The scale path is
+    :func:`lsh_candidate_pairs`, whose candidates come from band
+    buckets, not shingle co-occurrence."""
     sh = _shingle_hashes(spark, sf_dir)
+    if max_candidate_pairs is not None:
+        est = (
+            sh.groupBy("h")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"))
+            .first()[0]
+            or 0
+        )
+        if est > max_candidate_pairs:
+            raise CandidateExplosionError(
+                f"ngram_jaccard_pairs would examine ~{int(est):,} candidate "
+                f"pairs (> cap {max_candidate_pairs:,}); use "
+                "lsh_candidate_pairs at this scale or raise the cap"
+            )
     sizes = shingle_hash_arrays(spark, sf_dir).select("doc_id", "sz")
     inter = (
         sh.alias("a")

@@ -76,13 +76,32 @@ def brute_force_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int
     )
 
 
-def cosine_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
+def cosine_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    max_candidate_pairs: int | None = 50_000_000,
+) -> DataFrame:
     """Exact embedding near-duplicate pairs (cosine ≥ threshold).
 
-    All-pairs is O(n²) — correct at oracle scale, the wrong plan at 100
-    TB (use lsh buckets there: same verify, candidates from buckets).
+    ORACLE BASELINE: all-pairs is O(n²) — correct at oracle scale, the
+    wrong plan at 100 TB (use :func:`lsh_neardup_pairs`: same verify,
+    candidates from buckets). Guarded: n is counted up front (cheap —
+    parquet row-group metadata) and n*(n-1)/2 compared against
+    ``max_candidate_pairs``; pass ``None`` to bypass.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    if max_candidate_pairs is not None:
+        n = e.count()
+        est = n * (n - 1) // 2
+        if est > max_candidate_pairs:
+            from labs_stream_processing_examples_scala_spark.operators.dedup import CandidateExplosionError
+
+            raise CandidateExplosionError(
+                f"cosine_neardup_pairs over {n:,} vectors would examine "
+                f"{est:,} pairs (> cap {max_candidate_pairs:,}); use "
+                "lsh_neardup_pairs at this scale or raise the cap"
+            )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     return (

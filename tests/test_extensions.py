@@ -709,3 +709,31 @@ def test_audio_frames_are_decoded_pcm(spark):
     rows = sample_frames(df, n_frames=4, every=1).orderBy("frame_idx").collect()
     got = b"".join(bytes(r.frame) for r in rows)
     assert got == samples.tobytes()
+
+
+def test_quadratic_baselines_guarded(spark, tmp_path):
+    """The two intentionally-quadratic oracle baselines must fail fast
+    on a candidate explosion instead of launching an all-pairs shuffle:
+    a synthetic hot-shingle corpus (every doc shares one sentence) and
+    a vector table over the cap both trip CandidateExplosionError."""
+    import pytest
+
+    # hot-shingle corpus: 80 docs, identical text → every shingle has
+    # doc-frequency 80 → sum C(80,2) per shingle ≫ a cap of 1000
+    hot = tmp_path / "hot"
+    hot.mkdir()
+    spark.createDataFrame(
+        [(i, "the same hot sentence repeated in every single document here") for i in range(80)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(hot / "documents.parquet"))
+    with pytest.raises(DD.CandidateExplosionError, match="candidate"):
+        DD.ngram_jaccard_pairs(spark, str(hot), max_candidate_pairs=1000)
+    DD.invalidate_cache(str(hot))
+
+    # fixture embeddings (2000 vecs at sf0.001? use smoke dir) over a tiny cap
+    with pytest.raises(DD.CandidateExplosionError, match="pairs"):
+        SIM.cosine_neardup_pairs(spark, SF_SMOKE, max_candidate_pairs=100)
+
+    # under the cap (or bypassed) the operators still build
+    assert SIM.cosine_neardup_pairs(spark, SF_SMOKE, max_candidate_pairs=None) is not None
+    assert DD.ngram_jaccard_pairs(spark, SF_SMOKE) is not None
