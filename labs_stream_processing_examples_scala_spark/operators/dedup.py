@@ -467,8 +467,24 @@ def connected_components_twostar(pairs: DataFrame, max_iter: int = 30) -> DataFr
     resets the plan to a leaf; rounds stay constant-cost. (On a real
     cluster use reliable checkpoint dirs for fault tolerance.)
     """
+    def _edge_sig(e: DataFrame) -> tuple:
+        """(count, Σ xxhash64(u,v)) — an order-insensitive signature of
+        the edge SET. Equal signatures ⇒ equal sets up to a ~2^-64
+        xxhash64-sum collision; at the two-star fixpoint the edge set is
+        exactly stable, so signature equality detects convergence with
+        ONE tiny aggregate (map-side partials + a single final row)
+        instead of exceptAll's pair of full-width hash exchanges."""
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) accumulator: Σ of int64 hashes can overflow a
+            # long, which ANSI mode (correctly) refuses
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row.n, row.s)
+
     e0 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = _symmetric(e0).localCheckpoint(eager=True)
+    sig = _edge_sig(edges)
     for _ in range(max_iter):
         # large-star: m = min over symmetric neighborhood (∪ self)
         nmin = edges.groupBy("u").agg(F.min("v").alias("nm"))
@@ -492,10 +508,11 @@ def connected_components_twostar(pairs: DataFrame, max_iter: int = 30) -> DataFr
             .distinct()
         )
         new_edges = _symmetric(contracted).localCheckpoint(eager=True)
-        changed = new_edges.exceptAll(edges).limit(1).count()
+        new_sig = _edge_sig(new_edges)
         edges = new_edges
-        if changed == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     # fixpoint is a star per component: each non-root's min neighbor is
     # the root; the root's neighbors are all larger, so least(u, min)=u
     return (
