@@ -86,6 +86,14 @@ def main() -> None:
             }
         )
     )
+    # drop the persisted shingle/signature index tables and sweep
+    # localCheckpoint leftovers so nothing outlives the run (lifecycle
+    # hygiene; mirrored by the pytest session fixture)
+    from labs_stream_processing_examples_scala_spark import release_persisted_rdds
+    from labs_stream_processing_examples_scala_spark.operators import dedup as _dedup
+
+    _dedup.invalidate_cache()
+    release_persisted_rdds(spark)
     spark.stop()
 
 

@@ -9,6 +9,6 @@ LLM-data-pipeline operators (dedup, similarity search, text analysis,
 multimodal columns). See SURVEY.md for the full capability map.
 """
 
-from labs_stream_processing_examples_scala_spark.session import get_spark
+from labs_stream_processing_examples_scala_spark.session import get_spark, release_persisted_rdds
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "release_persisted_rdds"]

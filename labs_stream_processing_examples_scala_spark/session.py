@@ -59,3 +59,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_persisted_rdds(spark: SparkSession) -> int:
+    """Unpersist every RDD the context still holds and return how many
+    were released. The managed operator caches (dedup/similarity) are
+    dropped by ``dedup.invalidate_cache()``; what remains afterwards is
+    localCheckpoint generations (e.g. the two-star component loop),
+    whose storage otherwise lives until context shutdown. Call at
+    suite/bench teardown so nothing persisted outlives the run."""
+    scala_sc = spark.sparkContext._jsc.sc()
+    it = scala_sc.getPersistentRDDs().iterator()
+    n = 0
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+        n += 1
+    return n

@@ -17,7 +17,20 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     s = get_spark(app_name="engine-tests", shuffle_partitions=8)
     yield s
+    # teardown hygiene: drop the managed operator caches, then sweep
+    # localCheckpoint leftovers, and fail loudly if storage remains
+    from labs_stream_processing_examples_scala_spark import release_persisted_rdds
+    from labs_stream_processing_examples_scala_spark.operators import dedup
+
+    dedup.invalidate_cache()
+    release_persisted_rdds(s)
+    leaked = [
+        (i.id(), i.name())
+        for i in s.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.isCached()
+    ]
     s.stop()
+    assert not leaked, f"persisted RDDs leaked past teardown: {leaked}"
 
 
 @pytest.fixture(scope="session")
