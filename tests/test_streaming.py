@@ -212,3 +212,19 @@ def test_rate_source_shape(spark):
         assert rows[0].extra1 == "0 :ataD tupnI"
     finally:
         q.stop()
+
+
+def test_kill_and_restart_recovers_exactly(spark, tmp_path):
+    """R-contract end-to-end (tools/recovery_bench.py, VERDICT r2 #8):
+    a multi-batch run is hard-stopped mid-stream (most source files
+    unprocessed), restarted from the same checkpoint, and must drain to
+    EXACTLY the batch-oracle rows — zero lost, zero duplicated."""
+    from tools.recovery_bench import run
+
+    rec = run(spark, SF_SMOKE, n_files=4, work=str(tmp_path / "rec"))
+    assert rec["lost_rows"] == 0, rec
+    assert rec["duplicate_main_ids"] == 0, rec
+    assert rec["main_rows"] == rec["expected_main"], rec
+    assert rec["dlq_rows"] == rec["expected_dlq"], rec
+    # the kill happened mid-stream: something was left to replay
+    assert rec["rows_replayed_or_new"] > 0, rec
