@@ -66,26 +66,36 @@ def main() -> None:
 
     # JVM/codegen warm-up on the smallest plan so query 1 isn't charged
     # for class loading.
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # the timed loop below will record the error per-query
 
+    # a single failing query must not lose the whole run's timings
+    # (round 3: one AnalysisException at query 25/27 → rc=1, zero
+    # timings recorded). Record the error per query, keep going, and
+    # always print the JSON line; exit non-zero if anything failed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     # drop the persisted shingle/signature index tables and sweep
     # localCheckpoint leftovers so nothing outlives the run (lifecycle
     # hygiene; mirrored by the pytest session fixture)
@@ -95,6 +105,8 @@ def main() -> None:
     _dedup.invalidate_cache()
     release_persisted_rdds(spark)
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
