@@ -23,6 +23,7 @@ from labs_stream_processing_examples_scala_spark.functions import text as TX
 from labs_stream_processing_examples_scala_spark.multimodal import columns as MM
 from labs_stream_processing_examples_scala_spark.operators import corpus as CP
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+from labs_stream_processing_examples_scala_spark.streaming import incremental_dedup as ID
 from labs_stream_processing_examples_scala_spark.operators import relational as R
 from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
 from labs_stream_processing_examples_scala_spark.operators import skew as SKW
@@ -198,6 +199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_exact": DD.exact_dedup,
         "x_dedup_minhash_sig": DD.minhash_signatures,
         "x_dedup_lsh_pairs": DD.lsh_candidate_pairs,
+        # same pair set discovered incrementally (3 ingest micro-batches
+        # against an on-disk LSH index) — equivalence IS the oracle claim
+        "x_dedup_incremental": ID.incremental_lsh_pairs,
         "x_dedup_ngram_pairs": DD.ngram_jaccard_pairs,
         "x_dedup_simhash": DD.simhash,
         "x_dedup_simhash_pairs": DD.simhash_neardup_pairs,
@@ -932,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_exact": O.dedup_exact(),
         "x_dedup_minhash_sig": O.dedup_minhash_signatures(),
         "x_dedup_lsh_pairs": O.dedup_lsh_pairs(),
+        "x_dedup_incremental": O.dedup_lsh_pairs(),
         "x_dedup_ngram_pairs": O.dedup_ngram_pairs(),
         "x_dedup_simhash": O.dedup_simhash(),
         "x_dedup_simhash_pairs": O.dedup_simhash_neardup_pairs(),

@@ -149,13 +149,20 @@ def shingle_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _ARR_CACHE:
         return _ARR_CACHE[key]
     d = _spread(load_table(spark, sf_dir, "documents"), spark)
+    out = shingle_arrays_of(d).persist()
+    _ARR_CACHE[key] = out
+    return out
+
+
+def shingle_arrays_of(docs: DataFrame) -> DataFrame:
+    """The zero-shuffle shingle-set fold over ANY (doc_id, text) frame
+    (batch or a foreachBatch micro-batch) — the uncached core of
+    :func:`shingle_hash_arrays`."""
     whs = F.transform(tokens("text"), H.rolling_hash)
     c12 = F.zip_with(whs, F.slice(whs, 2, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
     c123 = F.zip_with(c12, F.slice(whs, 3, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
     shs = F.array_distinct(F.filter(c123, lambda x: x.isNotNull()))
-    out = d.select("doc_id", shs.alias("shs")).withColumn("sz", F.size("shs")).persist()
-    _ARR_CACHE[key] = out
-    return out
+    return docs.select("doc_id", shs.alias("shs")).withColumn("sz", F.size("shs"))
 
 
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,16 +171,35 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_hash_arrays(spark, sf_dir).select("doc_id", F.explode("shs").alias("h"))
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + m00..m15 MinHash signature columns — 16 per-row folds
-    over the cached shingle array (no groupBy; docs with no shingles are
+def minhash_of(arrs: DataFrame) -> DataFrame:
+    """doc_id + m00..m15 MinHash signature columns from a shingle-array
+    frame — 16 per-row folds, no shuffle (docs with no shingles are
     excluded, matching the exploded form's semantics)."""
-    arrs = shingle_hash_arrays(spark, sf_dir).filter(F.col("sz") > 0)
     sig_cols = [
         F.array_min(F.transform("shs", lambda h: H.minhash_slot(h, i))).alias(f"m{i:02d}")
         for i in range(H.NUM_PERMS)
     ]
-    return arrs.select("doc_id", *sig_cols)
+    return arrs.filter(F.col("sz") > 0).select("doc_id", *sig_cols)
+
+
+def banded_of(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH banding of a signature frame — all
+    bands in ONE projection + stack (a unionAll of per-band selects
+    would recompute the signature pipeline per band)."""
+    bucket_cols = []
+    for b in range(H.BANDS):
+        slots = [F.col(f"m{b * H.ROWS_PER_BAND + r:02d}") for r in range(H.ROWS_PER_BAND)]
+        bucket_cols.append(H.band_hash(slots).alias(f"bh{b}"))
+    stack_args = ", ".join(f"{b}, bh{b}" for b in range(H.BANDS))
+    return sig.select("doc_id", *bucket_cols).select(
+        "doc_id", F.expr(f"stack({H.BANDS}, {stack_args}) AS (band, bucket)")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of :func:`minhash_of` over the cached fixture
+    shingle arrays."""
+    return minhash_of(shingle_hash_arrays(spark, sf_dir))
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
@@ -191,17 +217,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     ∝ candidates, and no shingle ever shuffles.
     """
     arrs = shingle_hash_arrays(spark, sf_dir)
-    sig = minhash_signatures(spark, sf_dir)
-    # all bands in ONE projection + stack — a unionAll of per-band
-    # selects would recompute the whole signature pipeline per band
-    bucket_cols = []
-    for b in range(H.BANDS):
-        slots = [F.col(f"m{b * H.ROWS_PER_BAND + r:02d}") for r in range(H.ROWS_PER_BAND)]
-        bucket_cols.append(H.band_hash(slots).alias(f"bh{b}"))
-    stack_args = ", ".join(f"{b}, bh{b}" for b in range(H.BANDS))
-    banded = sig.select("doc_id", *bucket_cols).select(
-        "doc_id", F.expr(f"stack({H.BANDS}, {stack_args}) AS (band, bucket)")
-    )
+    banded = banded_of(minhash_signatures(spark, sf_dir))
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (

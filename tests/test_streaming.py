@@ -228,3 +228,45 @@ def test_kill_and_restart_recovers_exactly(spark, tmp_path):
     assert rec["dlq_rows"] == rec["expected_dlq"], rec
     # the kill happened mid-stream: something was left to replay
     assert rec["rows_replayed_or_new"] > 0, rec
+
+
+def test_incremental_dedup_equals_batch_and_replays_idempotently(spark, tmp_path):
+    """Incremental LSH dedup (streaming/incremental_dedup.py): the
+    union of per-batch pair discoveries equals the batch operator's
+    output exactly, and replaying a batch (foreachBatch redelivery)
+    changes nothing (per-batchId idempotent index + pairs sinks)."""
+    from labs_stream_processing_examples_scala_spark.operators.dedup import lsh_candidate_pairs
+    from labs_stream_processing_examples_scala_spark.streaming.incremental_dedup import (
+        IncrementalLshDedup,
+        run_incremental,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    src = str(tmp_path / "src")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.withColumn("split", F.pmod(F.col("doc_id"), F.lit(3))).repartitionByRange(
+        3, "split"
+    ).drop("split").write.parquet(src)
+
+    proc = run_incremental(spark, src, str(tmp_path / "work"))
+    got = {(r.doc_a, r.doc_b): round(r.jaccard, 6) for r in proc.pairs(spark).collect()}
+    want = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in lsh_candidate_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+    # redeliver batch 0's exact docs with its original batch_id
+    # (foreachBatch redelivery): the replay joins against the index AS
+    # OF batch 0 (empty) and overwrites the same _batch_id dirs → no-op
+    b0_ids = [
+        r.doc_id
+        for r in spark.read.option("basePath", proc.arrays_dir)
+        .parquet(proc.arrays_dir + "/_batch_id=0")
+        .select("doc_id")
+        .collect()
+    ]
+    replay = docs.filter(F.col("doc_id").isin(b0_ids))
+    proc.process_batch(replay, 0)
+    again = {(r.doc_a, r.doc_b): round(r.jaccard, 6) for r in proc.pairs(spark).collect()}
+    assert again == want
