@@ -18,9 +18,13 @@ Operators:
                          rows-only check + recall test vs brute force.
 - ivf_topk             — IVF-style: k seed centroids (first k vectors),
                          one assignment pass, search nprobe nearest
-                         cells. Iterative refinement intentionally absent
-                         (deterministic single pass); approximate →
-                         recall-tested.
+                         cells; approximate → recall-tested.
+- kmeans_train         — full Lloyd loop (broadcast centroids, bounded
+                         n_cells×dim update shuffle per iteration) —
+                         the offline quantizer-training job; numpy
+                         third-engine equivalence-tested.
+- ivf_topk_trained     — ivf_topk on trained centroids; recall ≥ the
+                         seeded form at equal nprobe (tested).
 """
 
 from __future__ import annotations
@@ -356,3 +360,119 @@ def kmeans_step(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> DataFram
     )
     # diag is exactly n_cells rows (fixed, never SF-scaled) — broadcast
     return counts.join(F.broadcast(diag), "cell")
+
+
+def kmeans_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], int]:
+    """Full Lloyd training loop for the IVF coarse quantizer — the
+    offline batch job :func:`ivf_topk`'s docstring defers to.
+
+    Per iteration (the :func:`kmeans_step` shape, repeated):
+    assignment is a broadcast of the n_cells×dim centroid table + one
+    narrow pass; the update shuffles only the (cell, pos) partial sums
+    — n_cells × dim rows regardless of corpus size. Between iterations
+    the updated centroids (a FIXED n_cells×dim matrix, never SF-scaled)
+    are collected to the driver and re-broadcast as literals — the
+    standard distributed k-means loop; the data itself never moves.
+
+    Empty cells keep their previous centroid. Stops early when the max
+    centroid L2 shift drops below ``tol``. Returns (centroids,
+    iterations_run). Deterministic: seeds are the first n_cells vectors
+    by vec_id and ties break on cell id.
+    """
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    seeds = e.orderBy("vec_id").limit(n_cells).select("vec").collect()
+    cents: list[list[float]] = [list(r.vec) for r in seeds]
+    it_run = 0
+    for _ in range(n_iter):
+        it_run += 1
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell int, cvec array<double>"
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cdf))
+            .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("cell", "vec")
+        )
+        upd = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()  # n_cells × dim rows — fixed size, not data-scaled
+        )
+        new_cents = [list(c) for c in cents]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for cell, comps in by_cell.items():
+            new_cents[cell] = [comps[p] for p in sorted(comps)]
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(old, new)))
+            for old, new in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents, it_run
+
+
+def ivf_topk_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 5,
+) -> DataFrame:
+    """:func:`ivf_topk` with Lloyd-trained centroids instead of raw
+    seeds — same probe plan (broadcast centroids, nprobe cells read),
+    better-balanced cells and therefore better recall at equal nprobe
+    (asserted in tests/test_extensions.py)."""
+    cents, _ = kmeans_train(spark, sf_dir, n_cells=n_cells, n_iter=n_iter)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, cvec array<double>"
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cdf))
+        .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cell")
+    )
+    qvec = e.filter(F.col("vec_id") == query_id).select(F.col("vec").alias("qvec"))
+    probe_cells = (
+        cdf.crossJoin(F.broadcast(qvec))
+        .select("cell", cosine(F.col("cvec"), F.col("qvec")).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

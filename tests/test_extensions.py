@@ -737,3 +737,49 @@ def test_quadratic_baselines_guarded(spark, tmp_path):
     # under the cap (or bypassed) the operators still build
     assert SIM.cosine_neardup_pairs(spark, SF_SMOKE, max_candidate_pairs=None) is not None
     assert DD.ngram_jaccard_pairs(spark, SF_SMOKE) is not None
+
+
+def test_kmeans_train_matches_numpy_lloyd(spark):
+    """Third engine: the distributed Lloyd loop must match a pure-numpy
+    implementation run on the collected vectors — same seeds, same
+    cosine assignment with cell-id tie-break, same means, same
+    empty-cell carry-over — after the same number of iterations."""
+    import numpy as np
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([list(map(float, r.embedding)) for r in rows])
+    n_cells, n_iter = 8, 3
+    cents, it_run = SIM.kmeans_train(spark, SF_SMOKE, n_cells=n_cells, n_iter=n_iter)
+    assert it_run <= n_iter
+
+    C = X[:n_cells].copy()
+    for _ in range(it_run):
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+        )
+        # argmax with lowest-cell tie-break == row_number over (desc sim, asc cell)
+        assign = np.argmax(sims, axis=1)
+        newC = C.copy()
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                newC[c] = members.mean(axis=0)
+        C = newC
+    got = np.array(cents)
+    assert got.shape == C.shape
+    assert np.allclose(got, C, atol=1e-9), np.abs(got - C).max()
+
+
+def test_ivf_trained_recall_not_worse_than_seeded(spark):
+    """Trained centroids must not lose recall vs raw seeds at equal
+    nprobe (on the fixture corpus they typically gain)."""
+    truth = {r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, query_id=3, k=10).collect()}
+    seeded = {r.vec_id for r in SIM.ivf_topk(spark, SF_SMOKE, query_id=3, k=10).collect()}
+    trained = {r.vec_id for r in SIM.ivf_topk_trained(spark, SF_SMOKE, query_id=3, k=10).collect()}
+    r_seed = len(seeded & truth) / 10
+    r_train = len(trained & truth) / 10
+    assert r_train >= r_seed - 0.101, (r_train, r_seed)
+    assert r_train >= 0.2

@@ -54,6 +54,7 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_sim_lsh_neardup",
         "x_sim_lsh_topk",
         "x_sim_ivf_topk",
+        "x_sim_ivf_trained",
         # binary decode paths: checked against pure-Python decoders in
         # tests/test_extensions.py, not expressible in DuckDB SQL
         "x_multimodal_features",
