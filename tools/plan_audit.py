@@ -240,6 +240,11 @@ def main() -> int:
             checks.append(f"{'OK' if ok else 'FAIL'}: free of `{frag}`")
         print(f"{name}: " + "; ".join(checks))
         out += [f"## {name}", "", *[f"- {c}" for c in checks], "", "```", plan.strip(), "```", ""]
+    # PLANS.md is regenerated wholesale; durable hand-written evidence
+    # sections live in PLANS_AQE.md and are re-appended on every run
+    aqe = Path("PLANS_AQE.md")
+    if aqe.exists():
+        out.append("\n" + aqe.read_text())
     Path("PLANS.md").write_text("\n".join(out))
     print(f"\nPLANS.md written; {failures} plan-property failures")
     spark.stop()
