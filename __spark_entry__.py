@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sample_hash_split": SMP.hash_split,
         "x_sample_stratified": SMP.stratified_sample,
         "x_sample_importance": SMP.importance_resample,
+        "x_sample_mixture": SMP.mixture_sample,
         "x_dedup_spans": DD.dup_span_stats,
         "x_chunk_documents": CP.chunk_documents,
         # skew mitigation: result must equal the unsalted plain form
@@ -962,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
         "x_vocab_topk": O.text_vocab_topk(),
         "x_text_tfidf": O.text_tfidf(),
         "x_sample_importance": O.sampling_importance_resample(),
+        "x_sample_mixture": O.sampling_mixture(),
         "x_dedup_spans": O.dedup_span_stats(),
         "x_chunk_documents": O.corpus_chunks(),
         "x_skew_salted_agg": SKW.events_by_type_salted_oracle(),

@@ -19,7 +19,7 @@ rolling-hash SQL renderer (functions/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from labs_stream_processing_examples_scala_spark.functions import hashing as H
@@ -98,5 +98,48 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = F.when(F.col("n_chars") >= lo, pct).otherwise(w)
     return (
         d.select("doc_id", "n_chars", w.alias("keep_pct"), b.cast("int").alias("bucket"))
+        .filter(F.col("bucket") < F.col("keep_pct"))
+    )
+
+
+MIXTURE_TEMPERATURE = 0.5  # w_s ∝ n_s^T — T<1 upweights scarce sources
+MIXTURE_BUDGET_PCT = 50    # target corpus size as % of the original
+
+
+def mixture_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    temperature: float = MIXTURE_TEMPERATURE,
+    budget_pct: int = MIXTURE_BUDGET_PCT,
+) -> DataFrame:
+    """Temperature-scaled source mixture — the standard LLM-pretraining
+    rebalance: sample each ``source`` with share ∝ count^T (T < 1
+    flattens the source distribution toward uniform, upweighting
+    scarce sources), at an overall budget of ``budget_pct``% of the
+    corpus. Deterministic: every keep decision is hash-bucket <
+    per-source percentage, so membership is a pure function of
+    (doc_id, source counts) and identical in the DuckDB oracle.
+
+    FP discipline: the per-source percentage uses pow/floor only
+    (floor, not round — no half-to-even boundary to disagree across
+    engines); both engines compute the identical IEEE expression.
+
+    Scale: one map-side-combined groupBy(source) over a low-cardinality
+    key (the per-source count table is SOURCES rows, never SF-scaled),
+    a window total over that tiny frame, broadcast back; the corpus
+    side is a narrow filter — zero data shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    w = F.pow(F.col("n_s").cast("double"), F.lit(float(temperature)))
+    tot_docs = F.sum("n_s").over(Window.partitionBy())
+    tot_w = F.sum(w).over(Window.partitionBy())
+    expected = (w / tot_w) * (tot_docs * budget_pct / 100.0)
+    pct = F.least(F.lit(100.0), F.floor(F.lit(100.0) * expected / F.col("n_s")))
+    rates = counts.select("source", pct.cast("int").alias("keep_pct"))
+    b = _bucket(F.col("doc_id"))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", "keep_pct", b.cast("int").alias("bucket"))
         .filter(F.col("bucket") < F.col("keep_pct"))
     )

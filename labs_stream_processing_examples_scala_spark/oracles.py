@@ -509,6 +509,28 @@ def sampling_importance_resample() -> str:
     """
 
 
+def sampling_mixture() -> str:
+    from labs_stream_processing_examples_scala_spark.operators.sampling import (
+        MIXTURE_BUDGET_PCT,
+        MIXTURE_TEMPERATURE,
+    )
+
+    b = f"{rolling_hash_sql_key()} % 100"
+    w = f"pow(CAST(n_s AS DOUBLE), {MIXTURE_TEMPERATURE})"
+    expected = f"({w} / SUM({w}) OVER ()) * (SUM(n_s) OVER () * {MIXTURE_BUDGET_PCT} / 100.0)"
+    return f"""
+        WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        rates AS (
+            SELECT source,
+                   CAST(LEAST(100.0, FLOOR(100.0 * {expected} / n_s)) AS INT) AS keep_pct
+            FROM counts
+        )
+        SELECT d.doc_id, d.source, r.keep_pct, CAST({b} AS INT) AS bucket
+        FROM documents d JOIN rates r USING (source)
+        WHERE {b} < r.keep_pct
+    """
+
+
 def corpus_chunks(chunk: int = 64, stride: int = 48) -> str:
     rh = H.rolling_hash_sql(f"array_to_string(list_slice(t, s, s + {chunk - 1}), ' ')")
     return f"""

@@ -783,3 +783,26 @@ def test_ivf_trained_recall_not_worse_than_seeded(spark):
     r_train = len(trained & truth) / 10
     assert r_train >= r_seed - 0.101, (r_train, r_seed)
     assert r_train >= 0.2
+
+
+def test_mixture_sample_flattens_sources(spark):
+    """T=0.5 mixture: scarce sources keep a HIGHER fraction of their
+    docs than common ones (that is the point of temperature < 1), and
+    realized keep rates track each source's keep_pct within hash noise."""
+    from labs_stream_processing_examples_scala_spark.operators.sampling import mixture_sample
+
+    base = {
+        r.source: r.n
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept = mixture_sample(spark, SF_SMOKE)
+    rates = {
+        r.source: (r.keep_pct, r.kept)
+        for r in kept.groupBy("source", "keep_pct").agg(F.count("*").alias("kept")).collect()
+    }
+    scarcest = min(base, key=base.get)
+    commonest = max(base, key=base.get)
+    assert rates[scarcest][0] >= rates[commonest][0]
+    for src, (pct, n_kept) in rates.items():
+        assert abs(n_kept / base[src] - pct / 100.0) < 0.15, (src, pct, n_kept, base[src])
