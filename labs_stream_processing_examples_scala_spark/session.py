@@ -75,3 +75,53 @@ def release_persisted_rdds(spark: SparkSession) -> int:
         it.next()._2().unpersist(False)
         n += 1
     return n
+
+
+def cluster_conf(
+    total_cores: int = 4000,
+    executor_mem_gb: int = 32,
+    target_partition_mb: int = 192,
+    input_tb: float = 100.0,
+) -> dict[str, str]:
+    """Recommended conf for running this engine on a real cluster at
+    ~``input_tb`` TB — the scale posture of the local builder
+    (:func:`get_spark`) made explicit and sized.
+
+    Rationale per key (all are plain Spark confs — nothing proprietary):
+
+    - shuffle partitions ≈ max(2×cores, input/target_partition_size):
+      every wide edge in this engine keys on a real join/agg key, so
+      partition count is the only sizing lever; 100 TB / 192 MB ≈ 550k
+      is capped by AQE coalescing to what the stage actually needs.
+    - AQE on (+coalesce/skew): the engine's no-hint joins rely on the
+      runtime broadcast/shuffle decision and skew split (PLANS_AQE.md
+      demonstrates both); initialPartitionNum gives AQE headroom.
+    - maxPartitionBytes = target_partition_mb: scan tasks sized so a
+      row-group batch plus shuffle write buffers fit executor memory.
+    - Arrow batch cap: bounds the pandas-UDF (multimodal/ANN) batch
+      memory — the engine's only Python crossings are Arrow-batched.
+    - checkpoint compression + RocksDB state store with changelog
+      checkpointing: the streaming state (gather, windows, dedup)
+      commits incrementally instead of full-snapshot per batch.
+    """
+    est_input_mb = int(input_tb * 1024 * 1024)
+    shuffle_parts = max(2 * total_cores, est_input_mb // target_partition_mb)
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(shuffle_parts),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{target_partition_mb}m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.checkpoint.compress": "true",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }

@@ -324,3 +324,39 @@ def test_streaming_chunking_equals_batch(spark):
     got = _run_to_memory(spark, CP.chunk_tokens(stream.select("doc_id", "text")), "schunk")
     want = CP.chunk_tokens(spark.read.parquet(docs_path).select("doc_id", "text"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multimodal_features_on_stream(spark, tmp_path):
+    """The multimodal decode path is streaming-compatible: the same
+    mapInPandas feature extraction runs inside a bounded stream and
+    produces exactly the batch result (mixed BMP/WAV/text corpus)."""
+    from labs_stream_processing_examples_scala_spark.multimodal import (
+        binary_documents,
+        extract_features,
+        synthesize_mixed,
+    )
+
+    src = str(tmp_path / "docs")
+    batch_src = binary_documents(spark, SF_SMOKE)
+    batch_src.write.parquet(src)
+    want = {
+        r.doc_id: (r.n_bytes, r.features)
+        for r in extract_features(synthesize_mixed(batch_src)).collect()
+    }
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    feats = extract_features(synthesize_mixed(stream))
+    got_df = _run_to_memory(spark, feats, "mmstream")
+    got = {r.doc_id: (r.n_bytes, r.features) for r in got_df.collect()}
+    assert got == want
+
+
+def test_cluster_conf_shape():
+    """cluster_conf sizes shuffle partitions from input/partition-size
+    and keeps every key a plain spark.* conf string."""
+    from labs_stream_processing_examples_scala_spark.session import cluster_conf
+
+    c = cluster_conf(total_cores=1000, input_tb=100.0, target_partition_mb=200)
+    assert int(c["spark.sql.shuffle.partitions"]) == max(2000, (100 * 1024 * 1024) // 200)
+    assert all(k.startswith("spark.") and isinstance(v, str) for k, v in c.items())
+    small = cluster_conf(total_cores=1000, input_tb=0.1)
+    assert int(small["spark.sql.shuffle.partitions"]) == 2000  # floor = 2x cores
