@@ -61,7 +61,11 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     kind = dict(df.dtypes).get(col)
     if kind == "bigint":
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # integer `div`, NOT `/`: float division promotes the nanosecond
+        # long to double first, and epoch-nanos (~1.7e18) exceed the
+        # 2^53 exact-integer range — measured off-by-1µs on values with
+        # sub-millisecond components
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     elif kind == "timestamp_ntz":
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df

@@ -806,3 +806,39 @@ def test_mixture_sample_flattens_sources(spark):
     assert rates[scarcest][0] >= rates[commonest][0]
     for src, (pct, n_kept) in rates.items():
         assert abs(n_kept / base[src] - pct / 100.0) < 0.15, (src, pct, n_kept, base[src])
+
+
+def test_codec_roundtrips_hypothesis():
+    """Property: BMP and WAV encode→decode is identity for arbitrary
+    dimensions/content (hypothesis; pure Python, no Spark)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from labs_stream_processing_examples_scala_spark.multimodal import codecs
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 17),
+        h=st.integers(1, 13),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check_bmp(w, h, seed):
+        n = w * h * 3
+        px = ((np.arange(n) * 2654435761 + seed) % 256).astype(np.uint8).reshape(h, w, 3)
+        assert (codecs.decode_bmp(codecs.encode_bmp(px)) == px).all()
+        assert (codecs.decode_ppm(codecs.encode_ppm(px)) == px).all()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        seed=st.integers(0, 2**31 - 1),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def check_wav(n, seed, rate):
+        samples = (((np.arange(n) * 48271 + seed) % 65536) - 32768).astype(np.int16)
+        nch, r, got = codecs.decode_wav(codecs.encode_wav(samples, framerate=rate))
+        assert (nch, r) == (1, rate)
+        assert (got == samples).all()
+
+    check_bmp()
+    check_wav()
