@@ -51,6 +51,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return P.enrichment_pipeline(_messages(spark, SF0001))
 
 
+def _s1_tick_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's timer tick (MessageProcessor.scala:21-22) via the
+    custom Python DataSource (sources/tick_source.py) — 1000 bounded
+    ticks; sf_dir unused (the source fabricates its rows)."""
+    from labs_stream_processing_examples_scala_spark.sources import tick_source
+
+    tick_source.register(spark)
+    return spark.read.format("tick").option("n", 1000).load()
+
+
 # --- P-queries: scalar transforms + errors-as-data (FIXTURES.md §4) ---
 
 
@@ -117,6 +127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scalar transforms / enrichment pipeline (SURVEY §2.2-2.3, §2.8)
         "p1_reverse_upper": _p1_reverse_upper,
+        # S1/S2 tick source as a Spark 4 Python DataSource (batch form;
+        # the stream form is scenario-tested in tests/test_streaming.py)
+        "s1_tick_source": _s1_tick_source,
         "p2_charsort": _p2_charsort,
         "p3_enrich_full": _p3_enrich_full,
         "p3_gather_form": _p3_gather_form,
@@ -265,6 +278,10 @@ _CSORT = f"array_to_string(list_sort(string_split({_V}, '')), '')"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "s1_tick_source": """
+            SELECT CAST(i AS BIGINT) AS id, 'Input Data: ' || i AS value
+            FROM generate_series(0, 999) t(i)
+        """,
         "p1_reverse_upper": f"""
             SELECT event_id AS id, {_V} AS value,
                    reverse({_V}) AS rev, upper({_V}) AS up

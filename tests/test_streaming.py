@@ -270,3 +270,33 @@ def test_incremental_dedup_equals_batch_and_replays_idempotently(spark, tmp_path
     proc.process_batch(replay, 0)
     again = {(r.doc_a, r.doc_b): round(r.jaccard, 6) for r in proc.pairs(spark).collect()}
     assert again == want
+
+
+def test_tick_datasource_batch_and_stream(spark):
+    """S1/S2 as a Spark 4 Python DataSource (sources/tick_source.py):
+    batch read yields exactly n reference-shaped ticks; the stream form
+    fabricates deterministic contiguous ids across micro-batches."""
+    import time as _time
+
+    from labs_stream_processing_examples_scala_spark.sources import tick_source
+
+    tick_source.register(spark)
+    rows = spark.read.format("tick").option("n", 300).load().orderBy("id").collect()
+    assert len(rows) == 300
+    assert rows[0].id == 0 and rows[0].value == "Input Data: 0"
+    assert rows[-1].id == 299 and rows[-1].value == "Input Data: 299"
+
+    q = (
+        spark.readStream.format("tick").option("ticks_per_batch", 40).load()
+        .writeStream.format("memory").queryName("tick_mem").outputMode("append")
+        .trigger(processingTime="0 seconds").start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM tick_mem").first().c >= 80:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    ids = [r.id for r in spark.sql("SELECT id FROM tick_mem ORDER BY id").collect()]
+    assert len(ids) >= 80
+    assert ids == list(range(len(ids)))  # contiguous, no gaps or dupes
