@@ -300,3 +300,34 @@ def test_tick_datasource_batch_and_stream(spark):
     ids = [r.id for r in spark.sql("SELECT id FROM tick_mem ORDER BY id").collect()]
     assert len(ids) >= 80
     assert ids == list(range(len(ids)))  # contiguous, no gaps or dupes
+
+
+def test_tick_source_through_enrichment_pipeline(spark, tmp_path):
+    """The reference's EXACT topology end-to-end: scheduler tick source
+    → 3 enrichments + transform → reliable sink. Ticks come from the
+    custom DataSource; output must equal the batch enrichment of the
+    same id range."""
+    from labs_stream_processing_examples_scala_spark.sources import tick_source
+
+    tick_source.register(spark)
+    msgs = spark.readStream.format("tick").option("ticks_per_batch", 200).load()
+    pipe = _pipeline(tmp_path, chaos=False)
+    q = pipe.start(msgs)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if pipe.output(spark).count() >= 400:
+                break
+        except Exception:
+            pass  # sink dir not yet created
+        time.sleep(0.5)
+    q.stop()
+    got = pipe.output(spark).drop("err")
+    n = got.count()
+    assert n >= 400
+    ids = spark.range(n).select(F.col("id"))
+    want = enrichment_with_errors(
+        ids.select("id", F.concat(F.lit("Input Data: "), F.col("id").cast("string")).alias("value")),
+        chaos=False,
+    ).drop("err")
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
