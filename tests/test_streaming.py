@@ -331,3 +331,91 @@ def test_tick_source_through_enrichment_pipeline(spark, tmp_path):
         chaos=False,
     ).drop("err")
     assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_streaming_ingest_pipeline_matches_greedy_oracle(spark, tmp_path):
+    """Capstone: the online ingest pipeline (decontaminate → quality →
+    greedy near-dup dedup vs the kept-index → resample) over 3 ordered
+    micro-batches must keep EXACTLY the set a pure-Python greedy pass
+    (third engine) derives from the batch operators' own primitives."""
+    from labs_stream_processing_examples_scala_spark.functions.text import _quality_parts
+    from labs_stream_processing_examples_scala_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        shingle_hash_arrays,
+        invalidate_cache,
+    )
+    from labs_stream_processing_examples_scala_spark.operators.sampling import RESAMPLE_BANDS, _bucket
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ingest_pipeline import run_ingest
+
+    n_bench, q_min = 100, 0.3
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    # benchmark shingles (the eval suite to decontaminate against)
+    bench_shingles = [
+        r.h
+        for r in shingle_hash_arrays(spark, SF_SMOKE)
+        .filter(F.col("doc_id") < n_bench)
+        .select(F.explode("shs").alias("h"))
+        .distinct()
+        .collect()
+    ]
+
+    # corpus = doc_id >= n_bench, streamed in 3 doc_id-ordered files
+    src = str(tmp_path / "src")
+    corpus = docs.filter(F.col("doc_id") >= n_bench)
+    hi = corpus.agg(F.max("doc_id")).first()[0]
+    span = (hi - n_bench) // 3 + 1
+    corpus.withColumn(
+        "part", ((F.col("doc_id") - n_bench) / span).cast("int")
+    ).repartitionByRange(3, "part").drop("part").write.parquet(src)
+
+    proc = run_ingest(spark, src, str(tmp_path / "work"), bench_shingles, quality_min=q_min)
+    got_ids = {r.doc_id for r in proc.kept(spark).collect()}
+
+    # --- third engine: pure-Python greedy over batch-operator primitives ---
+    _, _, _, score = _quality_parts()
+    eligible_rows = (
+        corpus.withColumn("quality", score)
+        .join(
+            shingle_hash_arrays(spark, SF_SMOKE).select("doc_id", "shs"),
+            "doc_id",
+        )
+        .withColumn(
+            "contaminated",
+            F.arrays_overlap("shs", F.lit(bench_shingles).cast("array<bigint>")),
+        )
+        .select("doc_id", "quality", "contaminated", "n_chars")
+        .collect()
+    )
+    eligible = {
+        r.doc_id: r.n_chars
+        for r in eligible_rows
+        if (not r.contaminated) and r.quality >= q_min
+    }
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(spark, SF_SMOKE).collect()
+        if r.doc_a in eligible and r.doc_b in eligible
+    }
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(b, set()).add(a)
+    kept = set()
+    for doc in sorted(eligible):
+        if not (nbrs.get(doc, set()) & kept):
+            kept.add(doc)
+    # resample (reuse the engine's own bucket expression for the hash)
+    buckets = {
+        r.doc_id: r.b
+        for r in docs.select("doc_id", _bucket(F.col("doc_id")).cast("int").alias("b")).collect()
+    }
+    def band_pct(n_chars):
+        for lo, p in RESAMPLE_BANDS:
+            if n_chars >= lo:
+                return p
+        return RESAMPLE_BANDS[-1][1]
+    want_ids = {d for d in kept if buckets[d] < band_pct(eligible[d])}
+
+    assert got_ids == want_ids
+    invalidate_cache()
