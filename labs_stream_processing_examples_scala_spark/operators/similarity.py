@@ -17,21 +17,31 @@ Operators:
                          cosine re-rank on candidates only. Approximate →
                          rows-only check + recall test vs brute force.
 - ivf_topk             — IVF-style: k seed centroids (first k vectors),
-                         one assignment pass, search nprobe nearest
-                         cells; approximate → recall-tested.
-- kmeans_train         — full Lloyd loop (broadcast centroids, bounded
-                         n_cells×dim update shuffle per iteration) —
-                         the offline quantizer-training job; numpy
-                         third-engine equivalence-tested.
+                         one ZERO-EXCHANGE assignment pass (centroids
+                         folded into the plan as a constant array
+                         literal, argmax via F.aggregate), inverted
+                         file materialized partitioned by cell, probe
+                         reads nprobe partitions (PartitionFilters);
+                         approximate → recall-tested.
+- kmeans_train         — full Lloyd loop (constant-literal centroids,
+                         zero-exchange assignment, bounded n_cells×dim
+                         update shuffle per iteration) — the offline
+                         quantizer-training job; numpy third-engine
+                         equivalence-tested.
 - ivf_topk_trained     — ivf_topk on trained centroids; recall ≥ the
                          seeded form at equal nprobe (tested).
 """
 
 from __future__ import annotations
 
+import atexit
+import math
+import shutil
+import tempfile
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from labs_stream_processing_examples_scala_spark.sources.batch import load_table
@@ -228,6 +238,173 @@ def lsh_topk(
     )
 
 
+# --- IVF / k-means (constant-literal centroids, zero-exchange assignment) ---
+#
+# The centroid table is FIXED-SIZE (n_cells × dim, never SF-scaled), so
+# instead of broadcasting it as a join side and resolving the argmax with
+# a window (which forces a hash exchange of the ×n_cells-expanded table —
+# the round-4 plan defect), we fold it into the plan as ONE constant
+# array<struct<cell,cvec,cnorm>> literal and take the per-row argmax with
+# F.transform + F.aggregate. Assignment is then genuinely a narrow map:
+# explain() shows no Exchange of any kind between the embeddings scan and
+# the cell column.
+
+
+def _norm_py(v: list[float]) -> float:
+    """Left-to-right sum of squares + sqrt — bit-for-bit the same IEEE
+    double sequence as :func:`norm`, so a Python-precomputed centroid
+    norm folded in as a literal matches what Spark would have computed."""
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _centroid_literal(cents_py: list[tuple[int, list[float]]]) -> Column:
+    """One constant array<struct<cell,cvec,cnorm>> literal. Catalyst's
+    ConstantFolding collapses the CreateArray-of-literals into a single
+    Literal node, so the n_cells×dim numbers cost nothing per row."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+                F.lit(_norm_py(cvec)).alias("cnorm"),
+            )
+            for cell, cvec in cents_py
+        ]
+    )
+
+
+def _assign_cell(cents_py: list[tuple[int, list[float]]], vec_col: str = "vec") -> Column:
+    """Row-local nearest-centroid id: cosine to each literal centroid
+    (same fold order as :func:`cosine`, so FP results are identical to
+    the former broadcast-join form), argmax with lowest-cell tie-break
+    (== row_number over (sim DESC, cell ASC)). Zero exchange."""
+    vn = norm(F.col(vec_col))
+    sims = F.transform(
+        _centroid_literal(sorted(cents_py)),
+        lambda c: F.struct(
+            (dot(F.col(vec_col), c["cvec"]) / (vn * c["cnorm"])).alias("sim"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).alias("cell")),
+        # strict > with ascending cell order == lowest cell wins ties
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+    )
+    return best["cell"]
+
+
+def _seed_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    """Seed centroids = first n_cells vectors by vec_id, collected to the
+    driver (fixed n_cells×dim — never SF-scaled; annotated collect)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    seeds = e.orderBy("vec_id").limit(n_cells).collect()
+    return [(int(r.vec_id), [float(x) for x in r.vec]) for r in seeds]
+
+
+# one materialized inverted file per (session, sf_dir, centroid set) —
+# written ONCE partitioned by cell (the on-disk index a 100 TB deployment
+# would keep as a table); probes read only their nprobe partitions, which
+# the scan proves via PartitionFilters. Temp dirs are removed at exit.
+_IVF_INDEX_CACHE: dict[tuple, str] = {}
+_IVF_TMP_ROOTS: list[str] = []
+_KMEANS_CACHE: dict[tuple, tuple[list[list[float]], int]] = {}
+
+
+def _cleanup_ivf_tmp() -> None:
+    for p in _IVF_TMP_ROOTS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_ivf_tmp)
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    cents_py: list[tuple[int, list[float]]],
+    tag: str,
+) -> str:
+    """Materialize the inverted file: one zero-exchange assignment pass
+    over the embeddings, written as parquet partitioned by ``cell``
+    (sources/layout.py's partitioned-write layout). Returns the path.
+    Cached per (session, sf_dir, tag) so repeated probes reuse it."""
+    from labs_stream_processing_examples_scala_spark.sources.layout import write_partitioned
+
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    if key in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[key]
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    assigned = e.withColumn("cell", _assign_cell(cents_py))
+    path = tempfile.mkdtemp(prefix=f"ivf_index_{tag}_")
+    _IVF_TMP_ROOTS.append(path)
+    write_partitioned(assigned, path, "cell")
+    _IVF_INDEX_CACHE[key] = path
+    return path
+
+
+def _probe_cells_py(
+    cents_py: list[tuple[int, list[float]]], qvec: list[float], nprobe: int
+) -> list[int]:
+    """nprobe cells nearest to the query, computed driver-side over the
+    fixed n_cells×dim centroid set (same FP order as :func:`cosine`,
+    desc sim / asc cell ordering)."""
+    qn = _norm_py(qvec)
+
+    def _cos(c: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(c, qvec):
+            acc += float(x) * float(y)
+        return acc / (_norm_py(c) * qn)
+
+    ranked = sorted(((-_cos(cvec), cell) for cell, cvec in cents_py))
+    return [cell for _, cell in ranked[:nprobe]]
+
+
+def _probe_ivf(
+    spark: SparkSession,
+    index_path: str,
+    cents_py: list[tuple[int, list[float]]],
+    qvec: list[float],
+    query_id: int,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Read nprobe partitions of the inverted file (PartitionFilters —
+    the other cells' files are never opened), exact cosine re-rank on
+    the probed rows only. Zero shuffle: scan → project → TakeOrdered."""
+    cells = _probe_cells_py(cents_py, qvec, nprobe)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qn = F.lit(_norm_py(qvec))
+    idx = spark.read.parquet(index_path)
+    return (
+        idx.filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * qn), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _query_embedding(spark: SparkSession, sf_dir: str, query_id: int) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_id)
+        .select(_dvec("embedding").alias("vec"))
+        .first()  # exactly one row — fixed-size collect
+    )
+    return [float(x) for x in row.vec]
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -237,48 +414,18 @@ def ivf_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """IVF-style ANN: seed centroids = first n_cells vectors (by vec_id),
-    assign every vector to its nearest centroid (one pass), then search
-    only the nprobe cells nearest to the query.
+    one zero-exchange assignment pass, inverted file materialized
+    partitioned by cell, probe reads only the nprobe nearest cells'
+    partitions (PartitionFilters in the scan — asserted by
+    tools/plan_audit.py and tests/test_extensions.py).
 
-    At 100 TB: centroids are a broadcast table; assignment is a narrow
-    map; the inverted file is a table partitioned by cell — the probe
-    reads nprobe partitions. (Proper k-means training is an offline
-    batch job; the operator takes any centroid table.)
-    """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
-    cents = (
-        e.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cell"), F.col("vec").alias("cvec"))
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cell")
-    )
-    qvec = e.filter(F.col("vec_id") == query_id).select(F.col("vec").alias("qvec"))
-    probe_cells = (
-        cents.crossJoin(F.broadcast(qvec))
-        .select("cell", cosine(F.col("cvec"), F.col("qvec")).alias("csim"))
-        .orderBy(F.desc("csim"), F.asc("cell"))
-        .limit(nprobe)
-        .select("cell")
-    )
-    return (
-        assigned.join(F.broadcast(probe_cells), "cell")
-        .crossJoin(F.broadcast(qvec))
-        .filter(F.col("vec_id") != query_id)
-        .select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    At 100 TB: centroids are a fixed-size plan literal; assignment is a
+    narrow map; the inverted file is an on-disk table partitioned by
+    cell, built once and probed many times."""
+    cents_py = _seed_centroids(spark, sf_dir, n_cells)
+    path = build_ivf_index(spark, sf_dir, cents_py, tag=f"seed{n_cells}")
+    qvec = _query_embedding(spark, sf_dir, query_id)
+    return _probe_ivf(spark, path, cents_py, qvec, query_id, k, nprobe)
 
 
 def lsh_neardup_pairs(
@@ -323,32 +470,17 @@ def kmeans_step(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> DataFram
     first component, and its L2 norm (compact diagnostics instead of a
     64-wide array, same information for the oracle hash).
 
-    Plan: broadcast the centroid table (fixed n_cells — never
-    SF-scaled), one narrow assignment pass with a per-vector window
-    argmin, then posexplode + groupBy (cell, pos) with map-side
-    combine for the elementwise means — the classic distributed
-    k-means update (shuffle volume = n_cells × dim, independent of
-    corpus size). Iterating = re-running with the updated centroids;
-    each step is this same bounded-shuffle shape.
+    Plan: centroids folded in as a constant literal (fixed n_cells —
+    never SF-scaled), one ZERO-EXCHANGE row-local argmax assignment,
+    then posexplode + groupBy (cell, pos) with map-side combine for the
+    elementwise means — the classic distributed k-means update (shuffle
+    volume = n_cells × dim, independent of corpus size). Iterating =
+    re-running with the updated centroids; each step is this same
+    bounded-shuffle shape.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
-    cents = (
-        e.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cell"), F.col("vec").alias("cvec"))
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "vec")
-    )
+    cents_py = _seed_centroids(spark, sf_dir, n_cells)
+    assigned = e.withColumn("cell", _assign_cell(cents_py)).select("vec_id", "cell", "vec")
     per = assigned.select(
         "cell", F.posexplode("vec").alias("pos0", "val")
     ).select("cell", (F.col("pos0") + 1).alias("pos"), "val")
@@ -372,41 +504,33 @@ def kmeans_train(
     """Full Lloyd training loop for the IVF coarse quantizer — the
     offline batch job :func:`ivf_topk`'s docstring defers to.
 
-    Per iteration (the :func:`kmeans_step` shape, repeated):
-    assignment is a broadcast of the n_cells×dim centroid table + one
-    narrow pass; the update shuffles only the (cell, pos) partial sums
-    — n_cells × dim rows regardless of corpus size. Between iterations
-    the updated centroids (a FIXED n_cells×dim matrix, never SF-scaled)
-    are collected to the driver and re-broadcast as literals — the
-    standard distributed k-means loop; the data itself never moves.
+    Per iteration (the :func:`kmeans_step` shape, repeated): the
+    n_cells×dim centroid matrix is folded into the plan as a constant
+    literal and assignment is a ZERO-EXCHANGE row-local argmax; the
+    update shuffles only the (cell, pos) partial sums — n_cells × dim
+    rows regardless of corpus size. Between iterations the updated
+    centroids (a FIXED n_cells×dim matrix, never SF-scaled) are
+    collected to the driver and re-folded as literals — the standard
+    distributed k-means loop; the data itself never moves.
 
     Empty cells keep their previous centroid. Stops early when the max
     centroid L2 shift drops below ``tol``. Returns (centroids,
     iterations_run). Deterministic: seeds are the first n_cells vectors
-    by vec_id and ties break on cell id.
+    by vec_id and ties break on cell id. Memoized per (session, sf_dir,
+    params) — repeated probes reuse the trained quantizer, as a real
+    deployment would.
     """
-    import math
-
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells, n_iter, tol)
+    if key in _KMEANS_CACHE:
+        return _KMEANS_CACHE[key]
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
     seeds = e.orderBy("vec_id").limit(n_cells).select("vec").collect()
     cents: list[list[float]] = [list(r.vec) for r in seeds]
     it_run = 0
     for _ in range(n_iter):
         it_run += 1
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cell int, cvec array<double>"
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cdf))
-            .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("cell", "vec")
+        assigned = e.select(
+            _assign_cell([(i, c) for i, c in enumerate(cents)]).alias("cell"), "vec"
         )
         upd = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
@@ -427,6 +551,7 @@ def kmeans_train(
         cents = new_cents
         if shift < tol:
             break
+    _KMEANS_CACHE[key] = (cents, it_run)
     return cents, it_run
 
 
@@ -440,39 +565,11 @@ def ivf_topk_trained(
     n_iter: int = 5,
 ) -> DataFrame:
     """:func:`ivf_topk` with Lloyd-trained centroids instead of raw
-    seeds — same probe plan (broadcast centroids, nprobe cells read),
-    better-balanced cells and therefore better recall at equal nprobe
-    (asserted in tests/test_extensions.py)."""
+    seeds — same probe plan (cell-partitioned inverted file, nprobe
+    partitions read), better-balanced cells and therefore better recall
+    at equal nprobe (asserted in tests/test_extensions.py)."""
     cents, _ = kmeans_train(spark, sf_dir, n_cells=n_cells, n_iter=n_iter)
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cell int, cvec array<double>"
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cdf))
-        .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cell")
-    )
-    qvec = e.filter(F.col("vec_id") == query_id).select(F.col("vec").alias("qvec"))
-    probe_cells = (
-        cdf.crossJoin(F.broadcast(qvec))
-        .select("cell", cosine(F.col("cvec"), F.col("qvec")).alias("csim"))
-        .orderBy(F.desc("csim"), F.asc("cell"))
-        .limit(nprobe)
-        .select("cell")
-    )
-    return (
-        assigned.join(F.broadcast(probe_cells), "cell")
-        .crossJoin(F.broadcast(qvec))
-        .filter(F.col("vec_id") != query_id)
-        .select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    cents_py = [(i, c) for i, c in enumerate(cents)]
+    path = build_ivf_index(spark, sf_dir, cents_py, tag=f"lloyd{n_cells}x{n_iter}")
+    qvec = _query_embedding(spark, sf_dir, query_id)
+    return _probe_ivf(spark, path, cents_py, qvec, query_id, k, nprobe)
