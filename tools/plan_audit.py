@@ -100,9 +100,16 @@ AUDITS = [
     # end-to-end corpus assembly: bench probe broadcast, quality
     # percentile window, narrow stages fused — never a cartesian
     ("x_corpus_pipeline", ["BroadcastHashJoin", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
-    # Lloyd step: centroid broadcast + per-vector window argmin +
-    # elementwise-mean agg with map-side combine; no SF-scaled cartesian
-    ("x_sim_kmeans_step", ["BroadcastNestedLoopJoin", "Window", "partial_avg"], ["SortMergeJoin"]),
+    # Lloyd step: centroids are a constant plan literal, assignment is a
+    # row-local argmax (NO window, NO join on the SF-scaled side); the
+    # only wide edges are the bounded (cell,pos) means with map-side
+    # combine and the n_cells-row diag broadcast join
+    ("x_sim_kmeans_step", ["partial_avg", "BroadcastHashJoin"],
+     ["SortMergeJoin", "Window", "BroadcastNestedLoopJoin", "row_number"]),
+    # IVF probe: reads ONLY the nprobe nearest cells' partitions of the
+    # materialized inverted file — partition pruning at the scan, and
+    # not a single shuffle anywhere in the probe plan
+    ("x_sim_ivf_topk", ["PartitionFilters: [cell", "TakeOrderedAndProject"], ["Exchange"]),
     # funnel/cohort: every wide edge keys on user_id / the grid key
     ("q62_funnel", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("q63_cohort", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
@@ -163,13 +170,93 @@ BROADCAST_ALLOWED = {
     "q60_lateral_topn": set(),
     "q61_date_spine": set(),
     "x_corpus_pipeline": {"bench"},  # fixed-size eval suite, like contamination
-    "x_sim_kmeans_step": {"cents", "diag"},  # both exactly n_cells rows, never SF-scaled
+    "x_sim_kmeans_step": {"diag"},  # exactly n_cells rows, never SF-scaled
+    "x_sim_ivf_topk": set(),  # probe is hint-free: pruning, not broadcasting
     "q62_funnel": set(),
     "q63_cohort": set(),
     "x_text_tfidf": set(),
     "x_skew_salted_agg": set(),
     "x_skew_salted_join": set(),
 }
+
+
+# Per-query shuffle-exchange budget: the number of wide edges each
+# headline plan is ALLOWED to have, pinned to the measured count of the
+# plan we defend. A query exceeding its budget means someone introduced
+# a shuffle (a window where a fold should be, a lost broadcast, a lost
+# partial-agg) — the regression class the round-4 IVF defect belonged
+# to, now caught mechanically. Budgets are exact today (n == budget for
+# every row); they are ceilings, so a plan that gets narrower keeps
+# passing.
+EXCHANGE_BUDGET: dict[str, int] = {
+    "q1_scan_project": 0,
+    "q2_filter": 0,
+    "q4_agg_tpch_q1": 1,      # one keyed agg shuffle (partial/final)
+    "q7_join_revenue": 1,     # dims broadcast; one agg shuffle
+    "q10_window_rank": 1,     # the window's partitioning
+    "q12_topk": 0,            # TakeOrdered needs no exchange
+    "q19_range_join": 1,
+    "x_dedup_minhash_sig": 1,  # the cache's one-time RoundRobin spread
+    "x_sim_bruteforce_topk": 0,
+    "p3_enrich_full": 0,
+    "q25_array_hof": 0,
+    "q26_stats_agg": 1,
+    "q28_grouping_sets": 1,   # Expand feeds ONE grouping-id shuffle
+    "q29_range_frame": 1,
+    "q30_tpch_q3": 1,         # join broadcast; agg reuses its shuffle
+    "q31_in_subquery": 0,
+    "q33_tpch_q5": 1,
+    "q37_promo_share": 1,
+    "x_sample_hash_split": 0,
+    "x_sample_stratified": 0,
+    "x_dedup_simhash_pairs": 1,
+    "q39_tpch_q4": 1,
+    "q40_tpch_q6": 1,         # the single global-agg exchange
+    "q41_brand_suppliers": 2,
+    "q42_tpch_q17": 2,        # per-part avg + final agg
+    "q45_tpch_q13": 2,
+    "q46_tpch_q15": 3,        # revenue agg, its max, the re-join
+    "q47_sliding_window": 1,
+    "q48_tpch_q7": 1,
+    "q49_tpch_q8": 1,
+    "q50_tpch_q12": 1,
+    "q51_tpch_q19": 1,
+    "q52_tpch_q21": 4,        # semi+anti+exists pipeline, each keyed
+    "q53_tpch_q22": 2,
+    "q54_tpch_q2": 1,
+    "q55_tpch_q9": 1,
+    "q56_tpch_q11": 3,
+    "q57_tpch_q20": 6,        # nested semi-join chain (Q20's shape)
+    "x_pack_sequences": 1,
+    "x_corpus_contamination": 3,
+    "x_embed_normalize": 0,
+    "q58_sessionize": 1,
+    "q59_rolling_1h": 1,
+    "x_text_pii_redact": 0,
+    "x_text_quality_filter": 1,
+    "x_vocab_topk": 2,
+    "x_chunk_documents": 0,
+    "x_dedup_spans": 4,       # inverted-index build + pair agg
+    "x_sample_importance": 0,
+    "q60_lateral_topn": 1,
+    "q61_date_spine": 1,
+    "x_corpus_pipeline": 5,   # the audited two wide stages + quality window chain
+    "x_sim_kmeans_step": 3,   # (cell,pos) means, counts, diag — all n_cells-bounded
+    "x_sim_ivf_topk": 0,      # pruned probe: NO exchange at all
+    "q62_funnel": 5,
+    "q63_cohort": 4,
+    "x_text_tfidf": 4,
+    "x_skew_salted_agg": 3,   # partial-on-(key,salt) + final + presentation sort
+    "x_skew_salted_join": 4,
+}
+
+
+def shuffle_exchange_count(plan: str) -> int:
+    """Count shuffle Exchange nodes in a formatted plan. Formatted
+    explain numbers nodes as ``(N) Exchange``; BroadcastExchange and
+    ReusedExchange spell differently, so ``) Exchange`` matches only the
+    true shuffle exchanges."""
+    return plan.count(") Exchange")
 
 
 def broadcast_hint_args(fn) -> set[str]:
@@ -238,6 +325,15 @@ def main() -> int:
             ok = frag not in plan
             failures += 0 if ok else 1
             checks.append(f"{'OK' if ok else 'FAIL'}: free of `{frag}`")
+        n_ex = shuffle_exchange_count(plan)
+        budget = EXCHANGE_BUDGET.get(name)
+        if budget is None:
+            failures += 1
+            checks.append(f"FAIL: no exchange budget declared (measured {n_ex})")
+        else:
+            ok = n_ex <= budget
+            failures += 0 if ok else 1
+            checks.append(f"{'OK' if ok else 'FAIL'}: exchanges {n_ex}/<={budget}")
         print(f"{name}: " + "; ".join(checks))
         out += [f"## {name}", "", *[f"- {c}" for c in checks], "", "```", plan.strip(), "```", ""]
     # PLANS.md is regenerated wholesale; durable hand-written evidence
