@@ -140,37 +140,45 @@ def _decode_one(payload: bytes) -> list[float]:
       rate, duration seconds].
     - text/unknown bytes: mean byte value per FEATURE_DIM-sized stride
       (/255) — byte-level features ARE the decode for text.
+
+    Magic-byte sniffing is 2-4 bytes, so a text payload that happens to
+    start with 'BM'/'P6' — or a truncated container — reaches the strict
+    decoders; any decode failure degrades to the byte-feature path
+    instead of failing the Spark job.
     """
     if not payload:
         return [0.0] * FEATURE_DIM
     kind = codecs.sniff_modality(payload)
-    if kind == "image":
-        px = codecs.decode_bmp(payload) if payload[:2] == b"BM" else codecs.decode_ppm(payload)
-        flat = px.reshape(-1, 3).astype(np.float64)
-        return [
-            float(px.shape[1]),
-            float(px.shape[0]),
-            round(float(flat[:, 0].mean()) / 255.0, 6),
-            round(float(flat[:, 1].mean()) / 255.0, 6),
-            round(float(flat[:, 2].mean()) / 255.0, 6),
-            round(float(flat.std()) / 255.0, 6),
-            round(float(flat.min()) / 255.0, 6),
-            round(float(flat.max()) / 255.0, 6),
-        ]
-    if kind == "audio":
-        nch, rate, samples = codecs.decode_wav(payload)
-        x = samples.astype(np.float64)
-        zc = float(np.count_nonzero(np.diff(np.signbit(x)))) / max(len(x) - 1, 1)
-        return [
-            float(nch),
-            float(rate),
-            float(len(x)),
-            round(float(np.abs(x).mean()) / 32768.0, 6),
-            round(float(np.sqrt((x**2).mean())) / 32768.0, 6),
-            round(float(np.abs(x).max()) / 32768.0, 6),
-            round(zc, 6),
-            round(len(x) / (nch * rate), 6),
-        ]
+    try:
+        if kind == "image":
+            px = codecs.decode_bmp(payload) if payload[:2] == b"BM" else codecs.decode_ppm(payload)
+            flat = px.reshape(-1, 3).astype(np.float64)
+            return [
+                float(px.shape[1]),
+                float(px.shape[0]),
+                round(float(flat[:, 0].mean()) / 255.0, 6),
+                round(float(flat[:, 1].mean()) / 255.0, 6),
+                round(float(flat[:, 2].mean()) / 255.0, 6),
+                round(float(flat.std()) / 255.0, 6),
+                round(float(flat.min()) / 255.0, 6),
+                round(float(flat.max()) / 255.0, 6),
+            ]
+        if kind == "audio":
+            nch, rate, samples = codecs.decode_wav(payload)
+            x = samples.astype(np.float64)
+            zc = float(np.count_nonzero(np.diff(np.signbit(x)))) / max(len(x) - 1, 1)
+            return [
+                float(nch),
+                float(rate),
+                float(len(x)),
+                round(float(np.abs(x).mean()) / 32768.0, 6),
+                round(float(np.sqrt((x**2).mean())) / 32768.0, 6),
+                round(float(np.abs(x).max()) / 32768.0, 6),
+                round(zc, 6),
+                round(len(x) / (nch * rate), 6),
+            ]
+    except Exception:
+        pass  # sniffed container is corrupt/truncated — byte features below
     arr = np.frombuffer(payload, dtype=np.uint8)
     stride = max(len(arr) // FEATURE_DIM, 1)
     feats = []
@@ -210,11 +218,14 @@ def _resize_one(payload: bytes, width: int, height: int) -> bytes:
     way output size is a constant of (width, height) — the property
     that matters when a 100 TB corpus mixes 10 KB and 50 MB payloads."""
     if payload and codecs.sniff_modality(payload) == "image":
-        px = codecs.decode_bmp(payload) if payload[:2] == b"BM" else codecs.decode_ppm(payload)
-        src_h, src_w = px.shape[0], px.shape[1]
-        ys = (np.arange(height) * src_h) // height
-        xs = (np.arange(width) * src_w) // width
-        return px[ys][:, xs].tobytes()
+        try:
+            px = codecs.decode_bmp(payload) if payload[:2] == b"BM" else codecs.decode_ppm(payload)
+            src_h, src_w = px.shape[0], px.shape[1]
+            ys = (np.arange(height) * src_h) // height
+            xs = (np.arange(width) * src_w) // width
+            return px[ys][:, xs].tobytes()
+        except Exception:
+            pass  # corrupt/truncated container — byte-thumbnail below
     target = width * height
     if not payload:
         return bytes(target)
@@ -257,14 +268,16 @@ def _frames_of(payload: bytes, n_frames: int, every: int) -> list[tuple[int, byt
     - other bytes: ``n_frames`` equal byte chunks (the degenerate
       "frame" of an unstructured payload).
     """
-    if payload[:2] == b"P6":
-        decoded = codecs.decode_ppm_stream(payload)
-        return [(fi, decoded[fi].tobytes()) for fi in range(0, len(decoded), every)]
-    if codecs.sniff_modality(payload) == "audio":
-        _, _, samples = codecs.decode_wav(payload)
-        raw = samples.tobytes()
-    else:
-        raw = payload
+    raw = payload
+    try:
+        if payload[:2] == b"P6":
+            decoded = codecs.decode_ppm_stream(payload)
+            return [(fi, decoded[fi].tobytes()) for fi in range(0, len(decoded), every)]
+        if codecs.sniff_modality(payload) == "audio":
+            _, _, samples = codecs.decode_wav(payload)
+            raw = samples.tobytes()
+    except Exception:
+        raw = payload  # corrupt/truncated container — byte chunks below
     chunk = max(len(raw) // n_frames, 1)
     out = []
     for fi in range(0, n_frames, every):

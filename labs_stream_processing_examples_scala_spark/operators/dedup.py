@@ -523,11 +523,16 @@ def connected_components_twostar(pairs: DataFrame, max_iter: int = 30) -> DataFr
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
+        prev = edges
         new_edges = _symmetric(contracted).localCheckpoint(eager=True)
         new_sig = _edge_sig(new_edges)
         edges = new_edges
         if new_sig == sig:
-            break
+            # the signature is probabilistic (~2^-64 hash-sum collision);
+            # confirm the fixpoint EXACTLY with one set-difference pass —
+            # the expensive check runs once at convergence, not per round
+            if new_edges.exceptAll(prev).isEmpty() and prev.exceptAll(new_edges).isEmpty():
+                break
         sig = new_sig
     # fixpoint is a star per component: each non-root's min neighbor is
     # the root; the root's neighbors are all larger, so least(u, min)=u

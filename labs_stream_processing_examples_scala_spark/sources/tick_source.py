@@ -24,7 +24,6 @@ generates its id range); no state beyond the integer offset.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -74,26 +73,56 @@ class TickBatchReader(DataSourceReader):
 
 
 class TickStreamReader(DataSourceStreamReader):
+    """Offsets are plain tick counters. A fresh reader instance is built
+    on every (re)start, so the counter must be RECOVERED from the
+    offsets the engine hands back, not assumed to start at 0:
+
+    - ``_committed`` — high-water mark of everything the engine has
+      already committed (learned from ``partitions(start, …)``'s start,
+      which IS the engine's committed/available position, and from
+      ``commit``). Emission never goes below it, so even if the engine
+      briefly plans a stale range after a restart (its first
+      ``latestOffset`` necessarily predates any observed offset), no
+      already-committed id is re-emitted.
+    - ``_planned`` — what ``latestOffset`` last promised; it builds on
+      ``_committed`` so the very next plan after a restart jumps back
+      ahead of the checkpoint instead of replaying from 0.
+
+    A batch the engine REPLAYS after a crash (planned but uncommitted —
+    its start equals the committed offset) is re-emitted unchanged:
+    that is the at-least-once replay the reference's ACK'd timer has.
+    Restart contract is pinned by
+    tests/test_streaming.py::test_tick_stream_restart_resumes_no_dupes.
+    """
+
     def __init__(self, options):
         self.per_batch = int(options.get("ticks_per_batch", 100))
         self.n_parts = int(options.get("partitions", 4))
-        self._latest = 0
+        self._planned = 0
+        self._committed = 0
 
     def initialOffset(self) -> dict:
         return {"tick": 0}
 
     def latestOffset(self) -> dict:
-        self._latest += self.per_batch
-        return {"tick": self._latest}
+        self._planned = max(self._planned, self._committed) + self.per_batch
+        return {"tick": self._planned}
 
     def partitions(self, start: dict, end: dict):
-        return _split(start["tick"], end["tick"], self.n_parts)
+        # start is the engine's committed/available position — everything
+        # below it is durably committed (checkpoint WAL), so it is the
+        # floor for both recovery bookkeeping and emission.
+        self._committed = max(self._committed, start["tick"])
+        self._planned = max(self._planned, end["tick"])
+        return _split(max(start["tick"], self._committed), end["tick"], self.n_parts)
 
     def read(self, partition: _Range):
         return _emit(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are pure counters; nothing to clean up
+        # pure counters — nothing to clean up, but remember the high
+        # water so a post-restart stale plan can never re-emit below it
+        self._committed = max(self._committed, end["tick"])
 
     def stop(self) -> None:
         pass

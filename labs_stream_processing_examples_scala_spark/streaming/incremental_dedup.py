@@ -29,7 +29,10 @@ RocksDB. The stream itself stays stateless.
 
 from __future__ import annotations
 
+import atexit
+import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,11 +80,15 @@ class IncrementalLshDedup:
         indexed by batches < that id — so a REPLAYED batch joins against
         the index exactly as it stood on the original attempt, making
         replay output byte-deterministic (and the per-batchId overwrite
-        therefore a true no-op)."""
-        try:
-            df = spark.read.option("basePath", path).parquet(path + "/_batch_id=*")
-        except Exception:
+        therefore a true no-op).
+
+        Empty ONLY when the index genuinely has no batches yet (the dirs
+        are local-path workdirs, so a glob decides that); a real read
+        failure — permissions, corrupt parquet — propagates instead of
+        silently dropping near-dup pairs."""
+        if not glob.glob(os.path.join(path, "_batch_id=*")):
             return spark.createDataFrame([], schema)
+        df = spark.read.option("basePath", path).parquet(path + "/_batch_id=*")
         if before_batch is not None:
             df = df.filter(F.col("_batch_id") < before_batch)
         return df.drop("_batch_id")
@@ -165,12 +172,23 @@ def incremental_lsh_pairs(
     micro-batches through the incremental path and return the
     accumulated pair set — oracle-identical to the batch
     ``lsh_candidate_pairs`` (same SQL oracle), which is the equivalence
-    claim stated in the module docstring."""
+    claim stated in the module docstring.
+
+    The on-disk index lives in a session-scoped temp workdir: memoized
+    per (session, sf_dir, params) so repeated registry/bench runs reuse
+    one index instead of building a new one each call, and removed at
+    interpreter exit (the returned DataFrame reads from it lazily, so
+    it must outlive the call)."""
     import tempfile
 
     from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
+    key = (spark.sparkContext.applicationId, sf_dir, n_splits, threshold)
+    if key in _INCR_WORKDIRS:
+        return IncrementalLshDedup(_INCR_WORKDIRS[key], threshold=threshold).pairs(spark)
+
     work = tempfile.mkdtemp(prefix="incr_dedup_")
+    _INCR_TMP.append(work)
     src = os.path.join(work, "src")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # deterministic split by doc_id so batch composition is stable
@@ -178,4 +196,15 @@ def incremental_lsh_pairs(
         n_splits, "split"
     ).drop("split").write.mode("overwrite").parquet(src)
     proc = run_incremental(spark, src, work, threshold=threshold)
+    _INCR_WORKDIRS[key] = work
     return proc.pairs(spark)
+
+
+_INCR_WORKDIRS: dict[tuple, str] = {}
+_INCR_TMP: list[str] = []
+
+
+@atexit.register
+def _cleanup_incr_tmp() -> None:
+    for p in _INCR_TMP:
+        shutil.rmtree(p, ignore_errors=True)

@@ -153,6 +153,37 @@ def test_multimodal_feature_plumbing(spark):
     assert mismatch == 0
 
 
+def test_multimodal_corrupt_containers_degrade_not_fail(spark):
+    """A payload whose magic bytes promise BMP/P6/WAV but whose body is
+    garbage (or truncated) must fall back to the byte-feature path, not
+    kill the Spark job (ADVICE round-4 finding). Covers all three UDF
+    surfaces: features, resize, frames."""
+    from labs_stream_processing_examples_scala_spark.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    bad = [
+        (1, b"BM this is actually text that sniffs as a bitmap"),
+        (2, b"P6 not really a ppm header at all"),
+        (3, b"RIFF\x00\x00\x00\x00WAVEtruncated-mid-header"),
+        (4, b"BM"),  # 2-byte payload: magic only, nothing to parse
+    ]
+    docs = spark.createDataFrame(bad, "doc_id long, payload binary")
+
+    feats = extract_features(docs).orderBy("doc_id").collect()
+    assert len(feats) == 4
+    assert all(len(r.features) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r.features)
+
+    thumbs = resize_images(docs, width=4, height=4).orderBy("doc_id").collect()
+    assert len(thumbs) == 4
+    assert all(len(r.thumb) == 16 for r in thumbs)  # byte-thumbnail size
+
+    frames = sample_frames(docs, n_frames=8, every=2).collect()
+    assert frames and all(r.frame for r in frames)
+
+
 def test_simhash_near_for_exact_dups(spark):
     """Identical texts → identical simhash (hamming 0)."""
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
