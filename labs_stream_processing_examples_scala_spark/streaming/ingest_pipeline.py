@@ -51,6 +51,21 @@ from labs_stream_processing_examples_scala_spark.streaming.incremental_dedup imp
 from labs_stream_processing_examples_scala_spark.streaming.sinks import idempotent_write
 
 
+def _drop_docs(good: DataFrame, dropped: set[int]) -> DataFrame:
+    """Remove the greedily-dropped ids via a broadcast LEFT ANTI join
+    against a one-column DataFrame — not ``isin(list)``, which compiles
+    every id into the plan as a literal, so a pathological batch of
+    near-dups would bloat the plan and the driver instead of shipping
+    the (still collision-bounded) id set as a broadcast relation. Plan
+    size stays O(1) in |dropped| (tests/test_streaming.py pins it)."""
+    if not dropped:
+        return good
+    ddf = good.sparkSession.createDataFrame(
+        [(int(d),) for d in sorted(dropped)], "doc_id long"
+    )
+    return good.join(F.broadcast(ddf), "doc_id", "left_anti")
+
+
 class StreamingIngestPipeline:
     """foreachBatch processor for the online corpus-assembly pipeline."""
 
@@ -69,10 +84,13 @@ class StreamingIngestPipeline:
         self.threshold = threshold
 
     def _read_index(self, spark: SparkSession, path: str, schema: str, before: int) -> DataFrame:
-        try:
-            df = spark.read.option("basePath", path).parquet(path + "/_batch_id=*")
-        except Exception:
+        # empty only when the index genuinely has no batches yet; a real
+        # read failure propagates (same contract as incremental_dedup)
+        import glob
+
+        if not glob.glob(os.path.join(path, "_batch_id=*")):
             return spark.createDataFrame([], schema)
+        df = spark.read.option("basePath", path).parquet(path + "/_batch_id=*")
         return df.filter(F.col("_batch_id") < before).drop("_batch_id")
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
@@ -131,7 +149,7 @@ class StreamingIngestPipeline:
                 if any(smaller not in dropped for smaller in by_doc[doc]):
                     dropped.add(doc)
 
-            survivors = good.filter(~F.col("doc_id").isin(list(dropped)) if dropped else F.lit(True))
+            survivors = _drop_docs(good, dropped)
 
             # 4) deterministic length-band resample
             from labs_stream_processing_examples_scala_spark.operators.sampling import (

@@ -462,3 +462,37 @@ def test_streaming_ingest_pipeline_matches_greedy_oracle(spark, tmp_path):
 
     assert got_ids == want_ids
     invalidate_cache()
+
+
+def test_ingest_drop_set_bounded_plan(spark, tmp_path):
+    """A pathological batch that is almost entirely near-dups must not
+    inflate the survivors plan with per-id literals (the round-4 ADVICE
+    isin finding): the drop set ships as a broadcast anti-join relation,
+    so plan size is O(1) in |dropped|. End-to-end, 300 identical docs
+    greedily keep exactly the smallest doc_id."""
+    from labs_stream_processing_examples_scala_spark.streaming.ingest_pipeline import (
+        _drop_docs,
+        run_ingest,
+    )
+
+    base = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    p5 = _drop_docs(base, set(range(5)))._jdf.queryExecution().executedPlan().toString()
+    p500 = _drop_docs(base, set(range(500)))._jdf.queryExecution().executedPlan().toString()
+    assert abs(len(p500) - len(p5)) < 200, "plan grew with |dropped| — literals leaked back in"
+    assert " IN " not in p500
+
+    rows = [
+        (i, "the same exact text repeated for the near dup stress batch", "en", "web", 59)
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(1).write.parquet(src)
+    proc = run_ingest(spark, src, str(tmp_path / "work"), bench_shingles=[1], quality_min=0.0)
+    # the dedup survivor set is the index (resample applies after dedup);
+    # of 300 identical docs the greedy rule keeps exactly doc 0
+    surv = [r.doc_id for r in spark.read.parquet(proc.arrays_dir).select("doc_id").collect()]
+    assert surv == [0]
+    assert {r.doc_id for r in proc.kept(spark).collect()} <= {0}
