@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_date_spine": R.q61_date_spine,
         "q62_funnel": TP.conversion_funnel,
         "q63_cohort": TP.cohort_retention,
+        "q64_range_hourly": TP.purchase_nearby_clicks,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -914,6 +915,16 @@ def oracle_sql() -> dict[str, str]:
         "q61_date_spine": R.__dict__["_DATE_SPINE_SQL"],
         "q62_funnel": O.funnel(),
         "q63_cohort": O.cohort(),
+        "q64_range_hourly": """
+            SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+                   min(c.event_id) AS min_click, max(c.event_id) AS max_click
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts <= p.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+            GROUP BY p.event_id
+        """,
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist
             FROM (SELECT c_custkey, count(o_orderkey) AS c_count

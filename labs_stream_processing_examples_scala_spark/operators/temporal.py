@@ -73,6 +73,25 @@ def asof_join(
     )
 
 
+#: bucket grains range_join understands, as (unit, seconds-per-unit)
+_BUCKET_UNITS = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}
+
+
+def _bucket_seconds(bucket: str) -> int:
+    """Parse ``"N unit"`` (e.g. ``"1 day"``, ``"2 hours"``, ``"15
+    minutes"``) into a bucket width in seconds."""
+    parts = bucket.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"bucket must look like '1 hour', got {bucket!r}")
+    n, unit = parts
+    unit = unit.rstrip("s").lower()
+    if not n.isdigit() or int(n) < 1 or unit not in _BUCKET_UNITS:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}; units: {sorted(_BUCKET_UNITS)}"
+        )
+    return int(n) * _BUCKET_UNITS[unit]
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -81,28 +100,39 @@ def range_join(
     lower: Column,
     upper: Column,
     bucket: str = "1 day",
+    on: list[str] | None = None,
 ) -> DataFrame:
     """All (left, right) pairs with ``left_ts + lower <= right_ts <=
-    left_ts + upper``, planned as a bucketed equi-join.
+    left_ts + upper`` (optionally also matching equi-keys ``on``),
+    planned as a bucketed equi-join.
 
-    Each side maps its timestamp to day buckets; the left side explodes
-    over the buckets its window spans (bounded: window/bucket + 2), then
-    an equi hash join on bucket + exact residual filter. At 100 TB the
-    bucket key is also the partition key, so the join is co-located.
+    Each side maps its timestamp to fixed-width buckets (any grain down
+    to seconds — ``"1 day"``, ``"1 hour"``, ``"15 minutes"``); the left
+    side explodes over the buckets its window spans (bounded:
+    window/bucket + 2), then an equi hash join on bucket (+ keys) +
+    exact residual filter. Catalyst would otherwise plan the theta
+    time-range condition as BroadcastNestedLoopJoin — O(n·m) compares.
+    At 100 TB the bucket key is also the partition key, so the join is
+    co-located; pick the grain so window/bucket stays small (the fan-out
+    factor) while each bucket still holds enough rows to fill a task.
+
+    Day grain buckets on DATE (pure date arithmetic, date-typed inputs
+    welcome); sub-day grains bucket on floor(epoch_seconds / width) —
+    timezone-free integer keys that match any engine's epoch math.
     """
-    if bucket != "1 day":
-        raise NotImplementedError("day buckets cover the fixture surface")
-    l = left.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.to_date(F.col(left_ts) + lower),
-                F.to_date(F.col(left_ts) + upper),
-            )
-        ),
-    )
-    r = right.withColumn("_bucket", F.to_date(F.col(right_ts)))
-    joined = l.join(r, "_bucket").filter(
+    keys = list(on or [])
+    secs = _bucket_seconds(bucket)
+    if secs % 86400 == 0:
+        lb = F.to_date(F.col(left_ts) + lower)
+        ub = F.to_date(F.col(left_ts) + upper)
+        rb = F.to_date(F.col(right_ts))
+    else:
+        lb = F.floor(F.unix_timestamp(F.col(left_ts) + lower) / secs)
+        ub = F.floor(F.unix_timestamp(F.col(left_ts) + upper) / secs)
+        rb = F.floor(F.unix_timestamp(F.col(right_ts)) / secs)
+    l = left.withColumn("_bucket", F.explode(F.sequence(lb, ub)))
+    r = right.withColumn("_bucket", rb)
+    joined = l.join(r, ["_bucket", *keys]).filter(
         (F.col(right_ts) >= F.col(left_ts) + lower)
         & (F.col(right_ts) <= F.col(left_ts) + upper)
     )
@@ -230,6 +260,36 @@ def big_order_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nearby"),
         F.min("l_orderkey").alias("min_lok"),
         F.max("l_orderkey").alias("max_lok"),
+    )
+
+
+def purchase_nearby_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-day range join (q64): for each purchase event, the same
+    user's clicks within ±1 hour — attribution-window correlation at
+    hour grain. Exercises range_join's epoch-bucket path + equi keys:
+    the join key is (hour_bucket, user_id), so at 100 TB both sides
+    partition by user and time and the hash join is co-located."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = range_join(
+        purchases,
+        clicks,
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower=F.expr("INTERVAL -1 HOUR"),
+        upper=F.expr("INTERVAL 1 HOUR"),
+        bucket="1 hour",
+        on=["user_id"],
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min("click_id").alias("min_click"),
+        F.max("click_id").alias("max_click"),
     )
 
 

@@ -77,21 +77,28 @@ class TickStreamReader(DataSourceStreamReader):
     on every (re)start, so the counter must be RECOVERED from the
     offsets the engine hands back, not assumed to start at 0:
 
-    - ``_committed`` — high-water mark of everything the engine has
-      already committed (learned from ``partitions(start, …)``'s start,
-      which IS the engine's committed/available position, and from
-      ``commit``). Emission never goes below it, so even if the engine
-      briefly plans a stale range after a restart (its first
-      ``latestOffset`` necessarily predates any observed offset), no
-      already-committed id is re-emitted.
-    - ``_planned`` — what ``latestOffset`` last promised; it builds on
-      ``_committed`` so the very next plan after a restart jumps back
-      ahead of the checkpoint instead of replaying from 0.
+    - ``_planned`` — high-water mark of every offset observed, learned
+      from BOTH endpoints of each ``partitions(start, end)`` call (the
+      engine replays its WAL through ``partitions`` before the first
+      post-restart ``latestOffset``, so by then the counter is already
+      at the checkpoint position) and from ``commit``.
+      ``latestOffset`` builds on it, so planning always moves forward
+      from the checkpoint instead of restarting at 0.
+    - ``partitions`` returns EXACTLY [start, end) — never clamped. The
+      measured restart protocol probes ``partitions(p, p)`` with the
+      last PLANNED offset p before replaying the uncommitted batch
+      ``partitions(committed, p)``; treating a planned start as a
+      committed floor (the round-4 attempt) turned that replay into an
+      empty range and silently dropped a batch. A planned range start
+      proves nothing about sink state — only ``commit`` does.
 
-    A batch the engine REPLAYS after a crash (planned but uncommitted —
-    its start equals the committed offset) is re-emitted unchanged:
-    that is the at-least-once replay the reference's ACK'd timer has.
-    Restart contract is pinned by
+    A batch the engine REPLAYS after a crash (planned but uncommitted)
+    is therefore re-emitted unchanged: the at-least-once replay the
+    reference's ACK'd timer has, made exactly-once end-to-end by any
+    batch-id-transactional sink (e.g. the file sink). A stale
+    post-restart ``latestOffset`` below the WAL position yields a
+    backwards range, which ``_split`` renders empty — never a
+    re-emission. Restart contract is pinned by
     tests/test_streaming.py::test_tick_stream_restart_resumes_no_dupes.
     """
 
@@ -99,30 +106,25 @@ class TickStreamReader(DataSourceStreamReader):
         self.per_batch = int(options.get("ticks_per_batch", 100))
         self.n_parts = int(options.get("partitions", 4))
         self._planned = 0
-        self._committed = 0
 
     def initialOffset(self) -> dict:
         return {"tick": 0}
 
     def latestOffset(self) -> dict:
-        self._planned = max(self._planned, self._committed) + self.per_batch
+        self._planned += self.per_batch
         return {"tick": self._planned}
 
     def partitions(self, start: dict, end: dict):
-        # start is the engine's committed/available position — everything
-        # below it is durably committed (checkpoint WAL), so it is the
-        # floor for both recovery bookkeeping and emission.
-        self._committed = max(self._committed, start["tick"])
-        self._planned = max(self._planned, end["tick"])
-        return _split(max(start["tick"], self._committed), end["tick"], self.n_parts)
+        self._planned = max(self._planned, start["tick"], end["tick"])
+        return _split(start["tick"], end["tick"], self.n_parts)
 
     def read(self, partition: _Range):
         return _emit(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
-        # pure counters — nothing to clean up, but remember the high
-        # water so a post-restart stale plan can never re-emit below it
-        self._committed = max(self._committed, end["tick"])
+        # pure counters — nothing to clean up; just keep the planning
+        # high-water current even if no partitions call preceded
+        self._planned = max(self._planned, end["tick"])
 
     def stop(self) -> None:
         pass

@@ -55,6 +55,45 @@ def test_range_join_bucketed_equals_naive(spark):
     )
 
 
+def test_range_join_subday_equals_naive(spark):
+    """Hour and 15-minute grains (epoch-bucket path) must equal the
+    naive theta join, keyed by user — the q64 shape at two grains."""
+    ev = normalize_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("cid"), F.col("ts").alias("c_ts")
+    )
+    for win, bucket in [("1 HOUR", "1 hour"), ("45 MINUTE", "15 minutes")]:
+        lower, upper = F.expr(f"INTERVAL -{win}"), F.expr(f"INTERVAL {win}")
+        got = TP.range_join(
+            p, c.withColumnRenamed("c_user", "user_id"),
+            "p_ts", "c_ts", lower, upper, bucket=bucket, on=["user_id"],
+        )
+        naive = p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") + lower)
+            & (F.col("c_ts") <= F.col("p_ts") + upper),
+        )
+        assert sorted(map(tuple, got.select("pid", "cid").collect())) == sorted(
+            map(tuple, naive.select("pid", "cid").collect())
+        ), f"mismatch at bucket={bucket}"
+
+
+def test_range_join_bucket_parser(spark):
+    import pytest
+
+    assert TP._bucket_seconds("1 day") == 86400
+    assert TP._bucket_seconds("2 hours") == 7200
+    assert TP._bucket_seconds("15 minutes") == 900
+    assert TP._bucket_seconds("30 seconds") == 30
+    for bad in ("day", "0 hours", "-1 hour", "1 fortnight"):
+        with pytest.raises(ValueError):
+            TP._bucket_seconds(bad)
+
+
 def test_range_join_avoids_nested_loop(spark):
     """The whole point: the bucketed plan must be a hash/sort-merge join,
     never BroadcastNestedLoopJoin."""

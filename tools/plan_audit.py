@@ -110,6 +110,10 @@ AUDITS = [
     # materialized inverted file — partition pruning at the scan, and
     # not a single shuffle anywhere in the probe plan
     ("x_sim_ivf_topk", ["PartitionFilters: [cell", "TakeOrderedAndProject"], ["Exchange"]),
+    # sub-day range join: bucket fan-out is a narrow Generate; the join
+    # itself must stay an equi hash join on (bucket, user), never a
+    # time-range nested loop
+    ("q64_range_hourly", ["Generate", "HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     # funnel/cohort: every wide edge keys on user_id / the grid key
     ("q62_funnel", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("q63_cohort", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
@@ -174,6 +178,7 @@ BROADCAST_ALLOWED = {
     "x_sim_ivf_topk": set(),  # probe is hint-free: pruning, not broadcasting
     "q62_funnel": set(),
     "q63_cohort": set(),
+    "q64_range_hourly": set(),  # hint-free: AQE picks broadcast vs SMJ by size
     "x_text_tfidf": set(),
     "x_skew_salted_agg": set(),
     "x_skew_salted_join": set(),
@@ -245,6 +250,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_sim_ivf_topk": 0,      # pruned probe: NO exchange at all
     "q62_funnel": 5,
     "q63_cohort": 4,
+    "q64_range_hourly": 1,    # click side broadcast; one agg shuffle
+
     "x_text_tfidf": 4,
     "x_skew_salted_agg": 3,   # partial-on-(key,salt) + final + presentation sort
     "x_skew_salted_join": 4,
