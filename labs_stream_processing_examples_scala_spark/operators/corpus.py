@@ -272,3 +272,26 @@ def corpus_pipeline(
     return s3.filter(_bucket(F.col("doc_id")) < pct).select(
         "doc_id", "lang", "source", "quality", "pr"
     )
+
+
+def quality_rerank(survivors: DataFrame, cut: float = 0.5) -> DataFrame:
+    """Offline quality re-rank — the batch job that closes the gap the
+    streaming ingest pipeline documents (streaming/ingest_pipeline.py):
+    an ingest decision can only apply an ABSOLUTE quality threshold (a
+    percentile needs the whole corpus), so the per-(lang, source)
+    percentile cut the batch pipeline uses (``corpus_pipeline`` stage 3)
+    runs afterwards, over the accumulated survivor population
+    (``StreamingIngestPipeline.survivors()``).
+
+    Exactly the batch pipeline's quality stage: percent_rank over
+    (quality, doc_id) within (lang, source), keep ``pr >= cut``. The
+    ``sampled`` resample flag rides along untouched — the final corpus
+    is ``quality_rerank(survivors).filter("sampled")``, and
+    tests/test_streaming.py proves ingest + re-rank ≡ corpus_pipeline
+    end-to-end on a dup-free input. ONE window shuffle on the group
+    key; at 100 TB that is the same wide edge the batch pipeline pays.
+    """
+    w = Window.partitionBy("lang", "source").orderBy("quality", "doc_id")
+    return survivors.withColumn(
+        "pr", F.round(F.percent_rank().over(w), 6)
+    ).filter(F.col("pr") >= cut)

@@ -8,7 +8,10 @@ actually runs: documents arrive in micro-batches and each batch flows
                      benchmark set — stateless)
   → quality cut     (absolute threshold; the batch pipeline's per-group
                      percentile needs the whole corpus and is therefore
-                     an offline re-rank, not an ingest decision)
+                     an offline re-rank, not an ingest decision — that
+                     re-rank is operators/corpus.py ``quality_rerank``
+                     over ``survivors()``, and ingest + re-rank is
+                     pytest-proven ≡ the batch pipeline's quality stage)
   → near-dup dedup  (ONLINE GREEDY: a document is dropped iff it
                      exact-Jaccard-matches an already-KEPT document —
                      candidates from the on-disk LSH bucket index of
@@ -151,7 +154,12 @@ class StreamingIngestPipeline:
 
             survivors = _drop_docs(good, dropped)
 
-            # 4) deterministic length-band resample
+            # 4) deterministic length-band resample — recorded as a
+            # FLAG on every dedup survivor, not a delete: the offline
+            # quality re-rank (operators/corpus.py quality_rerank)
+            # needs percentiles over the FULL survivor population (a
+            # percentile over the resampled subset would be biased by
+            # the length bands), while kept() serves only sampled rows
             from labs_stream_processing_examples_scala_spark.operators.sampling import (
                 RESAMPLE_BANDS,
                 _bucket,
@@ -160,14 +168,20 @@ class StreamingIngestPipeline:
             pct = F.lit(RESAMPLE_BANDS[-1][1])
             for lo, p in reversed(RESAMPLE_BANDS[:-1]):
                 pct = F.when(F.col("n_chars") >= lo, p).otherwise(pct)
-            sampled = survivors.filter(_bucket(F.col("doc_id")) < pct)
 
             # 5) idempotent append: kept docs + index rows of ALL
             # dedup-survivors (resample losers still index — they were
             # kept by the dedup rule, and future dups of them must drop)
             surv_ids = survivors.select("doc_id")
             idempotent_write(
-                sampled.select("doc_id", "lang", "source", "n_chars", "quality"),
+                survivors.select(
+                    "doc_id",
+                    "lang",
+                    "source",
+                    "n_chars",
+                    "quality",
+                    (_bucket(F.col("doc_id")) < pct).alias("sampled"),
+                ),
                 self.kept_dir,
                 batch_id,
             )
@@ -176,10 +190,18 @@ class StreamingIngestPipeline:
         finally:
             new_arrs.unpersist()
 
-    def kept(self, spark: SparkSession) -> DataFrame:
+    def survivors(self, spark: SparkSession) -> DataFrame:
+        """Every dedup survivor, with its quality score and the
+        deterministic ``sampled`` resample flag — the population the
+        offline quality re-rank runs over."""
         return spark.read.option("basePath", self.kept_dir).parquet(
             self.kept_dir + "/_batch_id=*"
         ).drop("_batch_id")
+
+    def kept(self, spark: SparkSession) -> DataFrame:
+        """The assembled corpus: dedup survivors that also passed the
+        length-band resample."""
+        return self.survivors(spark).filter("sampled").drop("sampled")
 
 
 def run_ingest(

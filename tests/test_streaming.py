@@ -464,6 +464,74 @@ def test_streaming_ingest_pipeline_matches_greedy_oracle(spark, tmp_path):
     invalidate_cache()
 
 
+def test_ingest_plus_rerank_equals_batch_pipeline(spark, tmp_path):
+    """The offline quality re-rank closes the documented ingest gap:
+    ingest (absolute quality cut = none) → quality_rerank over the
+    accumulated survivors → filter sampled must equal the batch
+    corpus_pipeline (percentile quality stage + resample) on the same
+    input. The input is made dup-free and contamination-free so both
+    dedup rules (batch exact keep-first vs online greedy LSH) are the
+    identity and the comparison isolates the quality+resample stages —
+    two very different execution paths (3 streaming micro-batches +
+    a batch window job vs ONE batch plan) must agree exactly."""
+    from labs_stream_processing_examples_scala_spark.operators.corpus import (
+        corpus_pipeline,
+        quality_rerank,
+    )
+    from labs_stream_processing_examples_scala_spark.operators.dedup import (
+        invalidate_cache,
+        lsh_candidate_pairs,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ingest_pipeline import run_ingest
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # drop every member of an exact-dup group or an LSH candidate pair
+    # (candidates ⊇ verified near-dups), so both dedup rules are identity
+    dup_keys = (
+        docs.groupBy(F.md5("text").alias("k"))
+        .agg(F.count("*").alias("n"), F.collect_list("doc_id").alias("ids"))
+        .filter(F.col("n") > 1)
+        .select(F.explode("ids").alias("doc_id"))
+    )
+    pair_ids = {
+        x
+        for r in lsh_candidate_pairs(spark, SF_SMOKE).collect()
+        for x in (r.doc_a, r.doc_b)
+    }
+    clean = docs.join(dup_keys, "doc_id", "left_anti").filter(
+        ~F.col("doc_id").isin(sorted(pair_ids)) if pair_ids else F.lit(True)
+    )
+    tmp_sf = str(tmp_path / "sf")
+    os.makedirs(tmp_sf)
+    clean.coalesce(1).write.parquet(f"{tmp_sf}/documents.parquet")
+
+    # batch flagship with an empty benchmark set: decontamination and
+    # keep-first dedup are identity on this input
+    want = {
+        (r.doc_id, r.lang, r.source, round(r.quality, 9), r.pr)
+        for r in corpus_pipeline(spark, tmp_sf, n_benchmark=0).collect()
+    }
+
+    # online: 3 micro-batches, no absolute quality cut, then re-rank
+    src = str(tmp_path / "src")
+    hi, lo = clean.agg(F.max("doc_id"), F.min("doc_id")).first()
+    span = (hi - lo) // 3 + 1
+    clean.withColumn("part", ((F.col("doc_id") - lo) / span).cast("int")).repartitionByRange(
+        3, "part"
+    ).drop("part").write.parquet(src)
+    proc = run_ingest(spark, src, str(tmp_path / "work"), bench_shingles=[], quality_min=0.0)
+    got = {
+        (r.doc_id, r.lang, r.source, round(r.quality, 9), r.pr)
+        for r in quality_rerank(proc.survivors(spark))
+        .filter("sampled")
+        .select("doc_id", "lang", "source", "quality", "pr")
+        .collect()
+    }
+    assert got == want
+    invalidate_cache()
+
+
 def test_ingest_drop_set_bounded_plan(spark, tmp_path):
     """A pathological batch that is almost entirely near-dups must not
     inflate the survivors plan with per-id literals (the round-4 ADVICE
