@@ -8,7 +8,7 @@ harness as evidence. These tests make that evidence durable:
 - every registry entry is re-checked against its DuckDB oracle at
   sf0.001 on every pytest run (so a regression in any of the ~117
   queries fails CI, not just the 50 the driver sees), and
-- the committed sf0.01 artifact ``CORRECTNESS_LOCAL_r4.json`` is
+- the committed sf0.01 artifact ``CORRECTNESS_LOCAL_r5.json`` is
   asserted to cover the registry completely and be all-green (so the
   artifact can't silently rot as queries are added).
 """
@@ -26,7 +26,7 @@ from tools.check_oracle import check_one
 
 REGISTRY = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
-ARTIFACT = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL_r4.json"
+ARTIFACT = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL_r5.json"
 
 
 def _green(rec: dict) -> bool:
@@ -39,6 +39,22 @@ def test_artifact_covers_whole_registry():
     assert not missing, f"registry queries absent from {ARTIFACT.name}: {missing}"
     bad = {k: v["err"] for k, v in art.items() if not _green(v)}
     assert not bad, f"non-green artifact rows: {bad}"
+
+
+def test_artifact_records_ann_recall():
+    """The ANN rows-only exemptions must carry a measured recall field
+    at or above the pinned floor — the artifact quantifies what
+    'rows-only' hides (VERDICT r4 #8)."""
+    from tools.check_oracle import RECALL_SPECS
+
+    art = json.loads(ARTIFACT.read_text())
+    for name, (_, bound) in RECALL_SPECS.items():
+        rec = art[name]
+        assert "recall" in rec, f"{name}: artifact row has no recall field"
+        assert rec["recall"] >= bound, (
+            f"{name}: recall {rec['recall']} below floor {bound}"
+        )
+        assert rec.get("recall_bound") == bound, f"{name}: stale recall bound"
 
 
 def test_every_query_has_oracle_or_documented_exemption():
