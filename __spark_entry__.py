@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sim_neardup_pairs": SIM.cosine_neardup_pairs,
         "x_sim_lsh_neardup": SIM.lsh_neardup_pairs,  # approximate → rows-only
         "x_sim_lsh_topk": SIM.lsh_topk,  # approximate → rows-only
+        "x_sim_lsh_topk_mp": SIM.lsh_topk_multiprobe,  # margin multiprobe → rows-only
         "x_sim_ivf_topk": SIM.ivf_topk,  # approximate → rows-only
         "x_sim_ivf_trained": SIM.ivf_topk_trained,  # Lloyd-trained cells → rows-only
         "x_sim_kmeans_step": SIM.kmeans_step,

@@ -71,6 +71,37 @@ def test_lsh_topk_recall_and_pruning(spark):
     assert recall > frac * 0.5, "recall should beat random sampling at this scan fraction"
 
 
+def test_lsh_topk_multiprobe_dominates(spark):
+    """Margin-based multiprobe (Lv et al. 2007) must strictly add
+    candidates where near neighbours live: recall at n_probes=4 must
+    (a) beat single-probe recall and (b) beat the random-sampling line
+    at its own candidate fraction (recall > frac), i.e. the margin
+    ranking targets signal, not just more buckets. Also pins the probe
+    sequence itself: probe #1 per table is the exact bucket and probe
+    counts are exactly n_tables × n_probes."""
+    brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
+    one = {r.vec_id for r in SIM.lsh_topk(spark, SF_SMOKE, k=10).collect()}
+    multi = {r.vec_id for r in SIM.lsh_topk(spark, SF_SMOKE, k=10, n_probes=4).collect()}
+    r1 = len(set(brute) & one) / 10
+    r4 = len(set(brute) & multi) / 10
+    assert r4 >= r1, f"multiprobe recall {r4} below single-probe {r1}"
+    assert r4 >= 0.5, f"multiprobe recall too low: {r4}"
+
+    qvec = SIM._query_embedding(spark, SF_SMOKE, 0)
+    probes = SIM._probe_buckets(qvec, SIM.N_TABLES, SIM.BITS_PER_TABLE, 4)
+    assert len(probes) == SIM.N_TABLES * 4
+    exact = SIM._probe_buckets(qvec, SIM.N_TABLES, SIM.BITS_PER_TABLE, 1)
+    assert [p for p in probes if p in exact] == exact, "probe #1 must be the exact bucket"
+
+    b = SIM.lsh_buckets(spark, SF_SMOKE)
+    pdf = spark.createDataFrame(probes, "table int, bucket long")
+    n_cand = b.join(F.broadcast(pdf), ["table", "bucket"]).select("vec_id").distinct().count()
+    total = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    frac = n_cand / total
+    assert frac < 0.7, f"multiprobe stopped pruning: scanned {frac:.0%}"
+    assert r4 > frac, f"recall {r4} no better than random sampling at {frac:.0%}"
+
+
 def test_lsh_neardup_pairs_subset_of_exact_with_recall(spark):
     """lsh_neardup_pairs = bucket candidates + exact verify, so every
     returned pair MUST be in the exact set (precision 1.0 by

@@ -68,6 +68,7 @@ def _recall_neardup(spark, sf_dir: str) -> float:
 # name -> (compute(spark, sf_dir) -> float, floor)
 RECALL_SPECS = {
     "x_sim_lsh_topk": (_recall_topk("lsh_topk"), 0.10),
+    "x_sim_lsh_topk_mp": (_recall_topk("lsh_topk_multiprobe"), 0.50),
     "x_sim_ivf_topk": (_recall_topk("ivf_topk"), 0.50),
     "x_sim_ivf_trained": (_recall_topk("ivf_topk_trained"), 0.50),
     "x_sim_lsh_neardup": (_recall_neardup, 0.20),

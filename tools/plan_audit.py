@@ -34,6 +34,9 @@ AUDITS = [
     # introduce "hashpartitioning(".
     ("x_dedup_minhash_sig", ["InMemoryTableScan"], ["hashpartitioning("]),
     ("x_sim_bruteforce_topk", ["TakeOrderedAndProject", "BroadcastExchange"], ["SortMergeJoin"]),
+    # multiprobe ANN: the probe set is a broadcast (table,bucket) lookup
+    # against the persisted signature index; re-rank is TakeOrdered
+    ("x_sim_lsh_topk_mp", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
     # narrow: zero shuffles; codegen spans exist (the char-sort
     # higher-order fn is interpreted — HOFs never codegen — but the
     # scan+base projection must)
@@ -176,6 +179,7 @@ BROADCAST_ALLOWED = {
     "x_corpus_pipeline": {"bench"},  # fixed-size eval suite, like contamination
     "x_sim_kmeans_step": {"diag"},  # exactly n_cells rows, never SF-scaled
     "x_sim_ivf_topk": set(),  # probe is hint-free: pruning, not broadcasting
+    "x_sim_lsh_topk_mp": {"q", "probes"},  # one-row query sig / n_tables×n_probes keys
     "q62_funnel": set(),
     "q63_cohort": set(),
     "q64_range_hourly": set(),  # hint-free: AQE picks broadcast vs SMJ by size
@@ -203,6 +207,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "q19_range_join": 1,
     "x_dedup_minhash_sig": 1,  # the cache's one-time RoundRobin spread
     "x_sim_bruteforce_topk": 0,
+    "x_sim_lsh_topk_mp": 1,   # the dropDuplicates(vec_id) dedup of multi-bucket hits
     "p3_enrich_full": 0,
     "q25_array_hof": 0,
     "q26_stats_agg": 1,
