@@ -53,6 +53,17 @@ HEADLINE = [
     "q58_sessionize",
     "x_dedup_spans",
     "x_corpus_pipeline",
+    # round-5 expansion (VERDICT r4 #5): the round-4 surface — IVF ANN
+    # probe (cell-partitioned index build + pruned read), temperature
+    # mixture sampling, LATERAL top-n, recursive date spine, funnel,
+    # cohort — plus the round-5 sub-day range join
+    "x_sim_ivf_topk",
+    "x_sample_mixture",
+    "q60_lateral_topn",
+    "q61_date_spine",
+    "q62_funnel",
+    "q63_cohort",
+    "q64_range_hourly",
 ]
 
 

@@ -1,0 +1,89 @@
+"""sf1 relational spot-bench (VERDICT r4 #9) — a measured scale anchor
+beyond sf0.1 for the headline relational plans.
+
+Synthesizes an unskewed sf≈1 corpus into /tmp by replicating the sf0.1
+fixtures ×10 with shifted keys (the same mechanism as
+tools/aqe_evidence.py, WITHOUT the injected hot keys — this tool
+anchors the clean scale trend; the skew behavior is aqe_evidence.py's
+job), then times q1/q4/q7/q30/q48 through the noop sink exactly like
+bench.py and prints ONE JSON line.
+
+Run in a quiet window and record the numbers in BASELINE.md:
+
+    python tools/sf1_bench.py            # synthesize (first run) + bench
+    python tools/sf1_bench.py --fresh    # force re-synthesis
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1_bench_data"
+REPLICAS = 10
+OFF = 10_000_000  # key stride between replicas, same as aqe_evidence
+
+QUERIES = ["q1_scan_project", "q4_agg_tpch_q1", "q7_join_revenue", "q30_tpch_q3", "q48_tpch_q7"]
+
+
+def synthesize(spark) -> None:
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    for t in ("region", "nation", "supplier", "part"):
+        load_table(spark, SRC, t).write.parquet(f"{DST}/{t}.parquet")
+
+    def replicate(name: str, key_cols: dict[str, int]) -> None:
+        base = load_table(spark, SRC, name)
+        reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
+        out = base.crossJoin(F.broadcast(reps))
+        for col, stride in key_cols.items():
+            out = out.withColumn(col, F.col(col) + F.col("__rep") * stride)
+        # spread across files so scans parallelize like a real sf1 layout
+        out.drop("__rep").repartition(32).write.parquet(f"{DST}/{name}.parquet")
+
+    replicate("customer", {"c_custkey": OFF})
+    replicate("orders", {"o_orderkey": OFF, "o_custkey": OFF})
+    replicate("lineitem", {"l_orderkey": OFF, "l_partkey": 0, "l_suppkey": 0})
+    n = spark.read.parquet(f"{DST}/lineitem.parquet").count()
+    print(f"synthesized {DST}: lineitem rows = {n:,}")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from labs_stream_processing_examples_scala_spark import get_spark
+
+    spark = get_spark(app_name="sf1-bench")
+    if "--fresh" in sys.argv or not os.path.isdir(DST):
+        synthesize(spark)
+    qs = entrymod.queries()
+    # warm-up on the smallest plan so query 1 isn't charged for JVM init
+    qs[QUERIES[0]](spark, DST).write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, DST).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({
+        "metric": "sf1_relational_spot_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 1.0,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
