@@ -30,7 +30,6 @@ RocksDB. The stream itself stays stateless.
 from __future__ import annotations
 
 import atexit
-import glob
 import os
 import shutil
 
@@ -82,16 +81,15 @@ class IncrementalLshDedup:
         replay output byte-deterministic (and the per-batchId overwrite
         therefore a true no-op).
 
-        Empty ONLY when the index genuinely has no batches yet (the dirs
-        are local-path workdirs, so a glob decides that); a real read
-        failure — permissions, corrupt parquet — propagates instead of
-        silently dropping near-dup pairs."""
-        if not glob.glob(os.path.join(path, "_batch_id=*")):
-            return spark.createDataFrame([], schema)
-        df = spark.read.option("basePath", path).parquet(path + "/_batch_id=*")
-        if before_batch is not None:
-            df = df.filter(F.col("_batch_id") < before_batch)
-        return df.drop("_batch_id")
+        Empty ONLY when the index genuinely has no batches yet; a real
+        read failure — permissions, corrupt parquet — propagates instead
+        of silently dropping near-dup pairs. Delegates to the
+        compaction-aware reader, so an index that has been compacted
+        (streaming/compaction.py) — even one interrupted mid-swap —
+        reads identically."""
+        from labs_stream_processing_examples_scala_spark.streaming.compaction import read_batched_dir
+
+        return read_batched_dir(spark, path, schema=schema, before_batch=before_batch)
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         spark = docs.sparkSession

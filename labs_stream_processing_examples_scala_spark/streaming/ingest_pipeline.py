@@ -88,13 +88,12 @@ class StreamingIngestPipeline:
 
     def _read_index(self, spark: SparkSession, path: str, schema: str, before: int) -> DataFrame:
         # empty only when the index genuinely has no batches yet; a real
-        # read failure propagates (same contract as incremental_dedup)
-        import glob
+        # read failure propagates (same contract as incremental_dedup).
+        # Compaction-aware: a compacted (even mid-swap-interrupted)
+        # index reads identically (streaming/compaction.py).
+        from labs_stream_processing_examples_scala_spark.streaming.compaction import read_batched_dir
 
-        if not glob.glob(os.path.join(path, "_batch_id=*")):
-            return spark.createDataFrame([], schema)
-        df = spark.read.option("basePath", path).parquet(path + "/_batch_id=*")
-        return df.filter(F.col("_batch_id") < before).drop("_batch_id")
+        return read_batched_dir(spark, path, schema=schema, before_batch=before)
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         from labs_stream_processing_examples_scala_spark.functions.text import _quality_parts
@@ -194,9 +193,9 @@ class StreamingIngestPipeline:
         """Every dedup survivor, with its quality score and the
         deterministic ``sampled`` resample flag — the population the
         offline quality re-rank runs over."""
-        return spark.read.option("basePath", self.kept_dir).parquet(
-            self.kept_dir + "/_batch_id=*"
-        ).drop("_batch_id")
+        from labs_stream_processing_examples_scala_spark.streaming.compaction import read_batched_dir
+
+        return read_batched_dir(spark, self.kept_dir)
 
     def kept(self, spark: SparkSession) -> DataFrame:
         """The assembled corpus: dedup survivors that also passed the
