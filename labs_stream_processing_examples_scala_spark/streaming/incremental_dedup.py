@@ -66,11 +66,12 @@ class IncrementalLshDedup:
     """foreachBatch processor: maintains the index dirs and emits the
     near-dup pairs each micro-batch introduces."""
 
-    def __init__(self, workdir: str, threshold: float = 0.5):
+    def __init__(self, workdir: str, threshold: float = 0.5, compact_every: int | None = None):
         self.arrays_dir = os.path.join(workdir, "index_arrays")
         self.buckets_dir = os.path.join(workdir, "index_buckets")
         self.pairs_dir = os.path.join(workdir, "pairs")
         self.threshold = threshold
+        self.compact_every = compact_every
 
     def _read_or_empty(
         self, spark: SparkSession, path: str, schema: str, before_batch: int | None = None
@@ -122,8 +123,23 @@ class IncrementalLshDedup:
             idempotent_write(pairs, self.pairs_dir, batch_id)
             idempotent_write(new_arrs, self.arrays_dir, batch_id)
             idempotent_write(new_buckets, self.buckets_dir, batch_id)
+            self._maybe_compact(spark, batch_id)
         finally:
             new_arrs.unpersist()
+
+    def _maybe_compact(self, spark: SparkSession, batch_id: int) -> None:
+        """Online maintenance: every ``compact_every`` batches, merge
+        the index/pairs directories below the current batch
+        (streaming/compaction.py). Runs after this batch's writes,
+        serially within foreachBatch; keep_latest leaves the current
+        batch untouched, so a redelivery of it still sees its exact
+        as-of index view — and a redelivery re-triggering this call is
+        a no-op (everything below is already one directory)."""
+        if self.compact_every and batch_id % self.compact_every == self.compact_every - 1:
+            from labs_stream_processing_examples_scala_spark.streaming.compaction import compact_batched_dir
+
+            for d in (self.arrays_dir, self.buckets_dir, self.pairs_dir):
+                compact_batched_dir(spark, d)
 
     def pairs(self, spark: SparkSession) -> DataFrame:
         return self._read_or_empty(spark, self.pairs_dir, "doc_a long, doc_b long, jaccard double")
@@ -136,6 +152,7 @@ def run_incremental(
     threshold: float = 0.5,
     files_per_trigger: int = 1,
     timeout: float = 600.0,
+    compact_every: int | None = None,
 ) -> IncrementalLshDedup:
     """Drive a bounded incremental run over a directory of document
     parquet files (one micro-batch per ``files_per_trigger`` files) and
@@ -147,7 +164,7 @@ def run_incremental(
         .parquet(docs_source_dir)
         .select("doc_id", "text")
     )
-    proc = IncrementalLshDedup(workdir, threshold=threshold)
+    proc = IncrementalLshDedup(workdir, threshold=threshold, compact_every=compact_every)
     q = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", os.path.join(workdir, "ckpt"))

@@ -106,6 +106,33 @@ def test_reader_is_complete_at_every_crash_point(spark, tmp_path):
     assert _ids(spark, path3) == full
 
 
+def test_incremental_dedup_online_compaction_equivalent(spark, tmp_path):
+    """compact_every: the processor compacts its own indexes inside
+    foreachBatch. Results must equal the batch operator exactly and the
+    directory count must be bounded by the cadence, not the batch
+    count."""
+    from labs_stream_processing_examples_scala_spark.operators.dedup import lsh_candidate_pairs
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.incremental_dedup import (
+        run_incremental,
+    )
+
+    src = str(tmp_path / "src")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.withColumn("split", F.pmod(F.col("doc_id"), F.lit(6))).repartitionByRange(
+        6, "split"
+    ).drop("split").write.parquet(src)
+    proc = run_incremental(spark, src, str(tmp_path / "work"), compact_every=2)
+    got = {(r.doc_a, r.doc_b): round(r.jaccard, 6) for r in proc.pairs(spark).collect()}
+    want = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in lsh_candidate_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # 6 batches at cadence 2: everything below the latest is one dir
+    assert len(_batch_ids(proc.buckets_dir)) <= 3
+
+
 def test_incremental_dedup_survives_compaction_mid_stream(spark, tmp_path):
     """Ingest 3 of 4 splits, compact the index dirs, ingest the 4th
     from the same checkpoint: the accumulated pair set must still equal
