@@ -24,6 +24,7 @@ from labs_stream_processing_examples_scala_spark.multimodal import columns as MM
 from labs_stream_processing_examples_scala_spark.operators import corpus as CP
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.streaming import incremental_dedup as ID
+from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
 from labs_stream_processing_examples_scala_spark.operators import relational as R
 from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
 from labs_stream_processing_examples_scala_spark.operators import skew as SKW
@@ -229,6 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sim_lsh_topk_mp": SIM.lsh_topk_multiprobe,  # margin multiprobe → rows-only
         "x_sim_ivf_topk": SIM.ivf_topk,  # approximate → rows-only
         "x_sim_ivf_trained": SIM.ivf_topk_trained,  # Lloyd-trained cells → rows-only
+        "x_sim_pq_codes": QZ.pq_encode,  # trained codebooks → rows-only (numpy oracle)
+        "x_sim_pq_topk": QZ.pq_topk_rerank,  # ADC + exact re-rank → rows-only
         "x_sim_kmeans_step": SIM.kmeans_step,
         "x_text_stats": TX.token_stats,
         "x_text_quality": TX.quality_score,

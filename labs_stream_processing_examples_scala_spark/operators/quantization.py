@@ -1,0 +1,279 @@
+"""Product quantization (PQ) for embedding ANN — Jégou, Douze &
+Schmid, "Product Quantization for Nearest Neighbor Search" (TPAMI
+2011), re-expressed Spark-first.
+
+Split the embedding dimension into M subspaces and k-means each
+subspace to K codewords; a vector then compresses to M small integer
+codes (64-dim float32 = 256 bytes → M=8 bytes at K=16), and a query
+scores every compressed vector through a per-subspace lookup table —
+asymmetric distance computation (ADC). This is the memory-bandwidth
+ANN: at 100 TB the scan reads the narrow code table, never the raw
+vectors, and every per-row step below is a zero-exchange plan:
+
+- codebooks are FIXED-SIZE (M × K × dim/M doubles) constant plan
+  literals — the same narrow-map discipline as the IVF assignment
+  (similarity.py `_assign_cell`, the round-4 lesson);
+- encoding is a row-local argmin per subspace (no explode, no window,
+  no join) — `explain()` shows no Exchange between scan and codes;
+- training shuffles ONLY the (sub, code, pos) partial means — M × K ×
+  dim/M rows per iteration regardless of corpus size, the same bounded
+  update as `kmeans_train`;
+- ADC scoring is a static sum of M literal-table lookups per row, then
+  TakeOrdered.
+
+Vectors are L2-normalized before encoding, so the ADC inner product
+approximates cosine and recall is measured against the exact
+`brute_force_topk` ordering (recall recorded in CORRECTNESS_LOCAL via
+tools/check_oracle.py RECALL_SPECS).
+
+Reference parity note: the reference repo has no similarity search at
+all (748-LoC actor/Rx demo); this extends the LLM-pipeline surface the
+build plan (SURVEY §7 step 7) calls for.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.operators.similarity import (
+    DIM,
+    _dvec,
+    _query_embedding,
+    dot,
+    norm,
+)
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codewords per subspace (4-bit codes)
+
+# trained codebooks per (session, sf_dir, m, k, n_iter, tol) — the
+# offline artifact a deployment trains once and ships as a literal
+_PQ_CACHE: dict[tuple, tuple[list[list[list[float]]], int]] = {}
+
+
+def _unit_vec(col: str = "vec") -> Column:
+    n = norm(F.col(col))
+    return F.transform(F.col(col), lambda x: x / n)
+
+
+def _codebook_literal(cb: list[list[list[float]]]) -> Column:
+    """array<array<array<double>>> constant: cb[sub][code][component].
+    M × K × dim/M doubles — fixed size, never SF-scaled."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in word]) for word in sub])
+            for sub in cb
+        ]
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub_slices(m: int) -> list[tuple[int, int]]:
+    if DIM % m:
+        raise ValueError(f"PQ subspaces must divide dim: {DIM} % {m}")
+    d = DIM // m
+    return [(s * d + 1, d) for s in range(m)]  # 1-based F.slice starts
+
+
+def _argmin_code(svec: Column, sub_cb: list[list[float]]) -> Column:
+    """Row-local nearest-codeword id within one subspace: L2² to each
+    literal codeword, argmin with lowest-code tie-break. Zero
+    exchange."""
+    # F.array drops struct field aliases when unifying element types —
+    # cast pins the names so the fold below can address them
+    st = "struct<dist:double,code:int>"
+    cands = F.array(
+        *[
+            F.struct(
+                _l2sq(svec, F.array(*[F.lit(float(x)) for x in word])).alias("dist"),
+                F.lit(code).alias("code"),
+            ).cast(st)
+            for code, word in enumerate(sub_cb)
+        ]
+    )
+    best = F.aggregate(
+        cands,
+        F.struct(F.lit(float("inf")).alias("dist"), F.lit(-1).alias("code")).cast(st),
+        lambda acc, s: F.when(s["dist"] < acc["dist"], s).otherwise(acc),
+    )
+    return best["code"]
+
+
+def pq_train(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = 5,
+    tol: float = 1e-6,
+) -> tuple[list[list[list[float]]], int]:
+    """Lloyd-train the M per-subspace codebooks over the L2-normalized
+    embeddings. Per iteration: assignment is a narrow map (codebook
+    literal, row-local argmin per subspace over the EXPLODED (sub,
+    svec) rows — the explode is a narrow Generate), the update shuffles
+    M × K × dim/M partial means (fixed size), and the new codebooks are
+    re-folded as literals. Seeds = subvectors of the first k_codes
+    vectors by vec_id (deterministic). Empty codewords keep their
+    previous value. Returns (codebooks, iterations_run); memoized per
+    session like `kmeans_train`."""
+    key = (spark.sparkContext.applicationId, sf_dir, m, k_codes, n_iter, tol)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    u = e.select("vec_id", _unit_vec().alias("vec"))
+    slices = _sub_slices(m)
+    seeds = u.orderBy("vec_id").limit(k_codes).collect()  # k_codes rows, fixed
+    cb: list[list[list[float]]] = [
+        [[float(x) for x in r.vec[start - 1 : start - 1 + d]] for r in seeds]
+        for start, d in slices
+    ]
+    rows = u.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("sub"), F.slice("vec", start, d).alias("svec"))
+                    for s, (start, d) in enumerate(slices)
+                ]
+            )
+        ).alias("x")
+    ).select("x.sub", "x.svec")
+    it_run = 0
+    for _ in range(n_iter):
+        it_run += 1
+        code_expr = F.lit(-1)
+        for s in range(m - 1, -1, -1):
+            code_expr = F.when(F.col("sub") == s, _argmin_code(F.col("svec"), cb[s])).otherwise(
+                code_expr
+            )
+        upd = (
+            rows.select("sub", code_expr.alias("code"), F.posexplode("svec").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()  # m × k × dim/m rows — fixed size, not data-scaled
+        )
+        new_cb = [[list(w) for w in sub] for sub in cb]
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            got.setdefault((r.sub, r.code), {})[r.pos] = r.mean
+        for (s, c), comps in got.items():
+            new_cb[s][c] = [comps[p] for p in sorted(comps)]
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(old, new)))
+            for sub_old, sub_new in zip(cb, new_cb)
+            for old, new in zip(sub_old, sub_new)
+        )
+        cb = new_cb
+        if shift < tol:
+            break
+    _PQ_CACHE[key] = (cb, it_run)
+    return cb, it_run
+
+
+def pq_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = 5,
+) -> DataFrame:
+    """(vec_id, codes array<int>) — the compressed corpus. One narrow
+    projection: per subspace, a row-local argmin against the literal
+    codebook; no explode, no shuffle of any kind (plan-audited)."""
+    cb, _ = pq_train(spark, sf_dir, m, k_codes, n_iter)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    u = e.select("vec_id", _unit_vec().alias("vec"))
+    slices = _sub_slices(m)
+    codes = F.array(
+        *[_argmin_code(F.slice("vec", start, d), cb[s]) for s, (start, d) in enumerate(slices)]
+    )
+    return u.select("vec_id", codes.alias("codes"))
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = 5,
+    rerank: int = 0,
+) -> DataFrame:
+    """ADC top-k: per subspace the query's inner products with all K
+    codewords are precomputed driver-side (M × K doubles — fixed) and
+    folded in as a literal table; each compressed vector's score is a
+    static sum of M table lookups, then TakeOrderedAndProject. The
+    scan-side data is ONLY the code table — at 100 TB this reads M
+    bytes per vector instead of the raw embeddings.
+
+    ``rerank > k`` adds the standard refinement stage: the ADC
+    shortlist of that size is joined back (broadcast — rerank rows,
+    fixed) to the raw embeddings and the final top-k is exact cosine
+    over the shortlist only. Quantization error then only has to keep
+    true neighbours inside the shortlist, not rank them — recall rises
+    steeply for a rerank-sized read of raw vectors."""
+    cb, _ = pq_train(spark, sf_dir, m, k_codes, n_iter)
+    qvec = _query_embedding(spark, sf_dir, query_id)
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+    q = [x / qn for x in qvec]
+    slices = _sub_slices(m)
+    table = [
+        [
+            sum(q[start - 1 + i] * w[i] for i in range(d))
+            for w in cb[s]
+        ]
+        for s, (start, d) in enumerate(slices)
+    ]
+    tab_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in table])
+    codes = pq_encode(spark, sf_dir, m, k_codes, n_iter)
+    score = sum(
+        F.element_at(F.element_at(tab_lit, s + 1), F.element_at("codes", s + 1) + 1)
+        for s in range(m)
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(max(k, rerank))
+    )
+    if rerank <= k:
+        return adc
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        e.join(F.broadcast(adc.select("vec_id")), "vec_id")
+        .select(
+            "vec_id",
+            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * F.lit(qn)), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of :func:`pq_topk` with the refinement stage
+    (rerank=50): ADC shortlist over the 8-byte code table, exact cosine
+    over the 50-row shortlist only — recall@10 ≈ 0.7-0.8 on the
+    near-random fixture at 32× compression (floor 0.5 recorded in
+    CORRECTNESS_LOCAL)."""
+    return pq_topk(spark, sf_dir, rerank=50)

@@ -933,3 +933,101 @@ def test_codec_roundtrips_hypothesis():
 
     check_bmp()
     check_wav()
+
+
+# --- product quantization (operators/quantization.py) ---
+
+
+def test_pq_train_matches_numpy(spark):
+    """Third engine: the distributed per-subspace Lloyd loop must match
+    a pure-numpy PQ implementation on the collected vectors — same
+    normalization, same seeds, same L2 assignment with lowest-code
+    tie-break, same means, same empty-code carry-over."""
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([list(map(float, r.embedding)) for r in rows])
+    X = X / np.linalg.norm(X, axis=1)[:, None]
+    m, k, n_iter = 4, 8, 3
+    d = X.shape[1] // m
+    cb, it_run = QZ.pq_train(spark, SF_SMOKE, m=m, k_codes=k, n_iter=n_iter)
+    assert it_run <= n_iter
+
+    C = [X[:k, s * d : (s + 1) * d].copy() for s in range(m)]
+    for _ in range(it_run):
+        for s in range(m):
+            sub = X[:, s * d : (s + 1) * d]
+            d2 = ((sub[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # argmin ties -> lowest code
+            newC = C[s].copy()
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    newC[c] = members.mean(axis=0)
+            C[s] = newC
+    got = np.array(cb)
+    want = np.stack(C)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+
+
+def test_pq_codes_match_numpy_encode(spark):
+    """Given the trained codebooks, Spark's row-local argmin encoding
+    must equal numpy's wherever the best/second-best margin is real
+    (FP fold order may differ on exact ties)."""
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+
+    m, k = 4, 8
+    cb, _ = QZ.pq_train(spark, SF_SMOKE, m=m, k_codes=k, n_iter=3)
+    got = {
+        r.vec_id: list(r.codes)
+        for r in QZ.pq_encode(spark, SF_SMOKE, m=m, k_codes=k, n_iter=3).collect()
+    }
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([list(map(float, r.embedding)) for r in rows])
+    X = X / np.linalg.norm(X, axis=1)[:, None]
+    d = X.shape[1] // m
+    C = np.array(cb)
+    checked = 0
+    for i, r in enumerate(rows):
+        for s in range(m):
+            d2 = ((X[i, s * d : (s + 1) * d][None, :] - C[s]) ** 2).sum(axis=1)
+            order = np.sort(d2)
+            if order[1] - order[0] > 1e-9:  # real margin -> must agree
+                assert got[r.vec_id][s] == int(np.argmin(d2))
+                checked += 1
+    assert checked > 0.95 * len(rows) * m  # ties are the rare exception
+
+
+def test_pq_topk_rerank_dominates_adc(spark):
+    """The refinement stage can only help: recall(rerank=50) >= recall
+    of raw ADC, and must clear the artifact floor."""
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+
+    brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
+    adc = {r.vec_id for r in QZ.pq_topk(spark, SF_SMOKE, k=10).collect()}
+    rr = {r.vec_id for r in QZ.pq_topk(spark, SF_SMOKE, k=10, rerank=50).collect()}
+    r_adc = len(set(brute) & adc) / 10
+    r_rr = len(set(brute) & rr) / 10
+    assert r_rr >= r_adc, f"re-rank lost recall: {r_rr} < {r_adc}"
+    assert r_rr >= 0.5, f"PQ+rerank recall too low: {r_rr}"
+
+
+def test_pq_encode_plan_is_narrow(spark):
+    """Encoding must be a pure projection over the scan: zero Exchange
+    of any kind (the codebook is a plan literal, the argmin row-local)."""
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+
+    df = QZ.pq_encode(spark, SF_SMOKE, m=4, k_codes=8, n_iter=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

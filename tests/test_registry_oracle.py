@@ -72,6 +72,8 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_sim_lsh_topk_mp",
         "x_sim_ivf_topk",
         "x_sim_ivf_trained",
+        "x_sim_pq_codes",
+        "x_sim_pq_topk",
         # binary decode paths: checked against pure-Python decoders in
         # tests/test_extensions.py, not expressible in DuckDB SQL
         "x_multimodal_features",

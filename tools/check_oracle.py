@@ -43,10 +43,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def _recall_topk(approx_name: str):
     def compute(spark, sf_dir: str) -> float:
+        from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
         from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
 
+        fn = getattr(SIM, approx_name, None) or getattr(QZ, approx_name)
         brute = [r.vec_id for r in SIM.brute_force_topk(spark, sf_dir).collect()]
-        ann = {r.vec_id for r in getattr(SIM, approx_name)(spark, sf_dir).collect()}
+        ann = {r.vec_id for r in fn(spark, sf_dir).collect()}
         return len(set(brute) & ann) / max(len(brute), 1)
 
     return compute
@@ -71,6 +73,7 @@ RECALL_SPECS = {
     "x_sim_lsh_topk_mp": (_recall_topk("lsh_topk_multiprobe"), 0.50),
     "x_sim_ivf_topk": (_recall_topk("ivf_topk"), 0.50),
     "x_sim_ivf_trained": (_recall_topk("ivf_topk_trained"), 0.50),
+    "x_sim_pq_topk": (_recall_topk("pq_topk_rerank"), 0.50),
     "x_sim_lsh_neardup": (_recall_neardup, 0.20),
 }
 

@@ -37,6 +37,11 @@ AUDITS = [
     # multiprobe ANN: the probe set is a broadcast (table,bucket) lookup
     # against the persisted signature index; re-rank is TakeOrdered
     ("x_sim_lsh_topk_mp", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
+    # PQ: encoding is a PURE projection (codebook = plan literal,
+    # row-local argmin) — no Exchange of ANY kind; ADC+rerank is two
+    # TakeOrdered stages glued by a broadcast shortlist join
+    ("x_sim_pq_codes", [], ["Exchange", "Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
+    ("x_sim_pq_topk", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
     # narrow: zero shuffles; codegen spans exist (the char-sort
     # higher-order fn is interpreted — HOFs never codegen — but the
     # scan+base projection must)
@@ -180,6 +185,7 @@ BROADCAST_ALLOWED = {
     "x_sim_kmeans_step": {"diag"},  # exactly n_cells rows, never SF-scaled
     "x_sim_ivf_topk": set(),  # probe is hint-free: pruning, not broadcasting
     "x_sim_lsh_topk_mp": {"q", "probes"},  # one-row query sig / n_tables×n_probes keys
+    "x_sim_pq_topk": set(),  # wrapper; the rerank shortlist broadcast lives in pq_topk
     "q62_funnel": set(),
     "q63_cohort": set(),
     "q64_range_hourly": set(),  # hint-free: AQE picks broadcast vs SMJ by size
@@ -208,6 +214,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_dedup_minhash_sig": 1,  # the cache's one-time RoundRobin spread
     "x_sim_bruteforce_topk": 0,
     "x_sim_lsh_topk_mp": 1,   # the dropDuplicates(vec_id) dedup of multi-bucket hits
+    "x_sim_pq_codes": 0,      # pure narrow projection
+    "x_sim_pq_topk": 0,       # ADC TakeOrdered + broadcast shortlist re-rank
     "p3_enrich_full": 0,
     "q25_array_hof": 0,
     "q26_stats_agg": 1,
