@@ -182,6 +182,16 @@ def pq_train(
     return cb, it_run
 
 
+def _codes_expr(cb: list[list[list[float]]], unit_col: Column) -> Column:
+    """array<int> of per-subspace nearest-codeword ids for an already
+    L2-normalized vector column — fully row-local."""
+    m = len(cb)
+    slices = _sub_slices(m)
+    return F.array(
+        *[_argmin_code(F.slice(unit_col, start, d), cb[s]) for s, (start, d) in enumerate(slices)]
+    )
+
+
 def pq_encode(
     spark: SparkSession,
     sf_dir: str,
@@ -197,11 +207,7 @@ def pq_encode(
         "vec_id", _dvec("embedding").alias("vec")
     )
     u = e.select("vec_id", _unit_vec().alias("vec"))
-    slices = _sub_slices(m)
-    codes = F.array(
-        *[_argmin_code(F.slice("vec", start, d), cb[s]) for s, (start, d) in enumerate(slices)]
-    )
-    return u.select("vec_id", codes.alias("codes"))
+    return u.select("vec_id", _codes_expr(cb, F.col("vec")).alias("codes"))
 
 
 def pq_topk(
@@ -277,3 +283,131 @@ def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-random fixture at 32× compression (floor 0.5 recorded in
     CORRECTNESS_LOCAL)."""
     return pq_topk(spark, sf_dir, rerank=50)
+
+
+# --- IVF-PQ: cell-partitioned code table (the billion-scale layout) ---
+
+_IVFPQ_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _adc_table(cb: list[list[list[float]]], q_unit: list[float]) -> list[list[float]]:
+    """Per-subspace inner products of the normalized query with every
+    codeword — M × K doubles, computed driver-side."""
+    m = len(cb)
+    slices = _sub_slices(m)
+    return [
+        [sum(q_unit[start - 1 + i] * w[i] for i in range(d)) for w in cb[s]]
+        for s, (start, d) in enumerate(slices)
+    ]
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = 5,
+) -> tuple[str, list[list[float]], list[list[list[float]]]]:
+    """Materialize the IVF-PQ index: ONE zero-exchange projection
+    computes both the coarse cell (Lloyd-trained centroids, row-local
+    argmax — similarity.py `_assign_cell`) and the PQ codes (row-local
+    argmin per subspace), written partitioned by cell. The on-disk row
+    is (vec_id, codes) — M bytes of payload per vector; the raw
+    embeddings are only touched again by the re-rank point-lookup.
+
+    Non-residual IVFADC variant: codes quantize the normalized vector
+    itself, not the residual v − centroid (residual PQ needs per-cell
+    rotation bookkeeping for modest gains at these dims; documented
+    trade-off). Returns (path, centroids, codebooks); cached per
+    session like the plain IVF index."""
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _IVF_TMP_ROOTS,
+        _assign_cell,
+        kmeans_train,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.layout import write_partitioned
+
+    cents, _ = kmeans_train(spark, sf_dir, n_cells=n_cells, n_iter=n_iter)
+    cb, _ = pq_train(spark, sf_dir, m, k_codes, n_iter)
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells, m, k_codes, n_iter)
+    if key in _IVFPQ_INDEX_CACHE:
+        return _IVFPQ_INDEX_CACHE[key], cents, cb
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    assigned = e.select(
+        "vec_id",
+        _assign_cell([(i, c) for i, c in enumerate(cents)]).alias("cell"),
+        _codes_expr(cb, _unit_vec()).alias("codes"),
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    _IVF_TMP_ROOTS.append(path)  # same exit-time cleanup as the IVF index
+    write_partitioned(assigned, path, "cell")
+    _IVFPQ_INDEX_CACHE[key] = path
+    return path, cents, cb
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = 5,
+    rerank: int = 50,
+) -> DataFrame:
+    """Billion-scale ANN shape: partition pruning × compression × cheap
+    scoring. The probe reads ONLY the nprobe nearest cells' partitions
+    of the code table (PartitionFilters at the scan), scores each
+    M-byte code row with the literal ADC table (row-local), TakeOrders
+    the shortlist, and re-ranks it by exact cosine through a broadcast
+    point-lookup of the raw embeddings. No shuffle anywhere in the
+    probe; the scan payload per probed vector is M bytes, not
+    4 × dim."""
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _norm_py,
+        _probe_cells_py,
+    )
+
+    path, cents, cb = build_ivfpq_index(spark, sf_dir, n_cells, m, k_codes, n_iter)
+    qvec = _query_embedding(spark, sf_dir, query_id)
+    qn = _norm_py(qvec) or 1.0
+    q = [x / qn for x in qvec]
+    cells = _probe_cells_py([(i, c) for i, c in enumerate(cents)], qvec, nprobe)
+    table = _adc_table(cb, q)
+    tab_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in table])
+    score = sum(
+        F.element_at(F.element_at(tab_lit, s + 1), F.element_at("codes", s + 1) + 1)
+        for s in range(m)
+    )
+    shortlist = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(max(k, rerank))
+    )
+    if rerank <= k:
+        return shortlist
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        e.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .select(
+            "vec_id",
+            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * F.lit(qn)), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

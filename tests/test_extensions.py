@@ -1031,3 +1031,21 @@ def test_pq_encode_plan_is_narrow(spark):
     df = QZ.pq_encode(spark, SF_SMOKE, m=4, k_codes=8, n_iter=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ivfpq_probe_pruned_zero_exchange_with_recall(spark):
+    """The billion-scale composition: the IVF-PQ probe must read only
+    the nprobe cells' partitions of the CODE table (PartitionFilters),
+    contain no Exchange anywhere in the shortlist plan, and clear the
+    recall floor after exact re-rank."""
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+
+    sl = QZ.ivfpq_topk(spark, SF_SMOKE, rerank=0)
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    assert "Exchange" not in plan, plan
+
+    brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
+    ann = {r.vec_id for r in QZ.ivfpq_topk(spark, SF_SMOKE, k=10).collect()}
+    recall = len(set(brute) & ann) / 10
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"

@@ -42,6 +42,10 @@ AUDITS = [
     # TakeOrdered stages glued by a broadcast shortlist join
     ("x_sim_pq_codes", [], ["Exchange", "Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
     ("x_sim_pq_topk", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
+    # IVF-PQ probe: pruned cell partitions of the CODE table + ADC +
+    # broadcast point-lookup re-rank — never a shuffle join
+    ("x_sim_ivfpq_topk", ["PartitionFilters: [cell", "TakeOrderedAndProject", "BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
     # narrow: zero shuffles; codegen spans exist (the char-sort
     # higher-order fn is interpreted — HOFs never codegen — but the
     # scan+base projection must)
@@ -186,6 +190,7 @@ BROADCAST_ALLOWED = {
     "x_sim_ivf_topk": set(),  # probe is hint-free: pruning, not broadcasting
     "x_sim_lsh_topk_mp": {"q", "probes"},  # one-row query sig / n_tables×n_probes keys
     "x_sim_pq_topk": set(),  # wrapper; the rerank shortlist broadcast lives in pq_topk
+    "x_sim_ivfpq_topk": {"shortlist.select('vec_id')"},  # rerank-sized, fixed
     "q62_funnel": set(),
     "q63_cohort": set(),
     "q64_range_hourly": set(),  # hint-free: AQE picks broadcast vs SMJ by size
@@ -216,6 +221,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_sim_lsh_topk_mp": 1,   # the dropDuplicates(vec_id) dedup of multi-bucket hits
     "x_sim_pq_codes": 0,      # pure narrow projection
     "x_sim_pq_topk": 0,       # ADC TakeOrdered + broadcast shortlist re-rank
+    "x_sim_ivfpq_topk": 0,    # pruned probe + ADC + broadcast re-rank: no shuffle
     "p3_enrich_full": 0,
     "q25_array_hof": 0,
     "q26_stats_agg": 1,
