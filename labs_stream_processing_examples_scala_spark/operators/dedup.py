@@ -530,8 +530,11 @@ def connected_components_twostar(pairs: DataFrame, max_iter: int = 30) -> DataFr
         if new_sig == sig:
             # the signature is probabilistic (~2^-64 hash-sum collision);
             # confirm the fixpoint EXACTLY with one set-difference pass —
-            # the expensive check runs once at convergence, not per round
-            if new_edges.exceptAll(prev).isEmpty() and prev.exceptAll(new_edges).isEmpty():
+            # the expensive check runs once at convergence, not per round.
+            # One direction suffices: matching signatures imply equal
+            # multiset cardinalities, and |A| == |B| with A\B == ∅ is
+            # already multiset equality (B\A must then be empty too).
+            if new_edges.exceptAll(prev).isEmpty():
                 break
         sig = new_sig
     # fixpoint is a star per component: each non-root's min neighbor is

@@ -56,8 +56,11 @@ _PQ_CACHE: dict[tuple, tuple[list[list[list[float]]], int]] = {}
 
 
 def _unit_vec(col: str = "vec") -> Column:
+    """L2-normalize; an all-zero vector stays zero (instead of NULLing
+    every component via 0/0, which would poison the argmin fold into
+    code -1 and crash the 1-based ADC table lookup)."""
     n = norm(F.col(col))
-    return F.transform(F.col(col), lambda x: x / n)
+    return F.transform(F.col(col), lambda x: F.when(n == 0.0, x).otherwise(x / n))
 
 
 def _codebook_literal(cb: list[list[list[float]]]) -> Column:
@@ -169,6 +172,11 @@ def pq_train(
         for r in upd:
             got.setdefault((r.sub, r.code), {})[r.pos] = r.mean
         for (s, c), comps in got.items():
+            # bounds guard: an out-of-range code (would be a bug in the
+            # assignment fold) must never alias another codeword via
+            # Python negative indexing
+            if not (0 <= c < k_codes) or any(v is None for v in comps.values()):
+                raise ValueError(f"invalid assignment (sub={s}, code={c}) during PQ training")
             new_cb[s][c] = [comps[p] for p in sorted(comps)]
         shift = max(
             math.sqrt(sum((a - b) ** 2 for a, b in zip(old, new)))
@@ -210,6 +218,57 @@ def pq_encode(
     return u.select("vec_id", _codes_expr(cb, F.col("vec")).alias("codes"))
 
 
+def _adc_table(cb: list[list[list[float]]], q_unit: list[float]) -> list[list[float]]:
+    """Per-subspace inner products of the normalized query with every
+    codeword — M × K doubles, computed driver-side."""
+    m = len(cb)
+    slices = _sub_slices(m)
+    return [
+        [sum(q_unit[start - 1 + i] * w[i] for i in range(d)) for w in cb[s]]
+        for s, (start, d) in enumerate(slices)
+    ]
+
+
+def _adc_score(cb: list[list[list[float]]], q_unit: list[float]) -> Column:
+    """ADC score of a ``codes`` column: a static sum of M lookups into
+    the literal query/codeword table — fully row-local."""
+    table = _adc_table(cb, q_unit)
+    tab_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in table])
+    return sum(
+        F.element_at(F.element_at(tab_lit, s + 1), F.element_at("codes", s + 1) + 1)
+        for s in range(len(cb))
+    )
+
+
+def _exact_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    shortlist: DataFrame,
+    qvec: list[float],
+    qn: float,
+    k: int,
+) -> DataFrame:
+    """Refinement stage shared by :func:`pq_topk` and
+    :func:`ivfpq_topk`: broadcast the fixed-size shortlist ids against
+    the raw embeddings (a point-lookup join at scale) and take the
+    exact-cosine top-k over those rows only."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        e.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .select(
+            "vec_id",
+            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * F.lit(qn)), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -233,47 +292,22 @@ def pq_topk(
     over the shortlist only. Quantization error then only has to keep
     true neighbours inside the shortlist, not rank them — recall rises
     steeply for a rerank-sized read of raw vectors."""
+    from labs_stream_processing_examples_scala_spark.operators.similarity import _norm_py
+
     cb, _ = pq_train(spark, sf_dir, m, k_codes, n_iter)
     qvec = _query_embedding(spark, sf_dir, query_id)
-    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+    qn = _norm_py(qvec) or 1.0
     q = [x / qn for x in qvec]
-    slices = _sub_slices(m)
-    table = [
-        [
-            sum(q[start - 1 + i] * w[i] for i in range(d))
-            for w in cb[s]
-        ]
-        for s, (start, d) in enumerate(slices)
-    ]
-    tab_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in table])
     codes = pq_encode(spark, sf_dir, m, k_codes, n_iter)
-    score = sum(
-        F.element_at(F.element_at(tab_lit, s + 1), F.element_at("codes", s + 1) + 1)
-        for s in range(m)
-    )
     adc = (
         codes.filter(F.col("vec_id") != query_id)
-        .select("vec_id", F.round(score, 6).alias("adc_score"))
+        .select("vec_id", F.round(_adc_score(cb, q), 6).alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.asc("vec_id"))
         .limit(max(k, rerank))
     )
     if rerank <= k:
         return adc
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("vec")
-    )
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    return (
-        e.join(F.broadcast(adc.select("vec_id")), "vec_id")
-        .select(
-            "vec_id",
-            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * F.lit(qn)), 6).alias(
-                "cos_sim"
-            ),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _exact_rerank(spark, sf_dir, adc, qvec, qn, k)
 
 
 def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,17 +322,6 @@ def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-PQ: cell-partitioned code table (the billion-scale layout) ---
 
 _IVFPQ_INDEX_CACHE: dict[tuple, str] = {}
-
-
-def _adc_table(cb: list[list[list[float]]], q_unit: list[float]) -> list[list[float]]:
-    """Per-subspace inner products of the normalized query with every
-    codeword — M × K doubles, computed driver-side."""
-    m = len(cb)
-    slices = _sub_slices(m)
-    return [
-        [sum(q_unit[start - 1 + i] * w[i] for i in range(d)) for w in cb[s]]
-        for s, (start, d) in enumerate(slices)
-    ]
 
 
 def build_ivfpq_index(
@@ -380,34 +403,14 @@ def ivfpq_topk(
     qn = _norm_py(qvec) or 1.0
     q = [x / qn for x in qvec]
     cells = _probe_cells_py([(i, c) for i, c in enumerate(cents)], qvec, nprobe)
-    table = _adc_table(cb, q)
-    tab_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in table])
-    score = sum(
-        F.element_at(F.element_at(tab_lit, s + 1), F.element_at("codes", s + 1) + 1)
-        for s in range(m)
-    )
     shortlist = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(cells))
         .filter(F.col("vec_id") != query_id)
-        .select("vec_id", F.round(score, 6).alias("adc_score"))
+        .select("vec_id", F.round(_adc_score(cb, q), 6).alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.asc("vec_id"))
         .limit(max(k, rerank))
     )
     if rerank <= k:
         return shortlist
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("vec")
-    )
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    return (
-        e.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
-        .select(
-            "vec_id",
-            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * F.lit(qn)), 6).alias(
-                "cos_sim"
-            ),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _exact_rerank(spark, sf_dir, shortlist, qvec, qn, k)

@@ -426,13 +426,13 @@ def _probe_cells_py(
     """nprobe cells nearest to the query, computed driver-side over the
     fixed n_cells×dim centroid set (same FP order as :func:`cosine`,
     desc sim / asc cell ordering)."""
-    qn = _norm_py(qvec)
+    qn = _norm_py(qvec) or 1.0  # zero query → dot is 0 anyway; avoid 0/0
 
     def _cos(c: list[float]) -> float:
         acc = 0.0
         for x, y in zip(c, qvec):
             acc += float(x) * float(y)
-        return acc / (_norm_py(c) * qn)
+        return acc / ((_norm_py(c) or 1.0) * qn)
 
     ranked = sorted(((-_cos(cvec), cell) for cell, cvec in cents_py))
     return [cell for _, cell in ranked[:nprobe]]
@@ -473,6 +473,8 @@ def _query_embedding(spark: SparkSession, sf_dir: str, query_id: int) -> list[fl
         .select(_dvec("embedding").alias("vec"))
         .first()  # exactly one row — fixed-size collect
     )
+    if row is None:
+        raise ValueError(f"query_id {query_id} not found in {sf_dir}/embeddings")
     return [float(x) for x in row.vec]
 
 

@@ -16,10 +16,13 @@ Options:
 - ``ticks_per_batch``  (stream) ticks fabricated per micro-batch,
                        default 100 — deterministic (no wall clock), so
                        scenario tests replay identically
-- ``partitions``       parallelism of each read, default 4
+- ``partitions``       parallelism of the BATCH read, default 4 (the
+                       stream form is a driver-prefetched simple
+                       reader — see TickSimpleStreamReader)
 
-Scale: tick fabrication is embarrassingly parallel (each partition
-generates its id range); no state beyond the integer offset.
+Scale: tick fabrication is embarrassingly parallel in the batch form
+(each partition generates its id range); the stream form keeps no
+state beyond the engine-owned integer offset.
 """
 
 from __future__ import annotations
@@ -29,8 +32,8 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -72,62 +75,55 @@ class TickBatchReader(DataSourceReader):
         return _emit(partition.start, partition.end)
 
 
-class TickStreamReader(DataSourceStreamReader):
-    """Offsets are plain tick counters. A fresh reader instance is built
-    on every (re)start, so the counter must be RECOVERED from the
-    offsets the engine hands back, not assumed to start at 0:
+class TickSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are plain tick counters OWNED BY THE ENGINE.
 
-    - ``_planned`` — high-water mark of every offset observed, learned
-      from BOTH endpoints of each ``partitions(start, end)`` call (the
-      engine replays its WAL through ``partitions`` before the first
-      post-restart ``latestOffset``, so by then the counter is already
-      at the checkpoint position) and from ``commit``.
-      ``latestOffset`` builds on it, so planning always moves forward
-      from the checkpoint instead of restarting at 0.
-    - ``partitions`` returns EXACTLY [start, end) — never clamped. The
-      measured restart protocol probes ``partitions(p, p)`` with the
-      last PLANNED offset p before replaying the uncommitted batch
-      ``partitions(committed, p)``; treating a planned start as a
-      committed floor (the round-4 attempt) turned that replay into an
-      empty range and silently dropped a batch. A planned range start
-      proves nothing about sink state — only ``commit`` does.
+    The full ``DataSourceStreamReader`` API cannot host a pure counter
+    source safely: a fresh reader's ``latestOffset()`` must answer
+    before it has any way to learn the checkpoint position, and the
+    measured restart protocols (rounds 4-5) each left a window — treat
+    a planned start as committed and a replayed batch silently empties
+    (one lost batch); let a stale ``latestOffset`` below the WAL be
+    committed and the engine rewinds its committed offset, re-emitting
+    the span under a fresh batch id (permanent duplicates, because the
+    file sink dedupes by batch id, not content). Sources with an
+    external offset authority (Kafka brokers, file listings) don't have
+    this problem; a counter's only authority is the checkpoint itself.
 
-    A batch the engine REPLAYS after a crash (planned but uncommitted)
-    is therefore re-emitted unchanged: the at-least-once replay the
-    reference's ACK'd timer has, made exactly-once end-to-end by any
-    batch-id-transactional sink (e.g. the file sink). A stale
-    post-restart ``latestOffset`` below the WAL position yields a
-    backwards range, which ``_split`` renders empty — never a
-    re-emission. Restart contract is pinned by
-    tests/test_streaming.py::test_tick_stream_restart_resumes_no_dupes.
+    The SIMPLE stream-reader API inverts control: the engine hands the
+    committed start offset to ``read(start)`` and replays
+    planned-but-uncommitted ranges via ``readBetweenOffsets`` — so this
+    reader is STATELESS and restart-correct by construction: it can
+    neither lose a replay nor plan backwards. Contract pinned by the
+    restart tests in tests/test_streaming.py.
+
+    Trade-off (documented Spark behavior): simple readers prefetch on
+    the driver and serve one partition per micro-batch. Tick volume is
+    trivial, so driver fabrication is free here; the parallel
+    range-splitting generation lives in :class:`TickBatchReader`.
     """
 
     def __init__(self, options):
         self.per_batch = int(options.get("ticks_per_batch", 100))
-        self.n_parts = int(options.get("partitions", 4))
-        self._planned = 0
 
     def initialOffset(self) -> dict:
         return {"tick": 0}
 
-    def latestOffset(self) -> dict:
-        self._planned += self.per_batch
-        return {"tick": self._planned}
+    def read(self, start: dict):
+        s = int(start["tick"])
+        e = s + self.per_batch
+        # a LIST, not a generator — the engine pickles the prefetched
+        # rows to ship them from the driver to the executors
+        return list(_emit(s, e)), {"tick": e}
 
-    def partitions(self, start: dict, end: dict):
-        self._planned = max(self._planned, start["tick"], end["tick"])
-        return _split(start["tick"], end["tick"], self.n_parts)
-
-    def read(self, partition: _Range):
-        return _emit(partition.start, partition.end)
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic fabrication → replay is bit-identical. This one
+        # runs inside the executor's read task and must be an ITERATOR
+        # (read()'s list is the driver-side picklable prefetch)
+        return _emit(int(start["tick"]), int(end["tick"]))
 
     def commit(self, end: dict) -> None:
-        # pure counters — nothing to clean up; just keep the planning
-        # high-water current even if no partitions call preceded
-        self._planned = max(self._planned, end["tick"])
-
-    def stop(self) -> None:
-        pass
+        pass  # pure counters — nothing external to clean up
 
 
 class TickDataSource(DataSource):
@@ -144,8 +140,8 @@ class TickDataSource(DataSource):
     def reader(self, schema) -> TickBatchReader:
         return TickBatchReader(self.options)
 
-    def streamReader(self, schema) -> TickStreamReader:
-        return TickStreamReader(self.options)
+    def simpleStreamReader(self, schema) -> TickSimpleStreamReader:
+        return TickSimpleStreamReader(self.options)
 
 
 def register(spark) -> None:

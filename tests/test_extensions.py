@@ -1049,3 +1049,30 @@ def test_ivfpq_probe_pruned_zero_exchange_with_recall(spark):
     ann = {r.vec_id for r in QZ.ivfpq_topk(spark, SF_SMOKE, k=10).collect()}
     recall = len(set(brute) & ann) / 10
     assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
+
+
+def test_pq_zero_vector_and_missing_query_guards(spark, tmp_path):
+    """Robustness (round-5 review findings): an all-zero embedding must
+    encode to VALID codes (not the -1 poison that crashes the 1-based
+    ADC lookup), and a query_id absent from the table must raise a
+    clear ValueError, not AttributeError."""
+    import pytest
+
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+
+    src = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    dim = len(src.first().embedding)
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * dim, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path)
+    src.unionByName(zero).write.parquet(f"{sf}/embeddings.parquet")
+
+    codes = {r.vec_id: list(r.codes) for r in QZ.pq_encode(spark, sf, m=4, k_codes=8, n_iter=2).collect()}
+    assert all(0 <= c < 8 for c in codes[999999]), codes[999999]
+    # ADC scoring over the corpus containing the zero vector must run
+    got = QZ.pq_topk(spark, sf, k=5, m=4, k_codes=8, n_iter=2, rerank=20).collect()
+    assert len(got) == 5
+
+    with pytest.raises(ValueError, match="not found"):
+        SIM._query_embedding(spark, sf, query_id=123456789)

@@ -302,6 +302,33 @@ def test_tick_datasource_batch_and_stream(spark):
     assert ids == list(range(len(ids)))  # contiguous, no gaps or dupes
 
 
+def test_tick_stream_clean_commit_restart_no_dupes(spark, tmp_path):
+    """The round-5 review window, pinned deterministically: restart
+    after a CLEANLY COMMITTED final batch. Under the full stream-reader
+    API a fresh counter's latestOffset() (below the checkpoint) got
+    committed, rewinding the engine's offset and re-emitting the whole
+    span under a new batch id — permanent duplicates the file sink
+    cannot dedupe. The simple-reader form is offset-driven, so three
+    availableNow runs from one checkpoint must produce exactly three
+    contiguous, duplicate-free batches."""
+    from labs_stream_processing_examples_scala_spark.sources import tick_source
+
+    tick_source.register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(3):
+        q = (
+            spark.readStream.format("tick")
+            .option("ticks_per_batch", 25).load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        assert q.exception() is None
+    ids = sorted(r.id for r in spark.read.parquet(out).select("id").collect())
+    assert ids == list(range(75)), f"gap/dup after clean-commit restarts: {ids[:80]}"
+
+
 def test_tick_stream_restart_resumes_no_dupes(spark, tmp_path):
     """Checkpoint/restart contract of the tick DataSource (the ADVICE
     round-4 finding): a restarted reader re-initializes its counter, so

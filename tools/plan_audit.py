@@ -190,7 +190,7 @@ BROADCAST_ALLOWED = {
     "x_sim_ivf_topk": set(),  # probe is hint-free: pruning, not broadcasting
     "x_sim_lsh_topk_mp": {"q", "probes"},  # one-row query sig / n_tables×n_probes keys
     "x_sim_pq_topk": set(),  # wrapper; the rerank shortlist broadcast lives in pq_topk
-    "x_sim_ivfpq_topk": {"shortlist.select('vec_id')"},  # rerank-sized, fixed
+    "x_sim_ivfpq_topk": set(),  # rerank broadcast lives in the shared _exact_rerank
     "q62_funnel": set(),
     "q63_cohort": set(),
     "q64_range_hourly": set(),  # hint-free: AQE picks broadcast vs SMJ by size
