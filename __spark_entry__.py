@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sim_pq_codes": QZ.pq_encode,  # trained codebooks → rows-only (numpy oracle)
         "x_sim_pq_topk": QZ.pq_topk_rerank,  # ADC + exact re-rank → rows-only
         "x_sim_ivfpq_topk": QZ.ivfpq_topk,  # pruned cells × code table → rows-only
+        "x_sim_sq_topk": QZ.sq_topk,  # int8 scalar quantization → rows-only
         "x_sim_kmeans_step": SIM.kmeans_step,
         "x_text_stats": TX.token_stats,
         "x_text_quality": TX.quality_score,

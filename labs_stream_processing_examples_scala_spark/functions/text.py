@@ -226,16 +226,15 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     source dimension fans the window out (and a real pipeline would
     fan further with a hash-bucket column — same shape).
     """
-    from pyspark.sql import Window
+    from labs_stream_processing_examples_scala_spark.operators.corpus import quality_rerank
 
     d = load_table(spark, sf_dir, "documents")
     _, _, _, score = _quality_parts()
     scored = d.select("doc_id", "lang", "source", score.alias("quality"))
-    w = Window.partitionBy("lang", "source").orderBy("quality", "doc_id")
-    return (
-        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
-        .filter(F.col("pr") >= 0.5)
-    )
+    # the cut itself is operators/corpus.py quality_rerank — the same
+    # job the streaming ingest defers to offline; this oracled entry is
+    # therefore the exact-SQL proof of that code path
+    return quality_rerank(scored, cut=0.5)
 
 
 # RE2-safe patterns (no backrefs / lookaround) so Spark's Java regex and

@@ -414,3 +414,90 @@ def ivfpq_topk(
     if rerank <= k:
         return shortlist
     return _exact_rerank(spark, sf_dir, shortlist, qvec, qn, k)
+
+
+# --- scalar quantization (int8) — the low-loss tier of the family ---
+
+_SQ_CACHE: dict[tuple, tuple[list[float], list[float]]] = {}
+
+
+def sq_stats(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — ONE aggregation with
+    2×dim partial-aggregated expressions (fixed-size result, map-side
+    combined; no explode, no per-dim shuffle). The training artifact of
+    scalar quantization, cached per session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SQ_CACHE:
+        return _SQ_CACHE[key]
+    e = load_table(spark, sf_dir, "embeddings").select(_dvec("embedding").alias("vec"))
+    aggs = [F.min(F.element_at("vec", i + 1)).alias(f"mn{i}") for i in range(DIM)]
+    aggs += [F.max(F.element_at("vec", i + 1)).alias(f"mx{i}") for i in range(DIM)]
+    row = e.agg(*aggs).first()
+    mins = [float(row[f"mn{i}"]) for i in range(DIM)]
+    maxs = [float(row[f"mx{i}"]) for i in range(DIM)]
+    _SQ_CACHE[key] = (mins, maxs)
+    return mins, maxs
+
+
+def _sq_scales(mins: list[float], maxs: list[float]) -> list[float]:
+    # degenerate dimension (constant value) → scale 0 handled by
+    # encoding everything to code 0 and decoding back to the min
+    return [(mx - mn) / 255.0 for mn, mx in zip(mins, maxs)]
+
+
+def sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes array<int>) — int8-range affine codes per
+    dimension (4× compression at dim float32). Row-local: the
+    min/scale vectors are plan literals; zip_with does the affine map.
+    Zero Exchange (plan-audited like pq_encode)."""
+    mins, maxs = sq_stats(spark, sf_dir)
+    scales = _sq_scales(mins, maxs)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    mn_lit = F.array(*[F.lit(v) for v in mins])
+    sc_lit = F.array(*[F.lit(v if v > 0 else 1.0) for v in scales])
+    codes = F.zip_with(
+        F.zip_with(F.col("vec"), mn_lit, lambda x, mn: x - mn),
+        sc_lit,
+        lambda cen, sc: F.round(cen / sc).cast("int"),
+    )
+    return e.select("vec_id", codes.alias("codes"))
+
+
+def sq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by cosine over the DEQUANTIZED codes — the 4×-compressed
+    brute-force scan. Decode (min + code·scale) and the dot against
+    the query literal are one row-local fold; TakeOrderedAndProject
+    finishes. At 64 dims the reconstruction error is ~scale/2 per
+    component, so recall@10 is near-exact (floor 0.7 in the artifact,
+    measured 0.9-1.0) — the family's trade-off ladder is SQ (4×,
+    ~lossless) → PQ (32×, shortlist+rerank) → IVF-PQ (32× + partition
+    pruning)."""
+    mins, maxs = sq_stats(spark, sf_dir)
+    scales = _sq_scales(mins, maxs)
+    qvec = _query_embedding(spark, sf_dir, query_id)
+    from labs_stream_processing_examples_scala_spark.operators.similarity import _norm_py
+
+    qn = _norm_py(qvec) or 1.0
+    mn_lit = F.array(*[F.lit(v) for v in mins])
+    sc_lit = F.array(*[F.lit(v if v > 0 else 1.0) for v in scales])
+    deq = F.zip_with(
+        F.zip_with(F.col("codes").cast("array<double>"), sc_lit, lambda c, sc: c * sc),
+        mn_lit,
+        lambda x, mn: x + mn,
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    sim = dot(deq, qlit) / (norm(deq) * F.lit(qn))
+    return (
+        sq_encode(spark, sf_dir)
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1076,3 +1076,36 @@ def test_pq_zero_vector_and_missing_query_guards(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not found"):
         SIM._query_embedding(spark, sf, query_id=123456789)
+
+
+def test_sq_codes_match_numpy_and_recall(spark):
+    """Scalar quantization third engine: per-dim min/max affine codes
+    must equal numpy's (same expression order; boundary rounding may
+    flip a code by at most 1), reconstruction must stay within half a
+    step per dimension, and dequantized-cosine recall must be
+    near-exact on the fixture."""
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([list(map(float, r.embedding)) for r in rows])
+    mins, maxs = QZ.sq_stats(spark, SF_SMOKE)
+    assert np.allclose(mins, X.min(axis=0), atol=1e-12)
+    assert np.allclose(maxs, X.max(axis=0), atol=1e-12)
+    sc = np.array([(mx - mn) / 255.0 or 1.0 for mn, mx in zip(mins, maxs)])
+    want = np.rint((X - np.array(mins)) / sc).astype(int)
+    got = {r.vec_id: np.array(r.codes) for r in QZ.sq_encode(spark, SF_SMOKE).collect()}
+    for i, r in enumerate(rows):
+        diff = np.abs(got[r.vec_id] - want[i])
+        assert diff.max() <= 1, f"vec {r.vec_id}: code diff {diff.max()}"
+        assert (diff > 0).mean() < 0.05  # boundary flips are the rare exception
+        recon = got[r.vec_id] * sc + np.array(mins)
+        assert np.abs(recon - X[i]).max() <= sc.max() * 0.51 + 1e-9
+
+    brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
+    ann = {r.vec_id for r in QZ.sq_topk(spark, SF_SMOKE, k=10).collect()}
+    assert len(set(brute) & ann) / 10 >= 0.7

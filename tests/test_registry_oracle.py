@@ -75,6 +75,7 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_sim_pq_codes",
         "x_sim_pq_topk",
         "x_sim_ivfpq_topk",
+        "x_sim_sq_topk",
         # binary decode paths: checked against pure-Python decoders in
         # tests/test_extensions.py, not expressible in DuckDB SQL
         "x_multimodal_features",

@@ -75,6 +75,7 @@ RECALL_SPECS = {
     "x_sim_ivf_trained": (_recall_topk("ivf_topk_trained"), 0.50),
     "x_sim_pq_topk": (_recall_topk("pq_topk_rerank"), 0.50),
     "x_sim_ivfpq_topk": (_recall_topk("ivfpq_topk"), 0.50),
+    "x_sim_sq_topk": (_recall_topk("sq_topk"), 0.70),
     "x_sim_lsh_neardup": (_recall_neardup, 0.20),
 }
 

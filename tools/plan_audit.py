@@ -41,6 +41,9 @@ AUDITS = [
     # row-local argmin) — no Exchange of ANY kind; ADC+rerank is two
     # TakeOrdered stages glued by a broadcast shortlist join
     ("x_sim_pq_codes", [], ["Exchange", "Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # SQ: one partial-aggregated stats pass feeds literal min/scale
+    # vectors; scoring is a row-local dequantize+dot, then TakeOrdered
+    ("x_sim_sq_topk", ["TakeOrderedAndProject"], ["Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
     ("x_sim_pq_topk", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
     # IVF-PQ probe: pruned cell partitions of the CODE table + ADC +
     # broadcast point-lookup re-rank — never a shuffle join
@@ -191,6 +194,7 @@ BROADCAST_ALLOWED = {
     "x_sim_lsh_topk_mp": {"q", "probes"},  # one-row query sig / n_tables×n_probes keys
     "x_sim_pq_topk": set(),  # wrapper; the rerank shortlist broadcast lives in pq_topk
     "x_sim_ivfpq_topk": set(),  # rerank broadcast lives in the shared _exact_rerank
+    "x_sim_sq_topk": set(),  # hint-free: no joins at all
     "q62_funnel": set(),
     "q63_cohort": set(),
     "q64_range_hourly": set(),  # hint-free: AQE picks broadcast vs SMJ by size
@@ -222,6 +226,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_sim_pq_codes": 0,      # pure narrow projection
     "x_sim_pq_topk": 0,       # ADC TakeOrdered + broadcast shortlist re-rank
     "x_sim_ivfpq_topk": 0,    # pruned probe + ADC + broadcast re-rank: no shuffle
+    "x_sim_sq_topk": 0,       # stats are a driver literal; scan → dequantize → TakeOrdered
     "p3_enrich_full": 0,
     "q25_array_hof": 0,
     "q26_stats_agg": 1,
