@@ -56,11 +56,20 @@ _PQ_CACHE: dict[tuple, tuple[list[list[list[float]]], int]] = {}
 
 
 def _unit_vec(col: str = "vec") -> Column:
-    """L2-normalize; an all-zero vector stays zero (instead of NULLing
-    every component via 0/0, which would poison the argmin fold into
-    code -1 and crash the 1-based ADC table lookup)."""
+    """L2-normalize; an all-zero vector stays zero. The session runs
+    ANSI mode, so an unguarded 0.0/0.0 would raise DIVIDE_BY_ZERO and
+    kill the whole job on one degenerate row."""
     n = norm(F.col(col))
     return F.transform(F.col(col), lambda x: F.when(n == 0.0, x).otherwise(x / n))
+
+
+def _safe_cosine(vec: Column, qlit: Column, qn: float) -> Column:
+    """Exact cosine against the query literal with a zero-norm guard
+    (ANSI mode: 0/0 raises). A zero vector scores 0.0 — the
+    orthogonal-equivalent, keeping it out of any top-k it shouldn't
+    win."""
+    vn = norm(vec)
+    return F.when(vn == 0.0, F.lit(0.0)).otherwise(dot(vec, qlit) / (vn * F.lit(qn)))
 
 
 def _codebook_literal(cb: list[list[list[float]]]) -> Column:
@@ -258,12 +267,7 @@ def _exact_rerank(
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     return (
         e.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
-        .select(
-            "vec_id",
-            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * F.lit(qn)), 6).alias(
-                "cos_sim"
-            ),
-        )
+        .select("vec_id", F.round(_safe_cosine(F.col("vec"), qlit, qn), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -440,9 +444,11 @@ def sq_stats(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]
 
 
 def _sq_scales(mins: list[float], maxs: list[float]) -> list[float]:
-    # degenerate dimension (constant value) → scale 0 handled by
-    # encoding everything to code 0 and decoding back to the min
-    return [(mx - mn) / 255.0 for mn, mx in zip(mins, maxs)]
+    """Per-dim affine step. A degenerate (constant) dimension gets
+    scale 1.0 HERE — the single place the guard lives, so encode and
+    decode can never disagree on it: (x - mn) / 1 rounds to code 0 and
+    decodes back to exactly mn."""
+    return [((mx - mn) / 255.0) or 1.0 for mn, mx in zip(mins, maxs)]
 
 
 def sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,7 +462,7 @@ def sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _dvec("embedding").alias("vec")
     )
     mn_lit = F.array(*[F.lit(v) for v in mins])
-    sc_lit = F.array(*[F.lit(v if v > 0 else 1.0) for v in scales])
+    sc_lit = F.array(*[F.lit(v) for v in scales])
     codes = F.zip_with(
         F.zip_with(F.col("vec"), mn_lit, lambda x, mn: x - mn),
         sc_lit,
@@ -486,14 +492,18 @@ def sq_topk(
 
     qn = _norm_py(qvec) or 1.0
     mn_lit = F.array(*[F.lit(v) for v in mins])
-    sc_lit = F.array(*[F.lit(v if v > 0 else 1.0) for v in scales])
+    sc_lit = F.array(*[F.lit(v) for v in scales])
     deq = F.zip_with(
         F.zip_with(F.col("codes").cast("array<double>"), sc_lit, lambda c, sc: c * sc),
         mn_lit,
         lambda x, mn: x + mn,
     )
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    sim = dot(deq, qlit) / (norm(deq) * F.lit(qn))
+    dn = norm(deq)
+    # ANSI guard: a reconstruction that is exactly zero (e.g. an
+    # all-zero row over non-negative dims, every code 0) must score
+    # 0.0, not raise DIVIDE_BY_ZERO
+    sim = F.when(dn == 0.0, F.lit(0.0)).otherwise(dot(deq, qlit) / (dn * F.lit(qn)))
     return (
         sq_encode(spark, sf_dir)
         .filter(F.col("vec_id") != query_id)

@@ -1073,6 +1073,14 @@ def test_pq_zero_vector_and_missing_query_guards(spark, tmp_path):
     # ADC scoring over the corpus containing the zero vector must run
     got = QZ.pq_topk(spark, sf, k=5, m=4, k_codes=8, n_iter=2, rerank=20).collect()
     assert len(got) == 5
+    # rerank with the zero row FORCED into the shortlist (ANSI mode:
+    # the exact-cosine stage must guard its norm(vec)==0 division)
+    big = QZ.pq_topk(spark, sf, k=600, m=4, k_codes=8, n_iter=2, rerank=601).collect()
+    assert any(r.vec_id == 999999 for r in big)
+    # scalar quantization over the same corpus: dequantized-cosine must
+    # also guard (a zero reconstruction scores 0.0, never raises)
+    sq = QZ.sq_topk(spark, sf, k=5).collect()
+    assert len(sq) == 5
 
     with pytest.raises(ValueError, match="not found"):
         SIM._query_embedding(spark, sf, query_id=123456789)

@@ -192,8 +192,10 @@ BROADCAST_ALLOWED = {
     "x_sim_kmeans_step": {"diag"},  # exactly n_cells rows, never SF-scaled
     "x_sim_ivf_topk": set(),  # probe is hint-free: pruning, not broadcasting
     "x_sim_lsh_topk_mp": {"q", "probes"},  # one-row query sig / n_tables×n_probes keys
-    "x_sim_pq_topk": set(),  # wrapper; the rerank shortlist broadcast lives in pq_topk
-    "x_sim_ivfpq_topk": set(),  # rerank broadcast lives in the shared _exact_rerank
+    # the rerank broadcast lives in the shared quantization._exact_rerank
+    # helper, which EXTRA_BROADCAST_SOURCES folds into these scans
+    "x_sim_ivfpq_topk": {"shortlist.select('vec_id')"},
+    "x_sim_pq_topk": {"shortlist.select('vec_id')"},
     "x_sim_sq_topk": set(),  # hint-free: no joins at all
     "q62_funnel": set(),
     "q63_cohort": set(),
@@ -290,6 +292,20 @@ def shuffle_exchange_count(plan: str) -> int:
     return plan.count(") Exchange")
 
 
+# helper functions whose source must ALSO be scanned for F.broadcast
+# hints when auditing a query — a hint moved into a shared helper must
+# not fall outside the audit (round-5 review finding)
+def _extra_broadcast_sources() -> dict[str, list]:
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+    from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
+
+    return {
+        "x_sim_lsh_topk_mp": [SIM.lsh_topk],
+        "x_sim_pq_topk": [QZ.pq_topk, QZ._exact_rerank],
+        "x_sim_ivfpq_topk": [QZ._exact_rerank],
+    }
+
+
 def broadcast_hint_args(fn) -> set[str]:
     """Names passed to F.broadcast(...) in fn's source (AST, not regex)."""
     import ast
@@ -333,8 +349,11 @@ def main() -> int:
     ]
     failures = 0
     out += ["## Forced-broadcast audit (source-level)", ""]
+    extra_sources = _extra_broadcast_sources()
     for name, allowed in sorted(BROADCAST_ALLOWED.items()):
         actual = broadcast_hint_args(qs[name].__wrapped__ if hasattr(qs[name], "__wrapped__") else qs[name])
+        for helper in extra_sources.get(name, []):
+            actual |= broadcast_hint_args(helper)
         extra = actual - allowed
         ok = not extra
         failures += 0 if ok else 1
