@@ -39,6 +39,13 @@ exact protocol is what table formats implement with manifest files —
 the marker IS a one-entry manifest, and swapping these two functions
 for a Delta/Iceberg table keeps every caller unchanged (documented
 trade-off, same as sources/connectors.py).
+
+Concurrency contract: ONE maintenance writer at a time, and never an
+EXTERNAL compaction concurrently with an active stream writer (the
+stream's per-batch overwrite and the swap could interleave). The
+in-band form — ``compact_every`` on the foreachBatch processors —
+runs serially inside the micro-batch and is the safe way to compact a
+live stream.
 """
 
 from __future__ import annotations
