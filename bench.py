@@ -58,6 +58,8 @@ HEADLINE = [
     # mixture sampling, LATERAL top-n, recursive date spine, funnel,
     # cohort — plus the round-5 sub-day range join
     "x_sim_ivf_topk",
+    "x_sim_lsh_topk_mp",
+    "x_sim_sq_topk",
     "x_sample_mixture",
     "q60_lateral_topn",
     "q61_date_spine",
