@@ -21,8 +21,11 @@ from labs_stream_processing_examples_scala_spark import oracles as O
 from labs_stream_processing_examples_scala_spark.functions import errors as E
 from labs_stream_processing_examples_scala_spark.functions import text as TX
 from labs_stream_processing_examples_scala_spark.multimodal import columns as MM
+from labs_stream_processing_examples_scala_spark.operators import bpe as BP
 from labs_stream_processing_examples_scala_spark.operators import corpus as CP
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+from labs_stream_processing_examples_scala_spark.operators import frequency as FQ
+from labs_stream_processing_examples_scala_spark.operators import merge as MG
 from labs_stream_processing_examples_scala_spark.streaming import incremental_dedup as ID
 from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
 from labs_stream_processing_examples_scala_spark.operators import relational as R
@@ -205,6 +208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_funnel": TP.conversion_funnel,
         "q63_cohort": TP.cohort_retention,
         "q64_range_hourly": TP.purchase_nearby_clicks,
+        # MERGE INTO / SCD2 upsert (lakehouse write path, operators/merge.py)
+        "q65_merge_scd2": MG.merge_scd2,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -250,6 +255,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sample_stratified": SMP.stratified_sample,
         "x_sample_importance": SMP.importance_resample,
         "x_sample_mixture": SMP.mixture_sample,
+        "x_sample_reservoir": SMP.reservoir_sample,
+        # two-pass Misra-Gries heavy hitters — approximate technique,
+        # exact final answer (superset + exact verify), so exact oracle
+        "x_freq_heavy_hitters": FQ.heavy_hitters,
+        # BPE tokenizer training/segmentation — iterative, not
+        # SQL-expressible → rows-only; exact pure-Python third-engine
+        # oracle in tests/test_extensions.py
+        "x_bpe_train": BP.bpe_train,
+        "x_bpe_segment": BP.bpe_segment,
         "x_dedup_spans": DD.dup_span_stats,
         "x_chunk_documents": CP.chunk_documents,
         # skew mitigation: result must equal the unsalted plain form
@@ -931,6 +945,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'
             GROUP BY p.event_id
         """,
+        "q65_merge_scd2": """
+            WITH upd AS (
+                SELECT o_custkey AS u_key, max(o_totalprice) AS new_bal
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+                GROUP BY 1
+            )
+            SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal,
+                   '1992-01-01' AS valid_from,
+                   CASE WHEN u_key IS NOT NULL THEN '1997-06-01' END AS valid_to,
+                   u_key IS NULL AS is_current
+            FROM customer LEFT JOIN upd ON c_custkey = u_key
+            UNION ALL
+            SELECT u_key, c_name, round(new_bal, 6), '1997-06-01', NULL, true
+            FROM upd JOIN customer ON c_custkey = u_key
+            UNION ALL
+            SELECT u_key, NULL, round(new_bal, 6), '1997-06-01', NULL, true
+            FROM upd u
+            WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = u.u_key)
+        """,
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist
             FROM (SELECT c_custkey, count(o_orderkey) AS c_count
@@ -998,6 +1032,8 @@ def oracle_sql() -> dict[str, str]:
         "x_text_tfidf": O.text_tfidf(),
         "x_sample_importance": O.sampling_importance_resample(),
         "x_sample_mixture": O.sampling_mixture(),
+        "x_sample_reservoir": O.sampling_reservoir(),
+        "x_freq_heavy_hitters": FQ.heavy_hitters_oracle_sql(),
         "x_dedup_spans": O.dedup_span_stats(),
         "x_chunk_documents": O.corpus_chunks(),
         "x_skew_salted_agg": SKW.events_by_type_salted_oracle(),

@@ -1,0 +1,150 @@
+"""MERGE INTO / slowly-changing-dimension upsert — the lakehouse write path.
+
+The reference's sink surface (Output.save, SURVEY §2.6) is append-only;
+a real analytics engine also needs the *upsert* shape: reconcile a batch
+of source changes against a large target table. Spark has no MERGE
+executor over plain parquet, but MERGE *is* expressible as a join — the
+same rewrite Delta/Iceberg perform internally:
+
+    MERGE INTO target t USING updates u ON t.key = u.key
+      WHEN MATCHED     THEN <close old version, open new version>   (SCD2)
+      WHEN NOT MATCHED THEN INSERT <new row>
+
+- Matched + unmatched-target rows come from ONE pass over the target
+  left-joined to the (broadcast) update set; each target row explodes
+  into 1 version row (untouched) or 2 (closed old + current new).
+- Not-matched-by-target inserts come from an anti-join of the update
+  set against the target keys.
+
+Scale posture (100 TB target, small-batch updates — the common case):
+the update set is broadcast, so the target never shuffles; the explode
+is row-local (1→≤2). A copy-on-write table format would additionally
+prune the rewrite to partitions containing matched keys — here the
+whole output is returned as a DataFrame and the pruning is the
+writer's concern (sources/layout.py partitioned writes). The anti-join
+shuffles only the update set (tiny side); at TPC-H ratios it is
+empty (orders reference existing customers) but the branch is load-
+bearing for the general MERGE contract and exercised by a pytest
+fixture with synthetic unknown keys.
+
+SCD2 fixture semantics (oracled in __spark_entry__.oracle_sql):
+target = customer; updates = max(o_totalprice) per customer with an
+order on/after 1997-06-01 (the "new balance"); epoch opens 1992-01-01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+EPOCH_OPEN = "1992-01-01"
+CHANGE_DATE = "1997-06-01"
+
+
+def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change batch: one new balance per customer active since
+    CHANGE_DATE. Aggregated before the merge so the join key is unique
+    (MERGE requires at most one source row per target row)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit(CHANGE_DATE).cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("u_key"))
+        .agg(F.max("o_totalprice").alias("new_bal"))
+    )
+
+
+def scd2_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    update_key: str,
+    versioned_col: str,
+    new_value_col: str,
+    carried_cols: list[str],
+    change_date: str = CHANGE_DATE,
+    epoch_open: str = EPOCH_OPEN,
+) -> DataFrame:
+    """Generic SCD2 merge: one target scan + broadcast update join +
+    row-local 1→≤2 explode, plus the not-matched insert anti-join.
+
+    Output columns: key, *carried_cols, <versioned_col> (the versioned
+    attribute), valid_from, valid_to (null = open), is_current.
+    """
+    matched = F.col("u_key_m").isNotNull()
+    j = target.join(
+        F.broadcast(updates.select(F.col(update_key).alias("u_key_m"), new_value_col)),
+        F.col(key) == F.col("u_key_m"),
+        "left",
+    )
+
+    old_version = F.struct(
+        F.col(versioned_col).alias("val"),
+        F.lit(epoch_open).alias("valid_from"),
+        F.when(matched, F.lit(change_date)).alias("valid_to"),
+        (~matched).alias("is_current"),
+    )
+    new_version = F.struct(
+        F.col(new_value_col).alias("val"),
+        F.lit(change_date).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    versions = F.when(matched, F.array(old_version, new_version)).otherwise(
+        F.array(old_version)
+    )
+    upserted = (
+        j.select(key, *carried_cols, F.explode(versions).alias("v"))
+        .select(
+            key,
+            *carried_cols,
+            F.col("v.val").alias(versioned_col),
+            "v.valid_from",
+            "v.valid_to",
+            "v.is_current",
+        )
+    )
+
+    # WHEN NOT MATCHED BY TARGET → INSERT. Anti-join shuffles only the
+    # (small) update set; carried attributes are unknown for brand-new
+    # keys, hence null.
+    inserts = (
+        updates.join(target.select(F.col(key)), F.col(update_key) == F.col(key), "left_anti")
+        .select(
+            F.col(update_key).alias(key),
+            *[F.lit(None).cast(target.schema[c].dataType).alias(c) for c in carried_cols],
+            F.col(new_value_col).alias(versioned_col),
+            F.lit(change_date).alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return upserted.unionByName(inserts)
+
+
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q65 — SCD2 MERGE of order-derived balance changes into customer.
+
+    Exact-oracle shape: every version row's validity interval and
+    is_current flag is a pure function of the inputs, so the DuckDB
+    side reproduces it with a LEFT JOIN + UNION ALL rewrite.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    merged = scd2_merge(
+        target=cust,
+        updates=_updates(spark, sf_dir),
+        key="c_custkey",
+        update_key="u_key",
+        versioned_col="c_acctbal",
+        new_value_col="new_bal",
+        carried_cols=["c_name"],
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

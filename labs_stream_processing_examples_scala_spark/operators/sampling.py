@@ -143,3 +143,40 @@ def mixture_sample(
         .select("doc_id", "source", "keep_pct", b.cast("int").alias("bucket"))
         .filter(F.col("bucket") < F.col("keep_pct"))
     )
+
+
+RESERVOIR_K = 5  # per-group sample size
+RESERVOIR_SALT = "rsv:"  # decorrelates the reservoir rank from hash_split buckets
+
+
+def reservoir_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = RESERVOIR_K,
+) -> DataFrame:
+    """Deterministic per-group reservoir sample: the k documents per
+    ``lang`` with the smallest salted hash rank.
+
+    Rank-by-uniform-hash is distributionally identical to reservoir
+    sampling (each size-k subset equally likely under a uniform hash)
+    but stateless and replay-stable: membership is a pure function of
+    doc_id, so re-running, re-partitioning, or streaming replay never
+    rotates the sample — and it is exactly reproducible in the DuckDB
+    oracle, unlike an actual seeded reservoir whose result depends on
+    encounter order.
+
+    Scale: Spark plans the rank-filter window as WindowGroupLimit —
+    each input partition keeps only its local top-k per group BEFORE
+    the shuffle, so the exchange carries ≤ k × n_groups × n_partitions
+    rows, not the corpus. The salt decorrelates this rank from the
+    hash_split/stratified bucket so composed samplers stay independent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = H.rolling_hash(F.concat(F.lit(RESERVOIR_SALT), F.col("doc_id").cast("string")))
+    ranked = d.select("doc_id", "lang", h.alias("rhash")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col("rhash").asc(), F.col("doc_id").asc())
+        ),
+    )
+    return ranked.filter(F.col("rn") <= k)

@@ -330,6 +330,24 @@ def rolling_hash_sql_key() -> str:
     return H.rolling_hash_sql("CAST(doc_id AS VARCHAR)")
 
 
+def sampling_reservoir() -> str:
+    from labs_stream_processing_examples_scala_spark.operators.sampling import (
+        RESERVOIR_K,
+        RESERVOIR_SALT,
+    )
+
+    h = H.rolling_hash_sql(f"'{RESERVOIR_SALT}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH ranked AS (
+            SELECT doc_id, lang, {h} AS rhash,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY {h}, doc_id) AS INT) AS rn
+            FROM documents
+        )
+        SELECT * FROM ranked WHERE rn <= {RESERVOIR_K}
+    """
+
+
 def sampling_stratified(fractions: dict[str, int] | None = None) -> str:
     fractions = fractions or {"en": 50, "de": 100, "fr": 100, "es": 100}
     b = f"({rolling_hash_sql_key()} % 100)"

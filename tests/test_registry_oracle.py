@@ -81,6 +81,10 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_multimodal_features",
         "x_multimodal_resize",
         "x_multimodal_frames",
+        # iterative BPE training loop — not SQL-expressible; exact
+        # pure-Python third-engine oracle in tests/test_bpe_merge_freq.py
+        "x_bpe_train",
+        "x_bpe_segment",
     }
     missing_sql = {k for k in REGISTRY if ORACLES.get(k) is None}
     assert missing_sql == exempt, (

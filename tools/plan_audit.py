@@ -142,6 +142,19 @@ AUDITS = [
     # salted join: dim replicated via Generate, fact⋈dim as the forced
     # shuffle join the pattern exists for (broadcast would hide skew)
     ("x_skew_salted_join", ["Generate", "SortMergeJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # round-5 batch 2: MERGE = one target scan + broadcast update join +
+    # row-local 1→≤2 Generate; the target side never shuffles
+    ("q65_merge_scd2", ["BroadcastHashJoin", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # reservoir: rank-filter window must plan as WindowGroupLimit so
+    # each partition keeps only local top-k BEFORE the lang shuffle
+    ("x_sample_reservoir", ["WindowGroupLimit"], ["Join"]),
+    # heavy hitters: MG candidate pass is MapInPandas (partition-local,
+    # no shuffle in); exact pass joins the broadcast candidate set —
+    # the only BNLJ is the one-row totals build (allowed, as q56)
+    ("x_freq_heavy_hitters", ["MapInPandas", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # BPE application: n_merges chained row-local folds — a pure narrow
+    # map over the documents scan, nothing else
+    ("x_bpe_segment", [], ["Exchange", "Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
 ]
 
 
@@ -203,6 +216,13 @@ BROADCAST_ALLOWED = {
     "x_text_tfidf": set(),
     "x_skew_salted_agg": set(),
     "x_skew_salted_join": set(),
+    # MERGE broadcasts the aggregated update batch (small by contract);
+    # the hint is on an inline select, so the unparse text is pinned
+    "q65_merge_scd2": {"updates.select(F.col(update_key).alias('u_key_m'), new_value_col)"},
+    "x_sample_reservoir": set(),
+    # candidate set ≤ K_COUNTERS×partitions rows; totals is one row
+    "x_freq_heavy_hitters": {"candidates", "totals"},
+    "x_bpe_segment": set(),
 }
 
 
@@ -281,6 +301,10 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_text_tfidf": 4,
     "x_skew_salted_agg": 3,   # partial-on-(key,salt) + final + presentation sort
     "x_skew_salted_join": 4,
+    "q65_merge_scd2": 2,      # update-batch agg, once per MERGE branch
+    "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
+    "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
+    "x_bpe_segment": 0,       # narrow folds only
 }
 
 
@@ -299,10 +323,13 @@ def _extra_broadcast_sources() -> dict[str, list]:
     from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
     from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
 
+    from labs_stream_processing_examples_scala_spark.operators import merge as MG
+
     return {
         "x_sim_lsh_topk_mp": [SIM.lsh_topk],
         "x_sim_pq_topk": [QZ.pq_topk, QZ._exact_rerank],
         "x_sim_ivfpq_topk": [QZ._exact_rerank],
+        "q65_merge_scd2": [MG.scd2_merge],
     }
 
 
