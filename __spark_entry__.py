@@ -261,7 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_freq_heavy_hitters": FQ.heavy_hitters,
         # BPE tokenizer training/segmentation — iterative, not
         # SQL-expressible → rows-only; exact pure-Python third-engine
-        # oracle in tests/test_extensions.py
+        # oracle in tests/test_bpe_merge_freq.py
         "x_bpe_train": BP.bpe_train,
         "x_bpe_segment": BP.bpe_segment,
         "x_dedup_spans": DD.dup_span_stats,

@@ -66,6 +66,12 @@ HEADLINE = [
     "q62_funnel",
     "q63_cohort",
     "q64_range_hourly",
+    # round-5 batch 2: MERGE upsert, reservoir sample, Misra-Gries
+    # heavy hitters, BPE segmentation (includes its training loop)
+    "q65_merge_scd2",
+    "x_sample_reservoir",
+    "x_freq_heavy_hitters",
+    "x_bpe_segment",
 ]
 
 

@@ -109,6 +109,14 @@ def invalidate_cache(sf_dir: str | None = None) -> None:
     for key in list(_sim._SIG_CACHE):
         if sf_dir is None or key[1] == sf_dir:
             _sim._SIG_CACHE.pop(key).unpersist()
+    from labs_stream_processing_examples_scala_spark.operators import bpe as _bpe
+
+    for key in list(_bpe._MERGE_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            del _bpe._MERGE_CACHE[key]  # plain lists — nothing to unpersist
+    for key in list(_bpe._WF_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            _bpe._WF_CACHE.pop(key).unpersist()
 
 
 def _spread(d: DataFrame, spark: SparkSession) -> DataFrame:

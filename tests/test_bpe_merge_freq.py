@@ -266,3 +266,15 @@ def test_reservoir_sample_invariants(spark):
     }
     surviving = {d for d in kept if d % 2 == 0}
     assert surviving <= half_sample
+
+
+def test_bpe_distributed_loop_matches_driver_loop(spark):
+    """The big-vocab distributed training path must produce the exact
+    merge list of the driver-side fast path (same tie-breaks) — the
+    two are interchangeable implementations of one contract."""
+    wf = BP.word_freqs(spark, SF_SMOKE)
+    driver = BP._train_driver_side(
+        [(r["w"], int(r["wc"])) for r in wf.collect()], 6
+    )
+    distributed = BP._train_distributed(wf, 6)
+    assert distributed == driver and len(driver) == 6

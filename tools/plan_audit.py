@@ -152,9 +152,11 @@ AUDITS = [
     # no shuffle in); exact pass joins the broadcast candidate set —
     # the only BNLJ is the one-row totals build (allowed, as q56)
     ("x_freq_heavy_hitters", ["MapInPandas", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
-    # BPE application: n_merges chained row-local folds — a pure narrow
-    # map over the documents scan, nothing else
-    ("x_bpe_segment", [], ["Exchange", "Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # BPE application, dictionary form: the merge folds run once per
+    # DISTINCT word; documents explode (Generate) and hash-join the
+    # broadcast dictionary; one bounded-payload doc_id re-aggregation
+    ("x_bpe_segment", ["BroadcastHashJoin", "Generate"],
+     ["SortMergeJoin", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 ]
 
 
@@ -222,7 +224,8 @@ BROADCAST_ALLOWED = {
     "x_sample_reservoir": set(),
     # candidate set ≤ K_COUNTERS×partitions rows; totals is one row
     "x_freq_heavy_hitters": {"candidates", "totals"},
-    "x_bpe_segment": set(),
+    # the tokenizer dictionary is vocabulary-bounded, never SF-scaled
+    "x_bpe_segment": {"dict_df"},
 }
 
 
@@ -304,7 +307,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "q65_merge_scd2": 2,      # update-batch agg, once per MERGE branch
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
-    "x_bpe_segment": 0,       # narrow folds only
+    "x_bpe_segment": 3,       # word-freq agg, dictionary agg, doc_id agg
 }
 
 
