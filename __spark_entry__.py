@@ -25,8 +25,10 @@ from labs_stream_processing_examples_scala_spark.operators import bpe as BP
 from labs_stream_processing_examples_scala_spark.operators import corpus as CP
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.operators import frequency as FQ
+from labs_stream_processing_examples_scala_spark.operators import lm as LM
 from labs_stream_processing_examples_scala_spark.operators import merge as MG
 from labs_stream_processing_examples_scala_spark.streaming import incremental_dedup as ID
+from labs_stream_processing_examples_scala_spark.streaming import materialized_view as MV
 from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
 from labs_stream_processing_examples_scala_spark.operators import relational as R
 from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
@@ -222,6 +224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same pair set discovered incrementally (3 ingest micro-batches
         # against an on-disk LSH index) — equivalence IS the oracle claim
         "x_dedup_incremental": ID.incremental_lsh_pairs,
+        # incremental materialized view: 3-micro-batch ingest + one
+        # row-collapsing compaction must serve the batch GROUP BY exactly
+        "x_mv_event_stats": MV.incremental_event_stats,
         "x_dedup_ngram_pairs": DD.ngram_jaccard_pairs,
         "x_dedup_simhash": DD.simhash,
         "x_dedup_simhash_pairs": DD.simhash_neardup_pairs,
@@ -250,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_pii_redact": TX.pii_redact,
         "x_vocab_topk": TX.vocab_topk,
         "x_text_tfidf": TX.tfidf_top_terms,
+        # bigram-LM perplexity scoring (train + score in one plan)
+        "x_text_lm_score": LM.lm_score,
         "x_multimodal_meta": MM.multimodal_meta,
         "x_sample_hash_split": SMP.hash_split,
         "x_sample_stratified": SMP.stratified_sample,
@@ -1007,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dedup_minhash_sig": O.dedup_minhash_signatures(),
         "x_dedup_lsh_pairs": O.dedup_lsh_pairs(),
         "x_dedup_incremental": O.dedup_lsh_pairs(),
+        "x_mv_event_stats": MV.event_stats_oracle_sql(),
         "x_dedup_ngram_pairs": O.dedup_ngram_pairs(),
         "x_dedup_simhash": O.dedup_simhash(),
         "x_dedup_simhash_pairs": O.dedup_simhash_neardup_pairs(),
@@ -1030,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         "x_text_pii_redact": O.text_pii_redact(),
         "x_vocab_topk": O.text_vocab_topk(),
         "x_text_tfidf": O.text_tfidf(),
+        "x_text_lm_score": LM.lm_score_oracle_sql(),
         "x_sample_importance": O.sampling_importance_resample(),
         "x_sample_mixture": O.sampling_mixture(),
         "x_sample_reservoir": O.sampling_reservoir(),

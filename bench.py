@@ -72,6 +72,7 @@ HEADLINE = [
     "x_sample_reservoir",
     "x_freq_heavy_hitters",
     "x_bpe_segment",
+    "x_text_lm_score",
 ]
 
 

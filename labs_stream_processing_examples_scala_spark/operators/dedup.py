@@ -117,6 +117,11 @@ def invalidate_cache(sf_dir: str | None = None) -> None:
     for key in list(_bpe._WF_CACHE):
         if sf_dir is None or key[1] == sf_dir:
             _bpe._WF_CACHE.pop(key).unpersist()
+    from labs_stream_processing_examples_scala_spark.operators import lm as _lm
+
+    for key in list(_lm._LM_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            _lm._LM_CACHE.pop(key).unpersist()
 
 
 def _spread(d: DataFrame, spark: SparkSession) -> DataFrame:

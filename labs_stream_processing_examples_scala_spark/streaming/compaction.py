@@ -152,6 +152,7 @@ def compact_batched_dir(
     target_bytes: int = 128 * 1024 * 1024,
     min_batches: int = 2,
     keep_latest: bool = True,
+    transform=None,
 ) -> dict:
     """Merge the ``_batch_id=*`` directories under ``path`` into one,
     keyed by the max merged id, with ~``target_bytes`` output files.
@@ -170,7 +171,14 @@ def compact_batched_dir(
     them. Compacting ``ids[:-1]`` into ``max(ids[:-1])`` keeps every
     legal replay's view byte-identical (pinned by the replay test in
     tests/test_streaming.py). Pass ``keep_latest=False`` only for
-    retired directories no stream will ever write again."""
+    retired directories no stream will ever write again.
+
+    ``transform`` (DataFrame → DataFrame, optional) is applied to the
+    merged span before it is written — for outputs whose rows are
+    MERGEABLE partials (the incremental aggregate view), compaction can
+    collapse rows, not just files. The transform must be a pure
+    re-aggregation that any reader's own final aggregation is
+    indifferent to (caller's contract, equivalence-tested by the MV)."""
 
     def _n_files(p: str) -> int:
         return sum(len(fs) for _, _, fs in os.walk(p))
@@ -207,6 +215,8 @@ def compact_batched_dir(
     merged = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, f"_batch_id={i}") for i in ids]
     ).drop("_batch_id")
+    if transform is not None:
+        merged = transform(merged)
     # one round-robin exchange of the compacted span — the whole point
     # is rewriting many small files as n_out well-sized ones
     merged.repartition(n_out).write.mode("overwrite").parquet(os.path.join(path, STAGING))

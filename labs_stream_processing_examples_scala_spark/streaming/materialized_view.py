@@ -1,0 +1,220 @@
+"""Incrementally-maintained aggregate view — a streaming materialized
+view over the idempotent-sink infrastructure.
+
+A grouped aggregate (count/sum/min/max/avg per key) is the MV shape
+every monitoring/reporting consumer asks of an ingest stream. Keeping
+it in streaming state (`groupBy().agg()` in update mode) couples the
+aggregate's lifetime to one query's checkpoint; this module instead
+maintains it as a TABLE of mergeable partials — the same
+state-outside-the-stream-store posture as the incremental dedup index
+(streaming/incremental_dedup.py docstring):
+
+  write side: each micro-batch folds to ONE partial row per key
+      (count, sum, min, max — all mergeable; avg is derived at read
+      time as sum/count, never stored, so merging stays exact) and
+      lands it through the per-batchId idempotent sink. Replay
+      overwrites the same delta directory — a no-op in content.
+  read side: the view is `deltas.groupBy(keys).agg(merge)` — a
+      key-cardinality aggregation over (n_batches × n_keys) partial
+      rows, via the compaction-aware reader.
+  maintenance: every ``compact_every`` batches the delta directories
+      below the current batch collapse ROWS, not just files —
+      compact_batched_dir's ``transform`` hook re-merges partials, so
+      the steady-state table holds ~n_keys rows regardless of how many
+      triggers have fired. keep_latest preserves the replay window
+      exactly as the dedup index does.
+
+Equivalence contract (tested): after any prefix of micro-batches, the
+view equals the plain batch `groupBy().agg()` over the rows ingested
+so far — including across replays and mid-compaction crashes.
+
+Scale: per-trigger work is one map-side-combined aggregation of the
+batch; the view read is ∝ keys; nothing ever rescans ingested history
+(that is the difference from re-running the batch aggregate, and the
+whole point of a materialized view).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.streaming.compaction import (
+    compact_batched_dir,
+    read_batched_dir,
+)
+from labs_stream_processing_examples_scala_spark.streaming.sinks import idempotent_write
+
+
+class IncrementalAggView:
+    """foreachBatch processor maintaining (key → count/sum/min/max)
+    partials under ``workdir/deltas``; ``view()`` serves the merged
+    aggregate with a derived avg."""
+
+    def __init__(
+        self,
+        workdir: str,
+        key_cols: list[str],
+        key_schema: str,
+        value_col: str,
+        compact_every: int | None = None,
+    ):
+        self.deltas_dir = os.path.join(workdir, "deltas")
+        self.key_cols = list(key_cols)
+        self.value_col = value_col
+        # full delta schema, for an empty read before the first batch
+        self.delta_schema = (
+            f"{key_schema}, cnt long, vsum double, vmin double, vmax double"
+        )
+        self.compact_every = compact_every
+
+    def _partials(self, df: DataFrame) -> DataFrame:
+        v = F.col(self.value_col).cast("double")
+        return df.groupBy(*self.key_cols).agg(
+            F.count("*").alias("cnt"),
+            F.sum(v).alias("vsum"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+
+    def process_batch(self, df: DataFrame, batch_id: int) -> None:
+        idempotent_write(self._partials(df), self.deltas_dir, batch_id)
+        if self.compact_every and batch_id % self.compact_every == self.compact_every - 1:
+            # collapse rows, not just files: partials re-merge under the
+            # transform hook; keep_latest preserves the replay window
+            compact_batched_dir(
+                df.sparkSession,
+                self.deltas_dir,
+                transform=self._merge_partials,
+            )
+
+    def _merge_partials(self, deltas: DataFrame) -> DataFrame:
+        return deltas.groupBy(*self.key_cols).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+
+    def view(self, spark: SparkSession) -> DataFrame:
+        deltas = read_batched_dir(spark, self.deltas_dir, self.delta_schema)
+        merged = self._merge_partials(deltas)
+        return merged.select(
+            *self.key_cols,
+            F.col("cnt").alias("n"),
+            F.round("vsum", 6).alias("sum_v"),
+            F.round("vmin", 6).alias("min_v"),
+            F.round("vmax", 6).alias("max_v"),
+            F.round(F.col("vsum") / F.col("cnt"), 6).alias("avg_v"),
+        )
+
+
+def run_incremental_view(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    key_cols: list[str],
+    key_schema: str,
+    value_col: str,
+    files_per_trigger: int = 1,
+    timeout: float = 600.0,
+    compact_every: int | None = None,
+) -> IncrementalAggView:
+    """Drive a bounded incremental run over a directory of parquet
+    files (one micro-batch per ``files_per_trigger`` files) and return
+    the processor for view inspection."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(source_dir)
+        .select(*key_cols, value_col)
+    )
+    proc = IncrementalAggView(
+        workdir, key_cols, key_schema, value_col, compact_every=compact_every
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .foreachBatch(proc.process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+    if q.exception() is not None:
+        raise RuntimeError(f"incremental view failed: {q.exception()}")
+    return proc
+
+
+# --- registry form ----------------------------------------------------
+
+_MV_WORKDIRS: dict[tuple, str] = {}
+_MV_TMP: list[str] = []
+
+
+def incremental_event_stats(
+    spark: SparkSession, sf_dir: str, n_splits: int = 3
+) -> DataFrame:
+    """x_mv_event_stats — the events table ingested in ``n_splits``
+    micro-batches through the incremental view (with a row-collapsing
+    compaction after batch 1); the served view must equal the batch
+    GROUP BY over the whole table — which is exactly its SQL oracle.
+
+    Temp-workdir lifecycle mirrors incremental_lsh_pairs: memoized per
+    (session, params), removed at interpreter exit."""
+    import tempfile
+
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_splits)
+    if key in _MV_WORKDIRS:
+        return IncrementalAggView(
+            _MV_WORKDIRS[key], ["event_type"], "event_type string", "value"
+        ).view(spark)
+
+    work = tempfile.mkdtemp(prefix="incr_mv_")
+    _MV_TMP.append(work)
+    src = os.path.join(work, "src")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.withColumn("split", F.pmod(F.col("event_id"), F.lit(n_splits))).repartitionByRange(
+        n_splits, "split"
+    ).drop("split").write.mode("overwrite").parquet(src)
+    proc = run_incremental_view(
+        spark,
+        src,
+        work,
+        key_cols=["event_type"],
+        key_schema="event_type string",
+        value_col="value",
+        compact_every=2,
+    )
+    _MV_WORKDIRS[key] = work
+    return proc.view(spark)
+
+
+def event_stats_oracle_sql() -> str:
+    """The MV's claim: identical to the batch aggregate over events."""
+    return """
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 6) AS sum_v,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v,
+               round(sum(value) / count(*), 6) AS avg_v
+        FROM events
+    GROUP BY event_type
+    """
+
+
+import atexit
+import shutil
+
+
+@atexit.register
+def _cleanup_mv_tmp() -> None:
+    for p in _MV_TMP:
+        shutil.rmtree(p, ignore_errors=True)

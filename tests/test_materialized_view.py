@@ -1,0 +1,108 @@
+"""Incremental materialized view: equivalence, row-collapsing
+compaction, and continued-ingest across a restart.
+
+(The registry entry x_mv_event_stats — 3 micro-batches + one
+compaction ≡ the batch GROUP BY — is additionally hash-checked against
+DuckDB on every pytest run by test_registry_oracle.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.streaming import materialized_view as MV
+from labs_stream_processing_examples_scala_spark.streaming.compaction import read_batched_dir
+from tests.conftest import SF_SMOKE
+
+
+def _batch_agg(df):
+    v = F.col("value").cast("double")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(v), 6).alias("sum_v"),
+        F.round(F.min(v), 6).alias("min_v"),
+        F.round(F.max(v), 6).alias("max_v"),
+        F.round(F.sum(v) / F.count("*"), 6).alias("avg_v"),
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_view_equals_batch_agg_and_compaction_collapses_rows(spark, tmp_path):
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "event_type", "value")
+    )
+    src = str(tmp_path / "src")
+    ev.withColumn("s", F.pmod("event_id", F.lit(4))).repartitionByRange(4, "s").drop(
+        "s"
+    ).write.parquet(src)
+
+    proc = MV.run_incremental_view(
+        spark,
+        src,
+        str(tmp_path / "mv"),
+        key_cols=["event_type"],
+        key_schema="event_type string",
+        value_col="value",
+        compact_every=2,
+    )
+    assert _rows(proc.view(spark)) == _rows(_batch_agg(ev))
+
+    # after the batch-1 and batch-3 compactions, the delta table holds
+    # one collapsed span + the kept-latest batch: ≤ 2 × n_keys rows
+    n_keys = ev.select("event_type").distinct().count()
+    deltas = read_batched_dir(spark, proc.deltas_dir, proc.delta_schema)
+    assert deltas.count() <= 2 * n_keys
+
+
+def test_view_survives_restart_and_continued_ingest(spark, tmp_path):
+    """Ingest half the files, stop; add the rest, restart on the SAME
+    checkpoint/workdir: the view serves the full aggregate with
+    nothing lost or double-counted (replay + compaction included)."""
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "event_type", "value")
+    )
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "mv")
+    first.repartition(2).write.parquet(src)
+
+    kwargs = dict(
+        key_cols=["event_type"],
+        key_schema="event_type string",
+        value_col="value",
+        compact_every=2,
+    )
+    proc = MV.run_incremental_view(spark, src, work, **kwargs)
+    assert _rows(proc.view(spark)) == _rows(_batch_agg(first))
+
+    # drop in more files and resume from the same checkpoint
+    second.repartition(2).write.mode("append").parquet(src)
+    proc = MV.run_incremental_view(spark, src, work, **kwargs)
+    assert _rows(proc.view(spark)) == _rows(_batch_agg(ev))
+
+
+def test_replayed_batch_is_a_content_noop(spark, tmp_path):
+    """Re-delivering a committed micro-batch (at-least-once) overwrites
+    its delta directory with identical content — the view is unchanged."""
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .limit(200)
+    )
+    proc = MV.IncrementalAggView(
+        str(tmp_path / "mv"), ["event_type"], "event_type string", "value"
+    )
+    proc.process_batch(ev, 0)
+    before = _rows(proc.view(spark))
+    proc.process_batch(ev, 0)  # replay
+    assert _rows(proc.view(spark)) == before
+    # exactly one delta dir — the replay reused it
+    assert os.listdir(proc.deltas_dir) == ["_batch_id=0"]

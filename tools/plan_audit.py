@@ -152,6 +152,11 @@ AUDITS = [
     # no shuffle in); exact pass joins the broadcast candidate set —
     # the only BNLJ is the one-row totals build (allowed, as q56)
     ("x_freq_heavy_hitters", ["MapInPandas", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # bigram-LM scoring: vocabulary-bounded count aggs hash-joined back
+    # (AQE broadcasts them at this size); the only BNLJ is the one-row
+    # V broadcast (allowed, as q56); doc agg is map-side combined
+    ("x_text_lm_score", ["HashAggregate", "BroadcastHashJoin", "Generate"],
+     ["CartesianProduct"]),
     # BPE application, dictionary form: the merge folds run once per
     # DISTINCT word; documents explode (Generate) and hash-join the
     # broadcast dictionary; one bounded-payload doc_id re-aggregation
@@ -226,6 +231,7 @@ BROADCAST_ALLOWED = {
     "x_freq_heavy_hitters": {"candidates", "totals"},
     # the tokenizer dictionary is vocabulary-bounded, never SF-scaled
     "x_bpe_segment": {"dict_df"},
+    "x_text_lm_score": {"vocab"},  # one-row V scalar
 }
 
 
@@ -308,6 +314,11 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
     "x_bpe_segment": 3,       # word-freq agg, dictionary agg, doc_id agg
+    # NOTE: the formatted plan prints the cached bigram-model
+    # InMemoryRelation's OWN build subtree (train-pass exchanges that
+    # execute once per session, then hit the cache); the executable
+    # score path is 4 wide edges (spread, contexts, V, doc agg)
+    "x_text_lm_score": 9,
 }
 
 

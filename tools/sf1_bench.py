@@ -32,7 +32,19 @@ DST = "/tmp/sf1_bench_data"
 REPLICAS = 10
 OFF = 10_000_000  # key stride between replicas, same as aqe_evidence
 
-QUERIES = ["q1_scan_project", "q4_agg_tpch_q1", "q7_join_revenue", "q30_tpch_q3", "q48_tpch_q7"]
+QUERIES = [
+    "q1_scan_project",
+    "q4_agg_tpch_q1",
+    "q7_join_revenue",
+    "q30_tpch_q3",
+    "q48_tpch_q7",
+    # round-5 batch 2: MERGE upsert (orders⋈customer), heavy hitters +
+    # BPE segmentation + LM scoring (documents — replicated ×10 below)
+    "q65_merge_scd2",
+    "x_freq_heavy_hitters",
+    "x_bpe_segment",
+    "x_text_lm_score",
+]
 
 
 def synthesize(spark) -> None:
@@ -56,6 +68,7 @@ def synthesize(spark) -> None:
     replicate("customer", {"c_custkey": OFF})
     replicate("orders", {"o_orderkey": OFF, "o_custkey": OFF})
     replicate("lineitem", {"l_orderkey": OFF, "l_partkey": 0, "l_suppkey": 0})
+    replicate("documents", {"doc_id": OFF})
     n = spark.read.parquet(f"{DST}/lineitem.parquet").count()
     print(f"synthesized {DST}: lineitem rows = {n:,}")
 
