@@ -99,9 +99,13 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     summaries = d.mapInPandas(
         _misra_gries_partition, schema="token string, cnt long, kind string"
     )
-    # Both frames are tiny (≤ K×partitions rows); persisting avoids
-    # re-running the Python fold for the two consumers below.
+    # Both frames are tiny (≤ K×partitions rows); persist + an eager
+    # count so the two consumers below (and the threshold subquery)
+    # share ONE materialization — lazily, both subtrees of the final
+    # job race to compute the cache and the Python fold runs twice
+    # (measured 2× at sf1).
     summaries = summaries.persist()
+    summaries.count()
     candidates = summaries.filter(F.col("kind") == "tok").select("token").distinct()
     totals = summaries.filter(F.col("kind") == "total").agg(
         F.sum("cnt").alias("n_total")

@@ -72,6 +72,12 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_bigram"))
         .persist()
     )
+    # eager: the score plan consumes this table in three subtrees
+    # (bigram join, contexts, V); left lazy, they race and the corpus
+    # fold runs three times before the cache materializes (the same
+    # pattern fixed in frequency.heavy_hitters — measured 17 s → 5 s
+    # at sf1)
+    out.count()
     _LM_CACHE[key] = out
     return out
 
