@@ -25,6 +25,7 @@ from labs_stream_processing_examples_scala_spark.operators import bpe as BP
 from labs_stream_processing_examples_scala_spark.operators import corpus as CP
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.operators import frequency as FQ
+from labs_stream_processing_examples_scala_spark.operators import graph as GR
 from labs_stream_processing_examples_scala_spark.operators import lm as LM
 from labs_stream_processing_examples_scala_spark.operators import merge as MG
 from labs_stream_processing_examples_scala_spark.streaming import incremental_dedup as ID
@@ -227,12 +228,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental materialized view: 3-micro-batch ingest + one
         # row-collapsing compaction must serve the batch GROUP BY exactly
         "x_mv_event_stats": MV.incremental_event_stats,
+        # sketch-partial MV: distinct users per type via mergeable HLL —
+        # approximate → rows-only; tolerance test vs exact distinct
+        "x_mv_distinct_users": MV.incremental_distinct_users,
         "x_dedup_ngram_pairs": DD.ngram_jaccard_pairs,
         "x_dedup_simhash": DD.simhash,
         "x_dedup_simhash_pairs": DD.simhash_neardup_pairs,
         "x_dedup_lsh_groups": DD.lsh_dedup_groups,
         "x_dedup_lsh_groups2": DD.lsh_dedup_groups_twostar,  # O(log n)-round form
         "x_dedup_keep_first": DD.lsh_dedup_keep_first,
+        # centrality over the near-dup graph (5 unrolled power iterations)
+        "x_graph_pagerank": GR.pagerank,
         "x_sim_bruteforce_topk": SIM.brute_force_topk,
         "x_sim_neardup_pairs": SIM.cosine_neardup_pairs,
         "x_sim_lsh_neardup": SIM.lsh_neardup_pairs,  # approximate → rows-only
@@ -1025,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> rep_id)
         """,
+        "x_graph_pagerank": GR.pagerank_oracle_sql(),
         "x_sim_bruteforce_topk": O.sim_bruteforce_topk(),
         "x_sim_neardup_pairs": O.sim_neardup_pairs(),
         "x_sim_kmeans_step": O.sim_kmeans_step(),

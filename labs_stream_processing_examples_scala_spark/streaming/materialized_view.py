@@ -218,3 +218,93 @@ import shutil
 def _cleanup_mv_tmp() -> None:
     for p in _MV_TMP:
         shutil.rmtree(p, ignore_errors=True)
+
+
+# --- sketch-partial variant: streaming distinct-count view ------------
+
+
+class IncrementalDistinctView(IncrementalAggView):
+    """The MV with a SKETCH partial: per-key approximate distinct count
+    of ``value_col`` via DataSketches HLL (operators/sketches.py) —
+    per batch one binary sketch per key (KBs), merged by union at read
+    time and at compaction. The canonical streaming cardinality
+    monitor (distinct users per event type, distinct documents per
+    source) with state ∝ keys × sketch size, NEVER ∝ distinct values.
+
+    Approximate → rows-only in the driver gate; tolerance-tested
+    against the exact distinct count (the sketches.py discipline).
+    """
+
+    LG_K = 14  # ≈0.8% relative error
+
+    def __init__(self, workdir, key_cols, key_schema, value_col, compact_every=None):
+        super().__init__(workdir, key_cols, key_schema, value_col, compact_every)
+        self.delta_schema = f"{key_schema}, sk binary"
+
+    def _partials(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(*self.key_cols).agg(
+            F.hll_sketch_agg(self.value_col, F.lit(self.LG_K)).alias("sk")
+        )
+
+    def _merge_partials(self, deltas: DataFrame) -> DataFrame:
+        return deltas.groupBy(*self.key_cols).agg(
+            F.hll_union_agg("sk").alias("sk")
+        )
+
+    def view(self, spark: SparkSession) -> DataFrame:
+        deltas = read_batched_dir(spark, self.deltas_dir, self.delta_schema)
+        return self._merge_partials(deltas).select(
+            *self.key_cols,
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct"),
+        )
+
+
+def incremental_distinct_users(
+    spark: SparkSession, sf_dir: str, n_splits: int = 3
+) -> DataFrame:
+    """x_mv_distinct_users — distinct user_id per event_type maintained
+    incrementally over 3 micro-batches with a sketch-merging
+    compaction. Rows-only (sketch internals are engine-specific);
+    tolerance vs exact distinct in tests/test_materialized_view.py."""
+    import tempfile
+
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_splits, "distinct")
+    if key in _MV_WORKDIRS:
+        return IncrementalDistinctView(
+            _MV_WORKDIRS[key], ["event_type"], "event_type string", "user_id"
+        ).view(spark)
+
+    work = tempfile.mkdtemp(prefix="incr_mvd_")
+    _MV_TMP.append(work)
+    src = os.path.join(work, "src")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    ev.withColumn("split", F.pmod(F.col("event_id"), F.lit(n_splits))).repartitionByRange(
+        n_splits, "split"
+    ).drop("split").write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("event_type", "user_id")
+    )
+    proc = IncrementalDistinctView(
+        work, ["event_type"], "event_type string", "user_id", compact_every=2
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(proc.process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600.0)
+    if q.isActive:
+        q.stop()
+    if q.exception() is not None:
+        raise RuntimeError(f"incremental distinct view failed: {q.exception()}")
+    _MV_WORKDIRS[key] = work
+    return proc.view(spark)

@@ -278,3 +278,43 @@ def test_bpe_distributed_loop_matches_driver_loop(spark):
     )
     distributed = BP._train_distributed(wf, 6)
     assert distributed == driver and len(driver) == 6
+
+
+# --- PageRank ---------------------------------------------------------
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Third engine: dense numpy power iteration over the same
+    symmetrized near-dup graph reproduces every rank to 1e-9."""
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+    from labs_stream_processing_examples_scala_spark.operators import graph as GR
+
+    got = {r["doc_id"]: (r["rank"], r["n_neighbors"]) for r in
+           GR.pagerank(spark, SF_SMOKE).collect()}
+
+    pairs = [(r["doc_a"], r["doc_b"]) for r in
+             DD.lsh_candidate_pairs(spark, SF_SMOKE).collect()]
+    nodes = sorted(got)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(idx[a], []).append(idx[b])
+        adj.setdefault(idx[b], []).append(idx[a])
+    d = GR.DAMPING
+    r = np.full(n, 1.0 / n)
+    for _ in range(GR.N_ITER):
+        m = sum(r[i] for i in range(n) if i not in adj)
+        nxt = np.full(n, (1.0 - d) / n + d * m / n)
+        for src, dsts in adj.items():
+            for dst in dsts:
+                nxt[dst] += d * r[src] / len(dsts)
+        r = nxt
+    for node, i in idx.items():
+        rank, deg = got[node]
+        assert abs(rank - round(float(r[i]), 6)) <= 1e-9, node
+        assert deg == len(adj.get(i, []))
+    # ranks are a distribution
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-3

@@ -106,3 +106,18 @@ def test_replayed_batch_is_a_content_noop(spark, tmp_path):
     assert _rows(proc.view(spark)) == before
     # exactly one delta dir — the replay reused it
     assert os.listdir(proc.deltas_dir) == ["_batch_id=0"]
+
+
+def test_distinct_view_tracks_exact_counts(spark):
+    """Sketch-partial MV: the incrementally-merged HLL estimate per
+    event_type is within 2% of the exact distinct user count."""
+    got = {r["event_type"]: r["approx_distinct"] for r in
+           MV.incremental_distinct_users(spark, SF_SMOKE).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n"))
+             .collect()}
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.02 * n), (k, got[k], n)

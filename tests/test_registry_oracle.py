@@ -81,6 +81,10 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_multimodal_features",
         "x_multimodal_resize",
         "x_multimodal_frames",
+        # sketch-partial MV: DataSketches HLL internals are not
+        # cross-engine reproducible (the q36 rationale); tolerance
+        # test in tests/test_materialized_view.py
+        "x_mv_distinct_users",
         # iterative BPE training loop — not SQL-expressible; exact
         # pure-Python third-engine oracle in tests/test_bpe_merge_freq.py
         "x_bpe_train",
