@@ -37,6 +37,7 @@ from labs_stream_processing_examples_scala_spark.operators import skew as SKW
 from labs_stream_processing_examples_scala_spark.operators import sketches as SK
 from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
 from labs_stream_processing_examples_scala_spark.operators import temporal as TP
+from labs_stream_processing_examples_scala_spark.operators import validation as V
 from labs_stream_processing_examples_scala_spark.plans import enrichment as P
 from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
@@ -263,6 +264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_tfidf": TX.tfidf_top_terms,
         # bigram-LM perplexity scoring (train + score in one plan)
         "x_text_lm_score": LM.lm_score,
+        # data-quality gates: one-pass constraint report + PSI drift
+        "x_validate_orders": V.validate_orders,
+        "x_drift_events": V.value_drift,
         "x_multimodal_meta": MM.multimodal_meta,
         "x_sample_hash_split": SMP.hash_split,
         "x_sample_stratified": SMP.stratified_sample,
@@ -1046,6 +1050,8 @@ def oracle_sql() -> dict[str, str]:
         "x_vocab_topk": O.text_vocab_topk(),
         "x_text_tfidf": O.text_tfidf(),
         "x_text_lm_score": LM.lm_score_oracle_sql(),
+        "x_validate_orders": V.validate_orders_oracle_sql(),
+        "x_drift_events": V.value_drift_oracle_sql(),
         "x_sample_importance": O.sampling_importance_resample(),
         "x_sample_mixture": O.sampling_mixture(),
         "x_sample_reservoir": O.sampling_reservoir(),

@@ -73,6 +73,8 @@ HEADLINE = [
     "x_freq_heavy_hitters",
     "x_bpe_segment",
     "x_text_lm_score",
+    "x_validate_orders",
+    "x_drift_events",
 ]
 
 

@@ -121,3 +121,45 @@ def test_distinct_view_tracks_exact_counts(spark):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(2, 0.02 * n), (k, got[k], n)
+
+
+def test_view_complete_when_transform_compaction_crashes_mid_swap(spark, tmp_path):
+    """Crash window for the ROW-COLLAPSING compaction: staging holds
+    transformed (re-merged) partial rows and the marker is committed,
+    but sources are only partially deleted. The marker-aware reader
+    must serve staging ∪ surviving-unmerged dirs, and because partials
+    re-aggregate at read time, the view still equals the batch agg."""
+    import json
+    import shutil
+
+    from labs_stream_processing_examples_scala_spark.streaming.compaction import (
+        STAGING,
+        _marker_path,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .limit(300)
+    )
+    proc = MV.IncrementalAggView(
+        str(tmp_path / "mv"), ["event_type"], "event_type string", "value"
+    )
+    parts = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        proc.process_batch(p, i)
+
+    path = proc.deltas_dir
+    # hand-construct the committed-but-unswapped state with the
+    # transform applied (exactly what compact_batched_dir stages)
+    merged = spark.read.option("basePath", path).parquet(
+        os.path.join(path, "_batch_id=0"), os.path.join(path, "_batch_id=1")
+    ).drop("_batch_id")
+    proc._merge_partials(merged).repartition(1).write.parquet(
+        os.path.join(path, STAGING)
+    )
+    with open(_marker_path(path), "w") as f:
+        json.dump({"target_id": 1, "sources": [0, 1], "staging": STAGING}, f)
+    shutil.rmtree(os.path.join(path, "_batch_id=0"))  # crash mid-delete
+
+    assert _rows(proc.view(spark)) == _rows(_batch_agg(ev))

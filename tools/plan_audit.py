@@ -152,6 +152,16 @@ AUDITS = [
     # no shuffle in); exact pass joins the broadcast candidate set —
     # the only BNLJ is the one-row totals build (allowed, as q56)
     ("x_freq_heavy_hitters", ["MapInPandas", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # constraint report: every check folds into ONE aggregation pass
+    # (count_if conditional aggs + distinct); unpivot is a narrow
+    # Expand of the single result row — a per-check pass would be the
+    # regression this row guards against
+    ("x_validate_orders", ["HashAggregate", "Expand"],
+     ["Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # PSI drift: one scan, one bucket agg with two conditional counts;
+    # the only BNLJ is the one-row totals build (allowed, as q56)
+    ("x_drift_events", ["HashAggregate"],
+     ["SortMergeJoin", "CartesianProduct", "Window"]),
     # bigram-LM scoring: vocabulary-bounded count aggs hash-joined back
     # (AQE broadcasts them at this size); the only BNLJ is the one-row
     # V broadcast (allowed, as q56); doc agg is map-side combined
@@ -232,6 +242,8 @@ BROADCAST_ALLOWED = {
     # the tokenizer dictionary is vocabulary-bounded, never SF-scaled
     "x_bpe_segment": {"dict_df"},
     "x_text_lm_score": {"vocab"},  # one-row V scalar
+    "x_validate_orders": set(),
+    "x_drift_events": {"tot"},  # one-row totals
 }
 
 
@@ -314,6 +326,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
     "x_bpe_segment": 3,       # word-freq agg, dictionary agg, doc_id agg
+    "x_validate_orders": 2,   # the single global agg (partial/final)
+    "x_drift_events": 3,      # bucket agg + the one-row totals agg
     # NOTE: the formatted plan prints the cached bigram-model
     # InMemoryRelation's OWN build subtree (train-pass exchanges that
     # execute once per session, then hit the cache); the executable
