@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_range_hourly": TP.purchase_nearby_clicks,
         # MERGE INTO / SCD2 upsert (lakehouse write path, operators/merge.py)
         "q65_merge_scd2": MG.merge_scd2,
+        "q66_merge_delete": MG.merge_with_delete,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -981,6 +982,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT u_key, NULL, round(new_bal, 6), '1997-06-01', NULL, true
             FROM upd u
             WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = u.u_key)
+        """,
+        "q66_merge_delete": """
+            WITH upd AS (
+                SELECT o_custkey AS u_key, max(o_totalprice) AS new_bal
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+                GROUP BY 1
+            ),
+            active AS (SELECT DISTINCT o_custkey AS a_key FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+            SELECT c_custkey, c_name,
+                   round(CASE WHEN a_key IS NOT NULL AND u_key IS NOT NULL
+                              THEN new_bal ELSE c_acctbal END, 6) AS acctbal,
+                   CASE WHEN a_key IS NULL THEN 'delete'
+                        WHEN u_key IS NOT NULL THEN 'update'
+                        ELSE 'keep' END AS op
+            FROM customer
+            LEFT JOIN upd ON c_custkey = u_key
+            LEFT JOIN active ON c_custkey = a_key
         """,
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist

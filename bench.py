@@ -69,6 +69,7 @@ HEADLINE = [
     # round-5 batch 2: MERGE upsert, reservoir sample, Misra-Gries
     # heavy hitters, BPE segmentation (includes its training loop)
     "q65_merge_scd2",
+    "q66_merge_delete",
     "x_sample_reservoir",
     "x_freq_heavy_hitters",
     "x_bpe_segment",

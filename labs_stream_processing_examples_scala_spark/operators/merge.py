@@ -41,15 +41,17 @@ from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
 EPOCH_OPEN = "1992-01-01"
 CHANGE_DATE = "1997-06-01"
+CHURN_DATE = "2000-06-01"   # q66: no order since → tombstone
+UPDATE_DATE = "2001-01-01"  # q66: order since → new balance
 
 
-def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _updates(spark: SparkSession, sf_dir: str, since: str = CHANGE_DATE) -> DataFrame:
     """The change batch: one new balance per customer active since
-    CHANGE_DATE. Aggregated before the merge so the join key is unique
+    ``since``. Aggregated before the merge so the join key is unique
     (MERGE requires at most one source row per target row)."""
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.filter(F.col("o_orderdate") >= F.lit(CHANGE_DATE).cast("timestamp"))
+        o.filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
         .groupBy(F.col("o_custkey").alias("u_key"))
         .agg(F.max("o_totalprice").alias("new_bal"))
     )
@@ -147,4 +149,52 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "valid_to",
         "is_current",
+    )
+
+
+def merge_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q66 — the MERGE trio completed: UPDATE / DELETE / KEEP in one
+    pass, emitted as an audit table (op column) so the delete branch
+    is visible to the oracle rather than silently absent.
+
+    Semantics: customers with an order since UPDATE_DATE take the new
+    balance (op='update'); customers with no order since CHURN_DATE are
+    tombstoned (op='delete' — the WHEN NOT MATCHED BY SOURCE DELETE
+    arm of ANSI MERGE); everyone else carries over (op='keep'). The
+    cutoffs are chosen so the fixture exercises all THREE branches
+    (sf0.001: 27 delete / 85 update / 38 keep).
+
+    Plan: one target scan + broadcast update join + a hint-free join
+    against the distinct active-customer keys (∝ customers at scale,
+    so AQE chooses broadcast vs shuffle by size — forcing a hint here
+    would be the scale bug the broadcast audit exists to catch)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    upd = _updates(spark, sf_dir, since=UPDATE_DATE)
+    active = (
+        orders.filter(F.col("o_orderdate") >= F.lit(CHURN_DATE).cast("timestamp"))
+        .select(F.col("o_custkey").alias("a_key"))
+        .distinct()
+    )
+    j = (
+        cust.join(
+            F.broadcast(upd.select(F.col("u_key").alias("u_key_m"), "new_bal")),
+            F.col("c_custkey") == F.col("u_key_m"),
+            "left",
+        )
+        .join(active, F.col("c_custkey") == F.col("a_key"), "left")
+    )
+    op = (
+        F.when(F.col("a_key").isNull(), "delete")
+        .when(F.col("u_key_m").isNotNull(), "update")
+        .otherwise("keep")
+    )
+    acct = F.when(
+        F.col("a_key").isNotNull() & F.col("u_key_m").isNotNull(), F.col("new_bal")
+    ).otherwise(F.col("c_acctbal"))
+    return j.select(
+        "c_custkey",
+        "c_name",
+        F.round(acct, 6).alias("acctbal"),
+        op.alias("op"),
     )

@@ -318,3 +318,19 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert deg == len(adj.get(i, []))
     # ranks are a distribution
     assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-3
+
+
+def test_merge_with_delete_exercises_all_three_branches(spark):
+    """The q66 cutoffs must keep all MERGE arms live on the fixture —
+    a degenerate all-update dataset would silently stop testing the
+    delete/keep branches (the bug this pin caught when the cutoffs
+    were first chosen)."""
+    ops = {
+        r["op"]: r["n"]
+        for r in MG.merge_with_delete(spark, SF_SMOKE)
+        .groupBy("op")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(ops) == {"keep", "update", "delete"}, ops
+    assert all(v > 0 for v in ops.values())

@@ -145,6 +145,11 @@ AUDITS = [
     # round-5 batch 2: MERGE = one target scan + broadcast update join +
     # row-local 1→≤2 Generate; the target side never shuffles
     ("q65_merge_scd2", ["BroadcastHashJoin", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # MERGE with delete: the churn/update sets join hint-free and
+    # broadcast (AQE by size at fixture scale); never a shuffle of the
+    # target, never a nested loop
+    ("q66_merge_delete", ["BroadcastHashJoin"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
     # reservoir: rank-filter window must plan as WindowGroupLimit so
     # each partition keeps only local top-k BEFORE the lang shuffle
     ("x_sample_reservoir", ["WindowGroupLimit"], ["Join"]),
@@ -236,6 +241,9 @@ BROADCAST_ALLOWED = {
     # MERGE broadcasts the aggregated update batch (small by contract);
     # the hint is on an inline select, so the unparse text is pinned
     "q65_merge_scd2": {"updates.select(F.col(update_key).alias('u_key_m'), new_value_col)"},
+    # q66 broadcasts only the aggregated update batch; the churn set
+    # is hint-free (∝ customers — AQE decides)
+    "q66_merge_delete": {"upd.select(F.col('u_key').alias('u_key_m'), 'new_bal')"},
     "x_sample_reservoir": set(),
     # candidate set ≤ K_COUNTERS×partitions rows; totals is one row
     "x_freq_heavy_hitters": {"candidates", "totals"},
@@ -323,6 +331,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_skew_salted_agg": 3,   # partial-on-(key,salt) + final + presentation sort
     "x_skew_salted_join": 4,
     "q65_merge_scd2": 2,      # update-batch agg, once per MERGE branch
+    "q66_merge_delete": 2,    # update agg + churn-set distinct
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
     "x_bpe_segment": 3,       # word-freq agg, dictionary agg, doc_id agg
