@@ -233,6 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch-partial MV: distinct users per type via mergeable HLL —
         # approximate → rows-only; tolerance test vs exact distinct
         "x_mv_distinct_users": MV.incremental_distinct_users,
+        # streaming heavy hitters: merged MG summaries, bounded error —
+        # rows-only; est ≤ true ≤ est+bound pinned by pytest
+        "x_mv_heavy_tokens": MV.incremental_heavy_tokens,
         "x_dedup_ngram_pairs": DD.ngram_jaccard_pairs,
         "x_dedup_simhash": DD.simhash,
         "x_dedup_simhash_pairs": DD.simhash_neardup_pairs,

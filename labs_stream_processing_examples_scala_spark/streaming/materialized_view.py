@@ -308,3 +308,152 @@ def incremental_distinct_users(
         raise RuntimeError(f"incremental distinct view failed: {q.exception()}")
     _MV_WORKDIRS[key] = work
     return proc.view(spark)
+
+
+# --- time travel ------------------------------------------------------
+#
+# The idempotent sink's batch-id directories double as snapshots: the
+# view "as of batch k" is the merge of deltas with _batch_id ≤ k —
+# the same mechanism the replay path uses (read_batched_dir's
+# before_batch), exposed as a first-class reader. This is the
+# table-format time-travel feature (Delta VERSION AS OF) implemented
+# on plain parquet: each micro-batch commit IS a version, and because
+# partials are mergeable, any prefix of versions serves a consistent
+# aggregate. Compaction preserves it only at or below the compaction
+# horizon's granularity: merged spans carry their MAX source id, so
+# as-of reads BETWEEN compacted ids resolve to the span's end — the
+# documented trade of collapsing history (same as VACUUM).
+
+
+def view_as_of(proc: IncrementalAggView, spark: SparkSession, batch_id: int) -> DataFrame:
+    """The aggregate view as of the end of ``batch_id`` (inclusive)."""
+    deltas = read_batched_dir(
+        spark, proc.deltas_dir, proc.delta_schema, before_batch=batch_id + 1
+    )
+    merged = proc._merge_partials(deltas)
+    if isinstance(proc, IncrementalDistinctView):
+        return merged.select(
+            *proc.key_cols,
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct"),
+        )
+    return merged.select(
+        *proc.key_cols,
+        F.col("cnt").alias("n"),
+        F.round("vsum", 6).alias("sum_v"),
+        F.round("vmin", 6).alias("min_v"),
+        F.round("vmax", 6).alias("max_v"),
+        F.round(F.col("vsum") / F.col("cnt"), 6).alias("avg_v"),
+    )
+
+
+# --- sketch-partial variant 2: streaming heavy hitters ----------------
+
+
+class IncrementalHeavyHittersView(IncrementalAggView):
+    """Streaming frequent tokens with bounded error — the Misra-Gries
+    summaries of operators/frequency.py maintained as MV deltas.
+
+    Per batch: each partition folds its documents through a K-counter
+    MG summary (the SAME _misra_gries_partition), and the summary rows
+    (≤ K×partitions, plus per-partition exact totals) ARE the delta.
+    Summaries merge by plain per-token summation ("Mergeable
+    Summaries", PODS 2012): the undercount stays ≤ N/K after any
+    merge sequence, so the served view carries a per-token guarantee
+
+        est ≤ true_count ≤ est + max_undercount,  max_undercount = ⌈N/K⌉
+
+    and every token with true count > 2·N/K is guaranteed present.
+    Unlike the batch operator (frequency.heavy_hitters) there is no
+    exact-verify pass — that would rescan ingested history, the thing
+    an incremental view exists to avoid — so this is the approximate
+    complement: bounded-error counts with state ∝ K×partitions×batches
+    (collapsed to ∝ tokens-in-summaries by the transform compaction),
+    tolerance-tested against exact counts of the ingested corpus.
+    """
+
+    def __init__(self, workdir: str, compact_every: int | None = None):
+        super().__init__(workdir, ["token"], "token string", "text", compact_every)
+        self.delta_schema = "token string, cnt long, kind string"
+
+    def _partials(self, df: DataFrame) -> DataFrame:
+        from labs_stream_processing_examples_scala_spark.operators.frequency import (
+            _misra_gries_partition,
+        )
+
+        return df.select("text").mapInPandas(
+            _misra_gries_partition, schema=self.delta_schema
+        )
+
+    def _merge_partials(self, deltas: DataFrame) -> DataFrame:
+        return deltas.groupBy("token", "kind").agg(F.sum("cnt").alias("cnt")).select(
+            "token", "cnt", "kind"
+        )
+
+    def view(self, spark: SparkSession) -> DataFrame:
+        from labs_stream_processing_examples_scala_spark.operators.frequency import (
+            K_COUNTERS,
+        )
+
+        deltas = read_batched_dir(spark, self.deltas_dir, self.delta_schema)
+        merged = self._merge_partials(deltas)
+        totals = merged.filter(F.col("kind") == "total").agg(
+            F.sum("cnt").alias("n_total")
+        )
+        bound = F.ceil(F.col("n_total") / F.lit(K_COUNTERS)).cast("long")
+        return (
+            merged.filter(F.col("kind") == "tok")
+            .crossJoin(F.broadcast(totals))  # one row
+            .select(
+                "token",
+                F.col("cnt").alias("est"),
+                bound.alias("max_undercount"),
+            )
+        )
+
+
+def incremental_heavy_tokens(
+    spark: SparkSession, sf_dir: str, n_splits: int = 3
+) -> DataFrame:
+    """x_mv_heavy_tokens — the streaming heavy-hitters view over the
+    documents table ingested in ``n_splits`` micro-batches (with a
+    summary-merging compaction). Rows-only (bounded-error estimates);
+    the error-bound contract is pinned by
+    tests/test_materialized_view.py."""
+    import tempfile
+
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_splits, "hh")
+    if key in _MV_WORKDIRS:
+        return IncrementalHeavyHittersView(_MV_WORKDIRS[key]).view(spark)
+
+    work = tempfile.mkdtemp(prefix="incr_mvh_")
+    _MV_TMP.append(work)
+    src = os.path.join(work, "src")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.withColumn("split", F.pmod(F.col("doc_id"), F.lit(n_splits))).repartitionByRange(
+        n_splits, "split"
+    ).drop("split").write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("text")
+    )
+    proc = IncrementalHeavyHittersView(work, compact_every=2)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(proc.process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600.0)
+    if q.isActive:
+        q.stop()
+    if q.exception() is not None:
+        raise RuntimeError(f"incremental heavy-hitters view failed: {q.exception()}")
+    _MV_WORKDIRS[key] = work
+    return proc.view(spark)

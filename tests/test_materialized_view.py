@@ -163,3 +163,55 @@ def test_view_complete_when_transform_compaction_crashes_mid_swap(spark, tmp_pat
     shutil.rmtree(os.path.join(path, "_batch_id=0"))  # crash mid-delete
 
     assert _rows(proc.view(spark)) == _rows(_batch_agg(ev))
+
+
+def test_time_travel_view_as_of_each_batch(spark, tmp_path):
+    """Every committed micro-batch is a readable snapshot: the view as
+    of batch k equals the batch aggregate over the first k+1 ingested
+    slices (and the final as-of equals the live view)."""
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .limit(400)
+    )
+    proc = MV.IncrementalAggView(
+        str(tmp_path / "mv"), ["event_type"], "event_type string", "value"
+    )
+    slices = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    for i, s in enumerate(slices):
+        proc.process_batch(s, i)
+
+    acc = None
+    for k, s in enumerate(slices):
+        acc = s if acc is None else acc.unionByName(s)
+        assert _rows(MV.view_as_of(proc, spark, k)) == _rows(_batch_agg(acc)), k
+    assert _rows(MV.view_as_of(proc, spark, 3)) == _rows(proc.view(spark))
+
+
+def test_streaming_heavy_hitters_error_bounds(spark, tmp_path):
+    """The merged-MG view's per-token guarantee holds against exact
+    counts of everything ingested: est ≤ true ≤ est + max_undercount,
+    and every token with true count > 2·N/K is present."""
+    from collections import Counter
+
+    from labs_stream_processing_examples_scala_spark.operators.frequency import K_COUNTERS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    proc = MV.IncrementalHeavyHittersView(str(tmp_path / "hh"), compact_every=2)
+    for i in range(3):
+        proc.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+
+    got = {r["token"]: (r["est"], r["max_undercount"]) for r in
+           proc.view(spark).collect()}
+    exact: Counter = Counter()
+    for r in docs.collect():
+        for w in r["text"].split(" "):
+            if w:
+                exact[w] += 1
+    n_total = sum(exact.values())
+    assert got, "summary is empty"
+    for tok, (est, bound) in got.items():
+        assert est <= exact[tok] <= est + bound, (tok, est, bound, exact[tok])
+    for tok, true in exact.items():
+        if true > 2 * n_total / K_COUNTERS:
+            assert tok in got, (tok, true)
