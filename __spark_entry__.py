@@ -309,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_multimodal_frames": lambda spark, sf: MM.sample_frames(
             MM.synthesize_mixed(MM.binary_documents(spark, sf))
         ),
+        "x_multimodal_augment": lambda spark, sf: MM.augment(
+            MM.synthesize_mixed(MM.binary_documents(spark, sf))
+        ),
     }
 
 

@@ -309,3 +309,65 @@ def sample_frames(df: DataFrame, n_frames: int = 16, every: int = 4, payload_col
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(batches, schema="doc_id long, frame_idx int, frame binary")
+
+
+def _augment_one(payload: bytes) -> list[tuple[str, bytes]]:
+    """Deterministic augmentations of one payload, on DECODED content:
+
+    - BMP/PPM image → horizontal flip + center crop (half each side,
+      min 1 px), re-encoded in the source container. For a
+      concatenated-P6 stream ("video"), the ops apply to the FIRST
+      frame — per-frame augmentation composes sample_frames → augment.
+    - WAV audio → 6 dB attenuation (integer halving of PCM samples),
+      re-encoded.
+    - anything else (or a corrupt container) → passed through as
+      ``('none', payload)`` so augmentation never drops rows.
+
+    Everything is integer/numpy-deterministic — no RNG — so the same
+    input always yields byte-identical augmentations (replay-stable,
+    third-engine-testable)."""
+    try:
+        if payload[:2] == b"BM":
+            px = codecs.decode_bmp(payload)
+            h, w = px.shape[0], px.shape[1]
+            crop = px[h // 4 : h // 4 + max(h // 2, 1), w // 4 : w // 4 + max(w // 2, 1)]
+            return [
+                ("hflip", codecs.encode_bmp(px[:, ::-1])),
+                ("crop", codecs.encode_bmp(crop)),
+            ]
+        if payload[:2] == b"P6":
+            px = codecs.decode_ppm(payload)
+            h, w = px.shape[0], px.shape[1]
+            crop = px[h // 4 : h // 4 + max(h // 2, 1), w // 4 : w // 4 + max(w // 2, 1)]
+            return [
+                ("hflip", codecs.encode_ppm(px[:, ::-1])),
+                ("crop", codecs.encode_ppm(crop)),
+            ]
+        if codecs.sniff_modality(payload) == "audio":
+            rate, _, samples = codecs.decode_wav(payload)
+            return [("gain", codecs.encode_wav(samples // 2, rate))]
+    except Exception:
+        pass  # corrupt/truncated container — fall through to pass-through
+    return [("none", payload)]
+
+
+def augment(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas augmentation: one row → one row per deterministic
+    augmented copy (doc_id, op, augmented). The 1→≤2 fan-out happens
+    inside the Arrow batch (no explode shuffle); output payloads stay
+    the same order of size as inputs, and the op column keeps the
+    provenance a training pipeline needs for sampling weights."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ops, outs = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                if b is None:
+                    continue
+                for op, payload in _augment_one(bytes(b)):
+                    ids.append(doc_id)
+                    ops.append(op)
+                    outs.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "op": ops, "augmented": outs})
+
+    return df.mapInPandas(batches, schema="doc_id long, op string, augmented binary")

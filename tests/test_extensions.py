@@ -1117,3 +1117,40 @@ def test_sq_codes_match_numpy_and_recall(spark):
     brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
     ann = {r.vec_id for r in QZ.sq_topk(spark, SF_SMOKE, k=10).collect()}
     assert len(set(brute) & ann) / 10 >= 0.7
+
+
+def test_multimodal_augment_matches_numpy_oracle(spark):
+    """Augmentations are byte-exact against independent numpy ops on
+    the decoded fixtures: hflip/crop for images, integer-halved PCM
+    for audio; non-container payloads pass through unchanged."""
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.multimodal import codecs
+    from labs_stream_processing_examples_scala_spark.multimodal.columns import augment, synthesize_mixed
+
+    src = synthesize_mixed(binary_documents(spark, SF_SMOKE))
+    inputs = {r["doc_id"]: bytes(r["payload"]) for r in src.collect()}
+    out: dict[tuple, bytes] = {}
+    for r in augment(src).collect():
+        out[(r["doc_id"], r["op"])] = bytes(r["augmented"])
+
+    n_img = n_aud = n_none = 0
+    for doc_id, payload in inputs.items():
+        if payload[:2] == b"BM":
+            px = codecs.decode_bmp(payload)
+            h, w = px.shape[0], px.shape[1]
+            assert out[(doc_id, "hflip")] == codecs.encode_bmp(px[:, ::-1])
+            crop = px[h // 4 : h // 4 + max(h // 2, 1), w // 4 : w // 4 + max(w // 2, 1)]
+            assert out[(doc_id, "crop")] == codecs.encode_bmp(crop)
+            # flip is an involution on the decoded pixels
+            flipped = codecs.decode_bmp(out[(doc_id, "hflip")])
+            assert np.array_equal(flipped[:, ::-1], px)
+            n_img += 1
+        elif codecs.sniff_modality(payload) == "audio":
+            rate, _, samples = codecs.decode_wav(payload)
+            assert out[(doc_id, "gain")] == codecs.encode_wav(samples // 2, rate)
+            n_aud += 1
+        elif (doc_id, "none") in out:
+            assert out[(doc_id, "none")] == payload
+            n_none += 1
+    assert n_img > 0 and n_aud > 0 and n_none > 0, (n_img, n_aud, n_none)

@@ -81,6 +81,7 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_multimodal_features",
         "x_multimodal_resize",
         "x_multimodal_frames",
+        "x_multimodal_augment",
         # sketch-partial MV: DataSketches HLL internals are not
         # cross-engine reproducible (the q36 rationale); tolerance
         # test in tests/test_materialized_view.py
