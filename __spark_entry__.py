@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bpe_train": BP.bpe_train,
         "x_bpe_segment": BP.bpe_segment,
         "x_dedup_spans": DD.dup_span_stats,
+        # fuzzy (edit-distance) join: blocking key + length window + verify
+        "x_dedup_fuzzy_names": DD.fuzzy_name_pairs,
         "x_chunk_documents": CP.chunk_documents,
         # skew mitigation: result must equal the unsalted plain form
         "x_skew_salted_agg": SKW.events_by_type_salted,
@@ -1083,6 +1085,14 @@ def oracle_sql() -> dict[str, str]:
         "x_sample_reservoir": O.sampling_reservoir(),
         "x_freq_heavy_hitters": FQ.heavy_hitters_oracle_sql(),
         "x_dedup_spans": O.dedup_span_stats(),
+        "x_dedup_fuzzy_names": """
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   levenshtein(a.p_name, b.p_name) AS edit_distance
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+              AND levenshtein(a.p_name, b.p_name) <= 3
+        """,
         "x_chunk_documents": O.corpus_chunks(),
         "x_skew_salted_agg": SKW.events_by_type_salted_oracle(),
         "x_skew_salted_join": SKW.events_by_segment_salted_oracle(),

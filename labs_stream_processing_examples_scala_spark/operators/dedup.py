@@ -656,3 +656,72 @@ def dup_span_stats(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> Dat
         )
         .withColumn("dup_frac", F.round(F.col("n_dup_pos") / F.col("n_grams"), 6))
     )
+
+
+# --- fuzzy (edit-distance) join --------------------------------------
+
+FUZZY_MAX_DIST = 3   # levenshtein threshold
+FUZZY_LEN_WINDOW = 2  # necessary condition: |len(a)-len(b)| ≤ window ≤ dist
+
+
+def fuzzy_name_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_comparisons: int | None = 50_000_000,
+) -> DataFrame:
+    """x_dedup_fuzzy_names — edit-distance near-duplicate JOIN for
+    short strings (part names): the blocking-key + verify shape every
+    fuzzy join reduces to.
+
+    Candidates come from an EQUI join on the blocking key (p_brand) —
+    a plain hash/sort-merge join, comparisons ∝ Σ block², never n² —
+    pre-filtered by the length window (|len(a)−len(b)| ≤ d is a
+    necessary condition for levenshtein ≤ d, and an integer compare is
+    ~free next to the O(len²) distance); only survivors pay the exact
+    levenshtein verify. For corpora without a natural blocking key,
+    the MinHash/SimHash banding above IS the blocking — this operator
+    is the exact-verify stage they share, exposed standalone.
+
+    Σ C(block,2) is estimated first (one linear aggregate) and the
+    call fails fast with :class:`CandidateExplosionError` past
+    ``max_comparisons`` — a fixed-cardinality blocking key means
+    blocks grow with the corpus, the same quadratic-at-scale trap as
+    the exact-Jaccard baseline, with the same remedy (finer blocking
+    or the banded operators).
+
+    Exact oracle: DuckDB evaluates the identical predicate chain
+    (levenshtein agrees across engines — pinned since q32)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    if max_comparisons is not None:
+        est = (
+            p.groupBy("p_brand")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cmp"))
+            .first()[0]
+            or 0
+        )
+        if est > max_comparisons:
+            raise CandidateExplosionError(
+                f"fuzzy join would compare ~{int(est):,} pairs "
+                f"(> {max_comparisons:,}); use a finer blocking key or "
+                "the banded near-dup operators"
+            )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("p_brand") == F.col("brand_b")) & (F.col("key_a") < F.col("key_b")))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_LEN_WINDOW
+        )
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select("key_a", "key_b", dist.alias("edit_distance"))
+    )

@@ -145,6 +145,10 @@ AUDITS = [
     # round-5 batch 2: MERGE = one target scan + broadcast update join +
     # row-local 1→≤2 Generate; the target side never shuffles
     ("q65_merge_scd2", ["BroadcastHashJoin", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # fuzzy join: blocked equi join (never a cartesian); the length
+    # window must sit UNDER the join as a cheap filter
+    ("x_dedup_fuzzy_names", ["BroadcastHashJoin"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # MERGE with delete: the churn/update sets join hint-free and
     # broadcast (AQE by size at fixture scale); never a shuffle of the
     # target, never a nested loop
@@ -244,6 +248,7 @@ BROADCAST_ALLOWED = {
     # q66 broadcasts only the aggregated update batch; the churn set
     # is hint-free (∝ customers — AQE decides)
     "q66_merge_delete": {"upd.select(F.col('u_key').alias('u_key_m'), 'new_bal')"},
+    "x_dedup_fuzzy_names": set(),  # hint-free: AQE picks by block size
     "x_sample_reservoir": set(),
     # candidate set ≤ K_COUNTERS×partitions rows; totals is one row
     "x_freq_heavy_hitters": {"candidates", "totals"},
@@ -332,6 +337,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_skew_salted_join": 4,
     "q65_merge_scd2": 2,      # update-batch agg, once per MERGE branch
     "q66_merge_delete": 2,    # update agg + churn-set distinct
+    "x_dedup_fuzzy_names": 0,  # blocked equi join, both sides scanned
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
     "x_bpe_segment": 3,       # word-freq agg, dictionary agg, doc_id agg
