@@ -11,14 +11,16 @@ same rewrite Delta/Iceberg perform internally:
       WHEN NOT MATCHED THEN INSERT <new row>
 
 - Matched + unmatched-target rows come from ONE pass over the target
-  left-joined to the (broadcast) update set; each target row explodes
-  into 1 version row (untouched) or 2 (closed old + current new).
+  left-joined to the update set; each target row explodes into 1
+  version row (untouched) or 2 (closed old + current new).
 - Not-matched-by-target inserts come from an anti-join of the update
   set against the target keys.
 
-Scale posture (100 TB target, small-batch updates — the common case):
-the update set is broadcast, so the target never shuffles; the explode
-is row-local (1→≤2). A copy-on-write table format would additionally
+Scale posture (100 TB target): the update join is HINT-FREE — AQE
+broadcasts a genuinely small change batch (so the target never
+shuffles) and falls back to a shuffle join when the batch is large,
+instead of OOMing on a forced broadcast. The explode is row-local
+(1→≤2). A copy-on-write table format would additionally
 prune the rewrite to partitions containing matched keys — here the
 whole output is returned as a DataFrame and the pruning is the
 writer's concern (sources/layout.py partitioned writes). The anti-join
@@ -68,15 +70,21 @@ def scd2_merge(
     change_date: str = CHANGE_DATE,
     epoch_open: str = EPOCH_OPEN,
 ) -> DataFrame:
-    """Generic SCD2 merge: one target scan + broadcast update join +
-    row-local 1→≤2 explode, plus the not-matched insert anti-join.
+    """Generic SCD2 merge: one target scan + hint-free update join
+    (AQE-sized) + row-local 1→≤2 explode, plus the not-matched insert
+    anti-join.
 
     Output columns: key, *carried_cols, <versioned_col> (the versioned
     attribute), valid_from, valid_to (null = open), is_current.
     """
     matched = F.col("u_key_m").isNotNull()
+    # Hint-free join: the update set's cardinality is the CALLER's
+    # contract, not ours (q65 derives it from orders, i.e. ∝ customers
+    # at scale). AQE picks broadcast when the batch is genuinely small
+    # and falls back to a shuffle join when it isn't — forcing
+    # F.broadcast here would OOM on a large change batch.
     j = target.join(
-        F.broadcast(updates.select(F.col(update_key).alias("u_key_m"), new_value_col)),
+        updates.select(F.col(update_key).alias("u_key_m"), new_value_col),
         F.col(key) == F.col("u_key_m"),
         "left",
     )
@@ -164,10 +172,11 @@ def merge_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoffs are chosen so the fixture exercises all THREE branches
     (sf0.001: 27 delete / 85 update / 38 keep).
 
-    Plan: one target scan + broadcast update join + a hint-free join
-    against the distinct active-customer keys (∝ customers at scale,
-    so AQE chooses broadcast vs shuffle by size — forcing a hint here
-    would be the scale bug the broadcast audit exists to catch)."""
+    Plan: one target scan + two hint-free joins (update set and the
+    distinct active-customer keys). Both sides are ∝ customers at
+    scale, so AQE chooses broadcast vs shuffle by size — forcing a
+    hint on either would be the scale bug the broadcast audit exists
+    to catch."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     upd = _updates(spark, sf_dir, since=UPDATE_DATE)
@@ -178,7 +187,7 @@ def merge_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         cust.join(
-            F.broadcast(upd.select(F.col("u_key").alias("u_key_m"), "new_bal")),
+            upd.select(F.col("u_key").alias("u_key_m"), "new_bal"),
             F.col("c_custkey") == F.col("u_key_m"),
             "left",
         )

@@ -1154,3 +1154,45 @@ def test_multimodal_augment_matches_numpy_oracle(spark):
             assert out[(doc_id, "none")] == payload
             n_none += 1
     assert n_img > 0 and n_aud > 0 and n_none > 0, (n_img, n_aud, n_none)
+
+
+def test_broadcast_hint_policy_catches_fact_join(spark):
+    """The forced-broadcast audit is fixed-cardinality-only (round-5
+    verdict #1/#3): a deliberately-hinted fact join must be detected by
+    the AST scan, and an allowlist entry can only be justified by one
+    of the closed CARDINALITY_CATEGORIES — an SF-scaled frame has no
+    valid category, so the loosening path (q65's round-5 hint) now
+    fails the audit mechanically instead of being whitelisted."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import (
+        BROADCAST_ALLOWED,
+        CARDINALITY_CATEGORIES,
+        audit_broadcast_policy,
+        broadcast_hint_args,
+    )
+
+    def bad_fact_join(cust, orders):
+        # deliberately wrong: orders is SF-scaled, never hintable
+        return cust.join(F.broadcast(orders), "c_custkey")
+
+    hints = broadcast_hint_args(bad_fact_join)
+    assert hints == {"orders"}  # the AST scan sees the illegal hint
+    # ...and no query's allowlist would admit it
+    assert all("orders" not in allowed for allowed in BROADCAST_ALLOWED.values())
+
+    # a loosening attempt with a merely-asserted justification fails
+    bad = audit_broadcast_policy({"q65_merge_scd2": {"upd": "small by contract"}})
+    assert bad and "q65_merge_scd2" in bad[0]
+    # the shipped allowlist itself is clean, and every justification is
+    # from the closed category set
+    assert audit_broadcast_policy(BROADCAST_ALLOWED) == []
+    for allowed in BROADCAST_ALLOWED.values():
+        assert all(cat in CARDINALITY_CATEGORIES for cat in allowed.values())
+    # the MERGE family is hint-free (the round-5 scale defect)
+    assert BROADCAST_ALLOWED["q65_merge_scd2"] == {}
+    assert BROADCAST_ALLOWED["q66_merge_delete"] == {}
+    import labs_stream_processing_examples_scala_spark.operators.merge as MG
+
+    assert broadcast_hint_args(MG.scd2_merge) == set()
+    assert broadcast_hint_args(MG.merge_with_delete) == set()

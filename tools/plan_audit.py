@@ -185,79 +185,118 @@ AUDITS = [
 
 
 # Forced-broadcast audit: per query, the ONLY names allowed inside an
-# F.broadcast(...) hint in the function source. Everything SF-scaled
+# F.broadcast(...) hint in the function source, each carrying the
+# cardinality category that JUSTIFIES the hint. Everything SF-scaled
 # (orders, lineitem, customer, supplier, part, per-key aggregates) must
 # be hint-free so AQE decides by runtime size — a re-added hint on a
-# fact side is a scale regression this check catches mechanically.
-BROADCAST_ALLOWED = {
-    "q7_join_revenue": {"n", "r"},
-    "q30_tpch_q3": set(),
-    "q33_tpch_q5": {"n", "r"},
-    "q34_tpch_q10": {"n"},
-    "q35_tpch_q18": set(),
-    "q37_promo_share": set(),
-    "q38_supplier_balance": {"n"},
-    "q41_brand_suppliers": set(),
-    "q42_tpch_q17": set(),
-    "q46_tpch_q15": {"max_rev"},
-    "q48_tpch_q7": {"n1", "n2"},
-    "q49_tpch_q8": {"n1", "n2", "r"},
-    "q50_tpch_q12": set(),
-    "q51_tpch_q19": set(),
-    "q52_tpch_q21": set(),
-    "q53_tpch_q22": {"avg_bal"},
-    "q54_tpch_q2": {"n", "r"},
-    "q55_tpch_q9": {"n"},
-    "q56_tpch_q11": {"total"},  # one-row global scalar
-    "q57_tpch_q20": {"n"},
-    # corpus ops: the benchmark shingle set is fixed-size (an eval
-    # suite), not SF-scaled — its broadcast is justified by cardinality
-    "x_corpus_contamination": {"bench"},
-    "x_corpus_clean": {"bench"},
-    "x_pack_sequences": set(),
-    "x_embed_normalize": set(),
-    # round-2 batch: all hint-free by design
-    "q58_sessionize": set(),
-    "q59_rolling_1h": set(),
-    "x_text_pii_redact": set(),
-    "x_text_quality_filter": set(),
-    "x_vocab_topk": set(),
-    "x_chunk_documents": set(),
-    "x_dedup_spans": set(),
-    "x_sample_importance": set(),
-    "q60_lateral_topn": set(),
-    "q61_date_spine": set(),
-    "x_corpus_pipeline": {"bench"},  # fixed-size eval suite, like contamination
-    "x_sim_kmeans_step": {"diag"},  # exactly n_cells rows, never SF-scaled
-    "x_sim_ivf_topk": set(),  # probe is hint-free: pruning, not broadcasting
-    "x_sim_lsh_topk_mp": {"q", "probes"},  # one-row query sig / n_tables×n_probes keys
+# fact side is a scale regression this check catches mechanically, and
+# an allowlist entry without a provably-SF-independent category is
+# itself a FAIL (the round-5 q65/q66 loosening class).
+#
+# Categories (the closed set — see CARDINALITY_CATEGORIES):
+#   fixed-dim          nation/region: 25/5 rows at EVERY scale factor
+#   one-row            a global-scalar aggregate (exactly 1 row)
+#   eval-suite         a fixed benchmark/eval set shipped with the job
+#   vocab-bounded      bounded by an explicit vocabulary/merge cap
+#   cells-bounded      exactly n_cells / n_tables×n_probes index rows
+#   query-literal      derived from the single query point (O(k) rows)
+#   bounded-candidates provably ≤ K×partitions rows by construction
+BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
+    "q7_join_revenue": {"n": "fixed-dim", "r": "fixed-dim"},
+    "q30_tpch_q3": {},
+    "q33_tpch_q5": {"n": "fixed-dim", "r": "fixed-dim"},
+    "q34_tpch_q10": {"n": "fixed-dim"},
+    "q35_tpch_q18": {},
+    "q37_promo_share": {},
+    "q38_supplier_balance": {"n": "fixed-dim"},
+    "q41_brand_suppliers": {},
+    "q42_tpch_q17": {},
+    "q46_tpch_q15": {"max_rev": "one-row"},
+    "q48_tpch_q7": {"n1": "fixed-dim", "n2": "fixed-dim"},
+    "q49_tpch_q8": {"n1": "fixed-dim", "n2": "fixed-dim", "r": "fixed-dim"},
+    "q50_tpch_q12": {},
+    "q51_tpch_q19": {},
+    "q52_tpch_q21": {},
+    "q53_tpch_q22": {"avg_bal": "one-row"},
+    "q54_tpch_q2": {"n": "fixed-dim", "r": "fixed-dim"},
+    "q55_tpch_q9": {"n": "fixed-dim"},
+    "q56_tpch_q11": {"total": "one-row"},
+    "q57_tpch_q20": {"n": "fixed-dim"},
+    # the benchmark shingle set is a fixed eval suite, not SF-scaled
+    "x_corpus_contamination": {"bench": "eval-suite"},
+    "x_corpus_clean": {"bench": "eval-suite"},
+    "x_pack_sequences": {},
+    "x_embed_normalize": {},
+    "q58_sessionize": {},
+    "q59_rolling_1h": {},
+    "x_text_pii_redact": {},
+    "x_text_quality_filter": {},
+    "x_vocab_topk": {},
+    "x_chunk_documents": {},
+    "x_dedup_spans": {},
+    "x_sample_importance": {},
+    "q60_lateral_topn": {},
+    "q61_date_spine": {},
+    "x_corpus_pipeline": {"bench": "eval-suite"},
+    "x_sim_kmeans_step": {"diag": "cells-bounded"},  # exactly n_cells rows
+    "x_sim_ivf_topk": {},  # probe is hint-free: pruning, not broadcasting
+    "x_sim_lsh_topk_mp": {"q": "query-literal", "probes": "cells-bounded"},
     # the rerank broadcast lives in the shared quantization._exact_rerank
-    # helper, which EXTRA_BROADCAST_SOURCES folds into these scans
-    "x_sim_ivfpq_topk": {"shortlist.select('vec_id')"},
-    "x_sim_pq_topk": {"shortlist.select('vec_id')"},
-    "x_sim_sq_topk": set(),  # hint-free: no joins at all
-    "q62_funnel": set(),
-    "q63_cohort": set(),
-    "q64_range_hourly": set(),  # hint-free: AQE picks broadcast vs SMJ by size
-    "x_text_tfidf": set(),
-    "x_skew_salted_agg": set(),
-    "x_skew_salted_join": set(),
-    # MERGE broadcasts the aggregated update batch (small by contract);
-    # the hint is on an inline select, so the unparse text is pinned
-    "q65_merge_scd2": {"updates.select(F.col(update_key).alias('u_key_m'), new_value_col)"},
-    # q66 broadcasts only the aggregated update batch; the churn set
-    # is hint-free (∝ customers — AQE decides)
-    "q66_merge_delete": {"upd.select(F.col('u_key').alias('u_key_m'), 'new_bal')"},
-    "x_dedup_fuzzy_names": set(),  # hint-free: AQE picks by block size
-    "x_sample_reservoir": set(),
-    # candidate set ≤ K_COUNTERS×partitions rows; totals is one row
-    "x_freq_heavy_hitters": {"candidates", "totals"},
-    # the tokenizer dictionary is vocabulary-bounded, never SF-scaled
-    "x_bpe_segment": {"dict_df"},
-    "x_text_lm_score": {"vocab"},  # one-row V scalar
-    "x_validate_orders": set(),
-    "x_drift_events": {"tot"},  # one-row totals
+    # helper, which EXTRA_BROADCAST_SOURCES folds into these scans;
+    # the shortlist is exactly the rerank×k candidate ids
+    "x_sim_ivfpq_topk": {"shortlist.select('vec_id')": "query-literal"},
+    "x_sim_pq_topk": {"shortlist.select('vec_id')": "query-literal"},
+    "x_sim_sq_topk": {},  # hint-free: no joins at all
+    "q62_funnel": {},
+    "q63_cohort": {},
+    "q64_range_hourly": {},  # hint-free: AQE picks broadcast vs SMJ by size
+    "x_text_tfidf": {},
+    "x_skew_salted_agg": {},
+    "x_skew_salted_join": {},
+    # MERGE family: HINT-FREE since round 6 — the update/churn sets are
+    # ∝ customers at scale (round-5 verdict #1); AQE decides by size
+    "q65_merge_scd2": {},
+    "q66_merge_delete": {},
+    "x_dedup_fuzzy_names": {},  # hint-free: AQE picks by block size
+    "x_sample_reservoir": {},
+    "x_freq_heavy_hitters": {
+        "candidates": "bounded-candidates",  # ≤ K_COUNTERS×partitions rows
+        "totals": "one-row",
+    },
+    "x_bpe_segment": {"dict_df": "vocab-bounded"},
+    "x_text_lm_score": {"vocab": "one-row"},
+    "x_validate_orders": {},
+    "x_drift_events": {"tot": "one-row"},
 }
+
+# The closed set of hint justifications. Every BROADCAST_ALLOWED entry
+# MUST carry one of these; anything else (including an empty string, or
+# a justification like "small by contract" that merely asserts the
+# caller behaves) fails the audit. This is the policy the round-5 q65
+# loosening violated: a hint on an SF-scaled frame can never be given
+# a category from this set, so it can only land by failing the audit.
+CARDINALITY_CATEGORIES = {
+    "fixed-dim",
+    "one-row",
+    "eval-suite",
+    "vocab-bounded",
+    "cells-bounded",
+    "query-literal",
+    "bounded-candidates",
+}
+
+
+def audit_broadcast_policy(allowed: dict[str, dict[str, str]]) -> list[str]:
+    """Return policy violations in an allowlist: entries whose
+    justification is missing or outside CARDINALITY_CATEGORIES.
+    Unit-tested in tests/test_extensions.py with a deliberately-hinted
+    fact join."""
+    bad = []
+    for q, hints in allowed.items():
+        for name, cat in hints.items():
+            if cat not in CARDINALITY_CATEGORIES:
+                bad.append(f"{q}: hint `{name}` has no valid cardinality category ({cat!r})")
+    return bad
 
 
 # Per-query shuffle-exchange budget: the number of wide edges each
@@ -419,17 +458,23 @@ def main() -> int:
     ]
     failures = 0
     out += ["## Forced-broadcast audit (source-level)", ""]
+    policy_bad = audit_broadcast_policy(BROADCAST_ALLOWED)
+    for line in policy_bad:
+        failures += 1
+        print(f"FAIL: policy — {line}")
+        out.append(f"- FAIL: policy — {line}")
     extra_sources = _extra_broadcast_sources()
     for name, allowed in sorted(BROADCAST_ALLOWED.items()):
         actual = broadcast_hint_args(qs[name].__wrapped__ if hasattr(qs[name], "__wrapped__") else qs[name])
         for helper in extra_sources.get(name, []):
             actual |= broadcast_hint_args(helper)
-        extra = actual - allowed
+        extra = actual - allowed.keys()
         ok = not extra
         failures += 0 if ok else 1
+        shown = sorted(f"{n} ({c})" for n, c in allowed.items())
         line = (
             f"{'OK' if ok else 'FAIL'}: {name} broadcast hints {sorted(actual) or '[]'}"
-            f" (allowed {sorted(allowed) or '[]'}" + ("" if ok else f"; ILLEGAL {sorted(extra)}") + ")"
+            f" (allowed {shown or '[]'}" + ("" if ok else f"; ILLEGAL {sorted(extra)}") + ")"
         )
         print(line)
         out.append(f"- {line}")
