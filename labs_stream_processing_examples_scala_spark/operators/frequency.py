@@ -25,19 +25,33 @@ oracle (threshold = max(HH_FLOOR, ceil(HH_FRAC × N)) with HH_FRAC
 chosen so threshold > N/K_COUNTERS always holds: N/K ≤ N/8192 <
 0.0005·N for any N).
 
-The Misra-Gries fold runs in Python (mapInPandas, Arrow-batched,
+The Misra-Gries fold runs in Python (mapInArrow, Arrow-batched,
 accumulating across the partition's batches) — justified because the
 summary is inherently sequential per partition and its output is K
 rows, not data; tokens never cross the Python boundary row-at-a-time
 in the exact pass, which stays pure Catalyst.
+
+The fold itself is VECTORIZED (round-5 verdict #2): each Arrow batch
+is tokenized and counted at C speed (str.split/explode/value_counts),
+and only the batch's DISTINCT-token count table is folded into the
+summary via the mergeable-summaries merge (Agarwal et al. PODS 2012):
+add matching counts, then if the union exceeds K counters subtract the
+(K+1)-th largest count from all and drop the non-positive. Each
+subtraction of `sub` removes ≥ sub×(K+1) token mass, so the total
+undercount per partition stays ≤ n_p/(K+1) < n_p/K — the same superset
+guarantee as the per-token decrement, at per-distinct-token-per-batch
+cost instead of per-token (measured 9.9 s → see BASELINE.md sf1 spot).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:  # only for the _misra_gries_partition signature
+    import pyarrow as pa
 from pyspark.sql import functions as F
 
 from labs_stream_processing_examples_scala_spark.sources.batch import load_table
@@ -50,35 +64,40 @@ HH_FLOOR = 20      # …but never below this absolute count
 assert HH_FRAC > 1.0 / K_COUNTERS
 
 
-def _misra_gries_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _misra_gries_partition(batches) -> Iterator["pa.RecordBatch"]:
     """Fold one partition's documents through a Misra-Gries summary.
 
-    Emits K candidate rows (kind='tok') plus one kind='total' row
-    carrying the partition's exact token count, so the caller can
-    compute N without a second scan. Amortized O(1) per token: each
-    decrement event removes ≥K token-counts and happens ≤ N/K times.
+    Arrow-native (``mapInArrow``): consumes ``pyarrow.RecordBatch``es
+    whose single column is ``text``. Emits ≤K candidate rows
+    (kind='tok') plus one kind='total' row carrying the partition's
+    exact token count, so the caller can compute N without a second
+    scan. Per batch: tokenize + count entirely in Arrow C kernels
+    (split_pattern/list_flatten/value_counts — measured 8× over pandas
+    str ops, and mapInArrow skips the Arrow↔pandas conversion that
+    dominated the mapInPandas form: pass 1 at sf1 3.0 s → 0.5 s), then
+    one O(distinct) merge into the K-bounded summary (module docstring
+    — the PODS-2012 mergeable-summaries step).
     """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     counters: dict[str, int] = {}
     n_tokens = 0
-    for pdf in batches:
-        for text in pdf["text"]:
-            for tok in text.split(" "):
-                if not tok:
-                    continue
-                n_tokens += 1
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < K_COUNTERS:
-                    counters[tok] = 1
-                else:
-                    dead = []
-                    for t in counters:
-                        counters[t] -= 1
-                        if counters[t] == 0:
-                            dead.append(t)
-                    for t in dead:
-                        del counters[t]
-    yield pd.DataFrame(
+    for rb in batches:
+        toks = pc.list_flatten(pc.split_pattern(rb.column(0), " "))
+        toks = pc.filter(toks, pc.not_equal(toks, ""))
+        n_tokens += len(toks)
+        vc = pc.value_counts(toks)
+        for tok, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+            counters[tok] = counters.get(tok, 0) + c
+        if len(counters) > K_COUNTERS:
+            vals = np.fromiter(counters.values(), dtype=np.int64, count=len(counters))
+            # (K+1)-th largest = (n-K-1)-th smallest; subtracting it
+            # from every counter and dropping ≤0 keeps ≤K survivors
+            sub = int(np.partition(vals, vals.size - K_COUNTERS - 1)[vals.size - K_COUNTERS - 1])
+            counters = {t: c - sub for t, c in counters.items() if c > sub}
+    yield pa.RecordBatch.from_pydict(
         {
             "token": list(counters.keys()) + [""],
             "cnt": list(counters.values()) + [n_tokens],
@@ -96,7 +115,7 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").select("text")
 
-    summaries = d.mapInPandas(
+    summaries = d.mapInArrow(
         _misra_gries_partition, schema="token string, cnt long, kind string"
     )
     # Both frames are tiny (≤ K×partitions rows); persist + an eager

@@ -380,7 +380,7 @@ class IncrementalHeavyHittersView(IncrementalAggView):
             _misra_gries_partition,
         )
 
-        return df.select("text").mapInPandas(
+        return df.select("text").mapInArrow(
             _misra_gries_partition, schema=self.delta_schema
         )
 

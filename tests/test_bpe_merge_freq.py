@@ -170,7 +170,7 @@ def test_heavy_hitters_partitioning_invariant(spark):
         .repartition(16)
         .select("text")
     )
-    summaries = d.mapInPandas(
+    summaries = d.mapInArrow(
         FQ._misra_gries_partition, schema="token string, cnt long, kind string"
     ).persist()
     candidates = summaries.filter(F.col("kind") == "tok").select("token").distinct()
@@ -200,7 +200,7 @@ def test_misra_gries_summary_is_bounded_and_superset(spark):
     """Candidate summaries respect the K_COUNTERS bound per partition,
     and contain every token whose global count exceeds N/K."""
     d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("text")
-    summaries = d.mapInPandas(
+    summaries = d.mapInArrow(
         FQ._misra_gries_partition, schema="token string, cnt long, kind string"
     ).collect()
     toks = [r for r in summaries if r["kind"] == "tok"]

@@ -157,10 +157,11 @@ AUDITS = [
     # reservoir: rank-filter window must plan as WindowGroupLimit so
     # each partition keeps only local top-k BEFORE the lang shuffle
     ("x_sample_reservoir", ["WindowGroupLimit"], ["Join"]),
-    # heavy hitters: MG candidate pass is MapInPandas (partition-local,
-    # no shuffle in); exact pass joins the broadcast candidate set —
-    # the only BNLJ is the one-row totals build (allowed, as q56)
-    ("x_freq_heavy_hitters", ["MapInPandas", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # heavy hitters: MG candidate pass is MapInArrow (partition-local,
+    # no shuffle in, no Arrow↔pandas conversion); exact pass joins the
+    # broadcast candidate set — the only BNLJ is the one-row totals
+    # build (allowed, as q56)
+    ("x_freq_heavy_hitters", ["MapInArrow", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "MapInPandas"]),
     # constraint report: every check folds into ONE aggregation pass
     # (count_if conditional aggs + distinct); unpivot is a narrow
     # Expand of the single result row — a per-check pass would be the
