@@ -1085,13 +1085,16 @@ def oracle_sql() -> dict[str, str]:
         "x_sample_reservoir": O.sampling_reservoir(),
         "x_freq_heavy_hitters": FQ.heavy_hitters_oracle_sql(),
         "x_dedup_spans": O.dedup_span_stats(),
-        "x_dedup_fuzzy_names": """
+        # the length window is NOT restated here: with window == dist it
+        # is implied by the levenshtein bound, so the oracle checks the
+        # advertised contract (every pair with edit_distance <= d),
+        # which a lossy pre-filter on the Spark side would now fail
+        "x_dedup_fuzzy_names": f"""
             SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
                    levenshtein(a.p_name, b.p_name) AS edit_distance
             FROM part a JOIN part b
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-            WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
-              AND levenshtein(a.p_name, b.p_name) <= 3
+            WHERE levenshtein(a.p_name, b.p_name) <= {DD.FUZZY_MAX_DIST}
         """,
         "x_chunk_documents": O.corpus_chunks(),
         "x_skew_salted_agg": SKW.events_by_type_salted_oracle(),

@@ -66,7 +66,7 @@ _WF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word → count over documents — the ONE corpus-sized step."""
-    key = (str(id(spark)), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _WF_CACHE:
         return _WF_CACHE[key]
     d = load_table(spark, sf_dir, "documents")
@@ -138,7 +138,7 @@ def bpe_train_merges(
     effect of the argmax job — one Spark job per merge, with the
     previous generation unpersisted once its child is cached (the
     connected-components loop's pattern, operators/dedup.py)."""
-    key = (str(id(spark)), sf_dir, n_merges)
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
     if key in _MERGE_CACHE:
         return list(_MERGE_CACHE[key])
     wf = word_freqs(spark, sf_dir)

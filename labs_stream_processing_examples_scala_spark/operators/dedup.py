@@ -660,8 +660,12 @@ def dup_span_stats(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> Dat
 
 # --- fuzzy (edit-distance) join --------------------------------------
 
-FUZZY_MAX_DIST = 3   # levenshtein threshold
-FUZZY_LEN_WINDOW = 2  # necessary condition: |len(a)-len(b)| ≤ window ≤ dist
+FUZZY_MAX_DIST = 3
+# |len(a)-len(b)| ≤ d is a NECESSARY condition for levenshtein ≤ d, so
+# the window must equal the distance bound for the pre-filter to be
+# lossless — a tighter window silently drops pairs built from pure
+# insertions (round-5 ADVICE: window=2 lost dist-3 length-diff-3 pairs)
+FUZZY_LEN_WINDOW = FUZZY_MAX_DIST
 
 
 def fuzzy_name_pairs(

