@@ -125,18 +125,25 @@ def mixture_sample(
     engines); both engines compute the identical IEEE expression.
 
     Scale: one map-side-combined groupBy(source) over a low-cardinality
-    key (the per-source count table is SOURCES rows, never SF-scaled),
-    a window total over that tiny frame, broadcast back; the corpus
-    side is a narrow filter — zero data shuffle.
+    key (the per-source count table is SOURCES rows, never SF-scaled);
+    the two totals come from an agg + one-row broadcast crossJoin (the
+    validation.py pattern — NOT a global window, whose single-partition
+    warning elsewhere flags a real scale bug and must stay meaningful
+    in the logs); the corpus side is a narrow filter — zero data
+    shuffle.
     """
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
     w = F.pow(F.col("n_s").cast("double"), F.lit(float(temperature)))
-    tot_docs = F.sum("n_s").over(Window.partitionBy())
-    tot_w = F.sum(w).over(Window.partitionBy())
-    expected = (w / tot_w) * (tot_docs * budget_pct / 100.0)
+    totals = counts.agg(
+        F.sum("n_s").alias("tot_docs"), F.sum(w).alias("tot_w")
+    )
+    expected = (w / F.col("tot_w")) * (F.col("tot_docs") * budget_pct / 100.0)
     pct = F.least(F.lit(100.0), F.floor(F.lit(100.0) * expected / F.col("n_s")))
-    rates = counts.select("source", pct.cast("int").alias("keep_pct"))
+    rates = (
+        counts.crossJoin(F.broadcast(totals))  # one row
+        .select("source", pct.cast("int").alias("keep_pct"))
+    )
     b = _bucket(F.col("doc_id"))
     return (
         d.join(F.broadcast(rates), "source")
