@@ -29,6 +29,7 @@ from labs_stream_processing_examples_scala_spark.operators import graph as GR
 from labs_stream_processing_examples_scala_spark.operators import lm as LM
 from labs_stream_processing_examples_scala_spark.operators import merge as MG
 from labs_stream_processing_examples_scala_spark.streaming import incremental_dedup as ID
+from labs_stream_processing_examples_scala_spark.streaming import ivf_ingest as IVI
 from labs_stream_processing_examples_scala_spark.streaming import materialized_view as MV
 from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
 from labs_stream_processing_examples_scala_spark.operators import relational as R
@@ -251,6 +252,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sim_lsh_topk_mp": SIM.lsh_topk_multiprobe,  # margin multiprobe → rows-only
         "x_sim_ivf_topk": SIM.ivf_topk,  # approximate → rows-only
         "x_sim_ivf_trained": SIM.ivf_topk_trained,  # Lloyd-trained cells → rows-only
+        # streaming-maintained index probe ≡ x_sim_ivf_topk exactly
+        # (frozen centroids, same scoring) — recall floor 1.0 in the
+        # local gate, frame equality in tests/test_streaming.py
+        "x_sim_ivf_incremental": IVI.ivf_incremental_topk,
         "x_sim_pq_codes": QZ.pq_encode,  # trained codebooks → rows-only (numpy oracle)
         "x_sim_pq_topk": QZ.pq_topk_rerank,  # ADC + exact re-rank → rows-only
         "x_sim_ivfpq_topk": QZ.ivfpq_topk,  # pruned cells × code table → rows-only

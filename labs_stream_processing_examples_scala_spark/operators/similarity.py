@@ -438,6 +438,27 @@ def _probe_cells_py(
     return [cell for _, cell in ranked[:nprobe]]
 
 
+def _probe_index_rows(
+    idx: DataFrame, cells: list[int], qvec: list[float], query_id: int, k: int
+) -> DataFrame:
+    """Score the probed cells of an inverted-file frame: exact cosine
+    on the pruned rows only, scan → project → TakeOrdered. Shared by
+    the batch probe below and the streaming-maintained index
+    (streaming/ivf_ingest.py), so both produce bit-identical top-k."""
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qn = F.lit(_norm_py(qvec))
+    return (
+        idx.filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * qn), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def _probe_ivf(
     spark: SparkSession,
     index_path: str,
@@ -451,19 +472,7 @@ def _probe_ivf(
     the other cells' files are never opened), exact cosine re-rank on
     the probed rows only. Zero shuffle: scan → project → TakeOrdered."""
     cells = _probe_cells_py(cents_py, qvec, nprobe)
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    qn = F.lit(_norm_py(qvec))
-    idx = spark.read.parquet(index_path)
-    return (
-        idx.filter(F.col("cell").isin(cells))
-        .filter(F.col("vec_id") != query_id)
-        .select(
-            "vec_id",
-            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * qn), 6).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _probe_index_rows(spark.read.parquet(index_path), cells, qvec, query_id, k)
 
 
 def _query_embedding(spark: SparkSession, sf_dir: str, query_id: int) -> list[float]:

@@ -153,6 +153,7 @@ def compact_batched_dir(
     min_batches: int = 2,
     keep_latest: bool = True,
     transform=None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Merge the ``_batch_id=*`` directories under ``path`` into one,
     keyed by the max merged id, with ~``target_bytes`` output files.
@@ -218,8 +219,17 @@ def compact_batched_dir(
     if transform is not None:
         merged = transform(merged)
     # one round-robin exchange of the compacted span — the whole point
-    # is rewriting many small files as n_out well-sized ones
-    merged.repartition(n_out).write.mode("overwrite").parquet(os.path.join(path, STAGING))
+    # is rewriting many small files as n_out well-sized ones. With
+    # ``partition_by`` the staging write keeps the hive layout (e.g.
+    # the IVF index's cell= dirs), so partition pruning — the reason
+    # the layout exists — survives compaction; cluster by the
+    # partition columns so each value lands in few output files.
+    if partition_by:
+        merged.repartition(n_out, *partition_by).write.mode("overwrite").partitionBy(
+            *partition_by
+        ).parquet(os.path.join(path, STAGING))
+    else:
+        merged.repartition(n_out).write.mode("overwrite").parquet(os.path.join(path, STAGING))
     for i in ids:
         shutil.rmtree(os.path.join(path, f"_batch_id={i}"))
     os.rename(os.path.join(path, STAGING), os.path.join(path, f"_batch_id={target_id}"))

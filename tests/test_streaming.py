@@ -591,3 +591,68 @@ def test_ingest_drop_set_bounded_plan(spark, tmp_path):
     surv = [r.doc_id for r in spark.read.parquet(proc.arrays_dir).select("doc_id").collect()]
     assert surv == [0]
     assert {r.doc_id for r in proc.kept(spark).collect()} <= {0}
+
+
+def test_incremental_ivf_index_equals_batch_probe_and_replays(spark, tmp_path):
+    """Streaming IVF maintenance (streaming/ivf_ingest.py): probing the
+    ingest-built, compacted, cell-partitioned index returns EXACTLY the
+    batch ivf_topk frame (frozen centroids → same assignment → same
+    probed rows → same ordered top-k); a foreachBatch redelivery is a
+    content no-op; and the probe scan prunes on cell (PartitionFilters)
+    with zero exchanges — the round-4 IVF scale posture carried into
+    the streaming path."""
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _query_embedding,
+        _seed_centroids,
+        ivf_topk,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ivf_ingest import run_ivf_ingest
+    from tools.plan_audit import plan_of, shuffle_exchange_count
+
+    src = str(tmp_path / "src")
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    embs.withColumn("split", F.pmod(F.col("vec_id"), F.lit(3))).repartitionByRange(
+        3, "split"
+    ).drop("split").write.parquet(src)
+
+    cents = _seed_centroids(spark, SF_SMOKE, 16)
+    proc = run_ivf_ingest(spark, src, str(tmp_path / "work"), cents, compact_every=2)
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+
+    want = [(r.vec_id, r.cos_sim) for r in ivf_topk(spark, SF_SMOKE).collect()]
+    got_df = proc.probe(spark, qvec, query_id=0, k=10, nprobe=4)
+    got = [(r.vec_id, r.cos_sim) for r in got_df.collect()]
+    assert got == want and len(got) == 10
+
+    # full index content: every fixture vector indexed exactly once,
+    # even though batches 0..1 were compacted into one directory
+    idx = proc.index(spark)
+    assert idx.count() == embs.count()
+    assert idx.select("vec_id").distinct().count() == embs.count()
+
+    # redelivery of the LAST batch (the only legally-replayable one
+    # after keep_latest compaction) with its original id: no-op
+    import glob as _glob
+    import os as _os
+
+    ids = sorted(
+        int(d.rsplit("=", 1)[1])
+        for d in _glob.glob(_os.path.join(proc.index_dir, "_batch_id=*"))
+    )
+    last = ids[-1]
+    replay_ids = [
+        r.vec_id
+        for r in spark.read.option("basePath", proc.index_dir)
+        .parquet(f"{proc.index_dir}/_batch_id={last}")
+        .select("vec_id")
+        .collect()
+    ]
+    proc.process_batch(embs.filter(F.col("vec_id").isin(replay_ids)), last)
+    again = [(r.vec_id, r.cos_sim) for r in proc.probe(spark, qvec, 0, 10, 4).collect()]
+    assert again == want
+
+    # plan proof: pruned scan, no shuffle anywhere in the probe
+    plan = plan_of(got_df)
+    assert "PartitionFilters: [cell" in plan
+    assert shuffle_exchange_count(plan) == 0

@@ -67,8 +67,23 @@ def _recall_neardup(spark, sf_dir: str) -> float:
     return len(got & exact) / len(exact)
 
 
+def _recall_ivf_incremental(spark, sf_dir: str) -> float:
+    """The streaming-maintained index is claimed IDENTICAL to the batch
+    probe (frozen centroids, same rows, same scoring), so its floor is
+    1.0 — overlap vs the batch ivf_topk, not vs brute force."""
+    from labs_stream_processing_examples_scala_spark.operators.similarity import ivf_topk
+    from labs_stream_processing_examples_scala_spark.streaming.ivf_ingest import (
+        ivf_incremental_topk,
+    )
+
+    batch = [r.vec_id for r in ivf_topk(spark, sf_dir).collect()]
+    inc = {r.vec_id for r in ivf_incremental_topk(spark, sf_dir).collect()}
+    return len(set(batch) & inc) / max(len(batch), 1)
+
+
 # name -> (compute(spark, sf_dir) -> float, floor)
 RECALL_SPECS = {
+    "x_sim_ivf_incremental": (_recall_ivf_incremental, 1.0),
     "x_sim_lsh_topk": (_recall_topk("lsh_topk"), 0.10),
     "x_sim_lsh_topk_mp": (_recall_topk("lsh_topk_multiprobe"), 0.50),
     "x_sim_ivf_topk": (_recall_topk("ivf_topk"), 0.50),
