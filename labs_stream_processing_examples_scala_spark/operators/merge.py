@@ -77,6 +77,30 @@ def scd2_merge(
     Output columns: key, *carried_cols, <versioned_col> (the versioned
     attribute), valid_from, valid_to (null = open), is_current.
     """
+    upserted = _scd2_upsert(
+        target, updates, key, update_key, versioned_col, new_value_col,
+        carried_cols, change_date, epoch_open,
+    )
+    inserts = _scd2_inserts(
+        target.select(F.col(key)), target.schema, updates, key, update_key,
+        versioned_col, new_value_col, carried_cols, change_date,
+    )
+    return upserted.unionByName(inserts)
+
+
+def _scd2_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    update_key: str,
+    versioned_col: str,
+    new_value_col: str,
+    carried_cols: list[str],
+    change_date: str,
+    epoch_open: str,
+) -> DataFrame:
+    """The MATCHED / NOT-MATCHED-BY-SOURCE arms: one target scan,
+    row-local 1→≤2 explode."""
     matched = F.col("u_key_m").isNotNull()
     # Hint-free join: the update set's cardinality is the CALLER's
     # contract, not ours (q65 derives it from orders, i.e. ∝ customers
@@ -104,7 +128,7 @@ def scd2_merge(
     versions = F.when(matched, F.array(old_version, new_version)).otherwise(
         F.array(old_version)
     )
-    upserted = (
+    return (
         j.select(key, *carried_cols, F.explode(versions).alias("v"))
         .select(
             key,
@@ -116,21 +140,35 @@ def scd2_merge(
         )
     )
 
-    # WHEN NOT MATCHED BY TARGET → INSERT. Anti-join shuffles only the
-    # (small) update set; carried attributes are unknown for brand-new
-    # keys, hence null.
-    inserts = (
-        updates.join(target.select(F.col(key)), F.col(update_key) == F.col(key), "left_anti")
+
+def _scd2_inserts(
+    target_keys: DataFrame,
+    target_schema,
+    updates: DataFrame,
+    key: str,
+    update_key: str,
+    versioned_col: str,
+    new_value_col: str,
+    carried_cols: list[str],
+    change_date: str,
+) -> DataFrame:
+    """WHEN NOT MATCHED BY TARGET → INSERT. Anti-join shuffles only the
+    (small) update set; carried attributes are unknown for brand-new
+    keys, hence null. Takes the key set separately so a partition-
+    pruned caller can still anti-join against the FULL key column (a
+    column-pruned scan) rather than the pruned partitions — otherwise
+    keys living in untouched partitions would masquerade as inserts."""
+    return (
+        updates.join(target_keys, F.col(update_key) == F.col(key), "left_anti")
         .select(
             F.col(update_key).alias(key),
-            *[F.lit(None).cast(target.schema[c].dataType).alias(c) for c in carried_cols],
+            *[F.lit(None).cast(target_schema[c].dataType).alias(c) for c in carried_cols],
             F.col(new_value_col).alias(versioned_col),
             F.lit(change_date).alias("valid_from"),
             F.lit(None).cast("string").alias("valid_to"),
             F.lit(True).alias("is_current"),
         )
     )
-    return upserted.unionByName(inserts)
 
 
 def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,3 +245,161 @@ def merge_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(acct, 6).alias("acctbal"),
         op.alias("op"),
     )
+
+
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_init(target: DataFrame, epoch_open: str = EPOCH_OPEN) -> DataFrame:
+    """A plain table as the initial SCD2 history: every row one open
+    version. ``scd2_apply(scd2_init(t), u) ≡ scd2_merge(t, u)``
+    (equivalence-tested) — the bridge between the one-shot merge above
+    and the table-maintenance form below."""
+    return (
+        target.withColumn("valid_from", F.lit(epoch_open))
+        .withColumn("valid_to", F.lit(None).cast("string"))
+        .withColumn("is_current", F.lit(True))
+    )
+
+
+def scd2_apply(
+    scd2_target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    update_key: str,
+    versioned_col: str,
+    new_value_col: str,
+    change_date: str = CHANGE_DATE,
+) -> DataFrame:
+    """MERGE a change batch into an ALREADY-VERSIONED SCD2 table — the
+    maintenance form a lakehouse target actually runs batch after
+    batch (the on-disk table keeps one schema, unlike
+    :func:`scd2_merge`, whose output adds the version columns to a
+    plain input). Matched CURRENT rows explode into closed-old +
+    open-new; history rows and unmatched rows carry unchanged;
+    not-matched-by-target keys insert as open versions with null
+    attributes. Same hint-free join posture as the one-shot form."""
+    carried = [
+        c for c in scd2_target.columns
+        if c not in {key, versioned_col, *SCD2_COLS}
+    ]
+    hit = F.col("u_key_m").isNotNull() & F.col("is_current")
+    j = scd2_target.join(
+        updates.select(F.col(update_key).alias("u_key_m"), new_value_col),
+        F.col(key) == F.col("u_key_m"),
+        "left",
+    )
+    closed = F.struct(
+        F.col(versioned_col).alias("val"),
+        F.col("valid_from").alias("valid_from"),
+        F.lit(change_date).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = F.struct(
+        F.col(new_value_col).alias("val"),
+        F.lit(change_date).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    kept = F.struct(
+        F.col(versioned_col).alias("val"),
+        F.col("valid_from").alias("valid_from"),
+        F.col("valid_to").alias("valid_to"),
+        F.col("is_current").alias("is_current"),
+    )
+    versions = F.when(hit, F.array(closed, opened)).otherwise(F.array(kept))
+    upserted = (
+        j.select(key, *carried, F.explode(versions).alias("v"))
+        .select(
+            key,
+            *carried,
+            F.col("v.val").alias(versioned_col),
+            "v.valid_from",
+            "v.valid_to",
+            "v.is_current",
+        )
+    )
+    inserts = _scd2_inserts(
+        scd2_target.filter("is_current").select(F.col(key)), scd2_target.schema,
+        updates, key, update_key, versioned_col, new_value_col, carried, change_date,
+    )
+    return upserted.unionByName(inserts)
+
+
+def scd2_merge_cow(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str,
+    update_key: str,
+    versioned_col: str,
+    new_value_col: str,
+    partition_col: str,
+    change_date: str = CHANGE_DATE,
+) -> dict:
+    """Copy-on-write MERGE over a directory-partitioned, SCD2-shaped
+    parquet target (initialize with ``scd2_init`` +
+    layout.write_partitioned): rewrite ONLY the partitions containing
+    matched keys — the Delta/Iceberg COW rewrite the plain-DataFrame
+    :func:`scd2_merge` defers to "the writer" (module docstring).
+
+    Protocol:
+
+    1. touched partitions = distinct ``partition_col`` values of
+       CURRENT target rows whose key matches an update key — a
+       semi-join projecting the partition column, collected to the
+       driver (bounded by the partition count, never by rows;
+       annotated collect).
+    2. :func:`scd2_apply`'s upsert runs over a scan FILTERED to those
+       partitions (``PartitionFilters`` — untouched partitions' files
+       are never opened); every matched current key lives in a touched
+       partition by construction, so the pruned upsert equals the
+       full-table upsert restricted to touched partitions.
+    3. inserts anti-join the update set against the PRUNED current
+       keys — sufficient, because an update key matching any current
+       row anywhere makes that row's partition touched (step 1), so
+       keys absent from the pruned scan are absent from the whole
+       table. Insert rows carry null attributes, landing in the null
+       partition dir unless ``partition_col`` derives from the key.
+    4. the new partition contents are written to a STAGING dir, then
+       swapped in per-partition (remove old dir, rename staged dir) —
+       never a self-read overwrite, and untouched partition files stay
+       byte-identical on disk (asserted by tests/test_extensions.py on
+       paths AND mtimes). On a local FS the renames are atomic per
+       partition; a real format commits the same swap through its
+       manifest, exactly as streaming/compaction.py documents for its
+       marker protocol.
+
+    Returns ``{"touched": [...], "swapped": [...]}``. The merged table
+    read back equals :func:`scd2_apply` of the pre-merge table with
+    the same updates — equivalence-tested."""
+    import os
+    import shutil
+
+    target_all = spark.read.parquet(target_path)
+    upd_keys = updates.select(F.col(update_key).alias("__uk"))
+    touched = sorted(
+        r[0]
+        for r in target_all.filter("is_current")
+        .join(upd_keys, F.col(key) == F.col("__uk"), "left_semi")
+        .select(partition_col).distinct().collect()
+    )
+    pruned = target_all.filter(F.col(partition_col).isin(touched))
+    # partition_col rides through as a carried column: rewritten rows
+    # keep their value; insert rows get null (→ the null partition dir)
+    out = scd2_apply(
+        pruned, updates, key, update_key, versioned_col, new_value_col, change_date
+    )
+    staging = target_path.rstrip("/") + ".merge-staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    out.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
+    swapped = []
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith(f"{partition_col}=") and "HIVE_DEFAULT" not in d:
+            continue  # _SUCCESS etc.
+        dst = os.path.join(target_path, d)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(os.path.join(staging, d), dst)
+        swapped.append(d)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"touched": touched, "swapped": swapped}

@@ -1224,3 +1224,107 @@ def test_fuzzy_join_length_window_is_lossless(spark, tmp_path):
     assert (1, 3, 1) in got and (2, 3, 4) not in got
     assert all(k not in {a for a, _, _ in got} or True for k in ())  # no cross-block
     assert not any(5 in (a, b) for a, b, _ in got)
+
+
+def test_scd2_merge_cow_rewrites_only_touched_partitions(spark, tmp_path):
+    """Copy-on-write MERGE (operators/merge.py scd2_merge_cow): over a
+    mktsegment-partitioned SCD2 customer table, an update batch
+    touching a single segment rewrites ONLY that partition — every
+    other partition's files are byte-identical on disk (paths, sizes,
+    mtimes) — and the table read back equals scd2_apply of the
+    pre-merge table with the same updates. Also pins the bridge
+    scd2_apply(scd2_init(t), u) ≡ scd2_merge(t, u) tying the
+    maintenance form to q65's oracled one-shot form (round-5 verdict
+    task #5)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import labs_stream_processing_examples_scala_spark.operators.merge as MG
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    upd_all = MG._updates(spark, SF_SMOKE)
+
+    # bridge: applying to the initialized history == the one-shot merge
+    via_apply = {
+        (r.c_custkey, r.c_name, round(r.c_acctbal, 6), r.valid_from, r.valid_to, r.is_current)
+        for r in MG.scd2_apply(
+            MG.scd2_init(cust.drop("c_mktsegment")), upd_all,
+            "c_custkey", "u_key", "c_acctbal", "new_bal",
+        ).collect()
+    }
+    via_merge = {
+        (r.c_custkey, r.c_name, round(r.c_acctbal, 6), r.valid_from, r.valid_to, r.is_current)
+        for r in MG.scd2_merge(
+            cust.drop("c_mktsegment"), upd_all, "c_custkey", "u_key",
+            "c_acctbal", "new_bal", ["c_name"],
+        ).collect()
+    }
+    assert via_apply == via_merge
+
+    # the COW target: SCD2-shaped, partitioned by mktsegment
+    target_path = str(tmp_path / "customer_scd2")
+    MG.scd2_init(cust).write.partitionBy("c_mktsegment").parquet(target_path)
+    pre = spark.read.parquet(target_path)
+
+    # updates touch ONLY the BUILDING segment, plus one brand-new key
+    # (the insert arm → null partition)
+    seg_keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    upd = (
+        upd_all.join(seg_keys, F.col("u_key") == F.col("c_custkey"), "left_semi")
+        .unionByName(
+            spark.createDataFrame([(10_000_001, 42.5)], "u_key long, new_bal double")
+        )
+    )
+
+    def snapshot(path):
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = snapshot(target_path)
+    want = {
+        tuple(r)
+        for r in MG.scd2_apply(
+            pre, upd, "c_custkey", "u_key", "c_acctbal", "new_bal"
+        ).collect()
+    }
+    stats = MG.scd2_merge_cow(
+        spark, target_path, upd, "c_custkey", "u_key", "c_acctbal", "new_bal",
+        partition_col="c_mktsegment",
+    )
+    assert stats["touched"] == ["BUILDING"]
+    assert any("BUILDING" in d for d in stats["swapped"])
+
+    after = snapshot(target_path)
+    def untouched(s):
+        return {
+            k: v for k, v in s.items()
+            if "c_mktsegment=BUILDING" not in k and "HIVE_DEFAULT" not in k
+            and not k.startswith("_")
+        }
+    assert untouched(after) == untouched(before), "untouched partitions were rewritten"
+    assert any("c_mktsegment=BUILDING" in k and k not in before for k in after), (
+        "touched partition was not rewritten"
+    )
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(target_path)
+        .select(*[f.name for f in pre.schema.fields])
+        .collect()
+    }
+    # `want` rows follow scd2_apply's column order (key, carried...,
+    # versioned, validity) — realign to the read-back order
+    apply_cols = MG.scd2_apply(pre, upd, "c_custkey", "u_key", "c_acctbal", "new_bal").columns
+    idx = [apply_cols.index(f.name) for f in pre.schema.fields]
+    want_aligned = {tuple(r[i] for i in idx) for r in want}
+    assert got == want_aligned
+    # the synthetic insert landed as an open version
+    assert any(r[0] == 10_000_001 for r in got)
