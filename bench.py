@@ -76,6 +76,11 @@ HEADLINE = [
     "x_text_lm_score",
     "x_validate_orders",
     "x_drift_events",
+    # round-6 sweep (VERDICT r5 #8): PageRank rides the signature/pair
+    # caches x_dedup_lsh_pairs warms above (listed after it on
+    # purpose); the fuzzy join is self-contained (blocked equi join)
+    "x_graph_pagerank",
+    "x_dedup_fuzzy_names",
 ]
 
 

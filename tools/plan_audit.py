@@ -377,7 +377,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_skew_salted_join": 4,
     "q65_merge_scd2": 2,      # update-batch agg, once per MERGE branch
     "q66_merge_delete": 2,    # update agg + churn-set distinct
-    "x_dedup_fuzzy_names": 0,  # blocked equi join, both sides scanned
+    "x_dedup_fuzzy_names": 1,  # the deliberate pre-join probe spread
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
     "x_bpe_segment": 3,       # word-freq agg, dictionary agg, doc_id agg
