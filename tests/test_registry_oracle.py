@@ -8,7 +8,7 @@ harness as evidence. These tests make that evidence durable:
 - every registry entry is re-checked against its DuckDB oracle at
   sf0.001 on every pytest run (so a regression in any of the ~117
   queries fails CI, not just the 50 the driver sees), and
-- the committed sf0.01 artifact ``CORRECTNESS_LOCAL_r5.json`` is
+- the committed sf0.01 artifact ``CORRECTNESS_LOCAL_r6.json`` is
   asserted to cover the registry completely and be all-green (so the
   artifact can't silently rot as queries are added).
 """
@@ -26,7 +26,7 @@ from tools.check_oracle import check_one
 
 REGISTRY = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
-ARTIFACT = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL_r5.json"
+ARTIFACT = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL_r6.json"
 
 
 def _green(rec: dict) -> bool:
@@ -72,6 +72,10 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_sim_lsh_topk_mp",
         "x_sim_ivf_topk",
         "x_sim_ivf_trained",
+        # streaming-maintained IVF index: probe proven IDENTICAL to the
+        # batch ivf_topk (recall-1.0 floor in the artifact + frame
+        # equality in tests/test_streaming.py) — same ANN exemption
+        "x_sim_ivf_incremental",
         "x_sim_pq_codes",
         "x_sim_pq_topk",
         "x_sim_ivfpq_topk",

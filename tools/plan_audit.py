@@ -125,6 +125,9 @@ AUDITS = [
     # materialized inverted file — partition pruning at the scan, and
     # not a single shuffle anywhere in the probe plan
     ("x_sim_ivf_topk", ["PartitionFilters: [cell", "TakeOrderedAndProject"], ["Exchange"]),
+    # streaming-maintained IVF index: the probe over the ingest-built,
+    # compacted inverted file keeps the batch probe's exact plan shape
+    ("x_sim_ivf_incremental", ["PartitionFilters: [cell", "TakeOrderedAndProject"], ["Exchange"]),
     # sub-day range join: bucket fan-out is a narrow Generate; the join
     # itself must stay an equi hash join on (bucket, user), never a
     # time-range nested loop
@@ -368,6 +371,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_corpus_pipeline": 5,   # the audited two wide stages + quality window chain
     "x_sim_kmeans_step": 3,   # (cell,pos) means, counts, diag — all n_cells-bounded
     "x_sim_ivf_topk": 0,      # pruned probe: NO exchange at all
+    "x_sim_ivf_incremental": 0,  # same probe over the streaming index
     "q62_funnel": 5,
     "q63_cohort": 4,
     "q64_range_hourly": 1,    # click side broadcast; one agg shuffle
