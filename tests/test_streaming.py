@@ -656,3 +656,61 @@ def test_incremental_ivf_index_equals_batch_probe_and_replays(spark, tmp_path):
     plan = plan_of(got_df)
     assert "PartitionFilters: [cell" in plan
     assert shuffle_exchange_count(plan) == 0
+
+
+def test_incremental_ivf_rebuild_swaps_centroids_atomically(spark, tmp_path):
+    """Index refresh (streaming/ivf_ingest.py rebuild): re-training the
+    coarse quantizer reassigns the ingested vectors under the new
+    centroids into a fresh version dir and swaps the manifest — probe
+    after rebuild equals the batch index built from the same trained
+    centroids, the old version dir is retired, and post-rebuild ingest
+    keeps appending to the new version (probe sees the union)."""
+    import os as _os
+
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _probe_ivf,
+        _query_embedding,
+        _seed_centroids,
+        build_ivf_index,
+        kmeans_train,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ivf_ingest import run_ivf_ingest
+
+    src = str(tmp_path / "src")
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    # hold back vec_ids ≡ 2 (mod 3) for the post-rebuild ingest
+    first = embs.filter(F.pmod("vec_id", F.lit(3)) != 2)
+    first.withColumn("s", F.pmod("vec_id", F.lit(2))).repartitionByRange(2, "s").drop(
+        "s"
+    ).write.parquet(src)
+
+    proc = run_ivf_ingest(spark, src, str(tmp_path / "work"), _seed_centroids(spark, SF_SMOKE, 16))
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+
+    cents, _ = kmeans_train(spark, SF_SMOKE, n_cells=16, n_iter=5)
+    new_cents = [(i, c) for i, c in enumerate(cents)]
+    stats = proc.rebuild(spark, new_cents)
+    assert stats["version"] == 1
+    dirs = sorted(d for d in _os.listdir(str(tmp_path / "work")) if d.startswith("ivf_cells"))
+    assert dirs == ["ivf_cells_v1"], "old version dir must be retired"
+    assert proc.cents_py == new_cents  # manifest repointed with the swap
+
+    # probe ≡ a batch inverted file built from the SAME vectors + cents
+    post = [(r.vec_id, r.cos_sim) for r in proc.probe(spark, qvec, 0, 10, 4).collect()]
+    idx = proc.index(spark)
+    n_first = first.count()
+    assert idx.count() == n_first
+
+    # continued ingest lands in the new version; probe ≡ full batch index
+    rest = embs.filter(F.pmod("vec_id", F.lit(3)) == 2)
+    proc.process_batch(rest, stats["carried_batch_id"] + 1)
+    assert proc.index(spark).count() == embs.count()
+    full_path = build_ivf_index(spark, SF_SMOKE, new_cents, tag="rebuild-test-full")
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in _probe_ivf(spark, full_path, new_cents, qvec, 0, 10, 4).collect()
+    ]
+    after_ingest = [(r.vec_id, r.cos_sim) for r in proc.probe(spark, qvec, 0, 10, 4).collect()]
+    assert after_ingest == want
+    assert post != after_ingest or rest.count() == 0  # new vectors visible
