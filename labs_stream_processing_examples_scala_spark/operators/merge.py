@@ -403,3 +403,149 @@ def scd2_merge_cow(
         swapped.append(d)
     shutil.rmtree(staging, ignore_errors=True)
     return {"touched": touched, "swapped": swapped}
+
+
+def scd2_apply_cdc(
+    scd2_target: DataFrame,
+    updates: DataFrame,
+    delete_keys: DataFrame,
+    key: str,
+    update_key: str,
+    delete_key: str,
+    versioned_col: str,
+    new_value_col: str,
+    change_date: str = CHANGE_DATE,
+) -> DataFrame:
+    """MERGE a CDC batch — upserts PLUS explicit delete keys — into an
+    SCD2 table: matched current rows take closed-old + open-new;
+    deleted current rows take closed-old ONLY (the SCD2 tombstone: the
+    key's history ends, no open version); history and untouched rows
+    carry; unknown update keys insert.
+
+    This is the DELETE arm a copy-on-write writer can actually prune
+    on: the change batch NAMES its deletes (a CDC feed's `op=d` rows),
+    so touched partitions = partitions of affected current rows. The
+    q66-style `WHEN NOT MATCHED BY SOURCE DELETE` arm is the opposite
+    contract — every partition holding ANY current row absent from the
+    source is touched, i.e. normally ALL of them — so that form stays
+    a full-table rewrite (merge_with_delete; the same caveat table
+    formats document for NOT MATCHED BY SOURCE). Keys in both the
+    update and delete sets take the delete (caller should send one op
+    per key, as CDC feeds do)."""
+    carried = [
+        c for c in scd2_target.columns
+        if c not in {key, versioned_col, *SCD2_COLS}
+    ]
+    j = (
+        scd2_target.join(
+            updates.select(F.col(update_key).alias("u_key_m"), new_value_col),
+            F.col(key) == F.col("u_key_m"),
+            "left",
+        )
+        .join(
+            delete_keys.select(F.col(delete_key).alias("d_key_m")),
+            F.col(key) == F.col("d_key_m"),
+            "left",
+        )
+    )
+    deleted = F.col("d_key_m").isNotNull() & F.col("is_current")
+    hit = F.col("u_key_m").isNotNull() & F.col("is_current") & F.col("d_key_m").isNull()
+    closed = F.struct(
+        F.col(versioned_col).alias("val"),
+        F.col("valid_from").alias("valid_from"),
+        F.lit(change_date).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = F.struct(
+        F.col(new_value_col).alias("val"),
+        F.lit(change_date).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    kept = F.struct(
+        F.col(versioned_col).alias("val"),
+        F.col("valid_from").alias("valid_from"),
+        F.col("valid_to").alias("valid_to"),
+        F.col("is_current").alias("is_current"),
+    )
+    versions = (
+        F.when(hit, F.array(closed, opened))
+        .when(deleted, F.array(closed))
+        .otherwise(F.array(kept))
+    )
+    upserted = (
+        j.select(key, *carried, F.explode(versions).alias("v"))
+        .select(
+            key,
+            *carried,
+            F.col("v.val").alias(versioned_col),
+            "v.valid_from",
+            "v.valid_to",
+            "v.is_current",
+        )
+    )
+    # a key both deleted and updated takes the delete, so it must not
+    # re-enter through the insert arm either
+    upd_not_deleted = updates.join(
+        delete_keys.select(F.col(delete_key).alias("__dk")),
+        F.col(update_key) == F.col("__dk"),
+        "left_anti",
+    )
+    inserts = _scd2_inserts(
+        scd2_target.filter("is_current").select(F.col(key)), scd2_target.schema,
+        upd_not_deleted,
+        key, update_key, versioned_col, new_value_col, carried, change_date,
+    )
+    return upserted.unionByName(inserts)
+
+
+def merge_cow_cdc(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    delete_keys: DataFrame,
+    key: str,
+    update_key: str,
+    delete_key: str,
+    versioned_col: str,
+    new_value_col: str,
+    partition_col: str,
+    change_date: str = CHANGE_DATE,
+) -> dict:
+    """Copy-on-write CDC MERGE (upserts + named deletes) over a
+    directory-partitioned SCD2 target — :func:`scd2_merge_cow`'s
+    protocol with the delete arm: touched partitions come from current
+    rows matching EITHER the update keys or the delete keys; the
+    pruned scan feeds :func:`scd2_apply_cdc`; staging-dir swap as in
+    the upsert-only form. Untouched partitions stay byte-identical."""
+    import os
+    import shutil
+
+    target_all = spark.read.parquet(target_path)
+    affected = updates.select(F.col(update_key).alias("__uk")).unionByName(
+        delete_keys.select(F.col(delete_key).alias("__uk"))
+    )
+    touched = sorted(
+        r[0]
+        for r in target_all.filter("is_current")
+        .join(affected, F.col(key) == F.col("__uk"), "left_semi")
+        .select(partition_col).distinct().collect()
+    )
+    pruned = target_all.filter(F.col(partition_col).isin(touched))
+    out = scd2_apply_cdc(
+        pruned, updates, delete_keys, key, update_key, delete_key,
+        versioned_col, new_value_col, change_date,
+    )
+    staging = target_path.rstrip("/") + ".merge-staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    out.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
+    swapped = []
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith(f"{partition_col}=") and "HIVE_DEFAULT" not in d:
+            continue
+        dst = os.path.join(target_path, d)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(os.path.join(staging, d), dst)
+        swapped.append(d)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"touched": touched, "swapped": swapped}

@@ -1328,3 +1328,84 @@ def test_scd2_merge_cow_rewrites_only_touched_partitions(spark, tmp_path):
     assert got == want_aligned
     # the synthetic insert landed as an open version
     assert any(r[0] == 10_000_001 for r in got)
+
+
+def test_merge_cow_cdc_delete_arm_prunes_and_tombstones(spark, tmp_path):
+    """CDC COW MERGE (operators/merge.py merge_cow_cdc): named delete
+    keys close the current version WITHOUT opening a new one (SCD2
+    tombstone), upserts explode as usual, and only the partitions of
+    affected current rows are rewritten — deletes in AUTOMOBILE plus
+    updates in BUILDING leave the other three segments' files
+    byte-identical. A key in both sets takes the delete."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import labs_stream_processing_examples_scala_spark.operators.merge as MG
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    target_path = str(tmp_path / "customer_scd2")
+    MG.scd2_init(cust).write.partitionBy("c_mktsegment").parquet(target_path)
+    pre = spark.read.parquet(target_path)
+
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    upd = (
+        MG._updates(spark, SF_SMOKE)
+        .join(bld, F.col("u_key") == F.col("c_custkey"), "left_semi")
+    )
+    # three deletes, one of which ALSO appears in the update set via a
+    # synthetic row — delete must win
+    dels = auto.orderBy("c_custkey").limit(3).select(F.col("c_custkey").alias("d_key"))
+    first_del = dels.first()[0]
+    upd = upd.unionByName(
+        spark.createDataFrame([(first_del, 1.0)], "u_key long, new_bal double")
+    )
+
+    def snapshot(path):
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = snapshot(target_path)
+    want_df = MG.scd2_apply_cdc(
+        pre, upd, dels, "c_custkey", "u_key", "d_key", "c_acctbal", "new_bal"
+    )
+    want_cols = want_df.columns
+    want = {tuple(r) for r in want_df.collect()}
+
+    stats = MG.merge_cow_cdc(
+        spark, target_path, upd, dels, "c_custkey", "u_key", "d_key",
+        "c_acctbal", "new_bal", partition_col="c_mktsegment",
+    )
+    assert stats["touched"] == ["AUTOMOBILE", "BUILDING"]
+
+    after = snapshot(target_path)
+    touched_frag = ("c_mktsegment=AUTOMOBILE", "c_mktsegment=BUILDING")
+    def untouched(s):
+        return {
+            k: v for k, v in s.items()
+            if not any(t in k for t in touched_frag)
+            and "HIVE_DEFAULT" not in k and not k.startswith("_")
+        }
+    assert untouched(after) == untouched(before)
+
+    got_df = spark.read.parquet(target_path)
+    idx = [want_cols.index(f.name) for f in got_df.schema.fields]
+    got = {tuple(r) for r in got_df.collect()}
+    want_aligned = {tuple(r[i] for i in idx) for r in want}
+    assert got == want_aligned
+
+    # tombstone semantics: each deleted key has exactly one closed row
+    # and NO open version — including the delete+update overlap key
+    for dk in [r[0] for r in dels.collect()]:
+        rows = [r for r in got if r[0] == dk]
+        assert len(rows) == 1
+        r = dict(zip([f.name for f in got_df.schema.fields], rows[0]))
+        assert r["is_current"] is False and r["valid_to"] is not None
