@@ -1409,3 +1409,52 @@ def test_merge_cow_cdc_delete_arm_prunes_and_tombstones(spark, tmp_path):
         assert len(rows) == 1
         r = dict(zip([f.name for f in got_df.schema.fields], rows[0]))
         assert r["is_current"] is False and r["valid_to"] is not None
+
+
+def test_pq_arrow_encode_matches_catalyst_reference(spark):
+    """The Arrow-vectorized PQ encode (quantization._encode_map) must
+    agree with the Catalyst literal-fold reference (_codes_expr) on
+    every non-tied assignment — the two implementations differ only in
+    FP summation order, so any disagreement beyond ties is a bug in
+    the vectorized path (round-6: the hot path moved to Arrow after
+    the interpreted fold measured ~60 µs/row)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+    from labs_stream_processing_examples_scala_spark.operators.similarity import _dvec
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    m, k = 4, 8
+    cb, _ = QZ.pq_train(spark, SF_SMOKE, m=m, k_codes=k, n_iter=2)
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    arrow = {
+        r.vec_id: list(r.codes)
+        for r in e.mapInArrow(
+            QZ._encode_map(cb), schema="vec_id long, codes array<int>"
+        ).collect()
+    }
+    u = e.select("vec_id", QZ._unit_vec().alias("vec"))
+    catalyst = {
+        r.vec_id: list(r.codes)
+        for r in u.select("vec_id", QZ._codes_expr(cb, F.col("vec")).alias("codes")).collect()
+    }
+    assert set(arrow) == set(catalyst)
+    C = np.asarray(cb)
+    d = C.shape[2]
+    rows = {r.vec_id: np.array(list(map(float, r.vec))) for r in u.collect()}
+    agreed = disagreements = 0
+    for vid, a_codes in arrow.items():
+        x = rows[vid]
+        for s in range(m):
+            d2 = ((x[s * d : (s + 1) * d][None, :] - C[s]) ** 2).sum(axis=1)
+            srt = np.sort(d2)
+            if srt[1] - srt[0] > 1e-9:  # real margin → must agree exactly
+                assert a_codes[s] == catalyst[vid][s], (vid, s)
+                agreed += 1
+            elif a_codes[s] != catalyst[vid][s]:
+                disagreements += 1  # FP-tie only
+    assert agreed > 0.9 * len(arrow) * m

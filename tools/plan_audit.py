@@ -37,10 +37,12 @@ AUDITS = [
     # multiprobe ANN: the probe set is a broadcast (table,bucket) lookup
     # against the persisted signature index; re-rank is TakeOrdered
     ("x_sim_lsh_topk_mp", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
-    # PQ: encoding is a PURE projection (codebook = plan literal,
-    # row-local argmin) — no Exchange of ANY kind; ADC+rerank is two
-    # TakeOrdered stages glued by a broadcast shortlist join
-    ("x_sim_pq_codes", [], ["Exchange", "Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # PQ: encoding is one narrow Arrow-vectorized map over the scan
+    # (codebooks in the closure; the Catalyst literal fold is kept as
+    # the parity reference but evaluates interpreted — quantization.py)
+    # — no Exchange of ANY kind; ADC+rerank is two TakeOrdered stages
+    # glued by a broadcast shortlist join
+    ("x_sim_pq_codes", ["MapInArrow"], ["Exchange", "Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
     # SQ: one partial-aggregated stats pass feeds literal min/scale
     # vectors; scoring is a row-local dequantize+dot, then TakeOrdered
     ("x_sim_sq_topk", ["TakeOrderedAndProject"], ["Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
