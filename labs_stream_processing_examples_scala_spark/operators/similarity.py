@@ -116,7 +116,14 @@ def cosine_neardup_pairs(
                 f"{est:,} pairs (> cap {max_candidate_pairs:,}); use "
                 "lsh_neardup_pairs at this scale or raise the cap"
             )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    # spread the streamed side before the range join: the verify cost
+    # is the O(n²) OUTPUT fan-out, invisible to AQE's input-byte
+    # sizing, which otherwise coalesces the whole pair scan onto one
+    # core (the same finding as dedup.fuzzy_name_pairs; measured
+    # 110.9 → 13.9 s at sf0.1 where n(n-1)/2 ≈ 50M sits just under
+    # the cap)
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")).repartition(n_parts)
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
