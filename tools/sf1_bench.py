@@ -44,6 +44,12 @@ QUERIES = [
     "x_freq_heavy_hitters",
     "x_bpe_segment",
     "x_text_lm_score",
+    # round-6: the linear vector-scan tier over embeddings ×10 — the
+    # Arrow PQ encode (train + encode, cold), the int8 SQ scan, and
+    # the exact brute-force baseline
+    "x_sim_pq_codes",
+    "x_sim_sq_topk",
+    "x_sim_bruteforce_topk",
 ]
 
 
@@ -69,6 +75,7 @@ def synthesize(spark) -> None:
     replicate("orders", {"o_orderkey": OFF, "o_custkey": OFF})
     replicate("lineitem", {"l_orderkey": OFF, "l_partkey": 0, "l_suppkey": 0})
     replicate("documents", {"doc_id": OFF})
+    replicate("embeddings", {"vec_id": OFF})
     n = spark.read.parquet(f"{DST}/lineitem.parquet").count()
     print(f"synthesized {DST}: lineitem rows = {n:,}")
 
