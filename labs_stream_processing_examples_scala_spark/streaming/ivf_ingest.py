@@ -282,3 +282,143 @@ def ivf_incremental_topk(
     proc = run_ivf_ingest(spark, src, work, cents, compact_every=2)
     _INGEST_WORKDIRS[key] = work
     return proc.probe(spark, _query_embedding(spark, sf_dir, query_id), query_id, k, nprobe)
+
+
+class IncrementalIvfPqIndex(IncrementalIvfIndex):
+    """The quantized tier of the streaming index: each micro-batch is
+    PQ-ENCODED (the Arrow `quantization._encode_map` — numpy argmin in
+    a narrow map) as well as cell-assigned, and the on-disk row is
+    (vec_id, codes, cell) — M small ints of payload per vector instead
+    of the raw dim×8-byte array, the same 100 TB argument as the batch
+    IVF-PQ index. Codebooks are FROZEN per version alongside the
+    centroids in the manifest (both quantizers must stay consistent
+    across batches; re-training either is a :meth:`rebuild`).
+
+    The probe is ADC over the pruned cells (PartitionFilters, zero
+    exchange). Exact re-rank needs the RAW vectors, which this table
+    deliberately does not carry — at scale the raw store is its own
+    table; pass the companion :class:`IncrementalIvfIndex` (or any
+    (vec_id, vec) frame) as ``rerank_source``."""
+
+    def __init__(
+        self,
+        workdir: str,
+        cents_py: list[tuple[int, list[float]]] | None = None,
+        codebooks: list[list[list[float]]] | None = None,
+        compact_every: int | None = None,
+    ):
+        self.workdir = workdir
+        self.meta_path = os.path.join(workdir, _META)
+        self.compact_every = compact_every
+        if not os.path.exists(self.meta_path):
+            if cents_py is None or codebooks is None:
+                raise ValueError("new index needs centroids AND codebooks")
+            os.makedirs(workdir, exist_ok=True)
+            self._write_meta(
+                {
+                    "version": 0,
+                    "centroids": [[c, v] for c, v in cents_py],
+                    "codebooks": codebooks,
+                }
+            )
+
+    @property
+    def codebooks(self) -> list[list[list[float]]]:
+        return self._meta()["codebooks"]
+
+    def process_batch(self, embs: DataFrame, batch_id: int) -> None:
+        from labs_stream_processing_examples_scala_spark.operators.quantization import (
+            _encode_map,
+        )
+
+        spark = embs.sparkSession
+        meta = self._meta()
+        cents = [(int(c), list(map(float, v))) for c, v in meta["centroids"]]
+        encoded = embs.select("vec_id", _dvec("embedding").alias("vec")).mapInArrow(
+            _encode_map(meta["codebooks"], keep_vec=True),
+            schema="vec_id long, vec array<double>, codes array<int>",
+        )
+        assigned = encoded.select(
+            "vec_id", "codes", _assign_cell(cents).alias("cell")
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(self.workdir, f"ivf_cells_v{meta['version']}", f"_batch_id={batch_id}")
+        )
+        if self.compact_every and batch_id % self.compact_every == self.compact_every - 1:
+            from labs_stream_processing_examples_scala_spark.streaming.compaction import (
+                compact_batched_dir,
+            )
+
+            compact_batched_dir(
+                spark,
+                os.path.join(self.workdir, f"ivf_cells_v{meta['version']}"),
+                partition_by=["cell"],
+            )
+
+    def index(self, spark: SparkSession) -> DataFrame:
+        from labs_stream_processing_examples_scala_spark.streaming.compaction import (
+            read_batched_dir,
+        )
+
+        return read_batched_dir(
+            spark, self.index_dir, schema="vec_id long, codes array<int>, cell int"
+        )
+
+    def probe(
+        self,
+        spark: SparkSession,
+        qvec: list[float],
+        query_id: int = -1,
+        k: int = 10,
+        nprobe: int = 4,
+        rerank: int = 0,
+        rerank_source: DataFrame | None = None,
+    ) -> DataFrame:
+        """ADC top-k over the pruned cells; with ``rerank`` > k and a
+        ``rerank_source`` (vec_id, vec) frame, the shortlist re-ranks
+        by exact cosine through a broadcast point-lookup — the same
+        two-stage plan as the batch ivfpq_topk."""
+        from labs_stream_processing_examples_scala_spark.operators.quantization import (
+            _adc_score,
+            _safe_cosine,
+        )
+        from labs_stream_processing_examples_scala_spark.operators.similarity import (
+            _norm_py,
+        )
+
+        meta = self._meta()
+        cents = [(int(c), list(map(float, v))) for c, v in meta["centroids"]]
+        cells = _probe_cells_py(cents, qvec, nprobe)
+        qn = _norm_py(qvec) or 1.0
+        q_unit = [x / qn for x in qvec]
+        shortlist = (
+            self.index(spark)
+            .filter(F.col("cell").isin(cells))
+            .filter(F.col("vec_id") != query_id)
+            .select("vec_id", F.round(_adc_score(meta["codebooks"], q_unit), 6).alias("adc_score"))
+            .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+            .limit(max(k, rerank))
+        )
+        if rerank <= k or rerank_source is None:
+            return shortlist
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        return (
+            rerank_source.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+            .select("vec_id", F.round(_safe_cosine(F.col("vec"), qlit, qn), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k)
+        )
+
+    def rebuild(self, spark: SparkSession, new_cents, new_codebooks=None) -> dict:
+        """Deliberately unsupported on the quantized tier: BOTH
+        re-training paths need the raw vectors, which this table does
+        not carry — codes are lossy, so neither new codebooks (needs
+        re-encoding) nor new centroids (``_assign_cell`` scores raw
+        vectors, not codes) can be derived from the code rows. Rebuild
+        from the companion raw :class:`IncrementalIvfIndex` and
+        re-encode; this raising (rather than silently degrading) is
+        the documented gate, same policy as sources/connectors.py."""
+        raise NotImplementedError(
+            "IVF-PQ rebuild needs the raw-vector table; rebuild from "
+            "IncrementalIvfIndex and re-encode (codes are lossy)"
+        )

@@ -714,3 +714,65 @@ def test_incremental_ivf_rebuild_swaps_centroids_atomically(spark, tmp_path):
     after_ingest = [(r.vec_id, r.cos_sim) for r in proc.probe(spark, qvec, 0, 10, 4).collect()]
     assert after_ingest == want
     assert post != after_ingest or rest.count() == 0  # new vectors visible
+
+
+def test_incremental_ivfpq_code_table_matches_batch_probe(spark, tmp_path):
+    """Quantized streaming index (IncrementalIvfPqIndex): micro-batches
+    are Arrow-PQ-encoded + cell-assigned into a versioned code table;
+    the ADC probe over the pruned cells equals the batch ivfpq_topk
+    shortlist (same frozen centroids + codebooks), the exact re-rank
+    through a raw-vector source equals the batch two-stage result, and
+    codebook/centroid re-training on the lossy tier raises (rebuild
+    belongs to the raw table)."""
+    import pytest as _pytest
+
+    from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _dvec,
+        _query_embedding,
+        kmeans_train,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ivf_ingest import (
+        IncrementalIvfPqIndex,
+    )
+
+    cents_list, _ = kmeans_train(spark, SF_SMOKE, n_cells=16, n_iter=5)
+    cents = [(i, c) for i, c in enumerate(cents_list)]
+    cb, _ = QZ.pq_train(spark, SF_SMOKE)
+
+    proc = IncrementalIvfPqIndex(str(tmp_path / "pqidx"), cents, cb, compact_every=2)
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    for b in range(3):
+        proc.process_batch(embs.filter(F.pmod("vec_id", F.lit(3)) == b), b)
+    assert proc.index(spark).count() == embs.count()
+
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+    # ADC-only probe ≡ the batch shortlist (rerank ≤ k → raw ADC order)
+    got_adc = [
+        (r.vec_id, r.adc_score)
+        for r in proc.probe(spark, qvec, 0, k=10, nprobe=4).collect()
+    ]
+    want_adc = [
+        (r.vec_id, r.adc_score)
+        for r in QZ.ivfpq_topk(spark, SF_SMOKE, rerank=0).collect()
+    ]
+    assert got_adc == want_adc and len(got_adc) == 10
+
+    # exact re-rank through the raw-vector companion ≡ batch two-stage
+    raw = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    got_rr = [
+        (r.vec_id, r.cos_sim)
+        for r in proc.probe(spark, qvec, 0, k=10, nprobe=4, rerank=50, rerank_source=raw).collect()
+    ]
+    want_rr = [
+        (r.vec_id, r.cos_sim)
+        for r in QZ.ivfpq_topk(spark, SF_SMOKE, rerank=50).collect()
+    ]
+    assert got_rr == want_rr
+
+    # the lossy tier cannot re-train in place
+    with _pytest.raises(NotImplementedError):
+        proc.rebuild(spark, cents)
