@@ -583,6 +583,52 @@ def kmeans_step(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> DataFram
     return counts.join(F.broadcast(diag), "cell")
 
 
+def _kmeans_partials_map(cents: list[list[float]]):
+    """One Lloyd-iteration map for :func:`kmeans_train`: per Arrow
+    batch, cosine-argmax every row against the centroid matrix (first
+    max = lowest cell, the `_assign_cell` tie-break) and accumulate
+    per-cell raw-vector sums and counts in bounded n_cells×dim state —
+    the map-side combine. Emits only the non-empty cells' (cell, pos,
+    psum, cnt) rows once per partition."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+
+    def partials(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n_cells, dim = C.shape
+        sums = np.zeros((n_cells, dim))
+        cnts = np.zeros(n_cells, dtype=np.int64)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            vec_col = rb.column(rb.schema.get_field_index("vec"))
+            V = pc.list_flatten(vec_col).to_numpy(zero_copy_only=False).reshape(
+                rb.num_rows, -1
+            )
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0] = 1.0
+            a = np.argmax((V @ C.T) / (vn[:, None] * cn[None, :]), axis=1)
+            np.add.at(sums, a, V)
+            np.add.at(cnts, a, 1)
+        nz = np.nonzero(cnts)[0]
+        if len(nz):
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "cell": np.repeat(nz, dim).astype("int32"),
+                    "pos": np.tile(np.arange(dim, dtype="int32"), len(nz)),
+                    "psum": sums[nz].reshape(-1),
+                    "cnt": np.repeat(cnts[nz], dim),
+                }
+            )
+
+    return partials
+
+
 def kmeans_train(
     spark: SparkSession,
     sf_dir: str,
@@ -618,13 +664,19 @@ def kmeans_train(
     it_run = 0
     for _ in range(n_iter):
         it_run += 1
-        assigned = e.select(
-            _assign_cell([(i, c) for i, c in enumerate(cents)]).alias("cell"), "vec"
-        )
+        # Arrow-vectorized iteration (round 6, same rationale as
+        # quantization.pq_train): assign + fold per-cell partial sums
+        # inside each partition at numpy speed, shuffle ONLY the
+        # n_cells×dim partials — replaces the posexplode of every
+        # vector component (dim× row blowup) the previous form
+        # shuffled into the (cell,pos) agg
         upd = (
-            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            e.select("vec").mapInArrow(
+                _kmeans_partials_map(cents),
+                schema="cell int, pos int, psum double, cnt long",
+            )
             .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg((F.sum("psum") / F.sum("cnt")).alias("m"))
             .collect()  # n_cells × dim rows — fixed size, not data-scaled
         )
         new_cents = [list(c) for c in cents]
