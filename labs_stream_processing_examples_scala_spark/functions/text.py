@@ -183,8 +183,14 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     within one row — bounded by document length, not corpus size, so
     the operator stays a narrow projection at any SF). Zero-token docs
     yield NULL ratios on both engines (x/0 → NULL in Spark and DuckDB).
+    The scan is spread first (dedup._spread, a no-op on already-parallel
+    input): this is the costliest per-row fold in the text family and a
+    single-file fixture scan serialized it through one core (measured
+    1.5 s single-core vs ~0.2 s spread at sf0.1).
     """
-    d = load_table(spark, sf_dir, "documents")
+    from labs_stream_processing_examples_scala_spark.operators.dedup import _spread
+
+    d = _spread(load_table(spark, sf_dir, "documents"), spark)
     toks = _tokens("text")
     n = F.size(toks)
     counts = F.transform(
