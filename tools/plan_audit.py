@@ -339,7 +339,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "q37_promo_share": 1,
     "x_sample_hash_split": 0,
     "x_sample_stratified": 0,
-    "x_dedup_simhash_pairs": 1,
+    # the pair-dedup distinct + the deliberate _spread of the
+    # single-file fixture scan (a no-op exchange on parallel input)
+    "x_dedup_simhash_pairs": 2,
     "q39_tpch_q4": 1,
     "q40_tpch_q6": 1,         # the single global-agg exchange
     "q41_brand_suppliers": 2,
