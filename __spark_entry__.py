@@ -216,6 +216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MERGE INTO / SCD2 upsert (lakehouse write path, operators/merge.py)
         "q65_merge_scd2": MG.merge_scd2,
         "q66_merge_delete": MG.merge_with_delete,
+        # CDC MERGE over the initialized SCD2 history: named deletes
+        # tombstone (close, never reopen), updates close + reopen
+        "q67_merge_cdc": MG.merge_cdc,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -1014,6 +1017,42 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             LEFT JOIN upd ON c_custkey = u_key
             LEFT JOIN active ON c_custkey = a_key
+        """,
+        "q67_merge_cdc": """
+            WITH upd AS (
+                SELECT o_custkey AS u_key, max(o_totalprice) AS new_bal
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+                GROUP BY 1
+            ),
+            dels AS (
+                SELECT c_custkey AS d_key FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+            )
+            -- deleted current rows: closed, never reopened (tombstone)
+            SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal,
+                   '1992-01-01' AS valid_from, '1997-06-01' AS valid_to,
+                   false AS is_current
+            FROM customer JOIN dels ON c_custkey = d_key
+            UNION ALL
+            -- updated current rows: closed old version...
+            SELECT c_custkey, c_name, round(c_acctbal, 6),
+                   '1992-01-01', '1997-06-01', false
+            FROM customer JOIN upd ON c_custkey = u_key
+            WHERE c_custkey NOT IN (SELECT d_key FROM dels)
+            UNION ALL
+            -- ...plus the reopened new version
+            SELECT c_custkey, c_name, round(new_bal, 6),
+                   '1997-06-01', NULL, true
+            FROM customer JOIN upd ON c_custkey = u_key
+            WHERE c_custkey NOT IN (SELECT d_key FROM dels)
+            UNION ALL
+            -- untouched current rows carry
+            SELECT c_custkey, c_name, round(c_acctbal, 6),
+                   '1992-01-01', NULL, true
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT d_key FROM dels)
+              AND c_custkey NOT IN (SELECT u_key FROM upd)
         """,
         "q45_tpch_q13": """
             SELECT c_count, count(*) AS custdist

@@ -549,3 +549,36 @@ def merge_cow_cdc(
         swapped.append(d)
     shutil.rmtree(staging, ignore_errors=True)
     return {"touched": touched, "swapped": swapped}
+
+
+def merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67 — CDC MERGE over the initialized SCD2 customer history:
+    updates = the q65 change batch (per-customer new balance since
+    CHANGE_DATE); deletes = customers with no orders at all (the
+    CDC feed names them — disjoint from updates by construction, since
+    every update key has an order). Deleted histories close with no
+    open version; updated ones close + reopen; the rest carry.
+
+    Exact-oracle shape like q65: every version row is a pure function
+    of the inputs, reproduced in DuckDB as a four-branch UNION ALL."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    dels = (
+        cust.join(
+            orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        ).select(F.col("c_custkey").alias("d_key"))
+    )
+    out = scd2_apply_cdc(
+        scd2_init(cust), _updates(spark, sf_dir), dels,
+        "c_custkey", "u_key", "d_key", "c_acctbal", "new_bal",
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

@@ -159,6 +159,10 @@ AUDITS = [
     # target, never a nested loop
     ("q66_merge_delete", ["BroadcastHashJoin"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # CDC MERGE over the SCD2 history: update + delete-key joins both
+    # hint-free, version explode row-local (Generate)
+    ("q67_merge_cdc", ["BroadcastHashJoin", "Generate"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
     # reservoir: rank-filter window must plan as WindowGroupLimit so
     # each partition keeps only local top-k BEFORE the lang shuffle
     ("x_sample_reservoir", ["WindowGroupLimit"], ["Join"]),
@@ -263,6 +267,7 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     # ∝ customers at scale (round-5 verdict #1); AQE decides by size
     "q65_merge_scd2": {},
     "q66_merge_delete": {},
+    "q67_merge_cdc": {},
     "x_dedup_fuzzy_names": {},  # hint-free: AQE picks by block size
     "x_sample_reservoir": {},
     "x_freq_heavy_hitters": {
@@ -385,6 +390,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_skew_salted_join": 4,
     "q65_merge_scd2": 2,      # update-batch agg, once per MERGE branch
     "q66_merge_delete": 2,    # update agg + churn-set distinct
+    "q67_merge_cdc": 2,       # update agg + insert-arm anti-join
     "x_dedup_fuzzy_names": 1,  # the deliberate pre-join probe spread
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
@@ -421,6 +427,7 @@ def _extra_broadcast_sources() -> dict[str, list]:
         "x_sim_pq_topk": [QZ.pq_topk, QZ._exact_rerank],
         "x_sim_ivfpq_topk": [QZ._exact_rerank],
         "q65_merge_scd2": [MG.scd2_merge],
+        "q67_merge_cdc": [MG.scd2_apply_cdc, MG.scd2_init],
     }
 
 
