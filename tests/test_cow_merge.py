@@ -1,0 +1,258 @@
+"""Copy-on-write MERGE commit protocol (operators/cow_table.py).
+
+Round-7 coverage for the two round-6 verdict items on the COW path:
+
+- the ADVICE-high data-loss bug: inserts land in the null partition,
+  which the old ``isin(touched)`` pruning could never touch — a later
+  merge re-inserted updated keys as duplicate open versions and the
+  swap dropped every prior insert. Batch-after-batch scenarios here
+  pin the fix.
+- the torn-read / crash window of the old rmtree+rename swap: the
+  generational manifest commit is walked through its crash matrix
+  (constructed on-disk states, same style as tests/test_compaction.py)
+  and a live concurrent reader is driven across real commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+
+from pyspark.sql import functions as F
+
+import labs_stream_processing_examples_scala_spark.operators.cow_table as CT
+import labs_stream_processing_examples_scala_spark.operators.merge as MG
+
+
+def _init_target(spark, path, n=24, parts=("A", "B", "C")):
+    """A small SCD2 target partitioned by ``p``: keys 0..n-1 spread
+    round-robin over the partitions, versioned column ``val``."""
+    rows = [(k, parts[k % len(parts)], float(k)) for k in range(n)]
+    df = spark.createDataFrame(rows, "k long, p string, val double")
+    MG.scd2_init(df).write.partitionBy("p").parquet(path)
+    return df
+
+
+def _upd(spark, pairs):
+    return spark.createDataFrame(pairs, "u_key long, new_val double")
+
+
+def _rows(spark, path):
+    return frozenset(tuple(r) for r in CT.read_cow(spark, path).collect())
+
+
+def _apply_chain(df, batches):
+    """Reference result: scd2_apply run serially on in-memory frames."""
+    out = MG.scd2_init(df)
+    for upd, date in batches:
+        out = MG.scd2_apply(out, upd, "k", "u_key", "val", "new_val", change_date=date)
+    return frozenset(
+        tuple(r) for r in out.select("k", "p", "val", "valid_from", "valid_to", "is_current").collect()
+    )
+
+
+def _cow_rows(spark, path):
+    return frozenset(
+        tuple(r)
+        for r in CT.read_cow(spark, path)
+        .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+
+
+def test_insert_then_update_batches_keep_history(spark, tmp_path):
+    """The ADVICE-high regression: merge 1 INSERTS key 100 (null
+    partition); merge 2 UPDATES it and INSERTS key 101. After merge 2
+    the first insert's history is closed+reopened (never duplicated,
+    never lost) and equals the serial scd2_apply chain exactly."""
+    path = str(tmp_path / "t")
+    df = _init_target(spark, path)
+
+    u1 = _upd(spark, [(100, 1.0), (3, 33.0)])
+    s1 = MG.scd2_merge_cow(
+        spark, path, u1, "k", "u_key", "val", "new_val", "p", change_date="1998-01-01"
+    )
+    assert s1["null_rewritten"], "insert batch must rewrite the null partition"
+    assert s1["touched"] == ["A"]  # key 3 lives in partition A
+
+    u2 = _upd(spark, [(100, 2.0), (101, 5.0)])
+    s2 = MG.scd2_merge_cow(
+        spark, path, u2, "k", "u_key", "val", "new_val", "p", change_date="1999-01-01"
+    )
+    # key 100 lives in the null partition → no named partition touched,
+    # but the null partition must be in the pruned scan and rewrite
+    assert s2["null_rewritten"]
+
+    got = _cow_rows(spark, path)
+    want = _apply_chain(df, [(u1, "1998-01-01"), (u2, "1999-01-01")])
+    assert got == want
+
+    k100 = sorted(
+        (r for r in got if r[0] == 100), key=lambda r: (r[3], r[4] or "9999")
+    )
+    # exactly two versions: closed 1998→1999 and open since 1999
+    assert len(k100) == 2
+    assert (k100[0][2], k100[0][3], k100[0][4], k100[0][5]) == (1.0, "1998-01-01", "1999-01-01", False)
+    assert (k100[1][2], k100[1][3], k100[1][4], k100[1][5]) == (2.0, "1999-01-01", None, True)
+    # the second insert survived too
+    assert any(r[0] == 101 and r[5] for r in got)
+
+
+def test_cdc_insert_then_delete_batches(spark, tmp_path):
+    """Same null-partition carry for the CDC form: batch 1 inserts a
+    key, batch 2 deletes it — the tombstone closes the inserted
+    version instead of the old swap dropping the whole null dir.
+    Duplicate delete keys in the feed change nothing (round-7
+    distinct)."""
+    path = str(tmp_path / "t")
+    _init_target(spark, path)
+    empty_dels = spark.createDataFrame([], "d_key long")
+
+    u1 = _upd(spark, [(200, 9.0)])
+    MG.merge_cow_cdc(
+        spark, path, u1, empty_dels, "k", "u_key", "d_key", "val", "new_val", "p",
+        change_date="1998-01-01",
+    )
+    # duplicate deletes on purpose; also delete a base-table key
+    dels = spark.createDataFrame([(200,), (200,), (5,)], "d_key long")
+    s2 = MG.merge_cow_cdc(
+        spark, path, _upd(spark, []), dels, "k", "u_key", "d_key", "val", "new_val", "p",
+        change_date="1999-01-01",
+    )
+    assert s2["null_rewritten"]  # 200's current row lives there
+    got = _cow_rows(spark, path)
+    k200 = [r for r in got if r[0] == 200]
+    assert len(k200) == 1 and k200[0][5] is False and k200[0][4] == "1999-01-01"
+    k5 = [r for r in got if r[0] == 5]
+    assert len(k5) == 1 and k5[0][5] is False
+
+
+def test_duplicate_delete_keys_equal_distinct(spark, tmp_path):
+    """scd2_apply_cdc: a feed with repeated delete keys produces
+    exactly the same table as the deduplicated feed (no join fanout)."""
+    df = _init_target(spark, str(tmp_path / "unused"))
+    tgt = MG.scd2_init(df)
+    upd = _upd(spark, [(1, 10.0)])
+    d1 = spark.createDataFrame([(2,), (2,), (2,), (4,)], "d_key long")
+    d2 = spark.createDataFrame([(2,), (4,)], "d_key long")
+    a = frozenset(
+        tuple(r)
+        for r in MG.scd2_apply_cdc(tgt, upd, d1, "k", "u_key", "d_key", "val", "new_val").collect()
+    )
+    b = frozenset(
+        tuple(r)
+        for r in MG.scd2_apply_cdc(tgt, upd, d2, "k", "u_key", "d_key", "val", "new_val").collect()
+    )
+    assert a == b
+    assert len(a) == len({(r[0], r[3]) for r in a}), "duplicate (key, valid_from) rows"
+
+
+def test_noop_merge_commits_nothing(spark, tmp_path):
+    """An update batch matching nothing and inserting nothing leaves
+    the table bit-for-bit alone — no new generation, no manifest
+    bump."""
+    path = str(tmp_path / "t")
+    _init_target(spark, path)
+    before = _rows(spark, path)
+    # key 3 exists → this DOES merge; use keys that exist? No: a no-op
+    # needs keys that neither match nor insert — impossible (a
+    # non-matching key IS an insert). The true no-op is an EMPTY batch.
+    s = MG.scd2_merge_cow(
+        spark, path, _upd(spark, []), "k", "u_key", "val", "new_val", "p"
+    )
+    assert s == {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
+    assert CT.read_manifest(path) is None or CT.read_manifest(path)["version"] == 0
+    assert _rows(spark, path) == before
+
+
+def test_kill_matrix_reader_never_torn(spark, tmp_path):
+    """Walk the commit protocol's crash windows by constructing each
+    on-disk state (test_compaction style): at every point the
+    manifest-aware reader returns exactly the old table or exactly the
+    new one, and the next merge call recovers."""
+    path = str(tmp_path / "t")
+    df = _init_target(spark, path)
+    u1 = _upd(spark, [(0, 100.0)])
+    old = _cow_rows(spark, path)
+    want = _apply_chain(df, [(u1, "1998-01-01")])
+
+    # --- crash mid-migration: marker written, only SOME root dirs moved
+    with open(os.path.join(path, CT.MIGRATE), "w") as f:
+        json.dump({"to": "gen_v0"}, f)
+    os.makedirs(os.path.join(path, "gen_v0"), exist_ok=True)
+    os.rename(os.path.join(path, "p=A"), os.path.join(path, "gen_v0", "p=A"))
+    assert _cow_rows(spark, path) == old, "mid-migration read is torn"
+    # next merge resumes the migration and commits on top
+    s = MG.scd2_merge_cow(
+        spark, path, u1, "k", "u_key", "val", "new_val", "p", change_date="1998-01-01"
+    )
+    assert s["version"] == 1
+    assert _cow_rows(spark, path) == want
+    assert not os.path.exists(os.path.join(path, CT.MIGRATE))
+
+    # --- crash while staging the NEXT generation: gen_v2 exists but the
+    # manifest still names v1 → invisible to readers, GC'd on recovery
+    stale = os.path.join(path, "gen_v2")
+    shutil.copytree(os.path.join(path, "gen_v1"), stale)
+    assert _cow_rows(spark, path) == want
+    CT.recover(path)
+    assert not os.path.exists(stale)
+    assert CT.read_manifest(path)["version"] == 1
+
+    # --- crash after commit, before GC: manifest at v2, v0/v1 linger.
+    # Reader sees the new table; the NEXT commit prunes to the
+    # retention window (keep previous generation only).
+    u2 = _upd(spark, [(1, 200.0)])
+    MG.scd2_merge_cow(
+        spark, path, u2, "k", "u_key", "val", "new_val", "p", change_date="1999-01-01"
+    )
+    assert CT.read_manifest(path)["version"] == 2
+    want2 = _apply_chain(df, [(u1, "1998-01-01"), (u2, "1999-01-01")])
+    assert _cow_rows(spark, path) == want2
+    assert os.path.isdir(os.path.join(path, "gen_v1")), "grace generation GC'd too early"
+    assert not os.path.isdir(os.path.join(path, "gen_v0")), "stale generation survived GC"
+
+
+def test_concurrent_reader_sees_old_or_new_only(spark, tmp_path):
+    """VERDICT round-6 task #6: serve reads WHILE a merge commits.
+    A reader thread snapshots the table in a loop across a real
+    commit; every snapshot must equal exactly the pre-merge or the
+    post-merge row set — the isolation the one-file manifest flip plus
+    one-generation retention guarantees (the old rmtree+rename swap
+    failed this by construction)."""
+    path = str(tmp_path / "t")
+    df = _init_target(spark, path, n=60)
+    u1 = _upd(spark, [(k, k * 10.0) for k in range(0, 60, 4)] + [(500, 1.0)])
+    old = _cow_rows(spark, path)
+    want = _apply_chain(df, [(u1, "1998-01-01")])
+
+    seen, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                seen.append(_cow_rows(spark, path))
+            except Exception as e:  # noqa: BLE001 — fail the test below
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        MG.scd2_merge_cow(
+            spark, path, u1, "k", "u_key", "val", "new_val", "p", change_date="1998-01-01"
+        )
+        # a few post-commit reads too
+        for _ in range(2):
+            seen.append(_cow_rows(spark, path))
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, f"reader failed mid-commit: {errors[0]}"
+    assert seen, "reader never ran"
+    bad = [s for s in seen if s not in (old, want)]
+    assert not bad, f"torn snapshot observed ({len(bad)} of {len(seen)})"
+    assert seen[-1] == want
