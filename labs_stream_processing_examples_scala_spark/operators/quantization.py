@@ -194,6 +194,22 @@ def pq_train(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("vec")
     )
+    _PQ_CACHE[key] = pq_train_frame(e, m=m, k_codes=k_codes, n_iter=n_iter, tol=tol)
+    return _PQ_CACHE[key]
+
+
+def pq_train_frame(
+    e: DataFrame,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = 5,
+    tol: float = 1e-6,
+) -> tuple[list[list[list[float]]], int]:
+    """:func:`pq_train`'s core over an arbitrary ``(vec_id, vec)``
+    frame — same Arrow partial-sum iterations, no table loading or
+    memoization (round 7: factored out so the streaming IVF-PQ tier
+    can re-train codebooks from its raw companion index's content,
+    streaming/ivf_ingest.py rebuild_from_raw)."""
     u = e.select("vec_id", _unit_vec().alias("vec"))
     slices = _sub_slices(m)
     seeds = u.orderBy("vec_id").limit(k_codes).collect()  # k_codes rows, fixed
@@ -232,7 +248,6 @@ def pq_train(
         cb = new_cb
         if shift < tol:
             break
-    _PQ_CACHE[key] = (cb, it_run)
     return cb, it_run
 
 

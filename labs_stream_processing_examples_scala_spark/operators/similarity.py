@@ -659,6 +659,21 @@ def kmeans_train(
     if key in _KMEANS_CACHE:
         return _KMEANS_CACHE[key]
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
+    _KMEANS_CACHE[key] = kmeans_train_frame(e, n_cells=n_cells, n_iter=n_iter, tol=tol)
+    return _KMEANS_CACHE[key]
+
+
+def kmeans_train_frame(
+    e: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], int]:
+    """:func:`kmeans_train`'s core over an arbitrary ``(vec_id, vec)``
+    frame — same Arrow partial-sum iteration, no table loading or
+    memoization (round 7: factored out so the streaming IVF-PQ tier
+    can re-train from its raw companion index's content,
+    streaming/ivf_ingest.py rebuild_from_raw)."""
     seeds = e.orderBy("vec_id").limit(n_cells).select("vec").collect()
     cents: list[list[float]] = [list(r.vec) for r in seeds]
     it_run = 0
@@ -692,7 +707,6 @@ def kmeans_train(
         cents = new_cents
         if shift < tol:
             break
-    _KMEANS_CACHE[key] = (cents, it_run)
     return cents, it_run
 
 
