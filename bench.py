@@ -58,7 +58,9 @@ HEADLINE = [
     # mixture sampling, LATERAL top-n, recursive date spine, funnel,
     # cohort — plus the round-5 sub-day range join
     "x_sim_ivf_topk",
-    "x_sim_lsh_topk_mp",
+    # round 7: x_sim_lsh_topk (above) is now the MULTIPROBE form — the
+    # old default's timing slot; the single-probe baseline rides here
+    "x_sim_lsh_topk_sp",
     "x_sim_sq_topk",
     "x_sample_mixture",
     "q60_lateral_topn",

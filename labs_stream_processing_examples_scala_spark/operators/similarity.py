@@ -307,12 +307,15 @@ def lsh_topk(
 
 
 def lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry form of multiprobe :func:`lsh_topk` (n_probes=4): the
-    scale answer to "LSH recall is low on near-random vectors" — at
-    sf0.01 recall@10 goes 0.1 → 0.8 while scanning ~39% of the corpus
-    (vs the ~80% a random sample would need for the same recall).
-    Probe keys stay (table, bucket) equi-join lookups, so the
-    partitioned-index pruning story is unchanged."""
+    """THE default LSH top-k (`x_sim_lsh_topk` since round 7 — a user
+    picking the obvious name must not get the 0.10-recall single-probe
+    baseline): multiprobe :func:`lsh_topk` with n_probes=4, the scale
+    answer to "LSH recall is low on near-random vectors" — at sf0.01
+    recall@10 goes 0.1 → 0.8 while scanning ~39% of the corpus (vs the
+    ~80% a random sample would need for the same recall). Probe keys
+    stay (table, bucket) equi-join lookups, so the partitioned-index
+    pruning story is unchanged. Single-probe remains registered as
+    `x_sim_lsh_topk_sp`, the documented teaching baseline."""
     return lsh_topk(spark, sf_dir, n_probes=4)
 
 

@@ -69,7 +69,7 @@ def test_every_query_has_oracle_or_documented_exemption():
         "q36_approx_percentile",
         "x_sim_lsh_neardup",
         "x_sim_lsh_topk",
-        "x_sim_lsh_topk_mp",
+        "x_sim_lsh_topk_sp",
         "x_sim_ivf_topk",
         "x_sim_ivf_trained",
         # streaming-maintained IVF index: probe proven IDENTICAL to the

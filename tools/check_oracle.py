@@ -84,8 +84,11 @@ def _recall_ivf_incremental(spark, sf_dir: str) -> float:
 # name -> (compute(spark, sf_dir) -> float, floor)
 RECALL_SPECS = {
     "x_sim_ivf_incremental": (_recall_ivf_incremental, 1.0),
-    "x_sim_lsh_topk": (_recall_topk("lsh_topk"), 0.10),
-    "x_sim_lsh_topk_mp": (_recall_topk("lsh_topk_multiprobe"), 0.50),
+    # round-7 default swap: x_sim_lsh_topk IS the multiprobe form now;
+    # the single-probe teaching baseline keeps its honest 0.10 floor
+    # under the _sp name (round-6 verdict "What's wrong #2")
+    "x_sim_lsh_topk": (_recall_topk("lsh_topk_multiprobe"), 0.50),
+    "x_sim_lsh_topk_sp": (_recall_topk("lsh_topk"), 0.10),
     "x_sim_ivf_topk": (_recall_topk("ivf_topk"), 0.50),
     "x_sim_ivf_trained": (_recall_topk("ivf_topk_trained"), 0.50),
     "x_sim_pq_topk": (_recall_topk("pq_topk_rerank"), 0.50),

@@ -36,7 +36,7 @@ AUDITS = [
     ("x_sim_bruteforce_topk", ["TakeOrderedAndProject", "BroadcastExchange"], ["SortMergeJoin"]),
     # multiprobe ANN: the probe set is a broadcast (table,bucket) lookup
     # against the persisted signature index; re-rank is TakeOrdered
-    ("x_sim_lsh_topk_mp", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
+    ("x_sim_lsh_topk", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
     # PQ: encoding is one narrow Arrow-vectorized map over the scan
     # (codebooks in the closure; the Catalyst literal fold is kept as
     # the parity reference but evaluates interpreted — quantization.py)
@@ -250,7 +250,7 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "x_corpus_pipeline": {"bench": "eval-suite"},
     "x_sim_kmeans_step": {"diag": "cells-bounded"},  # exactly n_cells rows
     "x_sim_ivf_topk": {},  # probe is hint-free: pruning, not broadcasting
-    "x_sim_lsh_topk_mp": {"q": "query-literal", "probes": "cells-bounded"},
+    "x_sim_lsh_topk": {"q": "query-literal", "probes": "cells-bounded"},
     # the rerank broadcast lives in the shared quantization._exact_rerank
     # helper, which EXTRA_BROADCAST_SOURCES folds into these scans;
     # the shortlist is exactly the rerank×k candidate ids
@@ -328,7 +328,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "q19_range_join": 1,
     "x_dedup_minhash_sig": 1,  # the cache's one-time RoundRobin spread
     "x_sim_bruteforce_topk": 0,
-    "x_sim_lsh_topk_mp": 1,   # the dropDuplicates(vec_id) dedup of multi-bucket hits
+    "x_sim_lsh_topk": 1,   # the dropDuplicates(vec_id) dedup of multi-bucket hits
     "x_sim_pq_codes": 0,      # pure narrow projection
     "x_sim_pq_topk": 0,       # ADC TakeOrdered + broadcast shortlist re-rank
     "x_sim_ivfpq_topk": 0,    # pruned probe + ADC + broadcast re-rank: no shuffle
@@ -423,7 +423,7 @@ def _extra_broadcast_sources() -> dict[str, list]:
     from labs_stream_processing_examples_scala_spark.operators import merge as MG
 
     return {
-        "x_sim_lsh_topk_mp": [SIM.lsh_topk],
+        "x_sim_lsh_topk": [SIM.lsh_topk],
         "x_sim_pq_topk": [QZ.pq_topk, QZ._exact_rerank],
         "x_sim_ivfpq_topk": [QZ._exact_rerank],
         "q65_merge_scd2": [MG.scd2_merge],
