@@ -8,9 +8,12 @@ harness as evidence. These tests make that evidence durable:
 - every registry entry is re-checked against its DuckDB oracle at
   sf0.001 on every pytest run (so a regression in any of the ~117
   queries fails CI, not just the 50 the driver sees), and
-- the committed sf0.01 artifact ``CORRECTNESS_LOCAL_r6.json`` is
-  asserted to cover the registry completely and be all-green (so the
-  artifact can't silently rot as queries are added).
+- the committed sf0.01 artifact ``CORRECTNESS_LOCAL_r7.json`` is
+  asserted to cover the registry completely, be all-green, and (round
+  7) carry a MACHINE-CHECKED bound on every rows-only row — a measured
+  recall ≥ floor, a measured tolerance ≤ bound, or a named pytest
+  proof that must still exist (so the artifact can't silently rot as
+  queries are added, and no rows-only entry is defended by prose).
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from tools.check_oracle import check_one
 
 REGISTRY = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
-ARTIFACT = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL_r6.json"
+ARTIFACT = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL_r7.json"
 
 
 def _green(rec: dict) -> bool:
@@ -55,6 +58,33 @@ def test_artifact_records_ann_recall():
             f"{name}: recall {rec['recall']} below floor {bound}"
         )
         assert rec.get("recall_bound") == bound, f"{name}: stale recall bound"
+
+
+def test_artifact_rows_only_entries_carry_machine_checked_bounds():
+    """Round-7 verdict task #5: every rows-only artifact row must name
+    its bound — recall, tolerance, or a pytest proof — and referenced
+    proofs must still exist. No prose-only exemptions."""
+    from tools.check_oracle import (
+        PYTEST_REFS,
+        RECALL_SPECS,
+        TOLERANCE_SPECS,
+        _pytest_ref_exists,
+    )
+
+    art = json.loads(ARTIFACT.read_text())
+    for name, rec in art.items():
+        if not (rec.get("err") or "").startswith("rows-only"):
+            continue
+        if name in RECALL_SPECS:
+            assert rec.get("recall") is not None and rec["recall"] >= RECALL_SPECS[name][1], name
+        elif name in TOLERANCE_SPECS:
+            assert rec.get("tol_err") is not None and rec["tol_err"] <= TOLERANCE_SPECS[name][1], name
+        elif name in PYTEST_REFS:
+            assert rec.get("pytest_ref") == PYTEST_REFS[name], name
+        else:
+            raise AssertionError(f"{name}: rows-only without a machine-checked bound")
+    for name, ref in PYTEST_REFS.items():
+        assert _pytest_ref_exists(ref), f"{name}: missing pytest proof {ref}"
 
 
 def test_every_query_has_oracle_or_documented_exemption():

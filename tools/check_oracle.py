@@ -98,6 +98,103 @@ RECALL_SPECS = {
 }
 
 
+# --- bounds for the NON-ANN rows-only entries (round-7 verdict task
+# #5): every rows-only query must carry a MACHINE-CHECKED bound — an
+# inline tolerance computed here against the exact answer (DuckDB on
+# the same parquet = the third engine), or a named pytest proof whose
+# existence the gate verifies. A rows-only entry in none of the spec
+# tables FAILS the gate: prose-only exemptions are unrepresentable.
+
+
+def _tol_hll_distinct(spark, con, sf_dir: str) -> float:
+    from labs_stream_processing_examples_scala_spark.operators import sketches as SK
+
+    got = {r["o_orderpriority"]: r["approx_custs"] for r in SK.hll_distinct_per_group(spark, sf_dir).collect()}
+    exact = dict(
+        con.execute(
+            "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    if set(got) != set(exact):
+        return 1.0
+    return max(abs(got[k] - n) / max(n, 1) for k, n in exact.items())
+
+
+def _tol_hll_rollup(spark, con, sf_dir: str) -> float:
+    from labs_stream_processing_examples_scala_spark.operators import sketches as SK
+
+    got = SK.hll_mergeable_rollup(spark, sf_dir).collect()[0]["approx_total_custs"]
+    n = con.execute("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    return abs(got - n) / max(n, 1)
+
+
+def _tol_approx_percentile(spark, con, sf_dir: str) -> float:
+    from labs_stream_processing_examples_scala_spark.operators import sketches as SK
+
+    got = {
+        r["o_orderstatus"]: (r["p50_approx"], r["p90_approx"])
+        for r in SK.approx_percentiles(spark, sf_dir).collect()
+    }
+    exact = {
+        s: (p50, p90)
+        for s, p50, p90 in con.execute(
+            "SELECT o_orderstatus, quantile_disc(o_totalprice, 0.5), "
+            "quantile_disc(o_totalprice, 0.9) FROM orders GROUP BY 1"
+        ).fetchall()
+    }
+    if set(got) != set(exact):
+        return 1.0
+    return max(
+        abs(g - e) / max(abs(e), 1e-9)
+        for s in exact
+        for g, e in zip(got[s], exact[s])
+    )
+
+
+def _tol_mv_distinct(spark, con, sf_dir: str) -> float:
+    from labs_stream_processing_examples_scala_spark.streaming import materialized_view as MV
+
+    got = {r["event_type"]: r["approx_distinct"] for r in MV.incremental_distinct_users(spark, sf_dir).collect()}
+    exact = dict(
+        con.execute("SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1").fetchall()
+    )
+    if set(got) != set(exact):
+        return 1.0
+    return max(abs(got[k] - n) / max(n, 1) for k, n in exact.items())
+
+
+# name -> (compute(spark, con, sf_dir) -> relative error, bound)
+TOLERANCE_SPECS = {
+    "q36_hll_distinct": (_tol_hll_distinct, 0.05),      # HLL lg_k rsd
+    "q36_hll_rollup": (_tol_hll_rollup, 0.05),
+    "q36_approx_percentile": (_tol_approx_percentile, 0.02),  # GK acc 10k
+    "x_mv_distinct_users": (_tol_mv_distinct, 0.02),    # pytest bound
+}
+
+# name -> pytest node proving the entry (third-engine/numpy oracles or
+# byte-level plumbing checks that need fixtures, not SQL); the gate
+# fails if the referenced test function no longer exists.
+PYTEST_REFS = {
+    "x_mv_heavy_tokens": "tests/test_materialized_view.py::test_streaming_heavy_hitters_error_bounds",
+    "x_sim_pq_codes": "tests/test_extensions.py::test_pq_arrow_encode_matches_catalyst_reference",
+    "x_bpe_train": "tests/test_bpe_merge_freq.py::test_bpe_train_matches_python_reference",
+    "x_bpe_segment": "tests/test_bpe_merge_freq.py::test_bpe_segment_matches_python_reference",
+    "x_multimodal_features": "tests/test_extensions.py::test_multimodal_feature_plumbing",
+    "x_multimodal_resize": "tests/test_extensions.py::test_multimodal_resize_plumbing",
+    "x_multimodal_frames": "tests/test_extensions.py::test_multimodal_frame_sampling",
+    "x_multimodal_augment": "tests/test_extensions.py::test_multimodal_augment_matches_numpy_oracle",
+}
+
+
+def _pytest_ref_exists(ref: str) -> bool:
+    rel, _, test_name = ref.partition("::")
+    path = Path(__file__).resolve().parent.parent / rel
+    try:
+        return f"def {test_name}(" in path.read_text()
+    except OSError:
+        return False
+
+
 def canonical(df: pd.DataFrame) -> tuple[int, list[str], list[tuple]]:
     df = df.reindex(sorted(df.columns), axis=1)
     rows = []
@@ -196,24 +293,53 @@ def main() -> int:
         if only and name not in only:
             continue
         rec = check_one(spark, con, fn, oracles.get(name), sf_dir)
-        if name in RECALL_SPECS and rec["err"] == "rows-only (no oracle SQL)":
-            compute, bound = RECALL_SPECS[name]
-            try:
-                rec["recall"] = round(compute(spark, sf_dir), 3)
-                rec["recall_bound"] = bound
-                if rec["recall"] < bound:
+        if rec["err"] == "rows-only (no oracle SQL)":
+            if name in RECALL_SPECS:
+                compute, bound = RECALL_SPECS[name]
+                try:
+                    rec["recall"] = round(compute(spark, sf_dir), 3)
+                    rec["recall_bound"] = bound
+                    if rec["recall"] < bound:
+                        rec["rows_match"] = False
+                        rec["err"] = f"recall {rec['recall']} < bound {bound}"
+                except Exception as exc:  # noqa: BLE001
                     rec["rows_match"] = False
-                    rec["err"] = f"recall {rec['recall']} < bound {bound}"
-            except Exception as exc:  # noqa: BLE001
+                    rec["err"] = f"recall computation failed: {exc}"
+            elif name in TOLERANCE_SPECS:
+                compute, bound = TOLERANCE_SPECS[name]
+                try:
+                    rec["tol_err"] = round(compute(spark, con, sf_dir), 4)
+                    rec["tol_bound"] = bound
+                    if rec["tol_err"] > bound:
+                        rec["rows_match"] = False
+                        rec["err"] = f"tolerance {rec['tol_err']} > bound {bound}"
+                except Exception as exc:  # noqa: BLE001
+                    rec["rows_match"] = False
+                    rec["err"] = f"tolerance computation failed: {exc}"
+            elif name in PYTEST_REFS:
+                ref = PYTEST_REFS[name]
+                rec["pytest_ref"] = ref
+                if not _pytest_ref_exists(ref):
+                    rec["rows_match"] = False
+                    rec["err"] = f"referenced pytest proof missing: {ref}"
+            else:
+                # round-7 rule: no prose-only rows-only entries
                 rec["rows_match"] = False
-                rec["err"] = f"recall computation failed: {exc}"
+                rec["err"] = "rows-only entry without a machine-checked bound"
         results[name] = rec
         ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
         if not ok:
             failures.append(name)
             print(f"FAIL  {name}: {rec['err']}")
         elif rec["err"] and rec["err"].startswith("rows-only"):
-            extra = f", recall {rec['recall']}≥{rec['recall_bound']}" if "recall" in rec else ""
+            if "recall" in rec:
+                extra = f", recall {rec['recall']}≥{rec['recall_bound']}"
+            elif "tol_err" in rec:
+                extra = f", tol {rec['tol_err']}≤{rec['tol_bound']}"
+            elif "pytest_ref" in rec:
+                extra = f", proof {rec['pytest_ref']}"
+            else:
+                extra = ""
             print(f"rows-only  {name}: {rec['spark_rows']} rows{extra}")
         else:
             print(f"OK    {name}: {rec['spark_rows']} rows")

@@ -1,16 +1,18 @@
-"""sf1 relational spot-bench (VERDICT r4 #9) — a measured scale anchor
-beyond sf0.1 for the headline relational plans.
+"""sf1 / sf10 relational spot-bench (VERDICT r4 #9; r6 task #4 added
+the second decade) — measured scale anchors beyond sf0.1 for the
+headline plans.
 
-Synthesizes an unskewed sf≈1 corpus into /tmp by replicating the sf0.1
-fixtures ×10 with shifted keys (the same mechanism as
-tools/aqe_evidence.py, WITHOUT the injected hot keys — this tool
-anchors the clean scale trend; the skew behavior is aqe_evidence.py's
-job), then times q1/q4/q7/q30/q48 through the noop sink exactly like
-bench.py and prints ONE JSON line.
+Synthesizes an unskewed sf≈1 (×10) or sf≈10 (×100, ~60M lineitem rows
+/ 3M vectors) corpus into /tmp by replicating the sf0.1 fixtures with
+shifted keys (the same mechanism as tools/aqe_evidence.py, WITHOUT the
+injected hot keys — this tool anchors the clean scale trend; the skew
+behavior is aqe_evidence.py's job), then times the anchor queries
+through the noop sink exactly like bench.py and prints ONE JSON line.
 
 Run in a quiet window and record the numbers in BASELINE.md:
 
-    python tools/sf1_bench.py            # synthesize (first run) + bench
+    python tools/sf1_bench.py            # sf1: synthesize + bench
+    python tools/sf1_bench.py --sf10     # sf10: the second decade
     python tools/sf1_bench.py --fresh    # force re-synthesis
 """
 
@@ -29,7 +31,9 @@ from pyspark.sql import functions as F
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1_bench_data"
+DST10 = "/tmp/sf10_bench_data"
 REPLICAS = 10
+REPLICAS10 = 100
 OFF = 10_000_000  # key stride between replicas, same as aqe_evidence
 
 QUERIES = [
@@ -52,55 +56,75 @@ QUERIES = [
     "x_sim_bruteforce_topk",
 ]
 
+# the second decade (r6 task #4): top-5 relational + the Arrow heavy
+# hitters + the ANN tiers whose 100 TB story is partition pruning
+# (IVF probe) vs linear scan (SQ, brute force) — the per-decade factor
+# between sf1 and sf10 is the evidence the 100 TB claims extrapolate on
+QUERIES10 = [
+    "q1_scan_project",
+    "q4_agg_tpch_q1",
+    "q7_join_revenue",
+    "q30_tpch_q3",
+    "q48_tpch_q7",
+    "x_freq_heavy_hitters",
+    "x_sim_ivf_topk",
+    "x_sim_sq_topk",
+    "x_sim_bruteforce_topk",
+]
 
-def synthesize(spark) -> None:
-    if os.path.isdir(DST):
-        shutil.rmtree(DST)
-    os.makedirs(DST)
+
+def synthesize(spark, dst: str, replicas: int) -> None:
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
     from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
     for t in ("region", "nation", "supplier", "part"):
-        load_table(spark, SRC, t).write.parquet(f"{DST}/{t}.parquet")
+        load_table(spark, SRC, t).write.parquet(f"{dst}/{t}.parquet")
 
     def replicate(name: str, key_cols: dict[str, int]) -> None:
         base = load_table(spark, SRC, name)
-        reps = spark.range(REPLICAS).select(F.col("id").alias("__rep"))
+        reps = spark.range(replicas).select(F.col("id").alias("__rep"))
         out = base.crossJoin(F.broadcast(reps))
         for col, stride in key_cols.items():
             out = out.withColumn(col, F.col(col) + F.col("__rep") * stride)
-        # spread across files so scans parallelize like a real sf1 layout
-        out.drop("__rep").repartition(32).write.parquet(f"{DST}/{name}.parquet")
+        # spread across files so scans parallelize like a real layout
+        out.drop("__rep").repartition(32).write.parquet(f"{dst}/{name}.parquet")
 
     replicate("customer", {"c_custkey": OFF})
     replicate("orders", {"o_orderkey": OFF, "o_custkey": OFF})
     replicate("lineitem", {"l_orderkey": OFF, "l_partkey": 0, "l_suppkey": 0})
     replicate("documents", {"doc_id": OFF})
     replicate("embeddings", {"vec_id": OFF})
-    n = spark.read.parquet(f"{DST}/lineitem.parquet").count()
-    print(f"synthesized {DST}: lineitem rows = {n:,}")
+    n = spark.read.parquet(f"{dst}/lineitem.parquet").count()
+    print(f"synthesized {dst}: lineitem rows = {n:,}")
 
 
 def main() -> None:
     import __spark_entry__ as entrymod
     from labs_stream_processing_examples_scala_spark import get_spark
 
-    spark = get_spark(app_name="sf1-bench")
-    if "--fresh" in sys.argv or not os.path.isdir(DST):
-        synthesize(spark)
+    sf10 = "--sf10" in sys.argv
+    dst, replicas, queries, sf = (
+        (DST10, REPLICAS10, QUERIES10, 10.0) if sf10 else (DST, REPLICAS, QUERIES, 1.0)
+    )
+    spark = get_spark(app_name="sf10-bench" if sf10 else "sf1-bench")
+    if "--fresh" in sys.argv or not os.path.isdir(dst):
+        synthesize(spark, dst, replicas)
     qs = entrymod.queries()
     # warm-up on the smallest plan so query 1 isn't charged for JVM init
-    qs[QUERIES[0]](spark, DST).write.format("noop").mode("overwrite").save()
+    qs[queries[0]](spark, dst).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
-    for name in QUERIES:
+    for name in queries:
         t0 = time.perf_counter()
-        qs[name](spark, DST).write.format("noop").mode("overwrite").save()
+        qs[name](spark, dst).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     print(json.dumps({
-        "metric": "sf1_relational_spot_total_wall",
+        "metric": f"sf{int(sf)}_relational_spot_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": 1.0,
+        "sf": sf,
     }))
     spark.stop()
 
