@@ -222,6 +222,7 @@ def commit_generation(
     out: DataFrame,
     partition_col: str,
     keep_generations: int = 1,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Stage ``out`` (the REWRITTEN partitions only) as the next
     generation, hardlink every live partition dir the rewrite did not
@@ -232,6 +233,12 @@ def commit_generation(
     empties a partition it touched (closed versions remain as
     tombstones), so "dir absent from the staged output" ⇔ "partition
     untouched". The caller's pruned-scan construction guarantees it.
+
+    ``extra_meta`` rides in the SAME manifest replace as the version
+    bump — e.g. the streaming CDC sink's last-applied batch id, which
+    makes "data committed" and "progress recorded" one atomic fact
+    (the Delta txn-version idiom; streaming/cdc_ingest.py). Keys are
+    carried forward from the previous manifest unless overwritten.
 
     Returns ``{"version": new, "written": [...], "linked": [...]}``."""
     recover(path)
@@ -256,7 +263,8 @@ def commit_generation(
             linked.append(e)
     if not os.path.exists(os.path.join(new_dir, "_SUCCESS")):
         raise RuntimeError(f"staged generation {new_dir} has no _SUCCESS")
-    _write_manifest(path, {"version": new})  # ← COMMIT
+    new_meta = {**meta, **(extra_meta or {}), "version": new}
+    _write_manifest(path, new_meta)  # ← COMMIT
     for v in _gen_versions(path):
         if v <= new - 1 - keep_generations:
             shutil.rmtree(_gen_dir(path, v), ignore_errors=True)

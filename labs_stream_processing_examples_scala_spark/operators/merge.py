@@ -393,6 +393,7 @@ def scd2_merge_cow(
     new_value_col: str,
     partition_col: str,
     change_date: str = CHANGE_DATE,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Copy-on-write MERGE over a directory-partitioned, SCD2-shaped
     parquet target (plain ``scd2_init(...).write.partitionBy`` targets
@@ -444,7 +445,7 @@ def scd2_merge_cow(
     out = scd2_apply(
         pruned, updates, key, update_key, versioned_col, new_value_col, change_date
     )
-    stats = CT.commit_generation(target_path, out, partition_col)
+    stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta)
     return {
         "touched": touched,
         "swapped": stats["written"],
@@ -564,6 +565,7 @@ def merge_cow_cdc(
     new_value_col: str,
     partition_col: str,
     change_date: str = CHANGE_DATE,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Copy-on-write CDC MERGE (upserts + named deletes) over a
     directory-partitioned SCD2 target — :func:`scd2_merge_cow`'s
@@ -592,7 +594,7 @@ def merge_cow_cdc(
         pruned, updates, delete_keys, key, update_key, delete_key,
         versioned_col, new_value_col, change_date,
     )
-    stats = CT.commit_generation(target_path, out, partition_col)
+    stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta)
     return {
         "touched": touched,
         "swapped": stats["written"],

@@ -1,0 +1,258 @@
+"""Streaming CDC ingestion into the snapshot-isolated SCD2 COW table.
+
+The round-7 capstone tying two write paths together: CDC batches
+(upserts + named deletes, the `op` column of a Debezium-style feed)
+arrive as a stream and are MERGED — not appended — into the
+directory-partitioned SCD2 target through operators/merge.merge_cow_cdc
+and the generational manifest commit of operators/cow_table.py.
+
+Exactly-once without an idempotent overwrite: a MERGE is not naturally
+replay-safe (re-applying the same update batch would close and reopen
+the already-updated version again), so the sink records the
+LAST-APPLIED BATCH ID inside the table manifest, IN THE SAME atomic
+``os.replace`` that commits the data generation — the Delta
+``txn``/setTransaction idiom. On foreachBatch redelivery after a
+crash/restart the recorded id says whether batch b's generation
+committed:
+
+  crash BEFORE the manifest flip → staged generation invisible,
+      last_batch_id still b-1 → the replayed merge re-runs and commits
+  crash AFTER the flip → last_batch_id == b → the replay is SKIPPED
+
+Readers see old or new per the cow_table crash matrix; "data applied"
+and "progress recorded" cannot diverge because they are one file
+write.
+
+Scale posture: each micro-batch pays one touched-partition-pruned
+merge (cow_table's semi-join discovery + hardlinked untouched
+partitions), so per-trigger work ∝ affected partitions × batch size,
+never table size. Per-batch change dates default to a deterministic
+function of the batch id so replays produce byte-identical versions.
+
+Contract: ONE CDC writer per target (the same single-maintenance-
+writer rule as compaction/ivf rebuild); the feed delivers at most one
+op per key per batch (updates aggregated upstream; duplicate deletes
+are deduped by scd2_apply_cdc).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
+from labs_stream_processing_examples_scala_spark.operators import merge as MG
+
+LAST_BATCH_KEY = "cdc_last_batch_id"
+
+
+class CdcMergeSink:
+    """foreachBatch processor: MERGE each CDC micro-batch into the COW
+    target. Batch rows carry ``(key, new_value, op)`` with op in
+    {'u','d'} ('u' rows need ``new_value``; 'd' rows ignore it)."""
+
+    def __init__(
+        self,
+        target_path: str,
+        key: str,
+        versioned_col: str,
+        partition_col: str,
+        op_col: str = "op",
+        value_col: str = "new_value",
+        change_date_fn=None,
+    ):
+        self.target_path = target_path
+        self.key = key
+        self.versioned_col = versioned_col
+        self.partition_col = partition_col
+        self.op_col = op_col
+        self.value_col = value_col
+        # deterministic per-batch effective date → replays are
+        # byte-identical; callers with real event time pass their own
+        self.change_date_fn = change_date_fn or (lambda b: f"batch-{b:06d}")
+
+    def last_batch_id(self) -> int | None:
+        meta = CT.read_manifest(self.target_path)
+        if meta is None:
+            return None
+        return meta.get(LAST_BATCH_KEY)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        last = self.last_batch_id()
+        if last is not None and batch_id <= last:
+            return  # this batch's generation already committed (replay)
+        updates = (
+            batch.filter(F.col(self.op_col) == "u")
+            .groupBy(F.col(self.key).alias("u_key"))
+            .agg(F.max(self.value_col).alias("new_val"))
+        )
+        deletes = batch.filter(F.col(self.op_col) == "d").select(
+            F.col(self.key).alias("d_key")
+        )
+        MG.merge_cow_cdc(
+            batch.sparkSession,
+            self.target_path,
+            updates,
+            deletes,
+            self.key,
+            "u_key",
+            "d_key",
+            self.versioned_col,
+            "new_val",
+            self.partition_col,
+            change_date=self.change_date_fn(batch_id),
+            extra_meta={LAST_BATCH_KEY: batch_id},
+        )
+
+    def view(self, spark: SparkSession) -> DataFrame:
+        return CT.read_cow(spark, self.target_path)
+
+
+def write_cdc_batch_file(batch: DataFrame, src_dir: str, i: int) -> str:
+    """Land one CDC batch as a SINGLE flat parquet file ``b<i>.parquet``
+    with a strictly increasing mtime, so the file stream source (which
+    orders by modification time) delivers batch i as micro-batch i —
+    the determinism the per-batch change dates and the exactly-once
+    tests rely on. (Spark writes a directory; the part file is moved up
+    because the file source does not recurse into non-partition
+    subdirectories.)"""
+    import glob
+    import shutil
+
+    tmp = os.path.join(src_dir, f".b{i}.tmp")
+    batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(src_dir, f"b{i:06d}.parquet")
+    os.replace(part, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    ts = 1_700_000_000 + i * 10
+    os.utime(dst, (ts, ts))
+    return dst
+
+
+def run_cdc_ingest(
+    spark: SparkSession,
+    cdc_source_dir: str,
+    target_path: str,
+    key: str,
+    versioned_col: str,
+    partition_col: str,
+    files_per_trigger: int = 1,
+    timeout: float = 600.0,
+    change_date_fn=None,
+) -> CdcMergeSink:
+    """Drive a bounded CDC ingest over a directory of parquet change
+    files (one micro-batch per ``files_per_trigger`` files) and return
+    the sink for reading/restarting."""
+    schema = spark.read.parquet(cdc_source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(cdc_source_dir)
+    )
+    sink = CdcMergeSink(
+        target_path, key, versioned_col, partition_col, change_date_fn=change_date_fn
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(target_path + ".ckpt"))
+        .foreachBatch(sink.process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+    if q.exception() is not None:
+        raise RuntimeError(f"cdc ingest failed: {q.exception()}")
+    return sink
+
+
+_CDC_WORKDIRS: dict[tuple, str] = {}
+_CDC_TMP: list[str] = []
+_BATCH_DATES = ("1997-06-01", "1998-06-01", "1999-06-01")
+
+
+def _cleanup_cdc_tmp() -> None:
+    import shutil
+
+    for p in _CDC_TMP:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+import atexit  # noqa: E402  (registration point, keeps the hook local)
+
+atexit.register(_cleanup_cdc_tmp)
+
+
+def cdc_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_cdc_stream_ingest — registry form with an EXACT SQL oracle:
+    the q67 CDC feed (per-customer new balances since 1997-06-01 as
+    upserts; customers with no orders as deletes) arrives as THREE
+    micro-batches split by key % 3, each applied at its own effective
+    date, streamed through :class:`CdcMergeSink` into a
+    mktsegment-partitioned COW SCD2 target.
+
+    Because every key belongs to exactly ONE batch (the mod split) and
+    updates/deletes are disjoint by construction (every update key has
+    an order), the final table is a pure function of the inputs: each
+    customer's history is one closed row at date[key % 3] (deleted),
+    closed + reopened at date[key % 3] (updated), or the carried open
+    epoch row — a four-branch UNION ALL in DuckDB, like q67 but with
+    the batch date arithmetic inlined. The streaming machinery
+    (manifest-committed batch ids, touched-partition pruning, replay
+    skip) is thereby oracle-checked end to end, not just pytested.
+    Memoized per session like the other streaming registry entries."""
+    import tempfile
+
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cdc_scd2")
+    if key not in _CDC_WORKDIRS:
+        work = tempfile.mkdtemp(prefix="cdc_ingest_")
+        _CDC_TMP.append(work)
+        src = os.path.join(work, "src")
+        target = os.path.join(work, "target")
+        os.makedirs(src)
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        )
+        MG.scd2_init(cust).write.partitionBy("c_mktsegment").parquet(target)
+        orders = load_table(spark, sf_dir, "orders")
+        upd = (
+            orders.filter(F.col("o_orderdate") >= F.lit(MG.CHANGE_DATE).cast("timestamp"))
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(F.max("o_totalprice").alias("new_value"))
+            .withColumn("op", F.lit("u"))
+        )
+        dels = (
+            cust.join(
+                orders.select("o_custkey"),
+                F.col("c_custkey") == F.col("o_custkey"),
+                "left_anti",
+            )
+            .select("c_custkey")
+            .withColumn("new_value", F.lit(None).cast("double"))
+            .withColumn("op", F.lit("d"))
+        )
+        feed = upd.unionByName(dels)
+        for i in range(3):
+            write_cdc_batch_file(
+                feed.filter(F.pmod("c_custkey", F.lit(3)) == i), src, i
+            )
+        run_cdc_ingest(
+            spark, src, target, "c_custkey", "c_acctbal", "c_mktsegment",
+            change_date_fn=lambda b: _BATCH_DATES[b],
+        )
+        _CDC_WORKDIRS[key] = work
+    target = os.path.join(_CDC_WORKDIRS[key], "target")
+    return CT.read_cow(spark, target).select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

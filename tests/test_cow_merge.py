@@ -256,3 +256,126 @@ def test_concurrent_reader_sees_old_or_new_only(spark, tmp_path):
     bad = [s for s in seen if s not in (old, want)]
     assert not bad, f"torn snapshot observed ({len(bad)} of {len(seen)})"
     assert seen[-1] == want
+
+
+def _write_cdc_file(spark, src, i, rows):
+    from labs_stream_processing_examples_scala_spark.streaming.cdc_ingest import write_cdc_batch_file
+
+    df = spark.createDataFrame(rows, "k long, new_value double, op string")
+    write_cdc_batch_file(df, src, i)
+    return df
+
+
+def test_cdc_stream_ingest_merges_exactly_once(spark, tmp_path):
+    """Streaming CDC → COW SCD2 table (streaming/cdc_ingest.py): three
+    micro-batches of upserts/deletes/inserts MERGE into the target and
+    the final table equals the serial scd2_apply_cdc chain exactly;
+    the last-applied batch id rides in the same atomic manifest commit
+    as the data, so a foreachBatch redelivery is SKIPPED (merges are
+    not naturally idempotent — this is the txn-version guard), a
+    restart from the checkpoint applies nothing twice, and a new file
+    after restart applies incrementally."""
+    from labs_stream_processing_examples_scala_spark.streaming.cdc_ingest import (
+        CdcMergeSink,
+        run_cdc_ingest,
+    )
+
+    path = str(tmp_path / "t")
+    df = _init_target(spark, path)
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+
+    b0 = [(1, 100.0, "u"), (100, 1.0, "u"), (2, None, "d")]
+    b1 = [(100, None, "d"), (3, 33.0, "u")]
+    b2 = [(1, 200.0, "u"), (4, None, "d"), (101, 5.0, "u")]
+    for i, rows in enumerate((b0, b1, b2)):
+        _write_cdc_file(spark, src, i, rows)
+
+    sink = run_cdc_ingest(spark, src, path, "k", "val", "p")
+    assert sink.last_batch_id() == 2
+
+    # reference: the serial in-memory CDC chain with the same dates
+    ref = MG.scd2_init(df)
+    for i, rows in enumerate((b0, b1, b2)):
+        upd = spark.createDataFrame(
+            [(k, v) for k, v, op in rows if op == "u"], "u_key long, new_val double"
+        )
+        dels = spark.createDataFrame(
+            [(k,) for k, v, op in rows if op == "d"], "d_key long"
+        )
+        ref = MG.scd2_apply_cdc(
+            ref, upd, dels, "k", "u_key", "d_key", "val", "new_val",
+            change_date=f"batch-{i:06d}",
+        )
+    want = frozenset(
+        tuple(r) for r in ref.select("k", "p", "val", "valid_from", "valid_to", "is_current").collect()
+    )
+    got = _cow_rows(spark, path)
+    assert got == want
+
+    # the inserted-then-deleted key 100 is a closed tombstone; key 1
+    # has the full three-version history
+    k100 = [r for r in got if r[0] == 100]
+    assert len(k100) == 1 and k100[0][5] is False and k100[0][4] == "batch-000001"
+    k1 = sorted((r for r in got if r[0] == 1), key=lambda r: r[3])
+    assert [(r[2], r[5]) for r in k1] == [(1.0, False), (100.0, False), (200.0, True)]
+
+    # redelivery of an already-committed batch id is skipped outright
+    replay = spark.createDataFrame(b2, "k long, new_value double, op string")
+    sink.process_batch(replay, 2)
+    assert _cow_rows(spark, path) == want and sink.last_batch_id() == 2
+
+    # restart over the same source + checkpoint: nothing re-applies
+    sink2 = run_cdc_ingest(spark, src, path, "k", "val", "p")
+    assert _cow_rows(spark, path) == want and sink2.last_batch_id() == 2
+
+    # a new CDC file after restart applies incrementally
+    b3 = [(5, 55.0, "u")]
+    _write_cdc_file(spark, src, 3, b3)
+    sink3 = run_cdc_ingest(spark, src, path, "k", "val", "p")
+    assert sink3.last_batch_id() == 3
+    ref = MG.scd2_apply_cdc(
+        ref,
+        spark.createDataFrame([(5, 55.0)], "u_key long, new_val double"),
+        spark.createDataFrame([], "d_key long"),
+        "k", "u_key", "d_key", "val", "new_val", change_date="batch-000003",
+    )
+    want3 = frozenset(
+        tuple(r) for r in ref.select("k", "p", "val", "valid_from", "valid_to", "is_current").collect()
+    )
+    assert _cow_rows(spark, path) == want3
+
+
+def test_cdc_crash_before_manifest_flip_reapplies(spark, tmp_path):
+    """The exactly-once argument's other half: if the process dies
+    AFTER staging but BEFORE the manifest flip, the recorded batch id
+    still names the previous batch, so the replayed merge re-runs and
+    commits — no lost batch. Constructed state: stage gen_v2 by hand
+    (as a crashed merge would), leave the manifest at v1."""
+    import shutil as _sh
+
+    from labs_stream_processing_examples_scala_spark.streaming.cdc_ingest import CdcMergeSink
+
+    path = str(tmp_path / "t")
+    _init_target(spark, path)
+    sink = CdcMergeSink(path, "k", "val", "p")
+    b0 = spark.createDataFrame([(1, 100.0, "u")], "k long, new_value double, op string")
+    sink.process_batch(b0, 0)
+    assert sink.last_batch_id() == 0
+    before = _cow_rows(spark, path)
+
+    # fake a crashed batch-1 merge: staged generation, manifest untouched
+    meta = CT.read_manifest(path)
+    _sh.copytree(
+        os.path.join(path, f"gen_v{meta['version']}"),
+        os.path.join(path, f"gen_v{meta['version'] + 1}"),
+    )
+    assert sink.last_batch_id() == 0  # progress NOT recorded
+    assert _cow_rows(spark, path) == before  # staged gen invisible
+
+    # the replayed batch recovers the stale staging and commits
+    b1 = spark.createDataFrame([(3, 33.0, "u")], "k long, new_value double, op string")
+    sink.process_batch(b1, 1)
+    assert sink.last_batch_id() == 1
+    got = _cow_rows(spark, path)
+    assert any(r[0] == 3 and r[2] == 33.0 and r[5] for r in got)

@@ -73,7 +73,7 @@ QUERIES10 = [
 ]
 
 
-def synthesize(spark, dst: str, replicas: int) -> None:
+def synthesize(spark, dst: str, replicas: int, emb_replicas: int | None = None) -> None:
     if os.path.isdir(dst):
         shutil.rmtree(dst)
     os.makedirs(dst)
@@ -82,22 +82,26 @@ def synthesize(spark, dst: str, replicas: int) -> None:
     for t in ("region", "nation", "supplier", "part"):
         load_table(spark, SRC, t).write.parquet(f"{dst}/{t}.parquet")
 
-    def replicate(name: str, key_cols: dict[str, int]) -> None:
+    def replicate(name: str, key_cols: dict[str, int], n_reps: int) -> None:
         base = load_table(spark, SRC, name)
-        reps = spark.range(replicas).select(F.col("id").alias("__rep"))
+        reps = spark.range(n_reps).select(F.col("id").alias("__rep"))
         out = base.crossJoin(F.broadcast(reps))
         for col, stride in key_cols.items():
             out = out.withColumn(col, F.col(col) + F.col("__rep") * stride)
         # spread across files so scans parallelize like a real layout
         out.drop("__rep").repartition(32).write.parquet(f"{dst}/{name}.parquet")
 
-    replicate("customer", {"c_custkey": OFF})
-    replicate("orders", {"o_orderkey": OFF, "o_custkey": OFF})
-    replicate("lineitem", {"l_orderkey": OFF, "l_partkey": 0, "l_suppkey": 0})
-    replicate("documents", {"doc_id": OFF})
-    replicate("embeddings", {"vec_id": OFF})
+    replicate("customer", {"c_custkey": OFF}, replicas)
+    replicate("orders", {"o_orderkey": OFF, "o_custkey": OFF}, replicas)
+    replicate("lineitem", {"l_orderkey": OFF, "l_partkey": 0, "l_suppkey": 0}, replicas)
+    replicate("documents", {"doc_id": OFF}, replicas)
+    # the fixture embeddings table is small (2k rows at sf0.1), so the
+    # vector tier gets its own multiplier to reach the row counts the
+    # ANN scale claims are about (sf10: ×1500 → 3M vectors, r6 task #4)
+    replicate("embeddings", {"vec_id": OFF}, emb_replicas or replicas)
     n = spark.read.parquet(f"{dst}/lineitem.parquet").count()
-    print(f"synthesized {dst}: lineitem rows = {n:,}")
+    v = spark.read.parquet(f"{dst}/embeddings.parquet").count()
+    print(f"synthesized {dst}: lineitem rows = {n:,}, vectors = {v:,}")
 
 
 def main() -> None:
@@ -110,7 +114,7 @@ def main() -> None:
     )
     spark = get_spark(app_name="sf10-bench" if sf10 else "sf1-bench")
     if "--fresh" in sys.argv or not os.path.isdir(dst):
-        synthesize(spark, dst, replicas)
+        synthesize(spark, dst, replicas, emb_replicas=1500 if sf10 else None)
     qs = entrymod.queries()
     # warm-up on the smallest plan so query 1 isn't charged for JVM init
     qs[queries[0]](spark, dst).write.format("noop").mode("overwrite").save()
