@@ -151,23 +151,38 @@ def _scd2_inserts(
     new_value_col: str,
     carried_cols: list[str],
     change_date: str,
+    carried_overrides: dict | None = None,
 ) -> DataFrame:
     """WHEN NOT MATCHED BY TARGET → INSERT. Anti-join shuffles only the
     (small) update set; carried attributes are unknown for brand-new
-    keys, hence null. Takes the key set separately so a partition-
-    pruned caller can still anti-join against the FULL key column (a
-    column-pruned scan) rather than the pruned partitions — otherwise
-    keys living in untouched partitions would masquerade as inserts."""
-    return (
-        updates.join(target_keys, F.col(update_key) == F.col(key), "left_anti")
-        .select(
-            F.col(update_key).alias(key),
-            *[F.lit(None).cast(target_schema[c].dataType).alias(c) for c in carried_cols],
-            F.col(new_value_col).alias(versioned_col),
-            F.lit(change_date).alias("valid_from"),
-            F.lit(None).cast("string").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
+    keys, hence null — unless ``carried_overrides`` supplies an
+    expression (evaluated over the post-alias insert row, so it may
+    reference the key column): the COW writer uses this to DERIVE the
+    partition value from the key so inserts land in a real partition
+    instead of the null dir (round 7, the ADVICE-suggested remedy).
+    Takes the key set separately so a partition-pruned caller can
+    still anti-join against the FULL key column (a column-pruned scan)
+    rather than the pruned partitions — otherwise keys living in
+    untouched partitions would masquerade as inserts."""
+    overrides = carried_overrides or {}
+    ins = updates.join(target_keys, F.col(update_key) == F.col(key), "left_anti").select(
+        F.col(update_key).alias(key),
+        F.col(new_value_col).alias("__newval"),
+    )
+    return ins.select(
+        key,
+        *[
+            (
+                overrides[c].cast(target_schema[c].dataType)
+                if c in overrides
+                else F.lit(None).cast(target_schema[c].dataType)
+            ).alias(c)
+            for c in carried_cols
+        ],
+        F.col("__newval").alias(versioned_col),
+        F.lit(change_date).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
     )
 
 
@@ -270,6 +285,7 @@ def scd2_apply(
     versioned_col: str,
     new_value_col: str,
     change_date: str = CHANGE_DATE,
+    carried_overrides: dict | None = None,
 ) -> DataFrame:
     """MERGE a change batch into an ALREADY-VERSIONED SCD2 table — the
     maintenance form a lakehouse target actually runs batch after
@@ -322,6 +338,7 @@ def scd2_apply(
     inserts = _scd2_inserts(
         scd2_target.filter("is_current").select(F.col(key)), scd2_target.schema,
         updates, key, update_key, versioned_col, new_value_col, carried, change_date,
+        carried_overrides=carried_overrides,
     )
     return upserted.unionByName(inserts)
 
@@ -333,6 +350,7 @@ def _cow_touched(
     insert_candidates: DataFrame | None,
     key: str,
     partition_col: str,
+    insert_partition=None,
 ):
     """Shared COW partition-discovery (round-7 fix for the
     null-partition data-loss bug): returns ``(target_all, pruned,
@@ -353,7 +371,14 @@ def _cow_touched(
       never matched null, so a later merge re-inserted updated keys as
       duplicate open versions and the swap dropped every prior insert.
     - ``sorted`` runs over non-null values only (a null in the old
-      code's sort was a TypeError)."""
+      code's sort was a TypeError).
+    - With ``insert_partition`` (a Column expression over the key —
+      round 7, the ADVICE-suggested remedy) inserts land in a REAL
+      partition derived from the key: the insert keys' target
+      partitions join the touched set (a collect bounded by the insert
+      count) and the null partition is scanned only when prior null
+      rows match — the rewrite-the-null-dir-every-merge cost of
+      null-partition inserts disappears at the source."""
     from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
 
     CT.recover(target_path)
@@ -368,15 +393,31 @@ def _cow_touched(
     ]
     touched = sorted(v for v in vals if v is not None)
     include_null = any(v is None for v in vals)
-    if not include_null and insert_candidates is not None:
-        # will this batch insert? one column-pruned probe of the full
-        # current key set (limit(1) → stops at the first unknown key)
-        include_null = (
-            insert_candidates.join(
-                current.select(F.col(key)), F.col("__uk") == F.col(key), "left_anti"
-            ).limit(1).count()
-            > 0
+    if insert_candidates is not None:
+        inserts = insert_candidates.join(
+            current.select(F.col(key)), F.col("__uk") == F.col(key), "left_anti"
         )
+        if insert_partition is not None:
+            # evaluate the derived partition per insert key; bounded by
+            # the insert count (annotated collect)
+            ins_parts = [
+                r[0]
+                for r in inserts.select(F.col("__uk").alias(key))
+                .select(insert_partition.alias("__p"))
+                .distinct()
+                .collect()
+            ]
+            if any(p is None for p in ins_parts):
+                raise ValueError(
+                    "insert_partition produced a null partition value; "
+                    "derive a total function of the key"
+                )
+            touched = sorted(set(touched) | set(ins_parts))
+        elif not include_null:
+            # will this batch insert into the null dir? one
+            # column-pruned probe (limit(1) → stops at the first
+            # unknown key)
+            include_null = inserts.limit(1).count() > 0
     cond = F.col(partition_col).isin(touched)
     if include_null:
         cond = cond | F.col(partition_col).isNull()
@@ -394,6 +435,7 @@ def scd2_merge_cow(
     partition_col: str,
     change_date: str = CHANGE_DATE,
     extra_meta: dict | None = None,
+    insert_partition=None,
 ) -> dict:
     """Copy-on-write MERGE over a directory-partitioned, SCD2-shaped
     parquet target (plain ``scd2_init(...).write.partitionBy`` targets
@@ -435,15 +477,19 @@ def scd2_merge_cow(
 
     upd_keys = updates.select(F.col(update_key).alias("__uk"))
     _, pruned, touched, include_null = _cow_touched(
-        spark, target_path, upd_keys, upd_keys, key, partition_col
+        spark, target_path, upd_keys, upd_keys, key, partition_col,
+        insert_partition=insert_partition,
     )
     if not touched and not include_null:
         return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
     # partition_col rides through as a carried column: rewritten rows
     # keep their value; insert rows get null (→ the null partition dir,
     # which include_null then carries forward on every later rewrite)
+    # — or, with insert_partition, the key-derived real partition
+    overrides = {partition_col: insert_partition} if insert_partition is not None else None
     out = scd2_apply(
-        pruned, updates, key, update_key, versioned_col, new_value_col, change_date
+        pruned, updates, key, update_key, versioned_col, new_value_col, change_date,
+        carried_overrides=overrides,
     )
     stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta)
     return {
@@ -464,6 +510,7 @@ def scd2_apply_cdc(
     versioned_col: str,
     new_value_col: str,
     change_date: str = CHANGE_DATE,
+    carried_overrides: dict | None = None,
 ) -> DataFrame:
     """MERGE a CDC batch — upserts PLUS explicit delete keys — into an
     SCD2 table: matched current rows take closed-old + open-new;
@@ -549,6 +596,7 @@ def scd2_apply_cdc(
         scd2_target.filter("is_current").select(F.col(key)), scd2_target.schema,
         upd_not_deleted,
         key, update_key, versioned_col, new_value_col, carried, change_date,
+        carried_overrides=carried_overrides,
     )
     return upserted.unionByName(inserts)
 
@@ -566,6 +614,7 @@ def merge_cow_cdc(
     partition_col: str,
     change_date: str = CHANGE_DATE,
     extra_meta: dict | None = None,
+    insert_partition=None,
 ) -> dict:
     """Copy-on-write CDC MERGE (upserts + named deletes) over a
     directory-partitioned SCD2 target — :func:`scd2_merge_cow`'s
@@ -586,13 +635,16 @@ def merge_cow_cdc(
         "left_anti",
     )
     _, pruned, touched, include_null = _cow_touched(
-        spark, target_path, affected, insert_candidates, key, partition_col
+        spark, target_path, affected, insert_candidates, key, partition_col,
+        insert_partition=insert_partition,
     )
     if not touched and not include_null:
         return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
+    overrides = {partition_col: insert_partition} if insert_partition is not None else None
     out = scd2_apply_cdc(
         pruned, updates, delete_keys, key, update_key, delete_key,
         versioned_col, new_value_col, change_date,
+        carried_overrides=overrides,
     )
     stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta)
     return {

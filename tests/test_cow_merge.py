@@ -379,3 +379,58 @@ def test_cdc_crash_before_manifest_flip_reapplies(spark, tmp_path):
     assert sink.last_batch_id() == 1
     got = _cow_rows(spark, path)
     assert any(r[0] == 3 and r[2] == 33.0 and r[5] for r in got)
+
+
+def test_insert_partition_derives_real_partition(spark, tmp_path):
+    """With ``insert_partition`` (the ADVICE-suggested remedy) inserts
+    land in a key-derived REAL partition instead of the null dir: the
+    target never grows a HIVE_DEFAULT partition, only the matched and
+    insert-target partitions are rewritten, and a later update to the
+    inserted key prunes to its derived partition alone. Result rows
+    equal the scd2_apply chain with the same override."""
+    path = str(tmp_path / "t")
+    df = _init_target(spark, path)
+    parts = ("A", "B", "C")
+    # derive the partition the same way the base table was built
+    derive = F.element_at(F.array(*[F.lit(p) for p in parts]), (F.col("k") % 3 + 1).cast("int"))
+
+    u1 = _upd(spark, [(100, 1.0), (3, 33.0)])  # 100 % 3 = 1 → "B"
+    s1 = MG.scd2_merge_cow(
+        spark, path, u1, "k", "u_key", "val", "new_val", "p",
+        change_date="1998-01-01", insert_partition=derive,
+    )
+    assert not s1["null_rewritten"]
+    assert s1["touched"] == ["A", "B"]  # key 3 matched in A; insert lands in B
+    live = os.path.join(path, f"gen_v{CT.read_manifest(path)['version']}")
+    assert not os.path.exists(os.path.join(live, "__HIVE_DEFAULT_PARTITION__"))
+
+    # a later update to the inserted key touches ONLY its derived partition
+    u2 = _upd(spark, [(100, 2.0)])
+    s2 = MG.scd2_merge_cow(
+        spark, path, u2, "k", "u_key", "val", "new_val", "p",
+        change_date="1999-01-01", insert_partition=derive,
+    )
+    assert s2["touched"] == ["B"] and not s2["null_rewritten"]
+
+    got = _cow_rows(spark, path)
+    ref = MG.scd2_init(df)
+    for upd, date in [(u1, "1998-01-01"), (u2, "1999-01-01")]:
+        ref = MG.scd2_apply(
+            ref, upd, "k", "u_key", "val", "new_val", change_date=date,
+            carried_overrides={"p": derive},
+        )
+    want = frozenset(
+        tuple(r) for r in ref.select("k", "p", "val", "valid_from", "valid_to", "is_current").collect()
+    )
+    assert got == want
+    k100 = sorted((r for r in got if r[0] == 100), key=lambda r: r[3])
+    assert [(r[1], r[2], r[5]) for r in k100] == [("B", 1.0, False), ("B", 2.0, True)]
+
+    # a null-producing derivation is refused, not silently mis-filed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="null partition value"):
+        MG.scd2_merge_cow(
+            spark, path, _upd(spark, [(200, 1.0)]), "k", "u_key", "val", "new_val", "p",
+            change_date="2000-01-01", insert_partition=F.lit(None).cast("string"),
+        )
