@@ -183,13 +183,28 @@ def cow_init(
     _write_manifest(path, {"version": 0})
 
 
-def read_cow(spark: SparkSession, path: str) -> DataFrame:
+def read_cow(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Manifest-aware reader: resolve the manifest ONCE, scan the named
     generation. Mid-migration (marker, no manifest) unions the root and
     gen_v0 listings — complete by the rename-atomicity argument above.
     A plain un-migrated table falls back to a direct read, so every
-    pre-existing caller keeps working."""
+    pre-existing caller keeps working.
+
+    ``version`` reads a PRIOR generation still inside the retention
+    window (time travel — by default only the previous generation is
+    retained; raise ``keep_generations`` at commit time for deeper
+    history). A GC'd or never-committed version raises rather than
+    returning a partial table."""
     meta = read_manifest(path)
+    if version is not None:
+        if meta is None:
+            raise ValueError(f"{path} has no manifest; no versions to time-travel to")
+        if version > meta["version"] or not os.path.isdir(_gen_dir(path, version)):
+            raise ValueError(
+                f"version {version} of {path} is not available "
+                f"(live={meta['version']}, retained generations: {_gen_versions(path)})"
+            )
+        return spark.read.parquet(_gen_dir(path, version))
     if meta is not None:
         return spark.read.parquet(_gen_dir(path, meta["version"]))
     if os.path.exists(_migrate_path(path)):

@@ -434,3 +434,38 @@ def test_insert_partition_derives_real_partition(spark, tmp_path):
             spark, path, _upd(spark, [(200, 1.0)]), "k", "u_key", "val", "new_val", "p",
             change_date="2000-01-01", insert_partition=F.lit(None).cast("string"),
         )
+
+
+def test_time_travel_reads_retained_generation(spark, tmp_path):
+    """read_cow(version=n): the retained previous generation is a
+    complete pre-merge snapshot (time travel, one generation deep by
+    default); GC'd and future versions are refused with the retained
+    list, never a partial table."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    df = _init_target(spark, path)
+    u1 = _upd(spark, [(0, 100.0)])
+    u2 = _upd(spark, [(1, 200.0)])
+    v0 = _cow_rows(spark, path)
+    MG.scd2_merge_cow(spark, path, u1, "k", "u_key", "val", "new_val", "p",
+                      change_date="1998-01-01")
+    v1 = _cow_rows(spark, path)
+    MG.scd2_merge_cow(spark, path, u2, "k", "u_key", "val", "new_val", "p",
+                      change_date="1999-01-01")
+
+    def at(v):
+        return frozenset(
+            tuple(r)
+            for r in CT.read_cow(spark, path, version=v)
+            .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+            .collect()
+        )
+
+    assert at(2) == _cow_rows(spark, path)   # live, addressable by number
+    assert at(1) == v1                        # the retained snapshot
+    with _pytest.raises(ValueError, match="not available"):
+        at(0)                                 # GC'd past the window
+    with _pytest.raises(ValueError, match="not available"):
+        at(7)                                 # the future
+    assert v0 != v1
