@@ -390,7 +390,11 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_skew_salted_join": 4,
     "q65_merge_scd2": 2,      # update-batch agg, once per MERGE branch
     "q66_merge_delete": 2,    # update agg + churn-set distinct
-    "q67_merge_cdc": 2,       # update agg + insert-arm anti-join
+    # update agg + insert-arm anti-join, plus the delete-key distinct
+    # subtree ×2 (round 7: raw CDC feeds repeat deletes, so the set is
+    # deduped before the tombstone join AND the insert-arm anti-join —
+    # both shuffles move ONLY the delete keys, ∝ deletes never target)
+    "q67_merge_cdc": 4,
     "x_dedup_fuzzy_names": 1,  # the deliberate pre-join probe spread
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
