@@ -238,6 +238,7 @@ def commit_generation(
     partition_col: str,
     keep_generations: int = 1,
     extra_meta: dict | None = None,
+    cluster_output: bool = False,
 ) -> dict:
     """Stage ``out`` (the REWRITTEN partitions only) as the next
     generation, hardlink every live partition dir the rewrite did not
@@ -255,6 +256,16 @@ def commit_generation(
     (the Delta txn-version idiom; streaming/cdc_ingest.py). Keys are
     carried forward from the previous manifest unless overwritten.
 
+    ``cluster_output`` repartitions the rewrite ON the partition column
+    before writing: without it, ``partitionBy`` fans each upstream task
+    out across every touched partition (≈ tasks × partitions small
+    files per merge — the file-count creep that forces compaction at
+    100 TB); with it, ONE extra shuffle of just the rewritten rows
+    lands each partition in a single well-sized file run. Off by
+    default — at fixture scale AQE's coalescing already keeps file
+    counts small, and the shuffle only pays for itself when the
+    touched-partition row volume is large.
+
     Returns ``{"version": new, "written": [...], "linked": [...]}``."""
     recover(path)
     ensure_generational(path)
@@ -263,6 +274,8 @@ def commit_generation(
     new = cur + 1
     cur_dir, new_dir = _gen_dir(path, cur), _gen_dir(path, new)
     shutil.rmtree(new_dir, ignore_errors=True)
+    if cluster_output:
+        out = out.repartition(partition_col)
     out.write.partitionBy(partition_col).mode("overwrite").parquet(new_dir)
     written = sorted(
         e for e in os.listdir(new_dir) if _is_partition_entry(e)

@@ -469,3 +469,37 @@ def test_time_travel_reads_retained_generation(spark, tmp_path):
     with _pytest.raises(ValueError, match="not available"):
         at(7)                                 # the future
     assert v0 != v1
+
+
+def test_cluster_output_writes_one_file_per_partition(spark, tmp_path):
+    """commit_generation(cluster_output=True): the rewrite shuffles on
+    the partition column first, so each touched partition lands as a
+    single file run instead of tasks×partitions fragments; rows are
+    identical either way."""
+    import glob
+
+    pa = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    df = _init_target(spark, pa, n=300)
+    _init_target(spark, pb, n=300)
+    # touch every partition, with the update spread over many tasks
+    u = _upd(spark, [(k, k * 2.0) for k in range(0, 300, 2)])
+
+    MG.scd2_merge_cow(spark, pa, u, "k", "u_key", "val", "new_val", "p",
+                      change_date="1998-01-01")
+    ra = _cow_rows(spark, pa)
+
+    from labs_stream_processing_examples_scala_spark.operators import merge as _m
+    upd_keys = u.select(F.col("u_key").alias("__uk"))
+    _, pruned, touched, include_null = _m._cow_touched(
+        spark, pb, upd_keys, upd_keys, "k", "p"
+    )
+    out = MG.scd2_apply(pruned, u, "k", "u_key", "val", "new_val", "1998-01-01")
+    CT.commit_generation(pb, out, "p", cluster_output=True)
+    rb = _cow_rows(spark, pb)
+    assert ra == rb
+
+    live = os.path.join(pb, f"gen_v{CT.read_manifest(pb)['version']}")
+    for d in ("p=A", "p=B", "p=C"):
+        files = glob.glob(os.path.join(live, d, "part-*.parquet"))
+        assert len(files) == 1, f"{d}: {len(files)} files with cluster_output"
