@@ -71,7 +71,74 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_table.json"
 MIGRATE = "_migrate.json"
+WRITER_LOCK = "_writer.lock"
 _GEN_RE = re.compile(r"^gen_v(\d+)$")
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to commit while another holds the lock."""
+
+
+class _writer_lock:
+    """O_EXCL pid lockfile enforcing the ONE-writer contract the module
+    docstring states — a concurrent committer gets a clear error
+    instead of silently interleaving generation writes. A lock left by
+    a DEAD process (crash before release) is stolen: liveness is
+    checked with ``kill(pid, 0)``, and the stale path is exactly the
+    crash matrix `recover` already handles. Same single-host scope as
+    the local-FS rename atomicity this module already relies on; a
+    real object-store deployment swaps this for the format's
+    conditional-put commit, as documented at the top."""
+
+    def __init__(self, path: str):
+        self.lock_path = os.path.join(path, WRITER_LOCK)
+        self.owned = False
+
+    def __enter__(self):
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                self.owned = True
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.lock_path) as f:
+                        holder = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0
+                if holder == os.getpid():
+                    # re-entry from our own call chain (merge →
+                    # commit_generation): ride the outer hold
+                    self.owned = False
+                    return self
+                alive = False
+                if holder > 0:
+                    try:
+                        os.kill(holder, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True  # exists under another uid
+                if alive:
+                    raise ConcurrentWriterError(
+                        f"writer pid {holder} holds {self.lock_path}; one "
+                        "maintenance writer at a time (module contract)"
+                    ) from None
+                # crashed holder: steal the stale lock and retry
+                try:
+                    os.remove(self.lock_path)
+                except FileNotFoundError:
+                    pass
+
+    def __exit__(self, *exc):
+        if self.owned:
+            try:
+                os.remove(self.lock_path)
+            except FileNotFoundError:
+                pass
 
 
 def _manifest_path(path: str) -> str:
@@ -267,33 +334,34 @@ def commit_generation(
     touched-partition row volume is large.
 
     Returns ``{"version": new, "written": [...], "linked": [...]}``."""
-    recover(path)
-    ensure_generational(path)
-    meta = read_manifest(path)
-    cur = meta["version"]
-    new = cur + 1
-    cur_dir, new_dir = _gen_dir(path, cur), _gen_dir(path, new)
-    shutil.rmtree(new_dir, ignore_errors=True)
-    if cluster_output:
-        out = out.repartition(partition_col)
-    out.write.partitionBy(partition_col).mode("overwrite").parquet(new_dir)
-    written = sorted(
-        e for e in os.listdir(new_dir) if _is_partition_entry(e)
-    )
-    linked = []
-    if os.path.isdir(cur_dir):
-        for e in sorted(os.listdir(cur_dir)):
-            if not _is_partition_entry(e):
-                continue
-            if os.path.exists(os.path.join(new_dir, e)):
-                continue  # rewritten by this merge
-            _link_tree(os.path.join(cur_dir, e), os.path.join(new_dir, e))
-            linked.append(e)
-    if not os.path.exists(os.path.join(new_dir, "_SUCCESS")):
-        raise RuntimeError(f"staged generation {new_dir} has no _SUCCESS")
-    new_meta = {**meta, **(extra_meta or {}), "version": new}
-    _write_manifest(path, new_meta)  # ← COMMIT
-    for v in _gen_versions(path):
-        if v <= new - 1 - keep_generations:
-            shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
-    return {"version": new, "written": written, "linked": linked}
+    with _writer_lock(path):
+        recover(path)
+        ensure_generational(path)
+        meta = read_manifest(path)
+        cur = meta["version"]
+        new = cur + 1
+        cur_dir, new_dir = _gen_dir(path, cur), _gen_dir(path, new)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        if cluster_output:
+            out = out.repartition(partition_col)
+        out.write.partitionBy(partition_col).mode("overwrite").parquet(new_dir)
+        written = sorted(
+            e for e in os.listdir(new_dir) if _is_partition_entry(e)
+        )
+        linked = []
+        if os.path.isdir(cur_dir):
+            for e in sorted(os.listdir(cur_dir)):
+                if not _is_partition_entry(e):
+                    continue
+                if os.path.exists(os.path.join(new_dir, e)):
+                    continue  # rewritten by this merge
+                _link_tree(os.path.join(cur_dir, e), os.path.join(new_dir, e))
+                linked.append(e)
+        if not os.path.exists(os.path.join(new_dir, "_SUCCESS")):
+            raise RuntimeError(f"staged generation {new_dir} has no _SUCCESS")
+        new_meta = {**meta, **(extra_meta or {}), "version": new}
+        _write_manifest(path, new_meta)  # ← COMMIT
+        for v in _gen_versions(path):
+            if v <= new - 1 - keep_generations:
+                shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
+        return {"version": new, "written": written, "linked": linked}

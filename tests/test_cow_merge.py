@@ -503,3 +503,37 @@ def test_cluster_output_writes_one_file_per_partition(spark, tmp_path):
     for d in ("p=A", "p=B", "p=C"):
         files = glob.glob(os.path.join(live, d, "part-*.parquet"))
         assert len(files) == 1, f"{d}: {len(files)} files with cluster_output"
+
+
+def test_writer_lock_blocks_live_concurrent_writer(spark, tmp_path):
+    """The single-writer contract is enforced, not prose: a live lock
+    holder makes a second commit raise ConcurrentWriterError; a lock
+    left by a DEAD pid is stolen and the commit proceeds."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    _init_target(spark, path)
+    u = _upd(spark, [(0, 1.0)])
+
+    # live holder (this test's own pid would be treated as re-entry —
+    # use a real OTHER process that sleeps)
+    import subprocess
+
+    other = subprocess.Popen(["sleep", "30"])
+    try:
+        with open(os.path.join(path, CT.WRITER_LOCK), "w") as f:
+            f.write(str(other.pid))
+        with _pytest.raises(CT.ConcurrentWriterError, match="one\nmaintenance writer|one maintenance writer"):
+            MG.scd2_merge_cow(spark, path, u, "k", "u_key", "val", "new_val", "p",
+                              change_date="1998-01-01")
+    finally:
+        other.kill()
+        other.wait()
+
+    # dead holder: stolen, merge proceeds, lock released afterwards
+    with open(os.path.join(path, CT.WRITER_LOCK), "w") as f:
+        f.write(str(other.pid))  # now a dead pid
+    s = MG.scd2_merge_cow(spark, path, u, "k", "u_key", "val", "new_val", "p",
+                          change_date="1998-01-01")
+    assert s["version"] == 1
+    assert not os.path.exists(os.path.join(path, CT.WRITER_LOCK))
