@@ -263,6 +263,18 @@ def read_cow(spark: SparkSession, path: str, version: int | None = None) -> Data
     history). A GC'd or never-committed version raises rather than
     returning a partial table."""
     meta = read_manifest(path)
+    added = (meta or {}).get("added_columns", {})
+
+    def _read_gen(d: str) -> DataFrame:
+        reader = spark.read
+        if added:
+            # pre-alter files lack the evolved columns: schema merging
+            # unions the footers, then the recorded defaults fill the
+            # null rows (alter_add_column)
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(d)
+        return _project_added(df, added) if added else df
+
     if version is not None:
         if meta is None:
             raise ValueError(f"{path} has no manifest; no versions to time-travel to")
@@ -271,9 +283,9 @@ def read_cow(spark: SparkSession, path: str, version: int | None = None) -> Data
                 f"version {version} of {path} is not available "
                 f"(live={meta['version']}, retained generations: {_gen_versions(path)})"
             )
-        return spark.read.parquet(_gen_dir(path, version))
+        return _read_gen(_gen_dir(path, version))
     if meta is not None:
-        return spark.read.parquet(_gen_dir(path, meta["version"]))
+        return _read_gen(_gen_dir(path, meta["version"]))
     if os.path.exists(_migrate_path(path)):
         root_dirs = [
             os.path.join(path, e)
@@ -297,6 +309,49 @@ def read_cow(spark: SparkSession, path: str, version: int | None = None) -> Data
         # marker written before any move and table was empty
         return spark.read.parquet(path)
     return spark.read.parquet(path)
+
+
+def alter_add_column(
+    path: str, name: str, dtype: str, default_sql: str | None = None
+) -> dict:
+    """ALTER TABLE ... ADD COLUMN without rewriting a single data file
+    (the Delta/Iceberg metadata-only evolution): record the column in
+    the manifest — one atomic replace — and let :func:`read_cow`
+    project it. Files written BEFORE the alter never carry the column;
+    the reader supplies ``default_sql`` (a constant or an expression
+    over existing columns, e.g. ``"'standard'"`` or ``"val * 0"``) for
+    those rows via parquet schema merging + coalesce. Files written by
+    LATER merges materialize whatever value the pipeline computed.
+    Dropping or retyping stays unsupported (a rewrite, not an alter).
+    """
+    with _writer_lock(path):
+        recover(path)
+        ensure_generational(path)
+        meta = read_manifest(path)
+        added = dict(meta.get("added_columns", {}))
+        if name in added:
+            raise ValueError(f"column {name} already added to {path}")
+        added[name] = {"type": dtype, "default": default_sql}
+        _write_manifest(path, {**meta, "added_columns": added})
+        return {"version": meta["version"], "added_columns": sorted(added)}
+
+
+def _project_added(df: DataFrame, added: dict) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for name, spec in added.items():
+        default = (
+            F.expr(spec["default"]).cast(spec["type"])
+            if spec.get("default") is not None
+            else F.lit(None).cast(spec["type"])
+        )
+        if name in df.columns:
+            # pre-alter files surface null through mergeSchema; the
+            # default fills exactly those rows
+            df = df.withColumn(name, F.coalesce(F.col(name), default))
+        else:
+            df = df.withColumn(name, default)
+    return df
 
 
 def commit_generation(

@@ -537,3 +537,65 @@ def test_writer_lock_blocks_live_concurrent_writer(spark, tmp_path):
                           change_date="1998-01-01")
     assert s["version"] == 1
     assert not os.path.exists(os.path.join(path, CT.WRITER_LOCK))
+
+
+def test_alter_add_column_is_metadata_only(spark, tmp_path):
+    """Schema evolution (cow_table.alter_add_column): adding a column
+    with a default rewrites ZERO data files — the manifest records it,
+    the reader projects it (mergeSchema + coalesce), later merges
+    materialize it physically only in the partitions they rewrite, and
+    time travel projects it over old generations too."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    _init_target(spark, path)
+    u1 = _upd(spark, [(0, 100.0)])
+    MG.scd2_merge_cow(spark, path, u1, "k", "u_key", "val", "new_val", "p",
+                      change_date="1998-01-01")
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                out[os.path.relpath(fp, path)] = os.path.getmtime(fp)
+        return out
+
+    before = snapshot()
+    CT.alter_add_column(path, "tier", "string", "'standard'")
+    after = snapshot()
+    assert {k: v for k, v in after.items() if not k.startswith("_")} == {
+        k: v for k, v in before.items() if not k.startswith("_")
+    }, "alter rewrote data files"
+
+    t = CT.read_cow(spark, path)
+    assert "tier" in t.columns
+    assert t.filter(F.col("tier") != "standard").count() == 0
+    assert t.count() == len(_cow_rows(spark, path))
+
+    # a later merge materializes the column in the partitions it
+    # rewrites; untouched partitions stay pre-alter on disk
+    u2 = _upd(spark, [(1, 200.0)])  # key 1 → partition B
+    MG.scd2_merge_cow(spark, path, u2, "k", "u_key", "val", "new_val", "p",
+                      change_date="1999-01-01")
+    live = os.path.join(path, f"gen_v{CT.read_manifest(path)['version']}")
+    b_cols = set()
+    for f in glob.glob(os.path.join(live, "p=B", "part-*.parquet")):
+        b_cols |= set(pq.read_schema(f).names)
+    a_cols = set()
+    for f in glob.glob(os.path.join(live, "p=A", "part-*.parquet")):
+        a_cols |= set(pq.read_schema(f).names)
+    assert "tier" in b_cols, "rewritten partition did not materialize the column"
+    assert "tier" not in a_cols, "untouched partition was rewritten for the alter"
+
+    t2 = CT.read_cow(spark, path)
+    assert t2.filter(F.col("tier") != "standard").count() == 0
+    # time travel projects the evolved schema over the old generation
+    prev = CT.read_cow(spark, path, version=CT.read_manifest(path)["version"] - 1)
+    assert "tier" in prev.columns and prev.filter(F.col("tier") != "standard").count() == 0
+
+    with _pytest.raises(ValueError, match="already added"):
+        CT.alter_add_column(path, "tier", "string", "'x'")
