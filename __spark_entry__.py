@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC MERGE over the initialized SCD2 history: named deletes
         # tombstone (close, never reopen), updates close + reopen
         "q67_merge_cdc": MG.merge_cdc,
+        # schema evolution + OPTIMIZE lifecycle over the COW target
+        # (alter_add_column → pruned MERGE → small-file compaction)
+        "q68_merge_evolve": MG.merge_evolve,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -1062,6 +1065,31 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey NOT IN (SELECT d_key FROM dels)
               AND c_custkey NOT IN (SELECT u_key FROM upd)
+        """,
+        "q68_merge_evolve": """
+            WITH upd AS (
+                SELECT o_custkey AS u_key, max(o_totalprice) AS new_bal
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+                GROUP BY 1
+            )
+            -- current/closed rows of every customer: tier is f(ORIGINAL
+            -- balance) — projected by the reader over pre-alter files,
+            -- materialized by the merge in rewritten partitions
+            SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal,
+                   CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'std' END
+                       AS acct_tier,
+                   '1992-01-01' AS valid_from,
+                   CASE WHEN u_key IS NOT NULL THEN '1997-06-01' END AS valid_to,
+                   u_key IS NULL AS is_current
+            FROM customer LEFT JOIN upd ON c_custkey = u_key
+            UNION ALL
+            -- reopened versions CARRY the tier of the closed row
+            -- (f(old balance), not f(new)) — the SCD2 carry contract
+            SELECT u_key, c_name, round(new_bal, 6),
+                   CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'std' END,
+                   '1997-06-01', NULL, true
+            FROM upd JOIN customer ON c_custkey = u_key
         """,
         "x_cdc_stream_ingest": """
             WITH upd AS (

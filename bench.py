@@ -72,6 +72,7 @@ HEADLINE = [
     # heavy hitters, BPE segmentation (includes its training loop)
     "q65_merge_scd2",
     "q66_merge_delete",
+    "q68_merge_evolve",
     "x_sample_reservoir",
     "x_freq_heavy_hitters",
     "x_bpe_segment",

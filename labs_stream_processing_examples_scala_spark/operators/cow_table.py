@@ -354,6 +354,97 @@ def _project_added(df: DataFrame, added: dict) -> DataFrame:
     return df
 
 
+def optimize_cow(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_files_per_partition: int = 1,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE (small-file bin-packing) for a generational COW table —
+    the maintenance command every merge-heavy lakehouse target needs:
+    each incremental MERGE appends a file run to the partitions it
+    rewrites, and at 100 TB the resulting thousands of KB-sized files
+    dominate scan cost (open/footer overhead, lost vectorization). This
+    rewrites ONLY the partitions whose data-file count exceeds
+    ``target_files_per_partition``, through the same generational
+    commit as the merges: untouched partitions are hardlinked
+    (byte-identical), the swap is one atomic manifest replace, a crash
+    at any point leaves the old generation live, and a concurrent
+    reader never sees a torn table.
+
+    ``sort_cols`` additionally sorts rows within each rewritten
+    partition (parquet row-group min/max stats then skip files on
+    those columns — the one-column form of layout.write_zordered's
+    clustering; use that module's Morton code as a sort_col expression
+    for two-dimensional skipping). With ``target_files_per_partition
+    > 1`` (REQUIRES sort_cols) output is range-partitioned on
+    (partition, sort_cols) so each partition lands as ~target files of
+    bounded size — the spill-aware form for partitions too large for
+    one write task. Evolved columns (alter_add_column) are materialized
+    physically by the rewrite, exactly as a merge would.
+
+    Returns ``{"version", "compacted", "files_before", "files_after"}``
+    (version is unchanged and compacted empty when nothing qualifies —
+    a no-op commits nothing, same as the merges)."""
+    from pyspark.sql import functions as F
+
+    if target_files_per_partition > 1 and not sort_cols:
+        raise ValueError(
+            "target_files_per_partition > 1 needs sort_cols: equal "
+            "partition values are indivisible under range partitioning"
+        )
+    with _writer_lock(path):
+        recover(path)
+        ensure_generational(path)
+        meta = read_manifest(path)
+        live = _gen_dir(path, meta["version"])
+        counts = {}
+        for e in sorted(os.listdir(live)):
+            if _is_partition_entry(e) and os.path.isdir(os.path.join(live, e)):
+                counts[e] = len(
+                    glob.glob(os.path.join(live, e, "*.parquet"))
+                )
+        chosen = sorted(e for e, n in counts.items() if n > target_files_per_partition)
+        if not chosen:
+            return {
+                "version": meta["version"], "compacted": [],
+                "files_before": counts, "files_after": counts,
+            }
+        preds = []
+        from urllib.parse import unquote
+
+        for e in chosen:
+            if e == "__HIVE_DEFAULT_PARTITION__":
+                preds.append(F.col(partition_col).isNull())
+            else:
+                preds.append(
+                    F.col(partition_col).cast("string")
+                    == unquote(e.split("=", 1)[1])
+                )
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred | p
+        out = read_cow(spark, path).filter(pred)
+        if sort_cols:
+            n_out = max(1, len(chosen) * target_files_per_partition)
+            out = out.repartitionByRange(
+                n_out, partition_col, *sort_cols
+            ).sortWithinPartitions(partition_col, *sort_cols)
+            stats = commit_generation(path, out, partition_col)
+        else:
+            stats = commit_generation(path, out, partition_col, cluster_output=True)
+        new_live = _gen_dir(path, stats["version"])
+        after = {
+            e: len(glob.glob(os.path.join(new_live, e, "*.parquet")))
+            for e in counts
+        }
+        return {
+            "version": stats["version"], "compacted": chosen,
+            "files_before": counts, "files_after": after,
+        }
+
+
 def commit_generation(
     path: str,
     out: DataFrame,

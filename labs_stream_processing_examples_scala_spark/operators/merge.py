@@ -655,6 +655,77 @@ def merge_cow_cdc(
     }
 
 
+_EVOLVE_WORKDIRS: dict[tuple, str] = {}
+_EVOLVE_TMP: list[str] = []
+
+
+def _cleanup_evolve_tmp() -> None:
+    import shutil
+
+    for p in _EVOLVE_TMP:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+import atexit  # noqa: E402  (registration point, keeps the hook local)
+
+atexit.register(_cleanup_evolve_tmp)
+
+
+def merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q68 — the table-maintenance lifecycle with schema evolution, the
+    whole COW surface in one gated query: init a mktsegment-partitioned
+    SCD2 customer target on disk, ALTER TABLE ADD COLUMN ``acct_tier``
+    (metadata-only, default derived from the pre-alter balance —
+    cow_table.alter_add_column), MERGE the q65 change batch (touched
+    partitions rewritten, materializing the evolved column; untouched
+    partitions stay pre-alter and surface the projected default), then
+    OPTIMIZE the small-file partitions (cow_table.optimize_cow) — and
+    read the final table.
+
+    Exact-oracle shape: tier is a pure function of the ORIGINAL
+    balance (the merge carries it from the matched current row, so the
+    reopened version keeps f(old balance), not f(new)), every update
+    key exists in customer (TPC-H referential integrity → no inserts),
+    and OPTIMIZE must be row-neutral — so the q65 UNION with a tier
+    CASE over the base customer balance reproduces the table exactly,
+    and any row lost or altered by alter/merge/optimize fails the
+    hash. Memoized per session like the other disk-backed entries."""
+    import os
+    import tempfile
+
+    from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
+
+    key = (spark.sparkContext.applicationId, sf_dir, "evolve")
+    if key not in _EVOLVE_WORKDIRS:
+        work = tempfile.mkdtemp(prefix="merge_evolve_")
+        _EVOLVE_TMP.append(work)
+        target = os.path.join(work, "target")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        )
+        CT.cow_init(scd2_init(cust), target, "c_mktsegment")
+        CT.alter_add_column(
+            target, "acct_tier", "string",
+            "CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'std' END",
+        )
+        scd2_merge_cow(
+            spark, target, _updates(spark, sf_dir),
+            "c_custkey", "u_key", "c_acctbal", "new_bal", "c_mktsegment",
+        )
+        CT.optimize_cow(spark, target, "c_mktsegment", target_files_per_partition=1)
+        _EVOLVE_WORKDIRS[key] = work
+    target = os.path.join(_EVOLVE_WORKDIRS[key], "target")
+    return CT.read_cow(spark, target).select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        "acct_tier",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
 def merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q67 — CDC MERGE over the initialized SCD2 customer history:
     updates = the q65 change batch (per-customer new balance since

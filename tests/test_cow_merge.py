@@ -599,3 +599,90 @@ def test_alter_add_column_is_metadata_only(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already added"):
         CT.alter_add_column(path, "tier", "string", "'x'")
+
+
+def _init_skewed_files(spark, path):
+    """Legacy-layout table where p=A has ONE data file and p=B has
+    many (the post-merge small-file state OPTIMIZE exists to fix);
+    migrated to generational by ensure_generational."""
+    a = spark.createDataFrame(
+        [(k, "A", float(k)) for k in range(10)], "k long, p string, val double"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(k, "B", float(k)) for k in range(100, 140)], "k long, p string, val double"
+    ).repartition(8)
+    a.write.partitionBy("p").parquet(path)
+    b.write.mode("append").partitionBy("p").parquet(path)
+    CT.ensure_generational(path)
+    return a.unionByName(b)
+
+
+def _part_files(path, version, part):
+    import glob
+
+    return sorted(glob.glob(os.path.join(path, f"gen_v{version}", part, "*.parquet")))
+
+
+def test_optimize_cow_binpacks_only_small_file_partitions(spark, tmp_path):
+    """OPTIMIZE (cow_table.optimize_cow): partitions over the file-count
+    target are rewritten into one clustered file run; partitions already
+    at target are hardlinked untouched (same inode); rows are identical;
+    the swap is a normal generational commit (old version retained for
+    time travel)."""
+    path = str(tmp_path / "t")
+    _init_skewed_files(spark, path)
+    v0 = CT.read_manifest(path)["version"]
+    assert len(_part_files(path, v0, "p=B")) > 1
+    assert len(_part_files(path, v0, "p=A")) == 1
+    before = frozenset(tuple(r) for r in CT.read_cow(spark, path).collect())
+    a_inode = os.stat(_part_files(path, v0, "p=A")[0]).st_ino
+
+    stats = CT.optimize_cow(spark, path, "p", target_files_per_partition=1)
+    assert stats["compacted"] == ["p=B"]
+    v1 = stats["version"]
+    assert v1 == v0 + 1
+    assert len(_part_files(path, v1, "p=B")) == 1, stats
+    assert os.stat(_part_files(path, v1, "p=A")[0]).st_ino == a_inode, (
+        "untouched partition was copied, not hardlinked"
+    )
+    assert frozenset(tuple(r) for r in CT.read_cow(spark, path).collect()) == before
+    # old generation still readable (retention window)
+    assert frozenset(
+        tuple(r) for r in CT.read_cow(spark, path, version=v0).collect()
+    ) == before
+    # idempotent: nothing left over target → no new generation
+    again = CT.optimize_cow(spark, path, "p", target_files_per_partition=1)
+    assert again["compacted"] == [] and again["version"] == v1
+
+
+def test_optimize_cow_sorted_multifile_packs_disjoint_ranges(spark, tmp_path):
+    """The spill-aware form: target_files_per_partition > 1 with
+    sort_cols range-partitions the rewrite so each output file covers a
+    disjoint, internally-sorted range of the sort column (parquet
+    min/max skipping); >1 without sort_cols is refused."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    _init_skewed_files(spark, path)
+    before = frozenset(tuple(r) for r in CT.read_cow(spark, path).collect())
+
+    with _pytest.raises(ValueError, match="sort_cols"):
+        CT.optimize_cow(spark, path, "p", target_files_per_partition=2)
+
+    stats = CT.optimize_cow(
+        spark, path, "p", target_files_per_partition=2, sort_cols=["val"]
+    )
+    assert stats["compacted"] == ["p=B"]
+    files = _part_files(path, stats["version"], "p=B")
+    assert 1 <= len(files) <= 3, files  # range split is approximate
+    ranges = []
+    for f in files:
+        vals = pq.read_table(f, columns=["val"]).column("val").to_pylist()
+        assert vals == sorted(vals), "file not internally sorted"
+        if vals:
+            ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file value ranges overlap"
+    assert frozenset(tuple(r) for r in CT.read_cow(spark, path).collect()) == before

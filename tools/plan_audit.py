@@ -163,6 +163,11 @@ AUDITS = [
     # hint-free, version explode row-local (Generate)
     ("q67_merge_cdc", ["BroadcastHashJoin", "Generate"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # schema-evolution lifecycle: the FINAL read of the maintained COW
+    # table must be a bare pruned parquet scan — all the merge/optimize
+    # work happened at write time, none leaks into the read plan
+    ("q68_merge_evolve", ["Scan parquet"],
+     ["Exchange", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # reservoir: rank-filter window must plan as WindowGroupLimit so
     # each partition keeps only local top-k BEFORE the lang shuffle
     ("x_sample_reservoir", ["WindowGroupLimit"], ["Join"]),
@@ -268,6 +273,7 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "q65_merge_scd2": {},
     "q66_merge_delete": {},
     "q67_merge_cdc": {},
+    "q68_merge_evolve": {},
     "x_dedup_fuzzy_names": {},  # hint-free: AQE picks by block size
     "x_sample_reservoir": {},
     "x_freq_heavy_hitters": {
@@ -395,6 +401,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # deduped before the tombstone join AND the insert-arm anti-join —
     # both shuffles move ONLY the delete keys, ∝ deletes never target)
     "q67_merge_cdc": 4,
+    "q68_merge_evolve": 0,  # reading the maintained table is scan-only
     "x_dedup_fuzzy_names": 1,  # the deliberate pre-join probe spread
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
@@ -424,6 +431,7 @@ def _extra_broadcast_sources() -> dict[str, list]:
     from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
     from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
 
+    from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
     from labs_stream_processing_examples_scala_spark.operators import merge as MG
 
     return {
@@ -432,6 +440,7 @@ def _extra_broadcast_sources() -> dict[str, list]:
         "x_sim_ivfpq_topk": [QZ._exact_rerank],
         "q65_merge_scd2": [MG.scd2_merge],
         "q67_merge_cdc": [MG.scd2_apply_cdc, MG.scd2_init],
+        "q68_merge_evolve": [MG.scd2_merge_cow, CT.optimize_cow],
     }
 
 
