@@ -72,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_table.json"
 MIGRATE = "_migrate.json"
 WRITER_LOCK = "_writer.lock"
+COMMIT_LOG = "_commit.json"  # per-generation, staged BEFORE the flip
 _GEN_RE = re.compile(r"^gen_v(\d+)$")
 
 
@@ -220,6 +221,7 @@ def ensure_generational(path: str) -> None:
             if os.path.exists(dst):
                 continue  # resumed migration: already moved
             os.rename(src, dst)  # atomic, mtime-preserving
+    _write_commit_log(g0, {"version": 0, "operation": "migrate"})
     _write_manifest(path, {"version": 0})
     os.remove(_migrate_path(path))
 
@@ -240,6 +242,33 @@ def recover(path: str) -> None:
             shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
 
 
+def _write_commit_log(gen_dir: str, payload: dict) -> None:
+    """One JSON record per generation, written INSIDE the staged dir
+    before the manifest flip — so it commits (or vanishes on recover)
+    atomically with the data it describes. This is the table's commit
+    history (the DESCRIBE HISTORY surface): unlike the manifest, which
+    is overwritten each flip, the log rides with its generation and
+    lives exactly as long as the retention window does."""
+    import datetime
+
+    payload = {
+        **payload,
+        "committed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+    }
+    with open(os.path.join(gen_dir, COMMIT_LOG), "w") as f:
+        json.dump(payload, f)
+
+
+def _read_commit_log(gen_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(gen_dir, COMMIT_LOG)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
 def cow_init(
     df: DataFrame, path: str, partition_col: str
 ) -> None:
@@ -247,6 +276,7 @@ def cow_init(
     manifest. (Legacy plain ``write.partitionBy`` targets migrate
     automatically at first commit instead.)"""
     df.write.partitionBy(partition_col).parquet(_gen_dir(path, 0))
+    _write_commit_log(_gen_dir(path, 0), {"version": 0, "operation": "init"})
     _write_manifest(path, {"version": 0})
 
 
@@ -354,6 +384,50 @@ def _project_added(df: DataFrame, added: dict) -> DataFrame:
     return df
 
 
+def history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: the commit records of every RETAINED
+    generation, newest first. Each entry carries what its commit wrote
+    (version, operation, rewritten/linked partitions, any extra
+    metadata such as a streaming sink's batch id, UTC timestamp) plus
+    ``live``. Depth equals the retention window — raise
+    ``keep_generations`` at commit time to keep more history; a legacy
+    generation predating the commit log shows a bare version record."""
+    meta = read_manifest(path)
+    if meta is None:
+        raise ValueError(f"{path} is not a generational COW table (no manifest)")
+    out = []
+    for v in sorted(_gen_versions(path), reverse=True):
+        rec = _read_commit_log(_gen_dir(path, v)) or {"version": v}
+        rec["live"] = v == meta["version"]
+        out.append(rec)
+    return out
+
+
+def vacuum(path: str, keep_generations: int = 0) -> dict:
+    """Explicit retention GC (the VACUUM command): drop retained
+    generations older than ``live - keep_generations``. The commits
+    already GC to their own window; this is the operator's knob for
+    reclaiming a deep time-travel history early — after it, reads of
+    the dropped versions raise, and any reader that resolved the
+    manifest before the last commit loses its grace snapshot (the
+    documented retention trade-off). The live generation is never
+    touched; runs under the writer lock like every mutation."""
+    if keep_generations < 0:
+        raise ValueError("keep_generations must be >= 0")
+    with _writer_lock(path):
+        recover(path)
+        meta = read_manifest(path)
+        if meta is None:
+            raise ValueError(f"{path} is not a generational COW table (no manifest)")
+        live = meta["version"]
+        removed = []
+        for v in _gen_versions(path):
+            if v < live - keep_generations:
+                shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
+                removed.append(v)
+        return {"live": live, "removed": removed}
+
+
 def optimize_cow(
     spark: SparkSession,
     path: str,
@@ -431,9 +505,11 @@ def optimize_cow(
             out = out.repartitionByRange(
                 n_out, partition_col, *sort_cols
             ).sortWithinPartitions(partition_col, *sort_cols)
-            stats = commit_generation(path, out, partition_col)
+            stats = commit_generation(path, out, partition_col, operation="optimize")
         else:
-            stats = commit_generation(path, out, partition_col, cluster_output=True)
+            stats = commit_generation(
+                path, out, partition_col, cluster_output=True, operation="optimize"
+            )
         new_live = _gen_dir(path, stats["version"])
         after = {
             e: len(glob.glob(os.path.join(new_live, e, "*.parquet")))
@@ -452,6 +528,7 @@ def commit_generation(
     keep_generations: int = 1,
     extra_meta: dict | None = None,
     cluster_output: bool = False,
+    operation: str = "commit",
 ) -> dict:
     """Stage ``out`` (the REWRITTEN partitions only) as the next
     generation, hardlink every live partition dir the rewrite did not
@@ -505,6 +582,11 @@ def commit_generation(
                 linked.append(e)
         if not os.path.exists(os.path.join(new_dir, "_SUCCESS")):
             raise RuntimeError(f"staged generation {new_dir} has no _SUCCESS")
+        _write_commit_log(new_dir, {
+            "version": new, "operation": operation,
+            "written": written, "linked": linked,
+            **({"extra": extra_meta} if extra_meta else {}),
+        })
         new_meta = {**meta, **(extra_meta or {}), "version": new}
         _write_manifest(path, new_meta)  # ← COMMIT
         for v in _gen_versions(path):

@@ -491,7 +491,7 @@ def scd2_merge_cow(
         pruned, updates, key, update_key, versioned_col, new_value_col, change_date,
         carried_overrides=overrides,
     )
-    stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta)
+    stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta, operation="merge")
     return {
         "touched": touched,
         "swapped": stats["written"],
@@ -646,7 +646,7 @@ def merge_cow_cdc(
         versioned_col, new_value_col, change_date,
         carried_overrides=overrides,
     )
-    stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta)
+    stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta, operation="merge_cdc")
     return {
         "touched": touched,
         "swapped": stats["written"],

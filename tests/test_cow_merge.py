@@ -686,3 +686,43 @@ def test_optimize_cow_sorted_multifile_packs_disjoint_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file value ranges overlap"
     assert frozenset(tuple(r) for r in CT.read_cow(spark, path).collect()) == before
+
+
+def test_history_records_lifecycle_and_vacuum_reclaims(spark, tmp_path):
+    """DESCRIBE HISTORY + VACUUM (cow_table.history/vacuum): each
+    commit stages its record inside its own generation dir (atomic
+    with the data), history lists retained generations newest-first
+    with operation + written/linked partitions, and vacuum drops
+    history past the requested window — never the live generation."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    _init_target(spark, path)  # legacy layout → first merge migrates
+    MG.scd2_merge_cow(spark, path, _upd(spark, [(0, 100.0)]), "k", "u_key",
+                      "val", "new_val", "p", change_date="1998-01-01")
+    h = CT.history(path)
+    assert [r["operation"] for r in h] == ["merge", "migrate"]
+    assert h[0]["live"] and not h[1]["live"]
+    assert h[0]["written"] == ["p=A"] and set(h[1].keys()) >= {"committed_at"}
+    assert "p=B" in h[0]["linked"]
+
+    # deeper window: keep 3 generations, then three more commits
+    for i, (k, v) in enumerate([(1, 200.0), (2, 300.0), (4, 400.0)]):
+        out_keys = _upd(spark, [(k, v)])
+        MG.scd2_merge_cow(spark, path, out_keys, "k", "u_key", "val",
+                          "new_val", "p", change_date=f"199{i + 5}-01-01")
+    h2 = CT.history(path)
+    assert len(h2) == 2  # default retention: live + one previous
+    assert h2[0]["version"] == 4 and h2[0]["live"]
+
+    before = _cow_rows(spark, path)
+    stats = CT.vacuum(path)  # keep_generations=0 → only live survives
+    assert stats == {"live": 4, "removed": [3]}
+    assert [r["version"] for r in CT.history(path)] == [4]
+    assert _cow_rows(spark, path) == before
+    with _pytest.raises(ValueError, match="not available"):
+        CT.read_cow(spark, path, version=3)
+    # idempotent; live generation is never a candidate
+    assert CT.vacuum(path)["removed"] == []
+    with _pytest.raises(ValueError):
+        CT.vacuum(path, keep_generations=-1)
