@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema evolution + OPTIMIZE lifecycle over the COW target
         # (alter_add_column → pruned MERGE → small-file compaction)
         "q68_merge_evolve": MG.merge_evolve,
+        # change data feed between two retained COW versions
+        # (hardlink-identity partition pruning + multiset diff)
+        "q69_merge_changes": MG.merge_changes,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -1090,6 +1093,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'std' END,
                    '1997-06-01', NULL, true
             FROM upd JOIN customer ON c_custkey = u_key
+        """,
+        "q69_merge_changes": """
+            WITH upd AS (
+                SELECT o_custkey AS u_key, max(o_totalprice) AS new_bal
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+                GROUP BY 1
+            )
+            -- the pre-merge open row of each updated key was replaced
+            SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal,
+                   '1992-01-01' AS valid_from, NULL AS valid_to,
+                   true AS is_current, 'delete' AS change_type
+            FROM customer JOIN upd ON c_custkey = u_key
+            UNION ALL
+            -- ...by its closed version...
+            SELECT c_custkey, c_name, round(c_acctbal, 6),
+                   '1992-01-01', '1997-06-01', false, 'insert'
+            FROM customer JOIN upd ON c_custkey = u_key
+            UNION ALL
+            -- ...and the reopened new version
+            SELECT c_custkey, c_name, round(new_bal, 6),
+                   '1997-06-01', NULL, true, 'insert'
+            FROM customer JOIN upd ON c_custkey = u_key
         """,
         "x_cdc_stream_ingest": """
             WITH upd AS (

@@ -49,11 +49,18 @@ raise ``keep_generations`` for longer-running readers.
 Legacy layout (partition dirs directly under the table root, no
 manifest — what a plain ``df.write.partitionBy(...).parquet(path)``
 produces) is migrated in place on first commit: a ``_migrate.json``
-marker is written, each root-level partition dir is RENAMED (atomic,
-mtime-preserving) into ``gen_v0``, the manifest is written, the marker
-removed. At every crash point each partition dir exists in exactly one
-of the two places (dir renames are atomic), so the marker-aware reader
-unions the two listings and always sees the complete table.
+marker is written, each root-level partition dir is HARDLINKED (file
+by file, idempotently — same inodes, zero bytes copied) into
+``gen_v0``, the manifest is written, the marker removed. The root
+copy of the table is NEVER mutated by the migration, so a reader that
+resolved "no manifest yet" keeps scanning a complete, immutable root
+snapshot throughout — the earlier rename-based protocol left a window
+where the two listings (root + gen_v0) could each miss a dir mid-move
+and a concurrent reader saw a torn table or a vanished path. The
+root dir entries share gen_v0's retention lifetime (they are the same
+inodes): they are GC'd by the first commit whose retention window
+drops gen_v0, which is exactly when the pre-migration reader grace
+ends.
 
 Concurrency contract: one writer at a time (same as compaction);
 readers are lock-free via the manifest.
@@ -185,8 +192,9 @@ def _is_partition_entry(name: str) -> bool:
 def _link_tree(src: str, dst: str) -> None:
     """Hardlink every file of ``src`` under ``dst`` (same tree shape).
     Zero bytes copied; mtime/size/inode of each file preserved — the
-    local-FS stand-in for a manifest-level file reference. Falls back
-    to copy2 where linking is impossible (cross-device)."""
+    local-FS stand-in for a manifest-level file reference. Idempotent
+    (an existing link is left alone — migration resume relies on it);
+    falls back to copy2 where linking is impossible (cross-device)."""
     for root, dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
         target_root = dst if rel == "." else os.path.join(dst, rel)
@@ -195,14 +203,22 @@ def _link_tree(src: str, dst: str) -> None:
             s, d = os.path.join(root, f), os.path.join(target_root, f)
             try:
                 os.link(s, d)
+            except FileExistsError:
+                continue  # resumed migration / re-entry: already linked
             except OSError:
-                shutil.copy2(s, d)
+                if not os.path.exists(d):
+                    shutil.copy2(s, d)
 
 
 def ensure_generational(path: str) -> None:
     """Migrate a legacy root-layout table into ``gen_v0`` + manifest.
     No-op when the manifest already exists; resumable at every crash
-    point (each partition dir lives in exactly one place)."""
+    point. The root layout is never mutated here — gen_v0 is built as
+    HARDLINKS of the root files (idempotent re-links on resume), so a
+    concurrent reader that resolved "no manifest" scans a complete,
+    immutable root snapshot no matter where the migration is. Root
+    dir entries are retired later, by the first commit whose retention
+    window drops gen_v0 (:func:`_gc_legacy_root`)."""
     if read_manifest(path) is not None:
         # a stale migrate marker after the manifest landed is dead
         if os.path.exists(_migrate_path(path)):
@@ -215,15 +231,34 @@ def ensure_generational(path: str) -> None:
     g0 = _gen_dir(path, 0)
     os.makedirs(g0, exist_ok=True)
     for entry in sorted(os.listdir(path)):
-        if _is_partition_entry(entry) or entry == "_SUCCESS":
-            src = os.path.join(path, entry)
-            dst = os.path.join(g0, entry)
-            if os.path.exists(dst):
-                continue  # resumed migration: already moved
-            os.rename(src, dst)  # atomic, mtime-preserving
+        if _is_partition_entry(entry):
+            _link_tree(os.path.join(path, entry), os.path.join(g0, entry))
+        elif entry == "_SUCCESS":
+            try:
+                os.link(os.path.join(path, entry), os.path.join(g0, entry))
+            except FileExistsError:
+                pass
     _write_commit_log(g0, {"version": 0, "operation": "migrate"})
     _write_manifest(path, {"version": 0})
     os.remove(_migrate_path(path))
+
+
+def _gc_legacy_root(path: str) -> None:
+    """Retire the pre-migration root dir entries once gen_v0 (their
+    hardlink twin) has left the retention window — the moment the
+    grace snapshot of any reader that resolved "no manifest yet"
+    expires, by the same one-generation contract every other reader
+    gets. Idempotent; a no-op while gen_v0 is still retained or for
+    tables born generational (cow_init — nothing legacy at root)."""
+    if os.path.isdir(_gen_dir(path, 0)):
+        return
+    for e in os.listdir(path):
+        full = os.path.join(path, e)
+        if _is_partition_entry(e) and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+    legacy_success = os.path.join(path, "_SUCCESS")
+    if os.path.exists(legacy_success):
+        os.remove(legacy_success)
 
 
 def recover(path: str) -> None:
@@ -316,28 +351,25 @@ def read_cow(spark: SparkSession, path: str, version: int | None = None) -> Data
         return _read_gen(_gen_dir(path, version))
     if meta is not None:
         return _read_gen(_gen_dir(path, meta["version"]))
-    if os.path.exists(_migrate_path(path)):
-        root_dirs = [
-            os.path.join(path, e)
-            for e in sorted(os.listdir(path))
-            if _is_partition_entry(e) and os.path.isdir(os.path.join(path, e))
-        ]
-        g0 = _gen_dir(path, 0)
-        parts = []
-        if root_dirs:
-            parts.append(
-                spark.read.option("basePath", path).parquet(*root_dirs)
-            )
-        if os.path.isdir(g0) and any(
-            _is_partition_entry(e) for e in os.listdir(g0)
-        ):
-            parts.append(spark.read.parquet(g0))
-        if len(parts) == 2:
-            return parts[0].unionByName(parts[1])
-        if parts:
-            return parts[0]
-        # marker written before any move and table was empty
-        return spark.read.parquet(path)
+    if os.path.exists(_migrate_path(path)) or _gen_versions(path):
+        # A migration is in flight — or committed between our manifest
+        # read and this check. Re-resolve once: the flip is atomic.
+        meta = read_manifest(path)
+        if meta is not None:
+            added = meta.get("added_columns", {})
+            return _read_gen(_gen_dir(path, meta["version"]))
+    # Legacy / mid-migration read. The hardlink migration never mutates
+    # the root layout, so it is a complete immutable snapshot wherever
+    # the writer is. Partitioned roots are read by explicit dirs so
+    # gen_v* dirs (staged now or appearing mid-plan) can't confuse
+    # partition discovery; flat roots read directly.
+    root_dirs = [
+        os.path.join(path, e)
+        for e in sorted(os.listdir(path))
+        if _is_partition_entry(e) and os.path.isdir(os.path.join(path, e))
+    ]
+    if root_dirs:
+        return spark.read.option("basePath", path).parquet(*root_dirs)
     return spark.read.parquet(path)
 
 
@@ -425,7 +457,80 @@ def vacuum(path: str, keep_generations: int = 0) -> dict:
             if v < live - keep_generations:
                 shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
                 removed.append(v)
+        _gc_legacy_root(path)
         return {"live": live, "removed": removed}
+
+
+def changed_partitions(path: str, from_version: int, to_version: int) -> list[str]:
+    """Partition dirs that DIFFER between two retained generations —
+    judged from file metadata alone (name + inode + size), no data
+    read. The COW invariant makes this exact: an untouched partition is
+    HARDLINKED into the next generation (same inodes), so inode-set
+    equality ⇔ byte identity. This is the manifest-level file diff a
+    Delta/Iceberg change feed reads from its commit log; the hardlink
+    layout encodes it in the filesystem."""
+    dirs = {}
+    for v in (from_version, to_version):
+        d = _gen_dir(path, v)
+        if not os.path.isdir(d):
+            raise ValueError(f"version {v} of {path} is not retained on disk")
+        parts = {}
+        for e in os.listdir(d):
+            if not _is_partition_entry(e):
+                continue
+            files = frozenset(
+                (f, os.stat(os.path.join(d, e, f)).st_ino,
+                 os.stat(os.path.join(d, e, f)).st_size)
+                for f in os.listdir(os.path.join(d, e))
+                if not f.startswith((".", "_"))
+            )
+            parts[e] = files
+        dirs[v] = parts
+    old, new = dirs[from_version], dirs[to_version]
+    return sorted(
+        e for e in set(old) | set(new) if old.get(e) != new.get(e)
+    )
+
+
+def table_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change data feed between two retained versions: every row added
+    or removed, as a DataFrame with a ``change_type`` column ('insert'
+    / 'delete'; an update surfaces as delete-of-old + insert-of-new —
+    the row-level CDF downstream incremental consumers replay). The
+    diff is a multiset difference (``exceptAll`` both ways — duplicate
+    rows count), but computed ONLY over :func:`changed_partitions`:
+    hardlinked partitions are provably identical and never scanned, so
+    the work is ∝ data the commits actually rewrote, not table size —
+    the property that makes a CDF over a 100 TB target usable when a
+    merge touched three partitions."""
+    from pyspark.sql import functions as F
+
+    changed = changed_partitions(path, from_version, to_version)
+    old_all = read_cow(spark, path, version=from_version)
+    new_all = read_cow(spark, path, version=to_version)
+    if not changed:
+        return new_all.withColumn("change_type", F.lit("insert")).limit(0)
+    # partition column = the directory prefix before '='; all entries
+    # share it by construction of partitionBy
+    pcol = changed[0].split("=", 1)[0] if "=" in changed[0] else None
+    from urllib.parse import unquote
+
+    def _prune(df: DataFrame) -> DataFrame:
+        if pcol is None:
+            return df
+        vals = [unquote(e.split("=", 1)[1]) for e in changed if "=" in e]
+        pred = F.col(pcol).cast("string").isin(vals)
+        if any("=" not in e for e in changed):
+            pred = pred | F.col(pcol).isNull()
+        return df.filter(pred)
+
+    old, new = _prune(old_all), _prune(new_all)
+    return (
+        new.exceptAll(old).withColumn("change_type", F.lit("insert"))
+        .unionByName(old.exceptAll(new).withColumn("change_type", F.lit("delete")))
+    )
 
 
 def optimize_cow(
@@ -592,4 +697,5 @@ def commit_generation(
         for v in _gen_versions(path):
             if v <= new - 1 - keep_generations:
                 shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
+        _gc_legacy_root(path)
         return {"version": new, "written": written, "linked": linked}

@@ -726,6 +726,51 @@ def merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q69 — change data feed of a COW MERGE (cow_table.table_changes):
+    init the partitioned SCD2 customer target (v0), MERGE the q65
+    change batch (v1), then read the row-level diff v0→v1. Every
+    updated key contributes exactly three rows: its pre-merge open
+    version as a ``delete``, and the closed + reopened versions as
+    ``insert``s — the replay stream an incremental downstream consumer
+    applies instead of re-reading the table. The diff scans ONLY the
+    partitions the merge rewrote (hardlink-identity pruning,
+    changed_partitions); at TPC-H mktsegment cardinality all five are
+    touched, but the pruning path is partition-skip-tested in pytest.
+
+    Exact-oracle shape: the three branches above as a UNION ALL in
+    DuckDB. Memoized per session like the other disk-backed entries."""
+    import os
+    import tempfile
+
+    from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
+
+    key = (spark.sparkContext.applicationId, sf_dir, "changes")
+    if key not in _EVOLVE_WORKDIRS:
+        work = tempfile.mkdtemp(prefix="merge_changes_")
+        _EVOLVE_TMP.append(work)
+        target = os.path.join(work, "target")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        )
+        CT.cow_init(scd2_init(cust), target, "c_mktsegment")
+        scd2_merge_cow(
+            spark, target, _updates(spark, sf_dir),
+            "c_custkey", "u_key", "c_acctbal", "new_bal", "c_mktsegment",
+        )
+        _EVOLVE_WORKDIRS[key] = work
+    target = os.path.join(_EVOLVE_WORKDIRS[key], "target")
+    return CT.table_changes(spark, target, 0, 1).select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "change_type",
+    )
+
+
 def merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q67 — CDC MERGE over the initialized SCD2 customer history:
     updates = the q65 change batch (per-customer new balance since

@@ -178,19 +178,26 @@ def test_kill_matrix_reader_never_torn(spark, tmp_path):
     old = _cow_rows(spark, path)
     want = _apply_chain(df, [(u1, "1998-01-01")])
 
-    # --- crash mid-migration: marker written, only SOME root dirs moved
+    # --- crash mid-migration: marker written, only SOME root dirs
+    # LINKED into gen_v0 yet. The hardlink protocol never mutates the
+    # root layout, so the reader scans a complete snapshot at every
+    # crash point (the old rename-based migration could tear here).
     with open(os.path.join(path, CT.MIGRATE), "w") as f:
         json.dump({"to": "gen_v0"}, f)
     os.makedirs(os.path.join(path, "gen_v0"), exist_ok=True)
-    os.rename(os.path.join(path, "p=A"), os.path.join(path, "gen_v0", "p=A"))
+    CT._link_tree(os.path.join(path, "p=A"), os.path.join(path, "gen_v0", "p=A"))
     assert _cow_rows(spark, path) == old, "mid-migration read is torn"
-    # next merge resumes the migration and commits on top
+    # next merge resumes the migration (idempotent re-links) and
+    # commits on top
     s = MG.scd2_merge_cow(
         spark, path, u1, "k", "u_key", "val", "new_val", "p", change_date="1998-01-01"
     )
     assert s["version"] == 1
     assert _cow_rows(spark, path) == want
     assert not os.path.exists(os.path.join(path, CT.MIGRATE))
+    # legacy root dirs share gen_v0's retention lifetime: still here
+    # (a pre-migration reader's grace snapshot) while v0 is retained
+    assert os.path.isdir(os.path.join(path, "p=A")), "legacy grace GC'd too early"
 
     # --- crash while staging the NEXT generation: gen_v2 exists but the
     # manifest still names v1 → invisible to readers, GC'd on recovery
@@ -213,6 +220,9 @@ def test_kill_matrix_reader_never_torn(spark, tmp_path):
     assert _cow_rows(spark, path) == want2
     assert os.path.isdir(os.path.join(path, "gen_v1")), "grace generation GC'd too early"
     assert not os.path.isdir(os.path.join(path, "gen_v0")), "stale generation survived GC"
+    # ...and the commit that dropped gen_v0 also retired its hardlink
+    # twin, the legacy root layout
+    assert not os.path.isdir(os.path.join(path, "p=A")), "legacy root dirs survived GC"
 
 
 def test_concurrent_reader_sees_old_or_new_only(spark, tmp_path):
@@ -726,3 +736,47 @@ def test_history_records_lifecycle_and_vacuum_reclaims(spark, tmp_path):
     assert CT.vacuum(path)["removed"] == []
     with _pytest.raises(ValueError):
         CT.vacuum(path, keep_generations=-1)
+
+
+def test_table_changes_prunes_by_hardlink_identity(spark, tmp_path):
+    """Change data feed (cow_table.table_changes): the diff between two
+    retained versions equals the full-table multiset diff but reads
+    ONLY the partitions whose files differ — hardlinked (untouched)
+    partitions are excluded by inode identity without opening a file.
+    A row-neutral rewrite (OPTIMIZE) yields an empty feed even though
+    its partitions' files all changed."""
+    path = str(tmp_path / "t")
+    _init_target(spark, path)
+    MG.scd2_merge_cow(spark, path, _upd(spark, [(1, 200.0), (4, 400.0)]),
+                      "k", "u_key", "val", "new_val", "p",
+                      change_date="1998-01-01")  # keys 1,4 → partition B only
+    assert CT.changed_partitions(path, 0, 1) == ["p=B"]
+
+    old = CT.read_cow(spark, path, version=0)
+    new = CT.read_cow(spark, path, version=1)
+    truth = frozenset(
+        tuple(r) + ("insert",) for r in new.exceptAll(old).collect()
+    ) | frozenset(
+        tuple(r) + ("delete",) for r in old.exceptAll(new).collect()
+    )
+    feed = CT.table_changes(spark, path, 0, 1)
+    got = frozenset(tuple(r) for r in feed.collect())
+    assert got == truth and len(got) == 6  # 2 keys × (1 delete + 2 inserts)
+    assert feed.filter(F.col("p") != "B").count() == 0, (
+        "diff leaked rows from untouched partitions"
+    )
+
+    # row-neutral rewrite: files change, feed is empty
+    CT.optimize_cow(spark, path, "p", target_files_per_partition=0,
+                    sort_cols=["k"], )
+    v2 = CT.read_manifest(path)["version"]
+    assert v2 == 2 and CT.changed_partitions(path, 1, 2) != []
+    assert CT.table_changes(spark, path, 1, 2).count() == 0
+
+    # dropped version → clear error
+    CT.vacuum(path)
+    try:
+        CT.table_changes(spark, path, 0, 2)
+        raise AssertionError("expected ValueError for vacuumed version")
+    except ValueError:
+        pass

@@ -168,6 +168,10 @@ AUDITS = [
     # work happened at write time, none leaks into the read plan
     ("q68_merge_evolve", ["Scan parquet"],
      ["Exchange", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # change data feed: exceptAll compiles to count-bearing hash
+    # aggregates (no join at all) over ONLY the changed partitions
+    ("q69_merge_changes", ["HashAggregate", "Scan parquet"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
     # reservoir: rank-filter window must plan as WindowGroupLimit so
     # each partition keeps only local top-k BEFORE the lang shuffle
     ("x_sample_reservoir", ["WindowGroupLimit"], ["Join"]),
@@ -274,6 +278,7 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "q66_merge_delete": {},
     "q67_merge_cdc": {},
     "q68_merge_evolve": {},
+    "q69_merge_changes": {},
     "x_dedup_fuzzy_names": {},  # hint-free: AQE picks by block size
     "x_sample_reservoir": {},
     "x_freq_heavy_hitters": {
@@ -402,6 +407,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # both shuffles move ONLY the delete keys, ∝ deletes never target)
     "q67_merge_cdc": 4,
     "q68_merge_evolve": 0,  # reading the maintained table is scan-only
+    "q69_merge_changes": 2,  # one all-column shuffle per diff direction
     "x_dedup_fuzzy_names": 1,  # the deliberate pre-join probe spread
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
@@ -441,6 +447,7 @@ def _extra_broadcast_sources() -> dict[str, list]:
         "q65_merge_scd2": [MG.scd2_merge],
         "q67_merge_cdc": [MG.scd2_apply_cdc, MG.scd2_init],
         "q68_merge_evolve": [MG.scd2_merge_cow, CT.optimize_cow],
+        "q69_merge_changes": [CT.table_changes],
     }
 
 
