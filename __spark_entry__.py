@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # change data feed between two retained COW versions
         # (hardlink-identity partition pruning + multiset diff)
         "q69_merge_changes": MG.merge_changes,
+        # the same MERGE in merge-on-read form: positional deletion
+        # vectors + appended files, read through a hint-free anti-join
+        "q70_merge_mor": MG.merge_mor,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -1116,6 +1119,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, round(new_bal, 6),
                    '1997-06-01', NULL, true, 'insert'
             FROM customer JOIN upd ON c_custkey = u_key
+        """,
+        "q70_merge_mor": """
+            WITH upd AS (
+                SELECT o_custkey AS u_key, max(o_totalprice) AS new_bal
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+                GROUP BY 1
+            )
+            SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal,
+                   '1992-01-01' AS valid_from,
+                   CASE WHEN u_key IS NOT NULL THEN '1997-06-01' END AS valid_to,
+                   u_key IS NULL AS is_current
+            FROM customer LEFT JOIN upd ON c_custkey = u_key
+            UNION ALL
+            SELECT u_key, c_name, round(new_bal, 6), '1997-06-01', NULL, true
+            FROM upd JOIN customer ON c_custkey = u_key
+            UNION ALL
+            SELECT u_key, NULL, round(new_bal, 6), '1997-06-01', NULL, true
+            FROM upd u
+            WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = u.u_key)
         """,
         "x_cdc_stream_ingest": """
             WITH upd AS (

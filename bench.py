@@ -73,6 +73,9 @@ HEADLINE = [
     "q65_merge_scd2",
     "q66_merge_delete",
     "q68_merge_evolve",
+    # round 7: the same MERGE through the merge-on-read tier (deletion
+    # vectors + vector anti-join read) — q65's storage-strategy twin
+    "q70_merge_mor",
     "x_sample_reservoir",
     "x_freq_heavy_hitters",
     "x_bpe_segment",

@@ -771,6 +771,52 @@ def merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q70 — the SCD2 MERGE in MERGE-ON-READ form (operators/
+    mor_table.py): init the mktsegment-partitioned customer target,
+    apply the q65 change batch as a positional-deletion-vector upsert
+    (matched current rows are position-deleted, their closed+reopened
+    versions APPENDED — zero base files rewritten), then read the
+    table through the vector anti-join.
+
+    Same final relation as q65 by construction — the two tiers are
+    alternative STORAGE strategies for one MERGE semantics — so the
+    oracle is exact: the q65 LEFT JOIN + UNION ALL rewrite. The
+    write-amplification and compaction properties are pytest-proven
+    (tests/test_mor_table.py: base-file inodes untouched, vector rows
+    ∝ matches, compaction restores a scan-only plan). Memoized per
+    session like the other disk-backed entries."""
+    import os
+    import tempfile
+
+    from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
+    from labs_stream_processing_examples_scala_spark.operators import mor_table as MT
+
+    key = (spark.sparkContext.applicationId, sf_dir, "mor")
+    if key not in _EVOLVE_WORKDIRS:
+        work = tempfile.mkdtemp(prefix="merge_mor_")
+        _EVOLVE_TMP.append(work)
+        target = os.path.join(work, "target")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        )
+        CT.cow_init(scd2_init(cust), target, "c_mktsegment")
+        MT.mor_upsert(
+            spark, target, _updates(spark, sf_dir),
+            "c_custkey", "u_key", "c_acctbal", "new_bal", "c_mktsegment",
+        )
+        _EVOLVE_WORKDIRS[key] = work
+    target = os.path.join(_EVOLVE_WORKDIRS[key], "target")
+    return MT.read_mor(spark, target).select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
 def merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q67 — CDC MERGE over the initialized SCD2 customer history:
     updates = the q65 change batch (per-customer new balance since

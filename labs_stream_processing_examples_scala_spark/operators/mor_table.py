@@ -1,0 +1,427 @@
+"""Merge-on-read tier: positional deletion vectors over the COW table.
+
+operators/cow_table.py gives every mutation copy-on-write semantics:
+a MERGE rewrites each touched partition in full. That is the right
+trade for read-heavy targets, but its write amplification is ∝
+partition size — deleting 100 rows from a 1 GB partition rewrites the
+gigabyte. The other half of the lakehouse design space (Iceberg
+position deletes, Delta deletion vectors, Hudi's MOR tables) defers
+the rewrite: a DELETE/UPDATE writes only
+
+  - a **deletion vector**: (file, row-position) pairs naming the rows
+    that logically no longer exist — bytes ∝ rows changed, and
+  - (for upserts) **appended** data files carrying the replacement
+    rows — again ∝ rows changed,
+
+and the READ applies the vectors with an anti-join. A later COMPACT
+(:func:`mor_compact`) folds the vectors into a physical rewrite of
+only the partitions that have any, restoring scan-only reads.
+
+Row identity is Spark's own parquet metadata: ``_metadata.file_path``
++ ``_metadata.row_index`` (the physical row position — stable across
+reads of an immutable file). The vector stores the file as
+``<partition-dir>/<file-name>`` rather than a full path, because the
+generational layout HARDLINKS unchanged files from generation to
+generation: the inode and both name components survive the link, so a
+vector written against gen_v3 still addresses the same rows when the
+file rides into gen_v7.
+
+Layout (one generation — cow_table's protocol, manifest/lock/recover
+reused verbatim)::
+
+    gen_vN/
+      <col>=X/*.parquet     base + appended data files
+      _deletes/d{K}/*.parquet   vector delta committed by version K
+                                (file_ref string, pos long, part string)
+      _SUCCESS
+
+``_deletes`` starts with an underscore, so Spark's file index treats
+it as hidden: the data scan never sees it, and the vector read
+addresses it explicitly. Vectors accumulate by hardlinking the whole
+``_deletes`` tree forward each commit plus one new delta dir, so a
+generation is self-contained — time travel reads gen_vK's data with
+gen_vK's vectors and needs nothing outside the directory (the same
+property cow_table's retention/GC machinery already assumes).
+
+Scale posture (100 TB target):
+  - the vector anti-join is HINT-FREE: vectors are ∝ accumulated
+    deletes, usually broadcastable, but nothing stops an operator
+    letting them grow — AQE sizes the join instead of a forced
+    broadcast OOMing (same policy as operators/merge.py).
+  - :func:`mor_upsert` writes ∝ changed rows where
+    merge.scd2_merge_cow writes ∝ touched-partition bytes; the read
+    pays the anti-join until compaction. Which tier wins is the
+    workload's write/read ratio — that CHOICE is the feature, and
+    both tiers commit through the same atomic manifest flip, so they
+    share crash safety, retention, history, and time travel.
+  - :func:`mor_compact` discovers its rewrite set from vector
+    metadata alone (the ``part`` column), scans only those
+    partitions, and hardlinks the rest — work ∝ data bearing deletes.
+
+Reference: the reference sink surface is append-only
+(Output.save, reference src/main/scala — SURVEY §2.6); this module is
+part of the §7 lakehouse extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
+
+DELETES = "_deletes"
+_REF_RE = r"([^/]+/[^/]+)$"  # <partition-dir>/<file-name>
+
+
+def _delete_dirs(gen_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(gen_dir, DELETES, "d*")))
+
+
+def _read_vectors(spark: SparkSession, gen_dir: str) -> DataFrame | None:
+    dirs = [d for d in _delete_dirs(gen_dir) if glob.glob(os.path.join(d, "*.parquet"))]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def _with_row_id(df: DataFrame) -> DataFrame:
+    """Attach the stable row identity (__ref, __pos) to a parquet-backed
+    scan. Must be called on the raw file read, before any join/agg
+    drops the metadata column."""
+    return df.withColumns({
+        "__ref": F.regexp_extract(F.col("_metadata.file_path"), _REF_RE, 1),
+        "__pos": F.col("_metadata.row_index"),
+    })
+
+
+def _resolve_gen(path: str, version: int | None) -> tuple[dict, str]:
+    meta = CT.read_manifest(path)
+    if meta is None:
+        raise ValueError(f"{path} is not a generational table (no manifest)")
+    v = meta["version"] if version is None else version
+    d = CT._gen_dir(path, v)
+    if version is not None and (version > meta["version"] or not os.path.isdir(d)):
+        raise ValueError(
+            f"version {version} of {path} is not available "
+            f"(live={meta['version']}, retained: {CT._gen_versions(path)})"
+        )
+    return meta, d
+
+
+def read_mor(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a MOR table: the generation's data files minus its deletion
+    vectors. With no vectors this is exactly the scan-only COW read —
+    zero anti-join cost until the first deferred mutation. The
+    anti-join is hint-free (AQE broadcasts a small vector set, falls
+    back to shuffle if an operator let it grow). Supports the same
+    ``version`` time travel as cow_table.read_cow; evolved columns
+    (alter_add_column) project the same way."""
+    meta, gen_dir = _resolve_gen(path, version)
+    added = meta.get("added_columns", {})
+    reader = spark.read.option("mergeSchema", "true") if added else spark.read
+    data = reader.parquet(gen_dir)
+    vectors = _read_vectors(spark, gen_dir)
+    if vectors is not None:
+        data = _with_row_id(data)
+        data = data.join(
+            vectors.select("file_ref", "pos"),
+            (data["__ref"] == F.col("file_ref")) & (data["__pos"] == F.col("pos")),
+            "left_anti",
+        ).drop("__ref", "__pos")
+    return CT._project_added(data, added) if added else data
+
+
+def _stage_next(path: str, cur: int) -> str:
+    """Stage gen_v{cur+1} as a hardlink image of gen_v{cur} (data
+    partitions, accumulated vectors, _SUCCESS). Invisible to readers
+    until the manifest flips; a crash leaves it for recover() to GC."""
+    cur_dir, new_dir = CT._gen_dir(path, cur), CT._gen_dir(path, cur + 1)
+    shutil.rmtree(new_dir, ignore_errors=True)
+    os.makedirs(new_dir)
+    for e in sorted(os.listdir(cur_dir)):
+        src = os.path.join(cur_dir, e)
+        if CT._is_partition_entry(e) and os.path.isdir(src):
+            CT._link_tree(src, os.path.join(new_dir, e))
+        elif e == DELETES:
+            CT._link_tree(src, os.path.join(new_dir, e))
+        elif e == "_SUCCESS":
+            os.link(src, os.path.join(new_dir, e))
+    return new_dir
+
+
+def _commit(path: str, new: int, log: dict, keep_generations: int = 1) -> None:
+    new_dir = CT._gen_dir(path, new)
+    if not os.path.exists(os.path.join(new_dir, "_SUCCESS")):
+        # staged image of a gen that predates _SUCCESS tracking
+        open(os.path.join(new_dir, "_SUCCESS"), "w").close()
+    CT._write_commit_log(new_dir, {"version": new, **log})
+    meta = CT.read_manifest(path)
+    CT._write_manifest(path, {**meta, "version": new})
+    for v in CT._gen_versions(path):
+        if v <= new - 1 - keep_generations:
+            shutil.rmtree(CT._gen_dir(path, v), ignore_errors=True)
+    CT._gc_legacy_root(path)
+
+
+def mor_delete(
+    spark: SparkSession, path: str, predicate, partition_col: str
+) -> dict:
+    """DELETE WHERE ``predicate`` by writing a deletion vector — no data
+    file is touched (bytes written ∝ rows deleted, not partition
+    size). The matching rows' (file, position) pairs land as one vector
+    delta in the staged generation; every data partition and prior
+    vector rides forward as hardlinks; one manifest flip commits.
+
+    Already-deleted rows are excluded by reading through
+    :func:`read_mor`'s own anti-join first, so re-running the same
+    predicate is a no-op commit, and vector rows stay one-per-deleted-
+    row (bounded by table cardinality, never by delete attempts)."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    with CT._writer_lock(path):
+        CT.recover(path)
+        CT.ensure_generational(path)
+        meta = CT.read_manifest(path)
+        cur = meta["version"]
+        cur_dir = CT._gen_dir(path, cur)
+        data = _with_row_id(spark.read.parquet(cur_dir))
+        vectors = _read_vectors(spark, cur_dir)
+        if vectors is not None:
+            data = data.join(
+                vectors.select("file_ref", "pos"),
+                (data["__ref"] == F.col("file_ref")) & (data["__pos"] == F.col("pos")),
+                "left_anti",
+            )
+        dv = data.filter(pred).select(
+            F.col("__ref").alias("file_ref"),
+            F.col("__pos").alias("pos"),
+            F.col(partition_col).cast("string").alias("part"),
+        )
+        new_dir = _stage_next(path, cur)
+        dv.write.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}"))
+        n = spark.read.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}")).count()
+        _commit(path, cur + 1, {"operation": "mor_delete", "vector_rows": n})
+        return {"version": cur + 1, "deleted_rows": n}
+
+
+def mor_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    update_key: str,
+    versioned_col: str,
+    new_value_col: str,
+    partition_col: str,
+    change_date: str = "1997-06-01",
+    insert_partition=None,
+) -> dict:
+    """SCD2 MERGE, merge-on-read form: matched CURRENT rows are
+    position-deleted and their closed + reopened versions APPENDED as
+    new files; unknown keys append as open versions. Write cost is ∝
+    changed rows — the base files of a 1 GB partition are never
+    rewritten for a 100-row change batch, which is the entire point of
+    the tier (merge.scd2_merge_cow is the rewrite-heavy sibling with
+    identical read-back semantics — equivalence-tested).
+
+    The appended rows are written partitionBy through a staging dir
+    and hardlinked into the staged generation's partition dirs, so the
+    commit remains ONE manifest flip. ``insert_partition`` (a Column
+    over the key) derives insert partitions exactly as the COW merges
+    do; without it inserts carry a null partition (the null dir).
+
+    Read-back contract: ``read_mor(path)`` ≡ ``merge.scd2_apply(
+    <pre-merge table>, updates, ...)``."""
+    from labs_stream_processing_examples_scala_spark.operators.merge import (
+        SCD2_COLS, _scd2_inserts,
+    )
+
+    with CT._writer_lock(path):
+        CT.recover(path)
+        CT.ensure_generational(path)
+        meta = CT.read_manifest(path)
+        cur = meta["version"]
+        cur_dir = CT._gen_dir(path, cur)
+        data = _with_row_id(spark.read.parquet(cur_dir))
+        vectors = _read_vectors(spark, cur_dir)
+        if vectors is not None:
+            data = data.join(
+                vectors.select("file_ref", "pos"),
+                (data["__ref"] == F.col("file_ref")) & (data["__pos"] == F.col("pos")),
+                "left_anti",
+            )
+        base_cols = [c for c in data.columns if c not in ("__ref", "__pos")]
+        carried = [
+            c for c in base_cols if c not in {key, versioned_col, *SCD2_COLS}
+        ]
+        # hint-free: AQE sizes the change-batch join (merge.py policy)
+        u = updates.select(F.col(update_key).alias("u_key_m"), new_value_col)
+        hit = data.filter("is_current").join(
+            u, F.col(key) == F.col("u_key_m"), "inner"
+        )
+        dv = hit.select(
+            F.col("__ref").alias("file_ref"),
+            F.col("__pos").alias("pos"),
+            F.col(partition_col).cast("string").alias("part"),
+        )
+        closed = F.struct(
+            F.col(versioned_col).alias("val"),
+            F.col("valid_from").alias("valid_from"),
+            F.lit(change_date).alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+        opened = F.struct(
+            F.col(new_value_col).alias("val"),
+            F.lit(change_date).alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        appended = (
+            hit.select(key, *carried, F.explode(F.array(closed, opened)).alias("v"))
+            .select(
+                key, *carried,
+                F.col("v.val").alias(versioned_col),
+                "v.valid_from", "v.valid_to", "v.is_current",
+            )
+        )
+        overrides = (
+            {partition_col: insert_partition} if insert_partition is not None else None
+        )
+        inserts = _scd2_inserts(
+            data.filter("is_current").select(F.col(key)),
+            spark.read.parquet(cur_dir).schema,
+            updates, key, update_key, versioned_col, new_value_col, carried,
+            change_date, carried_overrides=overrides,
+        )
+        appended = appended.unionByName(inserts).select(*base_cols)
+
+        new_dir = _stage_next(path, cur)
+        dv.write.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}"))
+        append_stage = os.path.join(new_dir, f"_append_stage_v{cur + 1}")
+        appended.write.partitionBy(partition_col).parquet(append_stage)
+        moved = 0
+        for e in sorted(os.listdir(append_stage)):
+            if not CT._is_partition_entry(e):
+                continue
+            os.makedirs(os.path.join(new_dir, e), exist_ok=True)
+            for f in os.listdir(os.path.join(append_stage, e)):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(append_stage, e, f),
+                        os.path.join(new_dir, e, f),
+                    )
+                    moved += 1
+        shutil.rmtree(append_stage, ignore_errors=True)
+        n = spark.read.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}")).count()
+        _commit(path, cur + 1, {
+            "operation": "mor_upsert", "vector_rows": n, "appended_files": moved,
+        })
+        return {"version": cur + 1, "position_deletes": n, "appended_files": moved}
+
+
+def partitions_with_deletes(spark: SparkSession, path: str) -> list[str | None]:
+    """Distinct partition values carrying any deletion vector row —
+    read from vector METADATA only (the small ``part`` column), no
+    data file opened. This is :func:`mor_compact`'s rewrite set: work
+    ∝ data bearing deletes, the analogue of cow_table's
+    changed_partitions metadata-only contract."""
+    meta, gen_dir = _resolve_gen(path, None)
+    vectors = _read_vectors(spark, gen_dir)
+    if vectors is None:
+        return []
+    return sorted(
+        (r[0] for r in vectors.select("part").distinct().collect()),
+        key=lambda v: (v is None, v),
+    )
+
+
+def mor_compact(spark: SparkSession, path: str, partition_col: str) -> dict:
+    """Fold the deletion vectors into a physical rewrite — the
+    maintenance command that bounds the read-side anti-join: rewrite
+    ONLY the partitions holding vector rows (applying every delete),
+    hardlink the rest, and drop the vectors (fully consumed). After
+    compaction ``read_mor`` plans as a pure scan again.
+
+    A partition whose every row was deleted simply has no dir in the
+    new generation — the staged image starts EMPTY and only rewritten
+    output plus explicitly-linked untouched dirs enter it, so a
+    vanished partition cannot resurrect (the invariant
+    cow_table.commit_generation could not give us: its absent-dir ⇔
+    untouched rule assumes rewrites never empty a partition)."""
+    from urllib.parse import unquote
+
+    with CT._writer_lock(path):
+        CT.recover(path)
+        CT.ensure_generational(path)
+        meta = CT.read_manifest(path)
+        cur = meta["version"]
+        cur_dir = CT._gen_dir(path, cur)
+        parts = partitions_with_deletes(spark, path)
+        if not parts:
+            return {"version": cur, "compacted": []}
+        pred = F.col(partition_col).cast("string").isin(
+            [p for p in parts if p is not None]
+        )
+        if any(p is None for p in parts):
+            pred = pred | F.col(partition_col).isNull()
+        out = read_mor(spark, path).filter(pred)
+
+        new_dir = CT._gen_dir(path, cur + 1)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        out.write.partitionBy(partition_col).parquet(new_dir)
+
+        def _touched(entry: str) -> bool:
+            if entry == "__HIVE_DEFAULT_PARTITION__":
+                return any(p is None for p in parts)
+            return unquote(entry.split("=", 1)[1]) in {
+                str(p) for p in parts if p is not None
+            }
+
+        linked = []
+        for e in sorted(os.listdir(cur_dir)):
+            src = os.path.join(cur_dir, e)
+            if not (CT._is_partition_entry(e) and os.path.isdir(src)):
+                continue
+            if _touched(e) or os.path.isdir(os.path.join(new_dir, e)):
+                continue
+            CT._link_tree(src, os.path.join(new_dir, e))
+            linked.append(e)
+        _commit(path, cur + 1, {
+            "operation": "mor_compact",
+            "compacted": [p if p is not None else "<null>" for p in parts],
+            "linked": linked,
+        })
+        return {"version": cur + 1, "compacted": parts, "linked": linked}
+
+
+def mor_stats(spark: SparkSession, path: str) -> dict:
+    """Write-amplification telemetry: live data bytes vs accumulated
+    vector bytes/rows — the numbers an operator watches to schedule
+    :func:`mor_compact` (Delta's `numDeletedRows`/file-size metrics)."""
+    meta, gen_dir = _resolve_gen(path, None)
+    data_bytes = files = 0
+    for root, dirs, fs in os.walk(gen_dir):
+        if DELETES in root.split(os.sep):
+            continue
+        for f in fs:
+            if f.endswith(".parquet"):
+                data_bytes += os.path.getsize(os.path.join(root, f))
+                files += 1
+    vec_bytes = 0
+    for d in _delete_dirs(gen_dir):
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            vec_bytes += os.path.getsize(f)
+    vectors = _read_vectors(spark, gen_dir)
+    return {
+        "version": meta["version"],
+        "data_files": files,
+        "data_bytes": data_bytes,
+        "vector_bytes": vec_bytes,
+        "vector_rows": 0 if vectors is None else vectors.count(),
+    }

@@ -1,0 +1,241 @@
+"""Merge-on-read tier (operators/mor_table.py): positional deletion
+vectors + appended files over the generational commit.
+
+What must hold, beyond plain correctness of the visible relation:
+
+- the WRITE-AMPLIFICATION contract: an upsert or delete leaves every
+  pre-existing data file untouched (same inode set rides into the new
+  generation — asserted, not assumed), and the bytes it does write are
+  ∝ changed rows;
+- read-back EQUIVALENCE with the copy-on-write sibling: both tiers are
+  storage strategies for one MERGE semantics (scd2_apply is the shared
+  reference);
+- COMPACTION folds vectors into a physical rewrite of only the
+  partitions bearing them, restores a scan-only plan (no anti-join
+  node), never resurrects a fully-deleted partition, and keeps
+  untouched partitions hardlink-identical;
+- the commit remains cow_table's atomic manifest flip: a staged
+  generation is invisible, time travel sees each generation's own
+  vectors.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import labs_stream_processing_examples_scala_spark.operators.cow_table as CT
+import labs_stream_processing_examples_scala_spark.operators.merge as MG
+import labs_stream_processing_examples_scala_spark.operators.mor_table as MT
+
+
+def _init(spark, path, n=24, parts=("A", "B", "C")):
+    rows = [(k, parts[k % len(parts)], float(k)) for k in range(n)]
+    df = spark.createDataFrame(rows, "k long, p string, val double")
+    CT.cow_init(MG.scd2_init(df), path, "p")
+    return df
+
+
+def _upd(spark, pairs):
+    return spark.createDataFrame(pairs, "u_key long, new_val double")
+
+
+def _rows(spark, path, version=None):
+    return frozenset(
+        tuple(r)
+        for r in MT.read_mor(spark, path, version=version)
+        .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+
+
+def _data_inodes(path, version):
+    """Inode set of every data parquet file in a generation (vectors
+    and hidden entries excluded)."""
+    gen = CT._gen_dir(path, version)
+    out = set()
+    for e in os.listdir(gen):
+        full = os.path.join(gen, e)
+        if CT._is_partition_entry(e) and os.path.isdir(full):
+            for f in os.listdir(full):
+                if f.endswith(".parquet"):
+                    out.add(os.stat(os.path.join(full, f)).st_ino)
+    return out
+
+
+def test_upsert_matches_scd2_apply_and_never_rewrites_base_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _init(spark, path)
+    before = _data_inodes(path, 0)
+
+    u = _upd(spark, [(3, 33.0), (7, 77.0), (100, 1.0)])  # 2 updates + 1 insert
+    stats = MT.mor_upsert(
+        spark, path, u, "k", "u_key", "val", "new_val", "p",
+        change_date="1998-01-01",
+    )
+    assert stats["version"] == 1 and stats["position_deletes"] == 2
+
+    want = frozenset(
+        tuple(r)
+        for r in MG.scd2_apply(
+            MG.scd2_init(df), u, "k", "u_key", "val", "new_val",
+            change_date="1998-01-01",
+        ).select("k", "p", "val", "valid_from", "valid_to", "is_current").collect()
+    )
+    assert _rows(spark, path) == want
+
+    # write amplification: every base file rode into gen_v1 untouched
+    assert before <= _data_inodes(path, 1), "a base data file was rewritten"
+    # time travel: v0 still the pre-merge table (no vectors applied)
+    assert _rows(spark, path, version=0) == frozenset(
+        tuple(r) for r in MG.scd2_init(df).collect()
+    )
+
+
+def test_second_upsert_deletes_appended_rows_positionally(spark, tmp_path):
+    """Rows APPENDED by commit 1 must be addressable by commit 2's
+    vectors (their file_ref survives the hardlink ride) — the serial
+    chain equals scd2_apply twice."""
+    path = str(tmp_path / "t")
+    df = _init(spark, path)
+    u1, u2 = _upd(spark, [(3, 33.0)]), _upd(spark, [(3, 66.0), (5, 55.0)])
+    MT.mor_upsert(spark, path, u1, "k", "u_key", "val", "new_val", "p",
+                  change_date="1998-01-01")
+    MT.mor_upsert(spark, path, u2, "k", "u_key", "val", "new_val", "p",
+                  change_date="1999-01-01")
+    ref = MG.scd2_apply(
+        MG.scd2_apply(MG.scd2_init(df), u1, "k", "u_key", "val", "new_val",
+                      change_date="1998-01-01"),
+        u2, "k", "u_key", "val", "new_val", change_date="1999-01-01",
+    )
+    assert _rows(spark, path) == frozenset(tuple(r) for r in ref.collect())
+    # key 3's chain: one closed 1992→1998, one closed 1998→1999, one open
+    k3 = sorted(
+        (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in MT.read_mor(spark, path).filter("k = 3").collect()
+    )
+    assert k3 == [
+        ("1992-01-01", "1998-01-01", False),
+        ("1998-01-01", "1999-01-01", False),
+        ("1999-01-01", None, True),
+    ]
+
+
+def test_delete_writes_vector_only_and_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    before = _data_inodes(path, 0)
+
+    s = MT.mor_delete(spark, path, "k % 4 = 0", "p")
+    assert s["deleted_rows"] == 6  # keys 0,4,8,12,16,20
+    assert MT.read_mor(spark, path).filter("k % 4 = 0").count() == 0
+    assert MT.read_mor(spark, path).count() == 18
+    assert before <= _data_inodes(path, 1), "delete rewrote a data file"
+
+    # re-running the same predicate sees no visible rows → empty delta
+    s2 = MT.mor_delete(spark, path, "k % 4 = 0", "p")
+    assert s2["deleted_rows"] == 0
+    st = MT.mor_stats(spark, path)
+    assert st["vector_rows"] == 6, "vectors must stay one-per-deleted-row"
+    assert st["vector_bytes"] < st["data_bytes"]
+
+
+def test_compact_folds_vectors_and_restores_scan_only_plan(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    MT.mor_delete(spark, path, "k IN (1, 2)", "p")  # partitions B, C
+    assert MT.partitions_with_deletes(spark, path) == ["B", "C"]
+    visible = _rows(spark, path)
+    a_inodes = {
+        os.stat(os.path.join(CT._gen_dir(path, 1), "p=A", f)).st_ino
+        for f in os.listdir(os.path.join(CT._gen_dir(path, 1), "p=A"))
+        if f.endswith(".parquet")
+    }
+
+    s = MT.mor_compact(spark, path, "p")
+    assert s["compacted"] == ["B", "C"] and s["linked"] == ["p=A"]
+    assert _rows(spark, path) == visible
+    # vectors consumed; the read is a pure scan again
+    assert MT.mor_stats(spark, path)["vector_rows"] == 0
+    plan = MT.read_mor(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "Anti" not in plan
+    # untouched partition byte-identical (same inodes)
+    after = {
+        os.stat(os.path.join(CT._gen_dir(path, 2), "p=A", f)).st_ino
+        for f in os.listdir(os.path.join(CT._gen_dir(path, 2), "p=A"))
+        if f.endswith(".parquet")
+    }
+    assert after == a_inodes
+
+
+def test_compact_never_resurrects_an_emptied_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    MT.mor_delete(spark, path, "p = 'B'", "p")  # the whole partition
+    assert MT.read_mor(spark, path).filter("p = 'B'").count() == 0
+    MT.mor_compact(spark, path, "p")
+    live = CT._gen_dir(path, CT.read_manifest(path)["version"])
+    assert not os.path.isdir(os.path.join(live, "p=B")), (
+        "fully-deleted partition came back as a directory"
+    )
+    assert MT.read_mor(spark, path).filter("p = 'B'").count() == 0
+    assert MT.read_mor(spark, path).count() == 16
+
+
+def test_staged_generation_invisible_until_manifest_flip(spark, tmp_path):
+    """Crash-window check in the cow_table style: a staged gen_v1 left
+    by a dead writer (manifest still names v0) is invisible to readers
+    and GC'd by the next successful commit."""
+    path = str(tmp_path / "t")
+    df = _init(spark, path)
+    orig = _rows(spark, path)
+
+    MT._stage_next(path, 0)  # stage without committing = crash point
+    dv = spark.createDataFrame(
+        [("p=A/bogus.parquet", 0, "A")], "file_ref string, pos long, part string"
+    )
+    dv.write.parquet(os.path.join(CT._gen_dir(path, 1), MT.DELETES, "d1"))
+    assert _rows(spark, path) == orig, "staged generation leaked into a read"
+
+    s = MT.mor_delete(spark, path, "k = 0", "p")  # recover() GCs, then commits
+    assert s["version"] == 1 and s["deleted_rows"] == 1
+    assert MT.mor_stats(spark, path)["vector_rows"] == 1, (
+        "stale staged vectors survived recovery"
+    )
+    assert _rows(spark, path) == frozenset(r for r in orig if r[0] != 0)
+
+
+def test_history_and_vacuum_cover_mor_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    MT.mor_delete(spark, path, "k = 1", "p")
+    MT.mor_upsert(spark, path, _upd(spark, [(2, 22.0)]),
+                  "k", "u_key", "val", "new_val", "p")
+    ops = [h["operation"] for h in CT.history(path)]
+    assert ops == ["mor_upsert", "mor_delete"]  # newest first, v0 GC'd
+    CT.vacuum(path)
+    with pytest.raises(ValueError):
+        MT.read_mor(spark, path, version=1)
+
+
+def test_mor_upsert_equals_cow_merge_on_twin_targets(spark, tmp_path):
+    """The two tiers produce the same relation from the same inputs —
+    the user-facing claim q70's shared oracle rests on."""
+    mor, cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    df = _init(spark, mor)
+    CT.cow_init(MG.scd2_init(df), cow, "p")
+    u = _upd(spark, [(3, 33.0), (10, 1.0), (200, 2.0)])
+    MT.mor_upsert(spark, mor, u, "k", "u_key", "val", "new_val", "p",
+                  change_date="1998-01-01")
+    MG.scd2_merge_cow(spark, cow, u, "k", "u_key", "val", "new_val", "p",
+                      change_date="1998-01-01")
+    mor_rows = _rows(spark, mor)
+    cow_rows = frozenset(
+        tuple(r)
+        for r in CT.read_cow(spark, cow)
+        .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    assert mor_rows == cow_rows

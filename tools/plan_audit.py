@@ -172,6 +172,12 @@ AUDITS = [
     # aggregates (no join at all) over ONLY the changed partitions
     ("q69_merge_changes", ["HashAggregate", "Scan parquet"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # merge-on-read: ONE data scan + the deletion-vector anti-join,
+    # AQE-broadcast at fixture scale (hint-free; a grown vector set
+    # may legitimately fall back to shuffle at 100 TB, but at the
+    # audited SF a SortMergeJoin would mean AQE missed the sizing)
+    ("q70_merge_mor", ["BroadcastHashJoin LeftAnti", "Scan parquet"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
     # reservoir: rank-filter window must plan as WindowGroupLimit so
     # each partition keeps only local top-k BEFORE the lang shuffle
     ("x_sample_reservoir", ["WindowGroupLimit"], ["Join"]),
@@ -279,6 +285,7 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "q67_merge_cdc": {},
     "q68_merge_evolve": {},
     "q69_merge_changes": {},
+    "q70_merge_mor": {},  # hint-free: AQE sizes the vector anti-join
     "x_dedup_fuzzy_names": {},  # hint-free: AQE picks by block size
     "x_sample_reservoir": {},
     "x_freq_heavy_hitters": {
@@ -408,6 +415,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "q67_merge_cdc": 4,
     "q68_merge_evolve": 0,  # reading the maintained table is scan-only
     "q69_merge_changes": 2,  # one all-column shuffle per diff direction
+    "q70_merge_mor": 0,  # scan + broadcast anti-join, no shuffle
     "x_dedup_fuzzy_names": 1,  # the deliberate pre-join probe spread
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
@@ -439,6 +447,7 @@ def _extra_broadcast_sources() -> dict[str, list]:
 
     from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
     from labs_stream_processing_examples_scala_spark.operators import merge as MG
+    from labs_stream_processing_examples_scala_spark.operators import mor_table as MT
 
     return {
         "x_sim_lsh_topk": [SIM.lsh_topk],
@@ -448,6 +457,7 @@ def _extra_broadcast_sources() -> dict[str, list]:
         "q67_merge_cdc": [MG.scd2_apply_cdc, MG.scd2_init],
         "q68_merge_evolve": [MG.scd2_merge_cow, CT.optimize_cow],
         "q69_merge_changes": [CT.table_changes],
+        "q70_merge_mor": [MT.mor_upsert, MT.read_mor],
     }
 
 
