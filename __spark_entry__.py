@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same MERGE in merge-on-read form: positional deletion
         # vectors + appended files, read through a hint-free anti-join
         "q70_merge_mor": MG.merge_mor,
+        # incremental view maintenance from the q69 change feed: the MV
+        # advances by deltas only, never re-aggregating the table
+        "q71_cdf_mv": MG.merge_cdf_mv,
         # mergeable sketches (no cross-engine oracle → rows-only;
         # tolerance-tested vs exact in tests/test_sketches.py)
         "q36_hll_distinct": SK.hll_distinct_per_group,
@@ -1139,6 +1142,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT u_key, NULL, round(new_bal, 6), '1997-06-01', NULL, true
             FROM upd u
             WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = u.u_key)
+        """,
+        "q71_cdf_mv": """
+            WITH upd AS (
+                SELECT o_custkey AS u_key, max(o_totalprice) AS new_bal
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+                GROUP BY 1
+            ),
+            merged AS (
+                -- closed-or-kept version of every customer...
+                SELECT c_mktsegment,
+                       c_acctbal AS bal,
+                       u_key IS NULL AS is_current
+                FROM customer LEFT JOIN upd ON c_custkey = u_key
+                UNION ALL
+                -- ...plus the reopened version of each updated key
+                SELECT c_mktsegment, new_bal, true
+                FROM upd JOIN customer ON c_custkey = u_key
+            )
+            SELECT c_mktsegment,
+                   count(*)::BIGINT AS n_versions,
+                   sum(CASE WHEN is_current THEN 1 ELSE 0 END)::BIGINT AS n_open,
+                   round(sum(CASE WHEN is_current THEN bal ELSE 0 END), 4) AS open_bal
+            FROM merged GROUP BY c_mktsegment
         """,
         "x_cdc_stream_ingest": """
             WITH upd AS (

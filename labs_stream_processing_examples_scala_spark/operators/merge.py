@@ -771,6 +771,48 @@ def merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q71 — incremental view maintenance driven by the change data
+    feed: build the per-mktsegment aggregate MV over the PRE-merge
+    table (v0), MERGE the q65 change batch (v1), then advance the MV
+    using ONLY the v0→v1 feed (cow_table.apply_changes_to_agg) — the
+    table is never re-aggregated. Measures: version-row count, open-
+    version count, and open balance total (a conditional sum, so the
+    update's delete+insert pair nets to the balance change).
+
+    This is what a CDF is FOR: at 100 TB the downstream consumer
+    applies megabytes of deltas instead of re-scanning the table. The
+    exact oracle aggregates the q65-merged relation from scratch in
+    DuckDB — any drift between the incremental path and the from-
+    scratch definition (a missed retraction, a phantom group, a
+    double-counted insert) breaks the hash. Shares the q69 workdir
+    (same target, same merge); memoized per session."""
+    import os
+
+    from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
+
+    key = (spark.sparkContext.applicationId, sf_dir, "changes")
+    if key not in _EVOLVE_WORKDIRS:
+        merge_changes(spark, sf_dir)  # builds target + v0→v1 merge
+    target = os.path.join(_EVOLVE_WORKDIRS[key], "target")
+    measures = {
+        "n_versions": F.lit(1),
+        "n_open": F.when(F.col("is_current"), 1).otherwise(0),
+        "open_bal": F.when(F.col("is_current"), F.col("c_acctbal")).otherwise(0.0),
+    }
+    mv0 = CT.aggregate_view(
+        CT.read_cow(spark, target, version=0), ["c_mktsegment"], measures
+    )
+    feed = CT.table_changes(spark, target, 0, 1)
+    mv1 = CT.apply_changes_to_agg(mv0, feed, ["c_mktsegment"], measures)
+    return mv1.select(
+        "c_mktsegment",
+        "n_versions",
+        "n_open",
+        F.round("open_bal", 4).alias("open_bal"),
+    )
+
+
 def merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q70 — the SCD2 MERGE in MERGE-ON-READ form (operators/
     mor_table.py): init the mktsegment-partitioned customer target,

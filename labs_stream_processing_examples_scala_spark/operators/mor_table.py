@@ -400,6 +400,78 @@ def mor_compact(spark: SparkSession, path: str, partition_col: str) -> dict:
         return {"version": cur + 1, "compacted": parts, "linked": linked}
 
 
+def mor_table_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change data feed between two retained MOR versions. cow_table's
+    :func:`~labs_stream_processing_examples_scala_spark.operators.cow_table.table_changes`
+    prunes by DATA-file identity alone — correct for COW, where every
+    mutation rewrites data files, but blind to this tier's vector-only
+    commits: a ``mor_delete`` touches no data file, so the data-dir
+    diff is empty while rows vanished. The MOR feed therefore prunes
+    by the union of
+      - data partitions whose file sets differ (hardlink identity,
+        cow_table.changed_partitions — catches appended files), and
+      - partitions named in vector deltas d{v}, from < v ≤ to — read
+        from the deltas' small ``part`` column, no data file opened
+    and diffs ``read_mor`` (vectors applied) of the two versions over
+    that pruned set. Work stays ∝ data the commits touched; output
+    schema matches the COW feed (``change_type`` insert/delete)."""
+    for v in (from_version, to_version):
+        if not os.path.isdir(CT._gen_dir(path, v)):
+            raise ValueError(f"version {v} of {path} is not retained on disk")
+    changed = set(CT.changed_partitions(path, from_version, to_version))
+    delta_parts: set[str | None] = set()
+    to_dir = CT._gen_dir(path, to_version)
+    for d in _delete_dirs(to_dir):
+        v = int(os.path.basename(d)[1:])
+        if from_version < v <= to_version and glob.glob(os.path.join(d, "*.parquet")):
+            delta_parts.update(
+                r[0] for r in spark.read.parquet(d).select("part").distinct().collect()
+            )
+    old_all = read_mor(spark, path, version=from_version)
+    new_all = read_mor(spark, path, version=to_version)
+    if not changed and not delta_parts:
+        return new_all.withColumn("change_type", F.lit("insert")).limit(0)
+    dir_vals = {e.split("=", 1)[0]: None for e in changed if "=" in e}
+    pcol = next(iter(dir_vals), None)
+    include_null = any("=" not in e for e in changed) or any(
+        p is None for p in delta_parts
+    )
+    from urllib.parse import unquote
+
+    vals = sorted(
+        {unquote(e.split("=", 1)[1]) for e in changed if "=" in e}
+        | {str(p) for p in delta_parts if p is not None}
+    )
+
+    def _prune(df: DataFrame) -> DataFrame:
+        if pcol is None and not vals:
+            # vector-only feed on a table whose data dirs never changed:
+            # partition column name comes from the delta's part values'
+            # owning dirs — fall back to scanning the pruned values via
+            # the first data dir's column name
+            return df
+        col = pcol or _partition_col_name(to_dir)
+        pred = F.col(col).cast("string").isin(vals) if vals else F.lit(False)
+        if include_null:
+            pred = pred | F.col(col).isNull()
+        return df.filter(pred)
+
+    old, new = _prune(old_all), _prune(new_all)
+    return (
+        new.exceptAll(old).withColumn("change_type", F.lit("insert"))
+        .unionByName(old.exceptAll(new).withColumn("change_type", F.lit("delete")))
+    )
+
+
+def _partition_col_name(gen_dir: str) -> str:
+    for e in os.listdir(gen_dir):
+        if "=" in e and os.path.isdir(os.path.join(gen_dir, e)):
+            return e.split("=", 1)[0]
+    raise ValueError(f"{gen_dir} has no hive-partitioned data dirs")
+
+
 def mor_stats(spark: SparkSession, path: str) -> dict:
     """Write-amplification telemetry: live data bytes vs accumulated
     vector bytes/rows — the numbers an operator watches to schedule

@@ -738,6 +738,50 @@ def test_history_records_lifecycle_and_vacuum_reclaims(spark, tmp_path):
         CT.vacuum(path, keep_generations=-1)
 
 
+def test_apply_changes_to_agg_is_incremental_view_maintenance(spark, tmp_path):
+    """The CDF consumer (cow_table.apply_changes_to_agg): advancing an
+    aggregate MV by the v0→v1 feed equals re-aggregating v1 from
+    scratch — including the retraction paths the q71 fixture can't
+    reach: a group fully deleted from the feed must DROP from the MV
+    (not linger at zero), and a group born in the feed must appear."""
+    path = str(tmp_path / "t")
+    _init_target(spark, path)
+    measures = {
+        "n_rows": F.lit(1),
+        "n_open": F.when(F.col("is_current"), 1).otherwise(0),
+        "open_val": F.when(F.col("is_current"), F.col("val")).otherwise(0.0),
+    }
+    CT.ensure_generational(path)  # legacy fixture → gen_v0 + manifest
+    mv0 = CT.aggregate_view(CT.read_cow(spark, path, version=0), ["p"], measures)
+
+    # a merge (update + insert into a derived partition) → real feed
+    u = _upd(spark, [(1, 11.0), (100, 5.0)])
+    MG.scd2_merge_cow(
+        spark, path, u, "k", "u_key", "val", "new_val", "p",
+        change_date="1998-01-01",
+        insert_partition=F.lit("NEW"),
+    )
+    feed = CT.table_changes(spark, path, 0, 1)
+    got = CT.apply_changes_to_agg(mv0, feed, ["p"], measures)
+    want = CT.aggregate_view(CT.read_cow(spark, path), ["p"], measures)
+    as_map = lambda df: {  # noqa: E731
+        r["p"]: (r[1], r[2], round(r[3], 6)) for r in df.collect()
+    }
+    assert as_map(got) == as_map(want)
+    assert "NEW" in as_map(got), "group born in the feed missing from the MV"
+
+    # synthetic full-group retraction: every row of partition A deleted
+    gone = (
+        CT.read_cow(spark, path).filter("p = 'A'")
+        .withColumn("change_type", F.lit("delete"))
+    )
+    shrunk = CT.apply_changes_to_agg(want, gone, ["p"], measures)
+    assert "A" not in as_map(shrunk), "fully-retracted group lingers in the MV"
+    assert {k: v for k, v in as_map(shrunk).items()} == {
+        k: v for k, v in as_map(want).items() if k != "A"
+    }
+
+
 def test_table_changes_prunes_by_hardlink_identity(spark, tmp_path):
     """Change data feed (cow_table.table_changes): the diff between two
     retained versions equals the full-table multiset diff but reads

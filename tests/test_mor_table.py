@@ -220,6 +220,100 @@ def test_history_and_vacuum_cover_mor_commits(spark, tmp_path):
         MT.read_mor(spark, path, version=1)
 
 
+def test_mor_table_changes_sees_vector_only_deletes(spark, tmp_path):
+    """The MOR change feed must catch commits that touch NO data file:
+    a mor_delete changes only `_deletes`, so the COW feed's data-dir
+    diff is empty — the MOR feed reads the vector deltas' `part`
+    column and still emits the deleted rows."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    MT.mor_delete(spark, path, "k IN (1, 3)", "p")  # partitions B, A
+    assert CT.changed_partitions(path, 0, 1) == [], (
+        "a vector-only commit should leave data dirs hardlink-identical"
+    )
+    feed = MT.mor_table_changes(spark, path, 0, 1)
+    got = frozenset(tuple(r) for r in feed.collect())
+    truth = frozenset(
+        tuple(r) + ("delete",)
+        for r in MT.read_mor(spark, path, version=0).filter("k IN (1, 3)").collect()
+    )
+    assert got == truth and len(got) == 2
+    # pruning: partition C never contributed and never scanned rows
+    assert feed.filter(F.col("p") == "C").count() == 0
+
+
+def test_mor_table_changes_matches_full_diff_after_upsert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    MT.mor_upsert(spark, path, _upd(spark, [(3, 33.0)]),
+                  "k", "u_key", "val", "new_val", "p", change_date="1998-01-01")
+    old = MT.read_mor(spark, path, version=0)
+    new = MT.read_mor(spark, path, version=1)
+    truth = frozenset(
+        tuple(r) + ("insert",) for r in new.exceptAll(old).collect()
+    ) | frozenset(
+        tuple(r) + ("delete",) for r in old.exceptAll(new).collect()
+    )
+    got = frozenset(
+        tuple(r) for r in MT.mor_table_changes(spark, path, 0, 1).collect()
+    )
+    assert got == truth and len(got) == 3  # delete-old + 2 inserts
+
+
+def test_concurrent_reader_sees_old_or_new_mor_table_only(spark, tmp_path):
+    """Snapshot isolation across a MOR commit (the cow_merge test's
+    scenario on this tier): a reader thread hammering the table while
+    an upsert commits must only ever observe the exact old or exact
+    new relation — never a torn mix (e.g. vectors without their
+    appended rows, or vice versa)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    df = _init(spark, path)
+    old = _rows(spark, path)
+    u = _upd(spark, [(3, 33.0), (7, 77.0)])
+    want = frozenset(
+        tuple(r)
+        for r in MG.scd2_apply(
+            MG.scd2_init(df), u, "k", "u_key", "val", "new_val",
+            change_date="1998-01-01",
+        ).select("k", "p", "val", "valid_from", "valid_to", "is_current").collect()
+    )
+    seen, bad, stop = [], [], threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            got = _rows(spark, path)
+            (seen if got in (old, want) else bad).append(got)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        MT.mor_upsert(spark, path, u, "k", "u_key", "val", "new_val", "p",
+                      change_date="1998-01-01")
+        _rows(spark, path)  # at least one post-commit read in-thread
+    finally:
+        stop.set()
+        t.join()
+    assert not bad, f"torn reads observed: {len(bad)}"
+    assert _rows(spark, path) == want
+
+
+def test_read_mor_projects_evolved_columns(spark, tmp_path):
+    """alter_add_column is metadata-only on this tier too: the MOR
+    reader projects the recorded default over pre-alter files while
+    the vector anti-join still applies."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    CT.alter_add_column(path, "tier", "string",
+                        "CASE WHEN val >= 12 THEN 'high' ELSE 'low' END")
+    MT.mor_delete(spark, path, "k = 0", "p")
+    out = MT.read_mor(spark, path)
+    assert out.filter("k = 0").count() == 0
+    tiers = {r["k"]: r["tier"] for r in out.select("k", "tier").collect()}
+    assert tiers[1] == "low" and tiers[23] == "high"
+
+
 def test_mor_upsert_equals_cow_merge_on_twin_targets(spark, tmp_path):
     """The two tiers produce the same relation from the same inputs —
     the user-facing claim q70's shared oracle rests on."""

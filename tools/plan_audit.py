@@ -178,6 +178,11 @@ AUDITS = [
     # audited SF a SortMergeJoin would mean AQE missed the sizing)
     ("q70_merge_mor", ["BroadcastHashJoin LeftAnti", "Scan parquet"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # CDF-driven incremental MV: the full-outer delta merge must reuse
+    # the aggregation partitioning (both sides keyed on the group col
+    # → zero join-side exchanges; Spark cannot broadcast a full outer)
+    ("q71_cdf_mv", ["SortMergeJoin FullOuter", "HashAggregate"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # reservoir: rank-filter window must plan as WindowGroupLimit so
     # each partition keeps only local top-k BEFORE the lang shuffle
     ("x_sample_reservoir", ["WindowGroupLimit"], ["Join"]),
@@ -286,6 +291,7 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "q68_merge_evolve": {},
     "q69_merge_changes": {},
     "q70_merge_mor": {},  # hint-free: AQE sizes the vector anti-join
+    "q71_cdf_mv": {},
     "x_dedup_fuzzy_names": {},  # hint-free: AQE picks by block size
     "x_sample_reservoir": {},
     "x_freq_heavy_hitters": {
@@ -416,6 +422,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "q68_merge_evolve": 0,  # reading the maintained table is scan-only
     "q69_merge_changes": 2,  # one all-column shuffle per diff direction
     "q70_merge_mor": 0,  # scan + broadcast anti-join, no shuffle
+    # mv0 agg + one agg per diff direction + delta agg; the FullOuter
+    # merge join rides the agg partitioning with no exchange of its own
+    "q71_cdf_mv": 4,
     "x_dedup_fuzzy_names": 1,  # the deliberate pre-join probe spread
     "x_sample_reservoir": 1,  # the lang window shuffle (post-WindowGroupLimit)
     "x_freq_heavy_hitters": 3,  # candidate distinct, totals agg, exact agg
@@ -458,6 +467,7 @@ def _extra_broadcast_sources() -> dict[str, list]:
         "q68_merge_evolve": [MG.scd2_merge_cow, CT.optimize_cow],
         "q69_merge_changes": [CT.table_changes],
         "q70_merge_mor": [MT.mor_upsert, MT.read_mor],
+        "q71_cdf_mv": [CT.apply_changes_to_agg, CT.aggregate_view, CT.table_changes],
     }
 
 
