@@ -533,6 +533,96 @@ def table_changes(
     )
 
 
+def restore_cow(path: str, version: int) -> dict:
+    """RESTORE TABLE TO VERSION — roll the live table back to a
+    RETAINED generation as a NEW commit (Delta's RESTORE semantic:
+    history moves forward, never rewrites). The restored generation is
+    staged as hardlinks of the target version's files — zero bytes
+    copied, and the restore itself is as crash-safe as any commit:
+    stage, one manifest flip, GC. Restoring beyond the retention
+    window raises (that data is gone — the VACUUM trade-off);
+    restoring the live version is a no-op error to keep history
+    honest. The restore commit records what it restored, so
+    :func:`history` shows the rollback as an auditable operation, and
+    :func:`table_changes` across it emits exactly the rows the
+    rolled-back commits touched (hardlink identity still prunes)."""
+    with _writer_lock(path):
+        recover(path)
+        meta = read_manifest(path)
+        if meta is None:
+            raise ValueError(f"{path} is not a generational COW table (no manifest)")
+        live = meta["version"]
+        if version == live:
+            raise ValueError(f"version {version} is already live")
+        src = _gen_dir(path, version)
+        if version > live or not os.path.isdir(src):
+            raise ValueError(
+                f"version {version} of {path} is not retained "
+                f"(live={live}, retained: {_gen_versions(path)})"
+            )
+        new = live + 1
+        new_dir = _gen_dir(path, new)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir)
+        for e in sorted(os.listdir(src)):
+            full = os.path.join(src, e)
+            if os.path.isdir(full):  # partition dirs AND _deletes (MOR)
+                _link_tree(full, os.path.join(new_dir, e))
+            elif e == "_SUCCESS":
+                os.link(full, os.path.join(new_dir, e))
+        if not os.path.exists(os.path.join(new_dir, "_SUCCESS")):
+            open(os.path.join(new_dir, "_SUCCESS"), "w").close()
+        _write_commit_log(new_dir, {
+            "version": new, "operation": "restore", "restored_version": version,
+        })
+        _write_manifest(path, {**meta, "version": new})
+        for v in _gen_versions(path):
+            if v <= new - 2:  # keep ONE prior generation (the pre-restore live)
+                shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
+        _gc_legacy_root(path)
+        return {"version": new, "restored_version": version}
+
+
+def clone_cow(src_path: str, dst_path: str) -> dict:
+    """SHALLOW CLONE — a new independent table whose initial generation
+    hardlinks the source's LIVE generation (zero data copied; on an
+    object store this is the manifest-level file reference Delta's
+    shallow clone records). The clone has its own manifest, lock, and
+    history from version 0: commits to either table stage new files
+    and flip their own manifest, so neither ever mutates bytes the
+    other can see — hardlinked files are immutable by the COW
+    contract, which is exactly what makes the zero-copy share safe.
+    Evolved-column metadata (added_columns) is carried so the clone
+    reads identically from the first moment."""
+    if os.path.exists(os.path.join(dst_path, MANIFEST)):
+        raise ValueError(f"{dst_path} already exists")
+    with _writer_lock(src_path):
+        recover(src_path)
+        meta = read_manifest(src_path)
+        if meta is None:
+            raise ValueError(f"{src_path} is not a generational COW table (no manifest)")
+        live_dir = _gen_dir(src_path, meta["version"])
+        os.makedirs(dst_path, exist_ok=True)
+        g0 = _gen_dir(dst_path, 0)
+        shutil.rmtree(g0, ignore_errors=True)
+        os.makedirs(g0)
+        for e in sorted(os.listdir(live_dir)):
+            full = os.path.join(live_dir, e)
+            if os.path.isdir(full):
+                _link_tree(full, os.path.join(g0, e))
+            elif e == "_SUCCESS":
+                os.link(full, os.path.join(g0, e))
+        _write_commit_log(g0, {
+            "version": 0, "operation": "clone",
+            "source": src_path, "source_version": meta["version"],
+        })
+        new_meta = {"version": 0}
+        if meta.get("added_columns"):
+            new_meta["added_columns"] = meta["added_columns"]
+        _write_manifest(dst_path, new_meta)
+        return {"version": 0, "source_version": meta["version"]}
+
+
 def aggregate_view(
     df: DataFrame, group_cols: list[str], measures: dict
 ) -> DataFrame:

