@@ -62,8 +62,17 @@ inodes): they are GC'd by the first commit whose retention window
 drops gen_v0, which is exactly when the pre-migration reader grace
 ends.
 
-Concurrency contract: one writer at a time (same as compaction);
-readers are lock-free via the manifest.
+Concurrency contract (round 7, upgraded from strict single-writer):
+the pid lockfile serializes only the COMMIT critical section; PLANNING
+runs lock-free, and a commit whose ``base_version`` went stale is
+resolved optimistically — every commit records its written-partition
+footprint in the retention-independent ``_log/`` (the `_delta_log`
+idiom), :func:`check_commit_conflict` proves interleaved footprints
+disjoint (→ free rebase: untouched partitions hardlink from the new
+live, identical to a serial execution) or raises
+:class:`CommitConflictError` for a re-plan (the merge wrappers retry).
+Unknown footprints conflict — fail-safe. Readers stay lock-free via
+the manifest.
 """
 
 from __future__ import annotations
@@ -85,6 +94,14 @@ _GEN_RE = re.compile(r"^gen_v(\d+)$")
 
 class ConcurrentWriterError(RuntimeError):
     """A second writer tried to commit while another holds the lock."""
+
+
+class CommitConflictError(RuntimeError):
+    """Optimistic commit rejected: another writer committed a version
+    whose written partitions overlap this writer's, after this writer
+    planned its change (its ``base_version``). The caller must re-plan
+    from the new live version and retry (:func:`merge.scd2_merge_cow`
+    does this automatically)."""
 
 
 class _writer_lock:
@@ -240,6 +257,10 @@ def ensure_generational(path: str) -> None:
                 pass
     _write_commit_log(g0, {"version": 0, "operation": "migrate"})
     _write_manifest(path, {"version": 0})
+    _append_root_log(path, 0, {
+        "version": 0, "operation": "migrate",
+        "written": sorted(e for e in os.listdir(g0) if _is_partition_entry(e)),
+    })
     os.remove(_migrate_path(path))
 
 
@@ -304,6 +325,97 @@ def _read_commit_log(gen_dir: str) -> dict | None:
         return None
 
 
+ROOT_LOG = "_log"  # per-version commit records that SURVIVE generation GC
+
+
+def _append_root_log(path: str, version: int, payload: dict) -> None:
+    """Record a commit's logical footprint in ``_log/v{N}.json`` — the
+    retention-independent commit history (the Delta `_delta_log`
+    idiom). The per-generation COMMIT_LOG dies with its generation's
+    GC; optimistic conflict detection needs the WRITTEN-partition sets
+    of every version between a writer's base and the live version, no
+    matter how old, so those sets live here. Written via tmp+replace
+    AFTER the manifest flip: a crash between flip and log append is
+    healed by recover(), which backfills the record (conservatively
+    marking every partition written) before any OCC check can read
+    past it."""
+    d = os.path.join(path, ROOT_LOG)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(d, f"v{version}.json"))
+
+
+def _read_root_log(path: str, version: int) -> dict | None:
+    try:
+        with open(os.path.join(path, ROOT_LOG, f"v{version}.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _heal_root_log(path: str, live: int) -> None:
+    """Backfill a missing root-log record for any committed version
+    (crash after flip, or a table predating the root log). The
+    backfill marks ALL partitions written (``"written": null`` =
+    unknown → conflicts with everything) — fail-safe: OCC may retry
+    needlessly, never commit wrongly."""
+    for v in range(live + 1):
+        if _read_root_log(path, v) is None:
+            gen_log = (
+                _read_commit_log(_gen_dir(path, v))
+                if os.path.isdir(_gen_dir(path, v))
+                else None
+            )
+            if gen_log is not None and "written" in gen_log:
+                payload = {
+                    "version": v,
+                    "operation": gen_log.get("operation", "commit"),
+                    "written": gen_log["written"],
+                }
+            else:
+                payload = {"version": v, "operation": "unknown", "written": None}
+            _append_root_log(path, v, payload)
+
+
+def check_commit_conflict(
+    path: str, base_version: int, live: int, written: list[str]
+) -> None:
+    """Partition-level optimistic conflict check (Delta/Iceberg's
+    commit-time validation, at Hive-partition granularity): every
+    version committed in ``(base, live]`` must have a written set
+    DISJOINT from this writer's, else raise.
+
+    Why partition overlap is the sufficient rule here: an update
+    touches the partition its key lives in, and an insert lands in the
+    partition its key derives to — so two writers racing on the same
+    KEY necessarily both write that key's partition (provided they
+    share the insert-partition derivation, the documented contract of
+    the in-repo callers). Disjoint written sets therefore mean the
+    rebased output is byte-identical to a serial execution: the
+    partitions this writer read and rewrites were untouched (hardlink-
+    carried) through every interleaved commit. An interleaved record
+    with an UNKNOWN footprint (healed/legacy — written=None) conflicts
+    by definition: fail-safe."""
+    mine = set(written)
+    for v in range(base_version + 1, live + 1):
+        rec = _read_root_log(path, v)
+        theirs = None if rec is None else rec.get("written")
+        if theirs is None:
+            raise CommitConflictError(
+                f"version {v} of {path} has no recorded write footprint; "
+                f"cannot prove disjointness with {sorted(mine)} — re-plan"
+            )
+        clash = mine & set(theirs)
+        if clash:
+            raise CommitConflictError(
+                f"version {v} ({rec.get('operation')}) wrote partitions "
+                f"{sorted(clash)} this commit (base {base_version}) also "
+                "writes — re-plan from the live version"
+            )
+
+
 def cow_init(
     df: DataFrame, path: str, partition_col: str
 ) -> None:
@@ -313,6 +425,12 @@ def cow_init(
     df.write.partitionBy(partition_col).parquet(_gen_dir(path, 0))
     _write_commit_log(_gen_dir(path, 0), {"version": 0, "operation": "init"})
     _write_manifest(path, {"version": 0})
+    _append_root_log(path, 0, {
+        "version": 0, "operation": "init",
+        "written": sorted(
+            e for e in os.listdir(_gen_dir(path, 0)) if _is_partition_entry(e)
+        ),
+    })
 
 
 def read_cow(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -576,6 +694,12 @@ def restore_cow(path: str, version: int) -> dict:
             "version": new, "operation": "restore", "restored_version": version,
         })
         _write_manifest(path, {**meta, "version": new})
+        # OCC footprint: exactly the partitions the rollback changed
+        # relative to the pre-restore live (both gens on disk here)
+        _append_root_log(path, new, {
+            "version": new, "operation": "restore",
+            "written": changed_partitions(path, live, new),
+        })
         for v in _gen_versions(path):
             if v <= new - 2:  # keep ONE prior generation (the pre-restore live)
                 shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
@@ -620,6 +744,12 @@ def clone_cow(src_path: str, dst_path: str) -> dict:
         if meta.get("added_columns"):
             new_meta["added_columns"] = meta["added_columns"]
         _write_manifest(dst_path, new_meta)
+        _append_root_log(dst_path, 0, {
+            "version": 0, "operation": "clone",
+            "written": sorted(
+                e for e in os.listdir(g0) if _is_partition_entry(e)
+            ),
+        })
         return {"version": 0, "source_version": meta["version"]}
 
 
@@ -782,6 +912,7 @@ def commit_generation(
     extra_meta: dict | None = None,
     cluster_output: bool = False,
     operation: str = "commit",
+    base_version: int | None = None,
 ) -> dict:
     """Stage ``out`` (the REWRITTEN partitions only) as the next
     generation, hardlink every live partition dir the rewrite did not
@@ -798,6 +929,18 @@ def commit_generation(
     makes "data committed" and "progress recorded" one atomic fact
     (the Delta txn-version idiom; streaming/cdc_ingest.py). Keys are
     carried forward from the previous manifest unless overwritten.
+
+    ``base_version`` enables OPTIMISTIC concurrency (round 7): the
+    version the caller PLANNED against (resolved at its read). If other
+    writers committed since, :func:`check_commit_conflict` proves the
+    interleaved versions' written sets disjoint from this one's — then
+    the commit REBASES for free (untouched partitions hardlink from the
+    new live, not the stale base, and disjointness makes that identical
+    to a serial execution) — or raises :class:`CommitConflictError` for
+    the caller to re-plan (merge.scd2_merge_cow retries automatically).
+    Footprints come from the retention-independent ``_log/`` records
+    every commit appends; an unknown footprint conflicts (fail-safe).
+    None preserves the plain last-writer-wins behavior.
 
     ``cluster_output`` repartitions the rewrite ON the partition column
     before writing: without it, ``partitionBy`` fans each upstream task
@@ -824,6 +967,13 @@ def commit_generation(
         written = sorted(
             e for e in os.listdir(new_dir) if _is_partition_entry(e)
         )
+        if base_version is not None and cur != base_version:
+            _heal_root_log(path, cur)
+            try:
+                check_commit_conflict(path, base_version, cur, written)
+            except CommitConflictError:
+                shutil.rmtree(new_dir, ignore_errors=True)
+                raise
         linked = []
         if os.path.isdir(cur_dir):
             for e in sorted(os.listdir(cur_dir)):
@@ -842,6 +992,9 @@ def commit_generation(
         })
         new_meta = {**meta, **(extra_meta or {}), "version": new}
         _write_manifest(path, new_meta)  # ← COMMIT
+        _append_root_log(path, new, {
+            "version": new, "operation": operation, "written": written,
+        })
         for v in _gen_versions(path):
             if v <= new - 1 - keep_generations:
                 shutil.rmtree(_gen_dir(path, v), ignore_errors=True)

@@ -383,6 +383,7 @@ def _cow_touched(
 
     CT.recover(target_path)
     CT.ensure_generational(target_path)
+    base_version = CT.read_manifest(target_path)["version"]
     target_all = CT.read_cow(spark, target_path)
     current = target_all.filter("is_current")
     vals = [
@@ -421,7 +422,7 @@ def _cow_touched(
     cond = F.col(partition_col).isin(touched)
     if include_null:
         cond = cond | F.col(partition_col).isNull()
-    return target_all, target_all.filter(cond), touched, include_null
+    return target_all, target_all.filter(cond), touched, include_null, base_version
 
 
 def scd2_merge_cow(
@@ -476,28 +477,43 @@ def scd2_merge_cow(
     from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
 
     upd_keys = updates.select(F.col(update_key).alias("__uk"))
-    _, pruned, touched, include_null = _cow_touched(
-        spark, target_path, upd_keys, upd_keys, key, partition_col,
-        insert_partition=insert_partition,
-    )
-    if not touched and not include_null:
-        return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
-    # partition_col rides through as a carried column: rewritten rows
-    # keep their value; insert rows get null (→ the null partition dir,
-    # which include_null then carries forward on every later rewrite)
-    # — or, with insert_partition, the key-derived real partition
-    overrides = {partition_col: insert_partition} if insert_partition is not None else None
-    out = scd2_apply(
-        pruned, updates, key, update_key, versioned_col, new_value_col, change_date,
-        carried_overrides=overrides,
-    )
-    stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta, operation="merge")
-    return {
-        "touched": touched,
-        "swapped": stats["written"],
-        "version": stats["version"],
-        "null_rewritten": include_null,
-    }
+    # Optimistic concurrency (round 7): plan against the version the
+    # read resolved; commit checks interleaved writers' footprints and
+    # either rebases (disjoint partitions — free, the hardlink step
+    # already links from the NEW live) or raises, and we re-plan from
+    # the advanced table. Bounded retries: livelock means real
+    # contention on the same partitions, which the caller must see.
+    for attempt in range(3):
+        _, pruned, touched, include_null, base = _cow_touched(
+            spark, target_path, upd_keys, upd_keys, key, partition_col,
+            insert_partition=insert_partition,
+        )
+        if not touched and not include_null:
+            return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
+        # partition_col rides through as a carried column: rewritten rows
+        # keep their value; insert rows get null (→ the null partition dir,
+        # which include_null then carries forward on every later rewrite)
+        # — or, with insert_partition, the key-derived real partition
+        overrides = {partition_col: insert_partition} if insert_partition is not None else None
+        out = scd2_apply(
+            pruned, updates, key, update_key, versioned_col, new_value_col, change_date,
+            carried_overrides=overrides,
+        )
+        try:
+            stats = CT.commit_generation(
+                target_path, out, partition_col, extra_meta=extra_meta,
+                operation="merge", base_version=base,
+            )
+        except CT.CommitConflictError:
+            if attempt == 2:
+                raise
+            continue
+        return {
+            "touched": touched,
+            "swapped": stats["written"],
+            "version": stats["version"],
+            "null_rewritten": include_null,
+        }
 
 
 def scd2_apply_cdc(
@@ -634,25 +650,34 @@ def merge_cow_cdc(
         F.col("__uk") == F.col("__dk"),
         "left_anti",
     )
-    _, pruned, touched, include_null = _cow_touched(
-        spark, target_path, affected, insert_candidates, key, partition_col,
-        insert_partition=insert_partition,
-    )
-    if not touched and not include_null:
-        return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
-    overrides = {partition_col: insert_partition} if insert_partition is not None else None
-    out = scd2_apply_cdc(
-        pruned, updates, delete_keys, key, update_key, delete_key,
-        versioned_col, new_value_col, change_date,
-        carried_overrides=overrides,
-    )
-    stats = CT.commit_generation(target_path, out, partition_col, extra_meta=extra_meta, operation="merge_cdc")
-    return {
-        "touched": touched,
-        "swapped": stats["written"],
-        "version": stats["version"],
-        "null_rewritten": include_null,
-    }
+    for attempt in range(3):  # same optimistic retry as scd2_merge_cow
+        _, pruned, touched, include_null, base = _cow_touched(
+            spark, target_path, affected, insert_candidates, key, partition_col,
+            insert_partition=insert_partition,
+        )
+        if not touched and not include_null:
+            return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
+        overrides = {partition_col: insert_partition} if insert_partition is not None else None
+        out = scd2_apply_cdc(
+            pruned, updates, delete_keys, key, update_key, delete_key,
+            versioned_col, new_value_col, change_date,
+            carried_overrides=overrides,
+        )
+        try:
+            stats = CT.commit_generation(
+                target_path, out, partition_col, extra_meta=extra_meta,
+                operation="merge_cdc", base_version=base,
+            )
+        except CT.CommitConflictError:
+            if attempt == 2:
+                raise
+            continue
+        return {
+            "touched": touched,
+            "swapped": stats["written"],
+            "version": stats["version"],
+            "null_rewritten": include_null,
+        }
 
 
 _EVOLVE_WORKDIRS: dict[tuple, str] = {}

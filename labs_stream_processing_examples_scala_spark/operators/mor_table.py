@@ -156,18 +156,50 @@ def _stage_next(path: str, cur: int) -> str:
     return new_dir
 
 
-def _commit(path: str, new: int, log: dict, keep_generations: int = 1) -> None:
+def _commit(
+    path: str, new: int, log: dict, written: list[str], keep_generations: int = 1
+) -> None:
+    """Manifest flip + per-generation and root commit logs. ``written``
+    is the LOGICAL footprint — every partition dir whose visible rows
+    this commit changes (for a vector-only delete that is the dirs the
+    vector rows point into, though no data file there was touched) —
+    recorded in the retention-independent ``_log/`` so copy-on-write
+    writers' optimistic conflict checks see MOR commits too."""
     new_dir = CT._gen_dir(path, new)
     if not os.path.exists(os.path.join(new_dir, "_SUCCESS")):
         # staged image of a gen that predates _SUCCESS tracking
         open(os.path.join(new_dir, "_SUCCESS"), "w").close()
-    CT._write_commit_log(new_dir, {"version": new, **log})
+    CT._write_commit_log(new_dir, {"version": new, "written": written, **log})
     meta = CT.read_manifest(path)
     CT._write_manifest(path, {**meta, "version": new})
+    CT._append_root_log(path, new, {
+        "version": new, "operation": log.get("operation", "commit"),
+        "written": written,
+    })
     for v in CT._gen_versions(path):
         if v <= new - 1 - keep_generations:
             shutil.rmtree(CT._gen_dir(path, v), ignore_errors=True)
     CT._gc_legacy_root(path)
+
+
+def _dirs_for_parts(gen_dir: str, parts: list) -> list[str]:
+    """Map partition VALUES (the vectors' ``part`` column) to the
+    concrete partition DIR names of a generation — by comparing against
+    the listing rather than re-implementing Hive's path escaping."""
+    from urllib.parse import unquote
+
+    vals = {str(p) for p in parts if p is not None}
+    want_null = any(p is None for p in parts)
+    out = []
+    for e in sorted(os.listdir(gen_dir)):
+        if not CT._is_partition_entry(e):
+            continue
+        if e == "__HIVE_DEFAULT_PARTITION__":
+            if want_null:
+                out.append(e)
+        elif unquote(e.split("=", 1)[1]) in vals:
+            out.append(e)
+    return out
 
 
 def mor_delete(
@@ -205,8 +237,13 @@ def mor_delete(
         )
         new_dir = _stage_next(path, cur)
         dv.write.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}"))
-        n = spark.read.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}")).count()
-        _commit(path, cur + 1, {"operation": "mor_delete", "vector_rows": n})
+        delta = spark.read.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}"))
+        n = delta.count()
+        parts = [r[0] for r in delta.select("part").distinct().collect()]
+        _commit(
+            path, cur + 1, {"operation": "mor_delete", "vector_rows": n},
+            written=_dirs_for_parts(new_dir, parts),
+        )
         return {"version": cur + 1, "deleted_rows": n}
 
 
@@ -306,10 +343,12 @@ def mor_upsert(
         append_stage = os.path.join(new_dir, f"_append_stage_v{cur + 1}")
         appended.write.partitionBy(partition_col).parquet(append_stage)
         moved = 0
+        appended_dirs = []
         for e in sorted(os.listdir(append_stage)):
             if not CT._is_partition_entry(e):
                 continue
             os.makedirs(os.path.join(new_dir, e), exist_ok=True)
+            appended_dirs.append(e)
             for f in os.listdir(os.path.join(append_stage, e)):
                 if f.endswith(".parquet"):
                     os.rename(
@@ -318,10 +357,14 @@ def mor_upsert(
                     )
                     moved += 1
         shutil.rmtree(append_stage, ignore_errors=True)
-        n = spark.read.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}")).count()
-        _commit(path, cur + 1, {
-            "operation": "mor_upsert", "vector_rows": n, "appended_files": moved,
-        })
+        delta = spark.read.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}"))
+        n = delta.count()
+        dv_parts = [r[0] for r in delta.select("part").distinct().collect()]
+        _commit(
+            path, cur + 1,
+            {"operation": "mor_upsert", "vector_rows": n, "appended_files": moved},
+            written=sorted(set(appended_dirs) | set(_dirs_for_parts(new_dir, dv_parts))),
+        )
         return {"version": cur + 1, "position_deletes": n, "appended_files": moved}
 
 
@@ -384,19 +427,29 @@ def mor_compact(spark: SparkSession, path: str, partition_col: str) -> dict:
             }
 
         linked = []
+        touched_dirs = set()
         for e in sorted(os.listdir(cur_dir)):
             src = os.path.join(cur_dir, e)
             if not (CT._is_partition_entry(e) and os.path.isdir(src)):
                 continue
             if _touched(e) or os.path.isdir(os.path.join(new_dir, e)):
+                touched_dirs.add(e)  # rewritten — or emptied entirely
                 continue
             CT._link_tree(src, os.path.join(new_dir, e))
             linked.append(e)
-        _commit(path, cur + 1, {
-            "operation": "mor_compact",
-            "compacted": [p if p is not None else "<null>" for p in parts],
-            "linked": linked,
-        })
+        _commit(
+            path, cur + 1,
+            {
+                "operation": "mor_compact",
+                "compacted": [p if p is not None else "<null>" for p in parts],
+                "linked": linked,
+            },
+            # a compaction is row-neutral, but its file rewrite still
+            # invalidates any concurrent writer's staged copy of these
+            # partitions' positions (vectors address file+row) → they
+            # are part of the OCC footprint
+            written=sorted(touched_dirs),
+        )
         return {"version": cur + 1, "compacted": parts, "linked": linked}
 
 

@@ -501,7 +501,7 @@ def test_cluster_output_writes_one_file_per_partition(spark, tmp_path):
 
     from labs_stream_processing_examples_scala_spark.operators import merge as _m
     upd_keys = u.select(F.col("u_key").alias("__uk"))
-    _, pruned, touched, include_null = _m._cow_touched(
+    _, pruned, touched, include_null, _base = _m._cow_touched(
         spark, pb, upd_keys, upd_keys, "k", "p"
     )
     out = MG.scd2_apply(pruned, u, "k", "u_key", "val", "new_val", "1998-01-01")
