@@ -651,6 +651,84 @@ def table_changes(
     )
 
 
+def append_cow(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    base_version: int | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """INSERT INTO — bulk append through the generational commit: the
+    new rows land as NEW files inside the staged generation's
+    partition dirs (every existing file hardlink-carried, zero
+    rewrite — write cost ∝ appended rows, the same posture as the MOR
+    tier's appends), one manifest flip commits. The basic verb the
+    MERGE family skips: an ingest that only ever ADDS (event logs, new
+    documents) should not pay a join against the target at all.
+
+    OCC footprint = the partitions that received files, so a
+    concurrent append to OTHER partitions rebases for free — two
+    pure-append writers on disjoint partitions never conflict, which
+    is what makes parallel partitioned bulk loads safe. Duplicate/
+    upsert semantics are explicitly NOT checked (use the merges);
+    evolved columns are materialized if present on ``df``."""
+    with _writer_lock(path):
+        recover(path)
+        ensure_generational(path)
+        meta = read_manifest(path)
+        cur = meta["version"]
+        if base_version is not None and cur != base_version:
+            _heal_root_log(path, cur)
+            # appended partitions aren't known yet — conservative check
+            # happens after staging below
+        cur_dir, new_dir = _gen_dir(path, cur), _gen_dir(path, cur + 1)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir)
+        for e in sorted(os.listdir(cur_dir)):
+            src = os.path.join(cur_dir, e)
+            if os.path.isdir(src):  # partition dirs AND _deletes (MOR)
+                _link_tree(src, os.path.join(new_dir, e))
+            elif e == "_SUCCESS":
+                os.link(src, os.path.join(new_dir, e))
+        stage = os.path.join(new_dir, f"_append_stage_v{cur + 1}")
+        df.write.partitionBy(partition_col).parquet(stage)
+        written = []
+        for e in sorted(os.listdir(stage)):
+            if not _is_partition_entry(e):
+                continue
+            os.makedirs(os.path.join(new_dir, e), exist_ok=True)
+            written.append(e)
+            for f in os.listdir(os.path.join(stage, e)):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(stage, e, f), os.path.join(new_dir, e, f)
+                    )
+        shutil.rmtree(stage, ignore_errors=True)
+        if base_version is not None and cur != base_version:
+            try:
+                check_commit_conflict(path, base_version, cur, written)
+            except CommitConflictError:
+                shutil.rmtree(new_dir, ignore_errors=True)
+                raise
+        if not os.path.exists(os.path.join(new_dir, "_SUCCESS")):
+            open(os.path.join(new_dir, "_SUCCESS"), "w").close()
+        new = cur + 1
+        _write_commit_log(new_dir, {
+            "version": new, "operation": "append", "written": written,
+            **({"extra": extra_meta} if extra_meta else {}),
+        })
+        _write_manifest(path, {**meta, **(extra_meta or {}), "version": new})
+        _append_root_log(path, new, {
+            "version": new, "operation": "append", "written": written,
+        })
+        for v in _gen_versions(path):
+            if v <= new - 2:
+                shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
+        _gc_legacy_root(path)
+        return {"version": new, "written": written}
+
+
 def restore_cow(path: str, version: int) -> dict:
     """RESTORE TABLE TO VERSION — roll the live table back to a
     RETAINED generation as a NEW commit (Delta's RESTORE semantic:

@@ -157,7 +157,12 @@ def _stage_next(path: str, cur: int) -> str:
 
 
 def _commit(
-    path: str, new: int, log: dict, written: list[str], keep_generations: int = 1
+    path: str,
+    new: int,
+    log: dict,
+    written: list[str],
+    keep_generations: int = 1,
+    extra_meta: dict | None = None,
 ) -> None:
     """Manifest flip + per-generation and root commit logs. ``written``
     is the LOGICAL footprint — every partition dir whose visible rows
@@ -171,7 +176,10 @@ def _commit(
         open(os.path.join(new_dir, "_SUCCESS"), "w").close()
     CT._write_commit_log(new_dir, {"version": new, "written": written, **log})
     meta = CT.read_manifest(path)
-    CT._write_manifest(path, {**meta, "version": new})
+    # extra_meta (e.g. the streaming sink's last-applied batch id)
+    # rides the SAME atomic replace as the version bump — "data
+    # committed" and "progress recorded" are one fact (txn idiom)
+    CT._write_manifest(path, {**meta, **(extra_meta or {}), "version": new})
     CT._append_root_log(path, new, {
         "version": new, "operation": log.get("operation", "commit"),
         "written": written,
@@ -258,6 +266,9 @@ def mor_upsert(
     partition_col: str,
     change_date: str = "1997-06-01",
     insert_partition=None,
+    delete_keys: DataFrame | None = None,
+    delete_key: str | None = None,
+    extra_meta: dict | None = None,
 ) -> dict:
     """SCD2 MERGE, merge-on-read form: matched CURRENT rows are
     position-deleted and their closed + reopened versions APPENDED as
@@ -274,7 +285,15 @@ def mor_upsert(
     do; without it inserts carry a null partition (the null dir).
 
     Read-back contract: ``read_mor(path)`` ≡ ``merge.scd2_apply(
-    <pre-merge table>, updates, ...)``."""
+    <pre-merge table>, updates, ...)``.
+
+    ``delete_keys``/``delete_key`` add the CDC delete arm (the
+    merge.scd2_apply_cdc semantics on this tier): a named delete
+    position-deletes the key's CURRENT row and appends only its CLOSED
+    version (the SCD2 tombstone — history ends, no reopen); a key in
+    both sets takes the delete; duplicate delete keys are distinct-ed.
+    ``extra_meta`` rides the manifest flip atomically (the streaming
+    sink's txn-version idiom, streaming/cdc_ingest.py)."""
     from labs_stream_processing_examples_scala_spark.operators.merge import (
         SCD2_COLS, _scd2_inserts,
     )
@@ -299,14 +318,32 @@ def mor_upsert(
         ]
         # hint-free: AQE sizes the change-batch join (merge.py policy)
         u = updates.select(F.col(update_key).alias("u_key_m"), new_value_col)
-        hit = data.filter("is_current").join(
-            u, F.col(key) == F.col("u_key_m"), "inner"
-        )
-        dv = hit.select(
-            F.col("__ref").alias("file_ref"),
-            F.col("__pos").alias("pos"),
-            F.col(partition_col).cast("string").alias("part"),
-        )
+        cur_rows = data.filter("is_current")
+        if delete_keys is not None:
+            dels = delete_keys.select(F.col(delete_key).alias("d_key_m")).distinct()
+            del_hit = cur_rows.join(dels, F.col(key) == F.col("d_key_m"), "inner")
+            upd_base = cur_rows.join(dels, F.col(key) == F.col("d_key_m"), "left_anti")
+            upd_for_insert = updates.join(
+                dels.select(F.col("d_key_m").alias("__dk")),
+                F.col(update_key) == F.col("__dk"),
+                "left_anti",
+            )
+        else:
+            del_hit = None
+            upd_base = cur_rows
+            upd_for_insert = updates
+        hit = upd_base.join(u, F.col(key) == F.col("u_key_m"), "inner")
+
+        def _positions(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col("__ref").alias("file_ref"),
+                F.col("__pos").alias("pos"),
+                F.col(partition_col).cast("string").alias("part"),
+            )
+
+        dv = _positions(hit)
+        if del_hit is not None:
+            dv = dv.unionByName(_positions(del_hit))
         closed = F.struct(
             F.col(versioned_col).alias("val"),
             F.col("valid_from").alias("valid_from"),
@@ -327,13 +364,26 @@ def mor_upsert(
                 "v.valid_from", "v.valid_to", "v.is_current",
             )
         )
+        if del_hit is not None:
+            # the SCD2 tombstone: the deleted key's history CLOSES —
+            # its open row is position-deleted, only the closed version
+            # is appended, nothing reopens
+            appended = appended.unionByName(
+                del_hit.select(
+                    key, *carried,
+                    F.col(versioned_col),
+                    F.col("valid_from"),
+                    F.lit(change_date).alias("valid_to"),
+                    F.lit(False).alias("is_current"),
+                )
+            )
         overrides = (
             {partition_col: insert_partition} if insert_partition is not None else None
         )
         inserts = _scd2_inserts(
-            data.filter("is_current").select(F.col(key)),
+            cur_rows.select(F.col(key)),
             spark.read.parquet(cur_dir).schema,
-            updates, key, update_key, versioned_col, new_value_col, carried,
+            upd_for_insert, key, update_key, versioned_col, new_value_col, carried,
             change_date, carried_overrides=overrides,
         )
         appended = appended.unionByName(inserts).select(*base_cols)
@@ -364,6 +414,7 @@ def mor_upsert(
             path, cur + 1,
             {"operation": "mor_upsert", "vector_rows": n, "appended_files": moved},
             written=sorted(set(appended_dirs) | set(_dirs_for_parts(new_dir, dv_parts))),
+            extra_meta=extra_meta,
         )
         return {"version": cur + 1, "position_deletes": n, "appended_files": moved}
 

@@ -91,8 +91,11 @@ class CdcMergeSink:
         deletes = batch.filter(F.col(self.op_col) == "d").select(
             F.col(self.key).alias("d_key")
         )
+        self._apply(batch.sparkSession, updates, deletes, batch_id)
+
+    def _apply(self, spark, updates, deletes, batch_id: int) -> None:
         MG.merge_cow_cdc(
-            batch.sparkSession,
+            spark,
             self.target_path,
             updates,
             deletes,
@@ -108,6 +111,47 @@ class CdcMergeSink:
 
     def view(self, spark: SparkSession) -> DataFrame:
         return CT.read_cow(spark, self.target_path)
+
+
+class MorCdcSink(CdcMergeSink):
+    """The same CDC stream applied through the MERGE-ON-READ tier
+    (operators/mor_table.mor_upsert with the delete arm): each
+    micro-batch writes a deletion vector + appended version rows
+    instead of rewriting touched partitions — per-trigger WRITE work
+    ∝ batch size alone, the right tier for high-frequency CDC against
+    huge targets (the COW sink's rewrite is ∝ touched-partition bytes
+    per trigger; tools/tier_bench.py quantifies the crossover). The
+    txn idiom is identical: the last-applied batch id rides the same
+    manifest flip as the vector/append commit, so replay-skip and the
+    crash matrix carry over unchanged. Periodic mor_compact bounds the
+    accumulated vectors (operator's schedule, like compaction)."""
+
+    def _apply(self, spark, updates, deletes, batch_id: int) -> None:
+        from labs_stream_processing_examples_scala_spark.operators import (
+            mor_table as MT,
+        )
+
+        MT.mor_upsert(
+            spark,
+            self.target_path,
+            updates,
+            self.key,
+            "u_key",
+            self.versioned_col,
+            "new_val",
+            self.partition_col,
+            change_date=self.change_date_fn(batch_id),
+            delete_keys=deletes,
+            delete_key="d_key",
+            extra_meta={LAST_BATCH_KEY: batch_id},
+        )
+
+    def view(self, spark: SparkSession) -> DataFrame:
+        from labs_stream_processing_examples_scala_spark.operators import (
+            mor_table as MT,
+        )
+
+        return MT.read_mor(spark, self.target_path)
 
 
 def write_cdc_batch_file(batch: DataFrame, src_dir: str, i: int) -> str:
@@ -142,17 +186,20 @@ def run_cdc_ingest(
     files_per_trigger: int = 1,
     timeout: float = 600.0,
     change_date_fn=None,
+    sink_cls: type[CdcMergeSink] = CdcMergeSink,
 ) -> CdcMergeSink:
     """Drive a bounded CDC ingest over a directory of parquet change
     files (one micro-batch per ``files_per_trigger`` files) and return
-    the sink for reading/restarting."""
+    the sink for reading/restarting. ``sink_cls`` picks the write tier
+    (CdcMergeSink = copy-on-write rewrite, MorCdcSink = deletion-vector
+    merge-on-read)."""
     schema = spark.read.parquet(cdc_source_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(cdc_source_dir)
     )
-    sink = CdcMergeSink(
+    sink = sink_cls(
         target_path, key, versioned_col, partition_col, change_date_fn=change_date_fn
     )
     q = (

@@ -738,6 +738,69 @@ def test_history_records_lifecycle_and_vacuum_reclaims(spark, tmp_path):
         CT.vacuum(path, keep_generations=-1)
 
 
+def test_append_cow_adds_files_without_rewrites(spark, tmp_path):
+    """INSERT INTO (cow_table.append_cow): rows land as new files, all
+    pre-existing files hardlink-carried (inode-asserted), the CDF
+    across the append is pure inserts, and two appends to DISJOINT
+    partitions commit through the optimistic path without conflict."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    _init_target(spark, path)
+    CT.ensure_generational(path)
+    before_rows = _cow_rows(spark, path)
+
+    def inodes(v):
+        gen = CT._gen_dir(path, v)
+        return {
+            os.stat(os.path.join(gen, e, f)).st_ino
+            for e in os.listdir(gen)
+            if CT._is_partition_entry(e)
+            for f in os.listdir(os.path.join(gen, e))
+            if f.endswith(".parquet")
+        }
+
+    base_inodes = inodes(0)
+    new_rows = spark.createDataFrame(
+        [(100, "A", 1.0), (101, "D", 2.0)], "k long, p string, val double"
+    )
+    s = CT.append_cow(spark, MG.scd2_init(new_rows), path, "p")
+    assert s["version"] == 1 and set(s["written"]) == {"p=A", "p=D"}
+    assert base_inodes <= inodes(1), "append rewrote an existing file"
+    got = _cow_rows(spark, path)
+    assert got > before_rows and len(got) == len(before_rows) + 2
+    feed = CT.table_changes(spark, path, 0, 1)
+    assert {r["change_type"] for r in feed.collect()} == {"insert"}
+    assert feed.count() == 2
+
+    # OCC: a stale-base append to a DISJOINT partition rebases...
+    more = MG.scd2_init(
+        spark.createDataFrame([(102, "E", 3.0)], "k long, p string, val double")
+    )
+    s2 = CT.append_cow(
+        spark,
+        MG.scd2_init(
+            spark.createDataFrame([(103, "B", 4.0)], "k long, p string, val double")
+        ),
+        path, "p",
+    )
+    assert s2["version"] == 2
+    s3 = CT.append_cow(spark, more, path, "p", base_version=1)
+    assert s3["version"] == 3 and s3["written"] == ["p=E"]
+    # ...while an overlapping one conflicts
+    with _pytest.raises(CT.CommitConflictError):
+        CT.append_cow(
+            spark,
+            MG.scd2_init(
+                spark.createDataFrame([(104, "B", 5.0)], "k long, p string, val double")
+            ),
+            path, "p", base_version=1,
+        )
+    assert {r[0] for r in CT.read_cow(spark, path).select("k").collect()} == (
+        set(range(24)) | {100, 101, 102, 103}
+    )
+
+
 def test_restore_rolls_back_as_a_forward_commit(spark, tmp_path):
     """RESTORE (cow_table.restore_cow): rolling back to a retained
     version reproduces its rows exactly, moves history FORWARD (a new

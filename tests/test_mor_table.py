@@ -329,6 +329,101 @@ def test_read_mor_projects_evolved_columns(spark, tmp_path):
     assert tiers[1] == "low" and tiers[23] == "high"
 
 
+def test_mor_cdc_delete_arm_matches_scd2_apply_cdc(spark, tmp_path):
+    """mor_upsert's CDC arm: named deletes position-delete the open row
+    and append the closed tombstone only; a key in both sets takes the
+    delete; duplicate delete keys are harmless — read-back equals the
+    in-memory scd2_apply_cdc reference."""
+    path = str(tmp_path / "t")
+    df = _init(spark, path)
+    upd = _upd(spark, [(1, 11.0), (2, 22.0), (300, 3.0)])  # 2 takes the delete
+    dels = spark.createDataFrame([(2,), (2,), (5,)], "d_key long")
+    MT.mor_upsert(
+        spark, path, upd, "k", "u_key", "val", "new_val", "p",
+        change_date="1998-01-01", delete_keys=dels, delete_key="d_key",
+    )
+    ref = MG.scd2_apply_cdc(
+        MG.scd2_init(df), upd, dels, "k", "u_key", "d_key", "val", "new_val",
+        change_date="1998-01-01",
+    )
+    assert _rows(spark, path) == frozenset(
+        tuple(r)
+        for r in ref.select("k", "p", "val", "valid_from", "valid_to",
+                            "is_current").collect()
+    )
+    got = MT.read_mor(spark, path)
+    assert got.filter("k = 2 AND is_current").count() == 0, "deleted key reopened"
+    assert got.filter("k = 5").count() == 1  # closed tombstone only
+    assert got.filter("k = 300 AND is_current").count() == 1  # insert landed
+
+
+def test_mor_cdc_stream_ingest_matches_cow_sink(spark, tmp_path):
+    """Streaming CDC through the MOR tier (MorCdcSink): same batches,
+    same txn-version replay guard, base files never rewritten — and
+    the final visible relation is IDENTICAL to the COW sink's on a
+    twin target (the tier choice is invisible to readers)."""
+    from labs_stream_processing_examples_scala_spark.streaming.cdc_ingest import (
+        MorCdcSink, run_cdc_ingest, write_cdc_batch_file,
+    )
+
+    mor, cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    df = _init(spark, mor)
+    _init(spark, cow)
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+    batches = [
+        [(1, 100.0, "u"), (100, 1.0, "u"), (2, None, "d")],
+        [(100, None, "d"), (3, 33.0, "u")],
+        [(1, 200.0, "u"), (4, None, "d"), (101, 5.0, "u")],
+    ]
+    for i, rows in enumerate(batches):
+        write_cdc_batch_file(
+            spark.createDataFrame(rows, "k long, new_value double, op string"),
+            src, i,
+        )
+    base_inodes = _data_inodes(mor, 0)
+
+    sink = run_cdc_ingest(spark, src, mor, "k", "val", "p", sink_cls=MorCdcSink)
+    assert sink.last_batch_id() == 2
+    cow_sink = run_cdc_ingest(spark, src, cow, "k", "val", "p")
+    mor_rows = frozenset(
+        tuple(r)
+        for r in sink.view(spark)
+        .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    cow_rows = frozenset(
+        tuple(r)
+        for r in cow_sink.view(spark)
+        .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    assert mor_rows == cow_rows
+    # the MOR target's base files rode through all three batches intact
+    live = CT.read_manifest(mor)["version"]
+    assert base_inodes <= _data_inodes(mor, live)
+
+    # replay guard: redelivering batch 2 changes nothing
+    sink.process_batch(
+        spark.createDataFrame(batches[2], "k long, new_value double, op string"), 2
+    )
+    assert frozenset(
+        tuple(r)
+        for r in sink.view(spark)
+        .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+        .collect()
+    ) == mor_rows
+
+    # compaction after ingest folds the accumulated vectors, same rows
+    MT.mor_compact(spark, mor, "p")
+    assert frozenset(
+        tuple(r)
+        for r in MT.read_mor(spark, mor)
+        .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+        .collect()
+    ) == mor_rows
+
+
 def test_mor_upsert_equals_cow_merge_on_twin_targets(spark, tmp_path):
     """The two tiers produce the same relation from the same inputs —
     the user-facing claim q70's shared oracle rests on."""
