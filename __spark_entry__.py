@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-batches merged through the manifest-committed sink;
         # EXACT oracle (the q67 UNION with per-batch dates inlined)
         "x_cdc_stream_ingest": CDC.cdc_stream_scd2,
+        # the identical stream through the merge-on-read tier — shared
+        # exact oracle (tier choice must be invisible to readers)
+        "x_cdc_stream_ingest_mor": CDC.cdc_stream_scd2_mor,
         # incremental materialized view: 3-micro-batch ingest + one
         # row-collapsing compaction must serve the batch GROUP BY exactly
         "x_mv_event_stats": MV.incremental_event_stats,
@@ -1168,6 +1171,46 @@ def oracle_sql() -> dict[str, str]:
             FROM merged GROUP BY c_mktsegment
         """,
         "x_cdc_stream_ingest": """
+            WITH upd AS (
+                SELECT o_custkey AS u_key, max(o_totalprice) AS new_bal
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+                GROUP BY 1
+            ),
+            dels AS (
+                SELECT c_custkey AS d_key FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+            ),
+            dates AS (
+                SELECT * FROM (VALUES (0, '1997-06-01'), (1, '1998-06-01'),
+                                      (2, '1999-06-01')) AS t(i, d)
+            )
+            -- deleted at their batch's effective date: tombstone
+            SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal,
+                   '1992-01-01' AS valid_from,
+                   (SELECT d FROM dates WHERE i = c_custkey % 3) AS valid_to,
+                   false AS is_current
+            FROM customer JOIN dels ON c_custkey = d_key
+            UNION ALL
+            -- updated at their batch's date: closed old version...
+            SELECT c_custkey, c_name, round(c_acctbal, 6),
+                   '1992-01-01',
+                   (SELECT d FROM dates WHERE i = c_custkey % 3), false
+            FROM customer JOIN upd ON c_custkey = u_key
+            UNION ALL
+            -- ...plus the reopened new version
+            SELECT c_custkey, c_name, round(new_bal, 6),
+                   (SELECT d FROM dates WHERE i = c_custkey % 3), NULL, true
+            FROM customer JOIN upd ON c_custkey = u_key
+            UNION ALL
+            -- untouched current rows carry
+            SELECT c_custkey, c_name, round(c_acctbal, 6),
+                   '1992-01-01', NULL, true
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT d_key FROM dels)
+              AND c_custkey NOT IN (SELECT u_key FROM upd)
+        """,
+        "x_cdc_stream_ingest_mor": """
             WITH upd AS (
                 SELECT o_custkey AS u_key, max(o_totalprice) AS new_bal
                 FROM orders

@@ -252,11 +252,27 @@ def cdc_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (manifest-committed batch ids, touched-partition pruning, replay
     skip) is thereby oracle-checked end to end, not just pytested.
     Memoized per session like the other streaming registry entries."""
+    return _cdc_stream(spark, sf_dir, "cow")
+
+
+def cdc_stream_scd2_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_cdc_stream_ingest_mor — the identical CDC stream applied
+    through the MERGE-ON-READ tier (:class:`MorCdcSink`): per-batch
+    deletion vectors + appended version rows instead of partition
+    rewrites, base files untouched across all three triggers. The
+    tiers are alternative storage strategies for one semantics, so
+    the EXACT oracle is shared with x_cdc_stream_ingest — any
+    divergence (a vector missing a row, an append duplicated on
+    replay, the anti-join dropping too much) breaks the same hash."""
+    return _cdc_stream(spark, sf_dir, "mor")
+
+
+def _cdc_stream(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
     import tempfile
 
     from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
-    key = (spark.sparkContext.applicationId, sf_dir, "cdc_scd2")
+    key = (spark.sparkContext.applicationId, sf_dir, f"cdc_scd2_{tier}")
     if key not in _CDC_WORKDIRS:
         work = tempfile.mkdtemp(prefix="cdc_ingest_")
         _CDC_TMP.append(work)
@@ -289,13 +305,14 @@ def cdc_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_cdc_batch_file(
                 feed.filter(F.pmod("c_custkey", F.lit(3)) == i), src, i
             )
-        run_cdc_ingest(
+        sink = run_cdc_ingest(
             spark, src, target, "c_custkey", "c_acctbal", "c_mktsegment",
             change_date_fn=lambda b: _BATCH_DATES[b],
+            sink_cls=MorCdcSink if tier == "mor" else CdcMergeSink,
         )
-        _CDC_WORKDIRS[key] = work
-    target = os.path.join(_CDC_WORKDIRS[key], "target")
-    return CT.read_cow(spark, target).select(
+        _CDC_WORKDIRS[key] = (work, sink)
+    work, sink = _CDC_WORKDIRS[key]
+    return sink.view(spark).select(
         "c_custkey",
         "c_name",
         F.round("c_acctbal", 6).alias("acctbal"),
