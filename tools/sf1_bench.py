@@ -45,6 +45,10 @@ QUERIES = [
     # round-5 batch 2: MERGE upsert (orders⋈customer), heavy hitters +
     # BPE segmentation + LM scoring (documents — replicated ×10 below)
     "q65_merge_scd2",
+    # round-7: the same MERGE through the merge-on-read tier — the
+    # vector anti-join's cost at 10× target size is the number the
+    # "write ∝ batch, read pays the anti-join" trade is priced on
+    "q70_merge_mor",
     "x_freq_heavy_hitters",
     "x_bpe_segment",
     "x_text_lm_score",
