@@ -104,22 +104,41 @@ class CommitConflictError(RuntimeError):
     does this automatically)."""
 
 
+import threading as _threading
+
+_PROC_LOCKS: dict[str, _threading.RLock] = {}
+_PROC_LOCKS_GUARD = _threading.Lock()
+
+
+def _proc_lock(path: str) -> _threading.RLock:
+    with _PROC_LOCKS_GUARD:
+        return _PROC_LOCKS.setdefault(os.path.abspath(path), _threading.RLock())
+
+
 class _writer_lock:
-    """O_EXCL pid lockfile enforcing the ONE-writer contract the module
-    docstring states — a concurrent committer gets a clear error
-    instead of silently interleaving generation writes. A lock left by
-    a DEAD process (crash before release) is stolen: liveness is
-    checked with ``kill(pid, 0)``, and the stale path is exactly the
-    crash matrix `recover` already handles. Same single-host scope as
-    the local-FS rename atomicity this module already relies on; a
-    real object-store deployment swaps this for the format's
+    """Two-layer commit lock. Layer 1: a per-path in-process
+    ``threading.RLock`` — THREADS of one process QUEUE on the commit
+    critical section (the OCC model wants short waits, not errors, for
+    same-process parallel writers; reentrancy keeps the merge →
+    commit_generation nesting working). Layer 2: the O_EXCL pid
+    lockfile — a concurrent committer in ANOTHER process gets a clear
+    error instead of silently interleaving generation writes (the pid
+    re-entry check is safe exactly because layer 1 already serialized
+    this process's threads). A lock left by a DEAD process (crash
+    before release) is stolen: liveness is checked with
+    ``kill(pid, 0)``, and the stale path is exactly the crash matrix
+    `recover` already handles. Same single-host scope as the local-FS
+    rename atomicity this module already relies on; a real
+    object-store deployment swaps this for the format's
     conditional-put commit, as documented at the top."""
 
     def __init__(self, path: str):
         self.lock_path = os.path.join(path, WRITER_LOCK)
+        self.proc_lock = _proc_lock(path)
         self.owned = False
 
     def __enter__(self):
+        self.proc_lock.acquire()
         while True:
             try:
                 fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -148,6 +167,7 @@ class _writer_lock:
                     except PermissionError:
                         alive = True  # exists under another uid
                 if alive:
+                    self.proc_lock.release()
                     raise ConcurrentWriterError(
                         f"writer pid {holder} holds {self.lock_path}; one "
                         "maintenance writer at a time (module contract)"
@@ -164,6 +184,7 @@ class _writer_lock:
                 os.remove(self.lock_path)
             except FileNotFoundError:
                 pass
+        self.proc_lock.release()
 
 
 def _manifest_path(path: str) -> str:
@@ -355,13 +376,56 @@ def _read_root_log(path: str, version: int) -> dict | None:
         return None
 
 
+def _log_start(path: str) -> int:
+    """First version the root log still covers (0 unless
+    :func:`checkpoint_root_log` truncated older records)."""
+    try:
+        with open(os.path.join(path, ROOT_LOG, "_checkpoint.json")) as f:
+            return json.load(f)["log_start"]
+    except FileNotFoundError:
+        return 0
+
+
+def checkpoint_root_log(path: str, keep: int = 100) -> dict:
+    """Truncate the root commit log to the last ``keep`` versions —
+    the metadata-maintenance command that bounds ``_log/`` growth (a
+    100 TB target commits millions of times; Delta checkpoints its
+    `_delta_log` for the same reason). Records the new horizon in
+    ``_log/_checkpoint.json`` (atomic replace); a commit whose base
+    predates the horizon can no longer prove disjointness and
+    CONFLICTS fail-safe (it re-plans from the live version — the only
+    writers affected are ones that stalled for ``keep`` commits).
+    Idempotent; the horizon never moves backwards."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    with _writer_lock(path):
+        meta = read_manifest(path)
+        if meta is None:
+            raise ValueError(f"{path} is not a generational COW table (no manifest)")
+        horizon = max(_log_start(path), meta["version"] - keep + 1, 0)
+        d = os.path.join(path, ROOT_LOG)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "_checkpoint.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"log_start": horizon}, f)
+        os.replace(tmp, os.path.join(d, "_checkpoint.json"))
+        removed = []
+        for v in range(horizon):
+            p = os.path.join(d, f"v{v}.json")
+            if os.path.exists(p):
+                os.remove(p)
+                removed.append(v)
+        return {"log_start": horizon, "removed": removed}
+
+
 def _heal_root_log(path: str, live: int) -> None:
     """Backfill a missing root-log record for any committed version
     (crash after flip, or a table predating the root log). The
     backfill marks ALL partitions written (``"written": null`` =
     unknown → conflicts with everything) — fail-safe: OCC may retry
-    needlessly, never commit wrongly."""
-    for v in range(live + 1):
+    needlessly, never commit wrongly. Checkpointed-away versions are
+    left absent (the checkpoint horizon already gates them)."""
+    for v in range(_log_start(path), live + 1):
         if _read_root_log(path, v) is None:
             gen_log = (
                 _read_commit_log(_gen_dir(path, v))
@@ -398,6 +462,12 @@ def check_commit_conflict(
     carried) through every interleaved commit. An interleaved record
     with an UNKNOWN footprint (healed/legacy — written=None) conflicts
     by definition: fail-safe."""
+    start = _log_start(path)
+    if base_version + 1 < start:
+        raise CommitConflictError(
+            f"base version {base_version} predates the checkpointed log "
+            f"(log_start={start}) of {path}; disjointness unprovable — re-plan"
+        )
     mine = set(written)
     for v in range(base_version + 1, live + 1):
         rec = _read_root_log(path, v)
