@@ -125,13 +125,70 @@ class IncrementalIvfIndex:
             # keeps the cell layout so probes stay pruned
             compact_batched_dir(spark, self.index_dir, partition_by=["cell"])
 
+    # --- deletes (round 7): the index-side analogue of the MOR tier's
+    # deletion vectors. A 100 TB corpus removes documents (takedowns,
+    # dedup retro-purges, TTL) and the ANN index must stop returning
+    # them WITHOUT a full rebuild: delete_ids appends the vec_ids to a
+    # tombstone set under the index workdir; every read path
+    # (index/probe) anti-joins it (id set ∝ deletes → AQE broadcast);
+    # the next rebuild folds the tombstones physically and clears the
+    # set. Version-independent on purpose — a delete survives centroid
+    # rebuilds until folded.
+
+    def _tombstone_dir(self) -> str:
+        return os.path.join(self.workdir, "_tombstones")
+
+    def _tombstones(self, spark: SparkSession) -> DataFrame | None:
+        import glob as _glob
+
+        dirs = [
+            d
+            for d in sorted(_glob.glob(os.path.join(self._tombstone_dir(), "d*")))
+            if _glob.glob(os.path.join(d, "*.parquet"))
+        ]
+        if not dirs:
+            return None
+        # no distinct: each delta is distinct at write time, and the
+        # left_anti consumer tolerates cross-delta duplicates — a
+        # distinct here would put a shuffle in every probe
+        return spark.read.parquet(*dirs).select("vec_id")
+
+    def _apply_tombstones(self, spark: SparkSession, idx: DataFrame) -> DataFrame:
+        t = self._tombstones(spark)
+        return idx.join(t, "vec_id", "left_anti") if t is not None else idx
+
+    def delete_ids(self, spark: SparkSession, ids) -> dict:
+        """Tombstone ``ids`` (an iterable of vec_ids or a DataFrame
+        with a ``vec_id`` column): probes stop returning them from the
+        next call on, no index row is touched. Idempotent BY VALUE —
+        re-deleting an id adds a duplicate tombstone row the distinct
+        collapses, so replaying a delete batch is harmless (the same
+        contract as the MOR vector's one-row-per-deleted-row, reached
+        the lazy way because ids are global here, not positional)."""
+        import glob as _glob
+
+        df = (
+            ids
+            if isinstance(ids, DataFrame)
+            else spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+        )
+        d = self._tombstone_dir()
+        os.makedirs(d, exist_ok=True)
+        n = len(_glob.glob(os.path.join(d, "d*")))
+        out = os.path.join(d, f"d{n}")
+        df.select("vec_id").distinct().write.mode("overwrite").parquet(out)
+        return {"tombstone_delta": n, "ids": spark.read.parquet(out).count()}
+
     def index(self, spark: SparkSession) -> DataFrame:
-        """The accumulated inverted file (all batches, marker-aware)."""
+        """The accumulated inverted file (all batches, marker-aware),
+        minus tombstoned ids."""
         from labs_stream_processing_examples_scala_spark.streaming.compaction import (
             read_batched_dir,
         )
 
-        return read_batched_dir(spark, self.index_dir, schema=_INDEX_SCHEMA)
+        return self._apply_tombstones(
+            spark, read_batched_dir(spark, self.index_dir, schema=_INDEX_SCHEMA)
+        )
 
     def probe(
         self, spark: SparkSession, qvec: list[float], query_id: int = -1, k: int = 10, nprobe: int = 4
@@ -150,7 +207,9 @@ class IncrementalIvfIndex:
         )
 
         cells = _probe_cells_py(cents, qvec, nprobe)
-        idx = read_batched_dir(spark, idx_dir, schema=_INDEX_SCHEMA)
+        idx = self._apply_tombstones(
+            spark, read_batched_dir(spark, idx_dir, schema=_INDEX_SCHEMA)
+        )
         return _probe_index_rows(idx, cells, qvec, query_id, k)
 
     def rebuild(
@@ -197,6 +256,10 @@ class IncrementalIvfIndex:
             {"version": new_version, "centroids": [[c, v] for c, v in new_cents]}
         )
         shutil.rmtree(old_dir, ignore_errors=True)
+        # tombstones folded: the reassignment read self.index(), which
+        # already excluded them — clear the set (a crash before this
+        # leaves stale tombstones whose anti-join no-ops; harmless)
+        shutil.rmtree(self._tombstone_dir(), ignore_errors=True)
         return {"version": new_version, "carried_batch_id": max_id}
 
 
@@ -360,8 +423,11 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
             read_batched_dir,
         )
 
-        return read_batched_dir(
-            spark, self.index_dir, schema="vec_id long, codes array<int>, cell int"
+        return self._apply_tombstones(
+            spark,
+            read_batched_dir(
+                spark, self.index_dir, schema="vec_id long, codes array<int>, cell int"
+            ),
         )
 
     def probe(
@@ -514,6 +580,11 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
                 }
             )  # ← the atomic commit
             shutil.rmtree(old_dir, ignore_errors=True)
+            # this tier's tombstones are folded: the re-encode read the
+            # raw companion, whose own tombstones (the same deleted ids
+            # under the both-tiers delete contract) already excluded
+            # them — validate() above proved the id sets agree
+            shutil.rmtree(self._tombstone_dir(), ignore_errors=True)
             return {"version": new_version, "carried_batch_id": max_id}
         finally:
             rows.unpersist()

@@ -658,6 +658,68 @@ def test_incremental_ivf_index_equals_batch_probe_and_replays(spark, tmp_path):
     assert shuffle_exchange_count(plan) == 0
 
 
+def test_incremental_ivf_delete_tombstones_until_rebuild_folds(spark, tmp_path):
+    """Index-side deletes (round 7, the MOR analogue for the ANN
+    tier): delete_ids tombstones vec_ids — the probe stops returning
+    them immediately, no index row is touched, the probe plan stays a
+    pruned zero-shuffle scan (the tombstone anti-join broadcasts) —
+    and the next rebuild folds them physically and clears the set.
+    Replaying a delete is a no-op by value; the PQ code-table tier
+    honors its own tombstones through the same path."""
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _query_embedding,
+        _seed_centroids,
+        ivf_topk,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ivf_ingest import (
+        run_ivf_ingest,
+    )
+    from tools.plan_audit import plan_of, shuffle_exchange_count
+
+    src = str(tmp_path / "src")
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    embs.write.parquet(src)
+    cents = _seed_centroids(spark, SF_SMOKE, 16)
+    proc = run_ivf_ingest(spark, src, str(tmp_path / "work"), cents)
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+
+    base = [r.vec_id for r in proc.probe(spark, qvec, 0, 10, 4).collect()]
+    victims = base[:3]
+    s = proc.delete_ids(spark, victims)
+    assert s["ids"] == 3
+
+    got_df = proc.probe(spark, qvec, 0, 10, 4)
+    got = [r.vec_id for r in got_df.collect()]
+    assert not (set(victims) & set(got)), "tombstoned ids still returned"
+    assert len(got) == 10, "probe must backfill from the pruned cells"
+    # batch oracle on the SAME deletion: exact ivf_topk minus victims,
+    # then next-best — equal because scoring is identical
+    want = [
+        r.vec_id
+        for r in ivf_topk(spark, SF_SMOKE, k=13).collect()
+        if r.vec_id not in set(victims)
+    ][:10]
+    assert got == want
+    # no data row touched; the index view hides exactly the victims
+    assert proc.index(spark).count() == embs.count() - 3
+    plan = plan_of(got_df)
+    assert "PartitionFilters: [cell" in plan
+    assert shuffle_exchange_count(plan) == 0, "tombstone join must broadcast"
+
+    # replay the same delete: idempotent by value
+    proc.delete_ids(spark, victims)
+    assert [r.vec_id for r in proc.probe(spark, qvec, 0, 10, 4).collect()] == got
+
+    # rebuild folds: rows physically gone, tombstone set cleared
+    import os as _os
+
+    proc.rebuild(spark, proc.cents_py)
+    assert not _os.path.isdir(proc._tombstone_dir())
+    assert proc.index(spark).count() == embs.count() - 3
+    assert [r.vec_id for r in proc.probe(spark, qvec, 0, 10, 4).collect()] == got
+
+
 def test_incremental_ivf_rebuild_swaps_centroids_atomically(spark, tmp_path):
     """Index refresh (streaming/ivf_ingest.py rebuild): re-training the
     coarse quantizer reassigns the ingested vectors under the new
@@ -776,6 +838,14 @@ def test_incremental_ivfpq_code_table_matches_batch_probe(spark, tmp_path):
     # the lossy tier cannot re-train in place
     with _pytest.raises(NotImplementedError):
         proc.rebuild(spark, cents)
+
+    # tombstones on the quantized tier (round 7): inherited delete_ids
+    # — ADC probe stops returning the victims, next-best backfills
+    victims = [v for v, _ in got_adc[:2]]
+    proc.delete_ids(spark, victims)
+    after = [r.vec_id for r in proc.probe(spark, qvec, 0, k=10, nprobe=4).collect()]
+    assert not (set(victims) & set(after)) and len(after) == 10
+    assert proc.index(spark).count() == embs.count() - 2
 
 
 def test_incremental_ivfpq_rebuild_from_raw_retrains_and_swaps(spark, tmp_path):
