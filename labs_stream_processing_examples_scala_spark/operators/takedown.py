@@ -1,0 +1,75 @@
+"""Takedown: remove documents from EVERY store that can return them.
+
+The operational request a 100 TB training corpus actually receives —
+"delete these documents" (copyright takedown, PII finding, retro
+dedup purge) — touches more than one system: the document table keeps
+serving the rows until a rewrite, and the ANN index keeps RETURNING
+the deleted documents as neighbors until its entries die. Round 7
+built the efficient delete primitive for each store; this module is
+the one-call orchestration that keeps them consistent:
+
+1. the document table takes a MERGE-ON-READ delete
+   (operators/mor_table.mor_delete — a deletion vector ∝ deleted
+   rows, base files untouched, committed through the atomic
+   generational manifest), and
+2. the streaming ANN index takes matching TOMBSTONES
+   (streaming/ivf_ingest.delete_ids — probes anti-join the id set
+   from the next call on, folded physically at the next rebuild).
+
+Ordering: the INDEX is tombstoned FIRST. Both steps are idempotent
+(the vector excludes already-deleted rows; tombstones dedupe by
+value), so a crash between them is retried by re-running the call —
+and the chosen order fails SAFE: a half-done takedown can leave a
+document in the table but never a dangling neighbor pointing at a
+document the table already dropped (a retrieval pipeline tolerates a
+stale row far better than a vec_id it cannot resolve).
+
+Verification surface: the table's change feed
+(mor_table.mor_table_changes) emits exactly the deleted rows — the
+audit record a takedown process files — and the probe tests assert
+the index stops returning the victims while backfilling next-best
+neighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from labs_stream_processing_examples_scala_spark.operators import mor_table as MT
+
+
+def takedown(
+    spark: SparkSession,
+    docs_path: str,
+    doc_id_col: str,
+    partition_col: str,
+    doc_ids,
+    index=None,
+    vec_ids=None,
+) -> dict:
+    """Remove ``doc_ids`` from the MOR document table at ``docs_path``
+    and (when ``index`` is given) tombstone the matching vector ids in
+    the streaming ANN index. ``vec_ids`` defaults to ``doc_ids`` (the
+    common one-embedding-per-document layout); pass the mapped set
+    when the id spaces differ. Returns the per-store stats plus the
+    table version whose change feed carries the audit rows."""
+    ids = sorted(set(int(i) for i in doc_ids))
+    out: dict = {"doc_ids": len(ids)}
+    if index is not None:
+        vids = ids if vec_ids is None else sorted(set(int(i) for i in vec_ids))
+        out["index"] = index.delete_ids(spark, vids)
+    from pyspark.sql import functions as F
+
+    stats = MT.mor_delete(
+        spark, docs_path, F.col(doc_id_col).isin(ids), partition_col
+    )
+    out["table"] = stats
+    out["audit_feed_versions"] = (stats["version"] - 1, stats["version"])
+    return out
+
+
+def takedown_audit(spark: SparkSession, docs_path: str, versions) -> DataFrame:
+    """The audit record: the table's row-level change feed across the
+    takedown commit — exactly the removed rows, change_type='delete'
+    (pruned to the partitions the vectors touched)."""
+    return MT.mor_table_changes(spark, docs_path, versions[0], versions[1])

@@ -1,0 +1,79 @@
+"""Takedown orchestration (operators/takedown.py): one call removes
+documents from the MOR table AND the streaming ANN index, the audit
+feed carries exactly the removed rows, and re-running the same
+takedown is a no-op in both stores."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import labs_stream_processing_examples_scala_spark.operators.cow_table as CT
+import labs_stream_processing_examples_scala_spark.operators.merge as MG
+import labs_stream_processing_examples_scala_spark.operators.mor_table as MT
+from labs_stream_processing_examples_scala_spark.operators.takedown import (
+    takedown,
+    takedown_audit,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _docs_table(spark, path):
+    """A doc table keyed like the embeddings (doc_id == vec_id),
+    partitioned by lang — the one-embedding-per-document layout."""
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    docs = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("lang", F.concat(F.lit("l"), F.pmod("doc_id", F.lit(3))))
+        .withColumn("body", F.concat(F.lit("doc-"), F.col("doc_id")))
+    )
+    CT.cow_init(docs, path, "lang")
+    return docs
+
+
+def test_takedown_hits_table_and_index_and_audits(spark, tmp_path):
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _query_embedding,
+        _seed_centroids,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ivf_ingest import (
+        IncrementalIvfIndex,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    docs = _docs_table(spark, docs_path)
+    n = docs.count()
+
+    idx = IncrementalIvfIndex(
+        str(tmp_path / "idx"), _seed_centroids(spark, SF_SMOKE, 16)
+    )
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    idx.process_batch(embs, 0)
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+    victims = [r.vec_id for r in idx.probe(spark, qvec, 0, 5, 4).collect()][:2]
+
+    s = takedown(spark, docs_path, "doc_id", "lang", victims, index=idx)
+    assert s["doc_ids"] == 2 and s["table"]["deleted_rows"] == 2
+    assert s["index"]["ids"] == 2
+
+    # table: rows gone, zero base-file rewrite (vector-only commit)
+    assert MT.read_mor(spark, docs_path).count() == n - 2
+    assert CT.changed_partitions(docs_path, *s["audit_feed_versions"]) == []
+    # index: victims never returned again, next-best backfills
+    got = [r.vec_id for r in idx.probe(spark, qvec, 0, 5, 4).collect()]
+    assert not (set(victims) & set(got)) and len(got) == 5
+
+    # audit feed = exactly the removed rows
+    audit = takedown_audit(spark, docs_path, s["audit_feed_versions"])
+    rows = audit.collect()
+    assert {r["change_type"] for r in rows} == {"delete"}
+    assert sorted(r["doc_id"] for r in rows) == sorted(victims)
+
+    # idempotent retry (the crash-between-stores story): no-ops
+    s2 = takedown(spark, docs_path, "doc_id", "lang", victims, index=idx)
+    assert s2["table"]["deleted_rows"] == 0
+    assert MT.read_mor(spark, docs_path).count() == n - 2
+    assert [r.vec_id for r in idx.probe(spark, qvec, 0, 5, 4).collect()] == got
