@@ -1115,6 +1115,43 @@ def commit_generation(
         written = sorted(
             e for e in os.listdir(new_dir) if _is_partition_entry(e)
         )
+        # Tier interplay (round 7): a table can carry merge-on-read
+        # deletion vectors (mor_table). A COW rewrite reads RAW files,
+        # so rewriting a partition the vectors point INTO would
+        # resurrect its deleted rows — refuse, naming mor_compact as
+        # the bridge. A rewrite DISJOINT from the vectors' footprint
+        # is safe: carry `_deletes` forward (hardlinks — the refs
+        # address untouched files that ride into the new generation).
+        vec_files = glob.glob(os.path.join(cur_dir, "_deletes", "d*", "*.parquet"))
+        if vec_files:
+            vec_parts = {
+                r[0]
+                for r in out.sparkSession.read.parquet(
+                    *sorted({os.path.dirname(f) for f in vec_files})
+                ).select("part").distinct().collect()
+            }
+            from urllib.parse import unquote
+
+            def _dir_touched(e: str) -> bool:
+                if e == "__HIVE_DEFAULT_PARTITION__":
+                    return None in vec_parts
+                return unquote(e.split("=", 1)[1]) in {
+                    str(p) for p in vec_parts if p is not None
+                }
+
+            clash = sorted(e for e in written if _dir_touched(e))
+            if clash:
+                shutil.rmtree(new_dir, ignore_errors=True)
+                raise ValueError(
+                    f"{path} carries merge-on-read deletion vectors in "
+                    f"partitions {clash} this rewrite touches; run "
+                    "mor_table.mor_compact (folds them physically) first — "
+                    "the rewrite would resurrect vector-deleted rows"
+                )
+            _link_tree(
+                os.path.join(cur_dir, "_deletes"),
+                os.path.join(new_dir, "_deletes"),
+            )
         if base_version is not None and cur != base_version:
             _heal_root_log(path, cur)
             try:

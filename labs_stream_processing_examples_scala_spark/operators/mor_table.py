@@ -243,8 +243,114 @@ def _dirs_for_parts(gen_dir: str, parts: list) -> list[str]:
     return out
 
 
+def _resolve_base(path: str) -> int:
+    """Brief lock hold to heal/migrate, then release: PLANNING runs
+    lock-free against the returned base version (the OCC posture
+    merge.scd2_merge_cow already has — round 7 extends it to this
+    tier so parallel MOR writers overlap their expensive planning)."""
+    with CT._writer_lock(path):
+        CT.recover(path)
+        CT.ensure_generational(path)
+        return CT.read_manifest(path)["version"]
+
+
+def _visible_with_row_id(spark: SparkSession, gen_dir: str) -> DataFrame:
+    """The generation's VISIBLE rows (vectors applied) carrying the
+    stable (__ref, __pos) row identity."""
+    data = _with_row_id(spark.read.parquet(gen_dir))
+    vectors = _read_vectors(spark, gen_dir)
+    if vectors is not None:
+        data = data.join(
+            vectors.select("file_ref", "pos"),
+            (data["__ref"] == F.col("file_ref")) & (data["__pos"] == F.col("pos")),
+            "left_anti",
+        )
+    return data
+
+
+def _occ_commit_delta(
+    spark: SparkSession,
+    path: str,
+    base: int,
+    dv: DataFrame,
+    operation: str,
+    log_extra: dict | None = None,
+    appended: DataFrame | None = None,
+    partition_col: str | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Commit a planned MOR mutation (vector delta + optional appended
+    rows) with optimistic conflict handling: stage from the CURRENT
+    live generation, materialize the delta/appends (their lazy scans
+    still read the base generation — retained on disk, and GC only
+    runs under the lock we hold, so the scan cannot race it), then if
+    writers interleaved since ``base``, prove their footprints
+    disjoint from this commit's — the hardlinked file refs then make
+    the rebase byte-identical to a serial execution (the vector
+    addresses (partition/file, pos) pairs that rode untouched into the
+    live generation) — or raise :class:`cow_table.CommitConflictError`
+    for the caller's re-plan loop. A base older than the retention
+    window conflicts up front (its generation is gone; the lazy plans
+    would die mid-write otherwise)."""
+    with CT._writer_lock(path):
+        CT.recover(path)
+        live = CT.read_manifest(path)["version"]
+        if live != base and not os.path.isdir(CT._gen_dir(path, base)):
+            raise CT.CommitConflictError(
+                f"base generation {base} of {path} left the retention "
+                "window while planning — re-plan from the live version"
+            )
+        new = live + 1
+        new_dir = _stage_next(path, live)
+        try:
+            dv.write.parquet(os.path.join(new_dir, DELETES, f"d{new}"))
+            delta = spark.read.parquet(os.path.join(new_dir, DELETES, f"d{new}"))
+            n = delta.count()
+            dv_parts = [r[0] for r in delta.select("part").distinct().collect()]
+            appended_dirs: list[str] = []
+            moved = 0
+            if appended is not None:
+                stage = os.path.join(new_dir, f"_append_stage_v{new}")
+                appended.write.partitionBy(partition_col).parquet(stage)
+                for e in sorted(os.listdir(stage)):
+                    if not CT._is_partition_entry(e):
+                        continue
+                    os.makedirs(os.path.join(new_dir, e), exist_ok=True)
+                    appended_dirs.append(e)
+                    for f in os.listdir(os.path.join(stage, e)):
+                        if f.endswith(".parquet"):
+                            os.rename(
+                                os.path.join(stage, e, f),
+                                os.path.join(new_dir, e, f),
+                            )
+                            moved += 1
+                shutil.rmtree(stage, ignore_errors=True)
+            written = sorted(
+                set(appended_dirs) | set(_dirs_for_parts(new_dir, dv_parts))
+            )
+            if live != base:
+                CT._heal_root_log(path, live)
+                CT.check_commit_conflict(path, base, live, written)
+        except CT.CommitConflictError:
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
+        _commit(
+            path, new,
+            {"operation": operation, "vector_rows": n,
+             **({"appended_files": moved} if appended is not None else {}),
+             **(log_extra or {})},
+            written=written,
+            extra_meta=extra_meta,
+        )
+        return {
+            "version": new, "vector_rows": n,
+            **({"appended_files": moved} if appended is not None else {}),
+        }
+
+
 def mor_delete(
-    spark: SparkSession, path: str, predicate, partition_col: str
+    spark: SparkSession, path: str, predicate, partition_col: str,
+    max_retries: int = 3,
 ) -> dict:
     """DELETE WHERE ``predicate`` by writing a deletion vector — no data
     file is touched (bytes written ∝ rows deleted, not partition
@@ -255,37 +361,27 @@ def mor_delete(
     Already-deleted rows are excluded by reading through
     :func:`read_mor`'s own anti-join first, so re-running the same
     predicate is a no-op commit, and vector rows stay one-per-deleted-
-    row (bounded by table cardinality, never by delete attempts)."""
+    row (bounded by table cardinality, never by delete attempts).
+
+    Optimistic (round 7): planning runs lock-free against the resolved
+    base; an interleaved commit rebases free when disjoint or triggers
+    an internal re-plan (``max_retries``)."""
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    with CT._writer_lock(path):
-        CT.recover(path)
-        CT.ensure_generational(path)
-        meta = CT.read_manifest(path)
-        cur = meta["version"]
-        cur_dir = CT._gen_dir(path, cur)
-        data = _with_row_id(spark.read.parquet(cur_dir))
-        vectors = _read_vectors(spark, cur_dir)
-        if vectors is not None:
-            data = data.join(
-                vectors.select("file_ref", "pos"),
-                (data["__ref"] == F.col("file_ref")) & (data["__pos"] == F.col("pos")),
-                "left_anti",
-            )
+    for attempt in range(max_retries):
+        base = _resolve_base(path)
+        data = _visible_with_row_id(spark, CT._gen_dir(path, base))
         dv = data.filter(pred).select(
             F.col("__ref").alias("file_ref"),
             F.col("__pos").alias("pos"),
             F.col(partition_col).cast("string").alias("part"),
         )
-        new_dir = _stage_next(path, cur)
-        dv.write.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}"))
-        delta = spark.read.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}"))
-        n = delta.count()
-        parts = [r[0] for r in delta.select("part").distinct().collect()]
-        _commit(
-            path, cur + 1, {"operation": "mor_delete", "vector_rows": n},
-            written=_dirs_for_parts(new_dir, parts),
-        )
-        return {"version": cur + 1, "deleted_rows": n}
+        try:
+            s = _occ_commit_delta(spark, path, base, dv, "mor_delete")
+        except CT.CommitConflictError:
+            if attempt == max_retries - 1:
+                raise
+            continue
+        return {"version": s["version"], "deleted_rows": s["vector_rows"]}
 
 
 def mor_upsert(
@@ -302,6 +398,7 @@ def mor_upsert(
     delete_keys: DataFrame | None = None,
     delete_key: str | None = None,
     extra_meta: dict | None = None,
+    max_retries: int = 3,
 ) -> dict:
     """SCD2 MERGE, merge-on-read form: matched CURRENT rows are
     position-deleted and their closed + reopened versions APPENDED as
@@ -331,20 +428,10 @@ def mor_upsert(
         SCD2_COLS, _scd2_inserts,
     )
 
-    with CT._writer_lock(path):
-        CT.recover(path)
-        CT.ensure_generational(path)
-        meta = CT.read_manifest(path)
-        cur = meta["version"]
-        cur_dir = CT._gen_dir(path, cur)
-        data = _with_row_id(spark.read.parquet(cur_dir))
-        vectors = _read_vectors(spark, cur_dir)
-        if vectors is not None:
-            data = data.join(
-                vectors.select("file_ref", "pos"),
-                (data["__ref"] == F.col("file_ref")) & (data["__pos"] == F.col("pos")),
-                "left_anti",
-            )
+    for attempt in range(max_retries):
+        base = _resolve_base(path)
+        base_dir = CT._gen_dir(path, base)
+        data = _visible_with_row_id(spark, base_dir)
         base_cols = [c for c in data.columns if c not in ("__ref", "__pos")]
         carried = [
             c for c in base_cols if c not in {key, versioned_col, *SCD2_COLS}
@@ -415,41 +502,26 @@ def mor_upsert(
         )
         inserts = _scd2_inserts(
             cur_rows.select(F.col(key)),
-            spark.read.parquet(cur_dir).schema,
+            spark.read.parquet(base_dir).schema,
             upd_for_insert, key, update_key, versioned_col, new_value_col, carried,
             change_date, carried_overrides=overrides,
         )
         appended = appended.unionByName(inserts).select(*base_cols)
-
-        new_dir = _stage_next(path, cur)
-        dv.write.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}"))
-        append_stage = os.path.join(new_dir, f"_append_stage_v{cur + 1}")
-        appended.write.partitionBy(partition_col).parquet(append_stage)
-        moved = 0
-        appended_dirs = []
-        for e in sorted(os.listdir(append_stage)):
-            if not CT._is_partition_entry(e):
-                continue
-            os.makedirs(os.path.join(new_dir, e), exist_ok=True)
-            appended_dirs.append(e)
-            for f in os.listdir(os.path.join(append_stage, e)):
-                if f.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(append_stage, e, f),
-                        os.path.join(new_dir, e, f),
-                    )
-                    moved += 1
-        shutil.rmtree(append_stage, ignore_errors=True)
-        delta = spark.read.parquet(os.path.join(new_dir, DELETES, f"d{cur + 1}"))
-        n = delta.count()
-        dv_parts = [r[0] for r in delta.select("part").distinct().collect()]
-        _commit(
-            path, cur + 1,
-            {"operation": "mor_upsert", "vector_rows": n, "appended_files": moved},
-            written=sorted(set(appended_dirs) | set(_dirs_for_parts(new_dir, dv_parts))),
-            extra_meta=extra_meta,
-        )
-        return {"version": cur + 1, "position_deletes": n, "appended_files": moved}
+        try:
+            s = _occ_commit_delta(
+                spark, path, base, dv, "mor_upsert",
+                appended=appended, partition_col=partition_col,
+                extra_meta=extra_meta,
+            )
+        except CT.CommitConflictError:
+            if attempt == max_retries - 1:
+                raise
+            continue
+        return {
+            "version": s["version"],
+            "position_deletes": s["vector_rows"],
+            "appended_files": s["appended_files"],
+        }
 
 
 def partitions_with_deletes(spark: SparkSession, path: str) -> list[str | None]:

@@ -138,27 +138,63 @@ def test_unknown_footprint_fails_safe(spark, tmp_path):
                              base_version=base_a)
 
 
-def test_vector_only_mor_commit_is_visible_to_occ(spark, tmp_path):
-    """A mor_delete touches NO data file, but its logical footprint
-    (the partitions its vector rows point into) must still conflict
-    with a COW writer racing on the same partition — the root log
-    records logical change, not file change."""
+def test_mor_commit_footprints_are_visible_to_occ(spark, tmp_path):
+    """MOR commits' logical footprints must gate racing COW writers:
+    an INSERT-ONLY mor_upsert (appended files, zero vector rows) into
+    partition B conflicts a stale-base COW commit on B, while a
+    disjoint COW commit on A rebases through the same window."""
     path = str(tmp_path / "t")
     _init(spark, path)
     out_a, base_a, touched_a = _plan(spark, path, [(1, 11.0)], "1998-01-01")
     assert touched_a == ["B"]
-    MT.mor_delete(spark, path, "k = 4", "p")  # vector-only, partition B
+    s = MT.mor_upsert(  # appends into B; no matched key → no vectors
+        spark, path, _upd(spark, [(300, 5.0)]),
+        "k", "u_key", "val", "new_val", "p",
+        insert_partition=F.lit("B"),
+    )
+    assert s["position_deletes"] == 0 and s["appended_files"] > 0
     with pytest.raises(CT.CommitConflictError, match="p=B"):
         CT.commit_generation(path, out_a, "p", operation="merge",
                              base_version=base_a)
-    # disjoint COW writer (partition A) sails through the same window
+    # disjoint COW writer (partition A) rebases through a second window
     out_c, base_c, _ = _plan(spark, path, [(3, 33.0)], "1998-01-01")
     assert base_c == 1
-    out_a2, base_a2, _ = _plan(spark, path, [(1, 11.0)], "1998-01-01")
-    MT.mor_delete(spark, path, "k = 7", "p")  # another vector-only on B
+    MT.mor_upsert(
+        spark, path, _upd(spark, [(301, 6.0)]),
+        "k", "u_key", "val", "new_val", "p",
+        insert_partition=F.lit("B"),
+    )
     stats = CT.commit_generation(path, out_c, "p", operation="merge",
                                  base_version=base_c)
     assert stats["version"] == 3 and stats["written"] == ["p=A"]
+
+
+def test_cow_rewrite_respects_deletion_vectors(spark, tmp_path):
+    """Tier interplay: a COW rewrite touching a partition the deletion
+    vectors point into REFUSES (it would resurrect the deleted rows);
+    a disjoint rewrite proceeds and CARRIES the vectors, so the
+    deleted row stays deleted through the COW commit."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    MT.mor_delete(spark, path, "k = 4", "p")  # vector into partition B
+    with pytest.raises(ValueError, match="deletion vectors"):
+        MG.scd2_merge_cow(spark, path, _upd(spark, [(1, 11.0)]),  # B
+                          "k", "u_key", "val", "new_val", "p",
+                          change_date="1998-01-01")
+    MG.scd2_merge_cow(spark, path, _upd(spark, [(3, 33.0)]),  # A: disjoint
+                      "k", "u_key", "val", "new_val", "p",
+                      change_date="1998-01-01")
+    out = MT.read_mor(spark, path)
+    assert out.filter("k = 4").count() == 0, "COW commit resurrected a deleted row"
+    assert out.filter("k = 3 AND is_current").select("val").first()[0] == 33.0
+    # the bridge: compaction folds, then the refused merge is legal
+    MT.mor_compact(spark, path, "p")
+    MG.scd2_merge_cow(spark, path, _upd(spark, [(1, 11.0)]),
+                      "k", "u_key", "val", "new_val", "p",
+                      change_date="1999-01-01")
+    out = MT.read_mor(spark, path)
+    assert out.filter("k = 4").count() == 0
+    assert out.filter("k = 1 AND is_current").select("val").first()[0] == 11.0
 
 
 def test_truly_parallel_disjoint_writers_serialize_correctly(spark, tmp_path):
@@ -202,6 +238,101 @@ def test_truly_parallel_disjoint_writers_serialize_correctly(spark, tmp_path):
         for r in ref.select("k", "p", "val", "valid_from", "valid_to",
                             "is_current").collect()
     )
+
+
+def test_parallel_mor_writers_rebase_or_replan(spark, tmp_path):
+    """The MOR tier's OCC (round 7, planning outside the lock): two
+    threads upserting DIFFERENT KEYS concurrently — disjoint
+    partitions rebase, same-partition conflicts re-plan internally —
+    must both land with the serial result (key-disjoint updates
+    commute, so either serialization is the same relation). Mixed
+    tiers too: a COW merge and a MOR delete race on disjoint
+    partitions and both commit."""
+    import threading
+
+    path = str(tmp_path / "t")
+    df = _init(spark, path)
+    errors = []
+
+    def mor_writer(pair, date):
+        try:
+            MT.mor_upsert(spark, path, _upd(spark, [pair]),
+                          "k", "u_key", "val", "new_val", "p",
+                          change_date=date)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    # round 1: disjoint partitions (A vs B); round 2: SAME partition B,
+    # different keys (1 and 4) — forces the internal re-plan path
+    for pairs in ([((3, 33.0), "1998-01-01"), ((1, 11.0), "1998-01-01")],
+                  [((1, 99.0), "1999-01-01"), ((4, 44.0), "1999-01-01")]):
+        ts = [threading.Thread(target=mor_writer, args=p) for p in pairs]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    assert not errors, errors
+    assert CT.read_manifest(path)["version"] == 4
+    ref = MG.scd2_init(df)
+    for pair, date in [((3, 33.0), "1998-01-01"), ((1, 11.0), "1998-01-01"),
+                       ((1, 99.0), "1999-01-01"), ((4, 44.0), "1999-01-01")]:
+        ref = MG.scd2_apply(ref, _upd(spark, [pair]), "k", "u_key",
+                            "val", "new_val", change_date=date)
+    got = frozenset(
+        tuple(r)
+        for r in __import__(
+            "labs_stream_processing_examples_scala_spark.operators.mor_table",
+            fromlist=["read_mor"],
+        ).read_mor(spark, path)
+        .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    assert got == frozenset(
+        tuple(r)
+        for r in ref.select("k", "p", "val", "valid_from", "valid_to",
+                            "is_current").collect()
+    )
+
+    # mixed tiers on disjoint partitions: COW merge (partition A)
+    # races a MOR delete (partition C). The table still carries
+    # vectors in A and B from the upserts above, so bridge via
+    # compaction first (the COW merge would otherwise refuse on A)
+    MT.mor_compact(spark, path, "p")
+    assert got == frozenset(
+        tuple(r)
+        for r in MT.read_mor(spark, path)
+        .select("k", "p", "val", "valid_from", "valid_to", "is_current")
+        .collect()
+    ), "compaction changed the relation"
+    errs2 = []
+
+    def cow_writer():
+        try:
+            MG.scd2_merge_cow(spark, path, _upd(spark, [(3, 77.0)]),
+                              "k", "u_key", "val", "new_val", "p",
+                              change_date="2000-01-01")
+        except Exception as e:  # noqa: BLE001
+            errs2.append(e)
+
+    def mor_deleter():
+        try:
+            MT.mor_delete(spark, path, "k = 2", "p")  # partition C
+        except Exception as e:  # noqa: BLE001
+            errs2.append(e)
+
+    ts = [threading.Thread(target=cow_writer), threading.Thread(target=mor_deleter)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # either serialization works: the COW merge's rewrite (A) is
+    # disjoint from the delete's vector (C), so whichever commits
+    # second rebases — the merge carrying the vector forward if the
+    # delete won the race
+    assert not errs2, errs2
+    final = MT.read_mor(spark, path)
+    assert final.filter("k = 2").count() == 0
+    assert final.filter("k = 3 AND is_current").select("val").first()[0] == 77.0
 
 
 def test_checkpointed_log_gates_stale_bases(spark, tmp_path):
