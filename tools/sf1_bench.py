@@ -74,6 +74,9 @@ QUERIES10 = [
     "x_sim_ivf_topk",
     "x_sim_sq_topk",
     "x_sim_bruteforce_topk",
+    # round-7: the MOR merge at 1.5M customers — the second decade of
+    # the vector anti-join + on-disk lifecycle
+    "q70_merge_mor",
 ]
 
 
