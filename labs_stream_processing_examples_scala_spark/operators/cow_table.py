@@ -115,6 +115,30 @@ def _proc_lock(path: str) -> _threading.RLock:
         return _PROC_LOCKS.setdefault(os.path.abspath(path), _threading.RLock())
 
 
+import contextlib as _contextlib
+import fcntl as _fcntl
+
+
+@_contextlib.contextmanager
+def _steal_guard(lock_path: str):
+    """Kernel flock on a PERSISTENT sidecar (never deleted) that makes
+    each examine/steal/create round of the pid lockfile atomic across
+    processes. Held only for those few metadata syscalls — never across
+    the commit critical section — and released by the kernel if the
+    holder dies, so it cannot itself go stale. Closes the round-8
+    ADVICE TOCTOU: two processes observing the same dead holder could
+    previously both remove-and-create, the second remove deleting the
+    first's FRESH lock and putting two live writers inside the commit
+    section."""
+    fd = os.open(lock_path + ".guard", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        _fcntl.flock(fd, _fcntl.LOCK_EX)
+        yield
+    finally:
+        _fcntl.flock(fd, _fcntl.LOCK_UN)
+        os.close(fd)
+
+
 class _writer_lock:
     """Two-layer commit lock. Layer 1: a per-path in-process
     ``threading.RLock`` — THREADS of one process QUEUE on the commit
@@ -140,43 +164,52 @@ class _writer_lock:
     def __enter__(self):
         self.proc_lock.acquire()
         while True:
-            try:
-                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                self.owned = True
-                return self
-            except FileExistsError:
+            # every examine/steal/create round is atomic under the
+            # sidecar flock — observing a dead holder and removing its
+            # file cannot interleave with another process's fresh
+            # O_EXCL create (the round-8 ADVICE TOCTOU).
+            with _steal_guard(self.lock_path):
                 try:
-                    with open(self.lock_path) as f:
-                        holder = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    holder = 0
-                if holder == os.getpid():
-                    # re-entry from our own call chain (merge →
-                    # commit_generation): ride the outer hold
-                    self.owned = False
+                    fd = os.open(
+                        self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    self.owned = True
                     return self
-                alive = False
-                if holder > 0:
+                except FileExistsError:
                     try:
-                        os.kill(holder, 0)
-                        alive = True
-                    except ProcessLookupError:
-                        alive = False
-                    except PermissionError:
-                        alive = True  # exists under another uid
-                if alive:
-                    self.proc_lock.release()
-                    raise ConcurrentWriterError(
-                        f"writer pid {holder} holds {self.lock_path}; one "
-                        "maintenance writer at a time (module contract)"
-                    ) from None
-                # crashed holder: steal the stale lock and retry
-                try:
-                    os.remove(self.lock_path)
-                except FileNotFoundError:
-                    pass
+                        with open(self.lock_path) as f:
+                            holder = int(f.read().strip() or "0")
+                    except (OSError, ValueError):
+                        holder = 0
+                    if holder == os.getpid():
+                        # re-entry from our own call chain (merge →
+                        # commit_generation): ride the outer hold
+                        self.owned = False
+                        return self
+                    alive = False
+                    if holder > 0:
+                        try:
+                            os.kill(holder, 0)
+                            alive = True
+                        except ProcessLookupError:
+                            alive = False
+                        except PermissionError:
+                            alive = True  # exists under another uid
+                    if alive:
+                        self.proc_lock.release()
+                        raise ConcurrentWriterError(
+                            f"writer pid {holder} holds {self.lock_path}; one "
+                            "maintenance writer at a time (module contract)"
+                        ) from None
+                    # crashed holder: steal the stale lock (safe — this
+                    # whole round holds the steal guard) and loop to
+                    # re-create under the same protocol
+                    try:
+                        os.remove(self.lock_path)
+                    except FileNotFoundError:
+                        pass
 
     def __exit__(self, *exc):
         if self.owned:
@@ -185,6 +218,29 @@ class _writer_lock:
             except FileNotFoundError:
                 pass
         self.proc_lock.release()
+
+
+def lock_retry_loop(timeout: float):
+    """Caller-side patience for LIVE cross-process lock contention
+    (round 8): the lock itself still raises immediately — the commit
+    critical section contains a Spark write, so blocking inside it is
+    unbounded — but a merge wrapper can afford to wait out another
+    process's commit and retry its own (its re-plan then rebases or
+    conflicts through the normal OCC path). Returns ``wait()`` →
+    True after a jittered beat while the deadline holds, else False
+    (caller re-raises)."""
+    import random
+    import time
+
+    deadline = time.monotonic() + timeout
+
+    def wait() -> bool:
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(0.1 + random.random() * 0.3)
+        return True
+
+    return wait
 
 
 def _manifest_path(path: str) -> str:
@@ -1106,6 +1162,22 @@ def commit_generation(
         ensure_generational(path)
         meta = read_manifest(path)
         cur = meta["version"]
+        if (
+            base_version is not None
+            and cur != base_version
+            and not os.path.isdir(_gen_dir(path, base_version))
+        ):
+            # the caller's lazy plan concretely reads gen_v{base}; with
+            # that generation GC'd (stale by > keep_generations) the
+            # staged write would die mid-flight with a Spark
+            # FileNotFoundException the merge retry loops don't catch.
+            # Conflict UP FRONT instead so they re-plan from live —
+            # mirrors mor_table._occ_commit_delta's guard.
+            raise CommitConflictError(
+                f"base generation {base_version} of {path} left the "
+                "retention window while planning — re-plan from the "
+                "live version"
+            )
         new = cur + 1
         cur_dir, new_dir = _gen_dir(path, cur), _gen_dir(path, new)
         shutil.rmtree(new_dir, ignore_errors=True)

@@ -381,9 +381,17 @@ def _cow_touched(
       null-partition inserts disappears at the source."""
     from labs_stream_processing_examples_scala_spark.operators import cow_table as CT
 
-    CT.recover(target_path)
-    CT.ensure_generational(target_path)
-    base_version = CT.read_manifest(target_path)["version"]
+    # Heal/migrate under a BRIEF lock hold, then release before the
+    # expensive planning (mirrors mor_table._resolve_base). recover()
+    # rmtree's staged generations above the live version — run
+    # lock-free it would race a concurrent writer's in-flight staged
+    # gen_v{N+1} (staged under the lock inside commit_generation) and
+    # delete it mid-commit: data loss if the rmtree lands between that
+    # writer's _SUCCESS check and its manifest flip.
+    with CT._writer_lock(target_path):
+        CT.recover(target_path)
+        CT.ensure_generational(target_path)
+        base_version = CT.read_manifest(target_path)["version"]
     target_all = CT.read_cow(spark, target_path)
     current = target_all.filter("is_current")
     vals = [
@@ -437,6 +445,7 @@ def scd2_merge_cow(
     change_date: str = CHANGE_DATE,
     extra_meta: dict | None = None,
     insert_partition=None,
+    lock_timeout: float = 30.0,
 ) -> dict:
     """Copy-on-write MERGE over a directory-partitioned, SCD2-shaped
     parquet target (plain ``scd2_init(...).write.partitionBy`` targets
@@ -483,7 +492,13 @@ def scd2_merge_cow(
     # already links from the NEW live) or raises, and we re-plan from
     # the advanced table. Bounded retries: livelock means real
     # contention on the same partitions, which the caller must see.
-    for attempt in range(3):
+    # A LIVE lock holder (another PROCESS mid-commit — threads queue on
+    # the in-process layer) is waited out up to ``lock_timeout`` and
+    # the merge re-planned, round 8: two independent OS processes
+    # merging disjoint partitions both land without caller retry code.
+    conflicts = 0
+    wait = CT.lock_retry_loop(lock_timeout)
+    while True:
         _, pruned, touched, include_null, base = _cow_touched(
             spark, target_path, upd_keys, upd_keys, key, partition_col,
             insert_partition=insert_partition,
@@ -505,7 +520,12 @@ def scd2_merge_cow(
                 operation="merge", base_version=base,
             )
         except CT.CommitConflictError:
-            if attempt == 2:
+            conflicts += 1
+            if conflicts >= 3:
+                raise
+            continue
+        except CT.ConcurrentWriterError:
+            if not wait():
                 raise
             continue
         return {
@@ -631,6 +651,7 @@ def merge_cow_cdc(
     change_date: str = CHANGE_DATE,
     extra_meta: dict | None = None,
     insert_partition=None,
+    lock_timeout: float = 30.0,
 ) -> dict:
     """Copy-on-write CDC MERGE (upserts + named deletes) over a
     directory-partitioned SCD2 target — :func:`scd2_merge_cow`'s
@@ -650,7 +671,9 @@ def merge_cow_cdc(
         F.col("__uk") == F.col("__dk"),
         "left_anti",
     )
-    for attempt in range(3):  # same optimistic retry as scd2_merge_cow
+    conflicts = 0  # same optimistic retry + live-lock patience as scd2_merge_cow
+    wait = CT.lock_retry_loop(lock_timeout)
+    while True:
         _, pruned, touched, include_null, base = _cow_touched(
             spark, target_path, affected, insert_candidates, key, partition_col,
             insert_partition=insert_partition,
@@ -669,7 +692,12 @@ def merge_cow_cdc(
                 operation="merge_cdc", base_version=base,
             )
         except CT.CommitConflictError:
-            if attempt == 2:
+            conflicts += 1
+            if conflicts >= 3:
+                raise
+            continue
+        except CT.ConcurrentWriterError:
+            if not wait():
                 raise
             continue
         return {

@@ -243,21 +243,34 @@ def _dirs_for_parts(gen_dir: str, parts: list) -> list[str]:
     return out
 
 
-def _resolve_base(path: str) -> int:
+def _resolve_base(path: str) -> tuple[int, dict]:
     """Brief lock hold to heal/migrate, then release: PLANNING runs
-    lock-free against the returned base version (the OCC posture
-    merge.scd2_merge_cow already has — round 7 extends it to this
-    tier so parallel MOR writers overlap their expensive planning)."""
+    lock-free against the returned ``(base_version, added_columns)``
+    (the OCC posture merge.scd2_merge_cow already has — round 7
+    extends it to this tier so parallel MOR writers overlap their
+    expensive planning; round 8 adds the schema-evolution spec so
+    write planning reads the same evolved schema read_mor serves)."""
     with CT._writer_lock(path):
         CT.recover(path)
         CT.ensure_generational(path)
-        return CT.read_manifest(path)["version"]
+        meta = CT.read_manifest(path)
+        return meta["version"], meta.get("added_columns", {})
 
 
-def _visible_with_row_id(spark: SparkSession, gen_dir: str) -> DataFrame:
+def _visible_with_row_id(
+    spark: SparkSession, gen_dir: str, added: dict | None = None
+) -> DataFrame:
     """The generation's VISIBLE rows (vectors applied) carrying the
-    stable (__ref, __pos) row identity."""
-    data = _with_row_id(spark.read.parquet(gen_dir))
+    stable (__ref, __pos) row identity. ``added`` is the manifest's
+    ``added_columns`` spec (alter_add_column): with it the raw scan
+    uses mergeSchema + default projection exactly like read_mor —
+    without it a mixed-schema generation SAMPLES its schema from an
+    arbitrary file, making which columns ride on appended version rows
+    nondeterministic (round-8 ADVICE)."""
+    reader = spark.read.option("mergeSchema", "true") if added else spark.read
+    data = _with_row_id(reader.parquet(gen_dir))
+    if added:
+        data = CT._project_added(data, added)
     vectors = _read_vectors(spark, gen_dir)
     if vectors is not None:
         data = data.join(
@@ -350,7 +363,7 @@ def _occ_commit_delta(
 
 def mor_delete(
     spark: SparkSession, path: str, predicate, partition_col: str,
-    max_retries: int = 3,
+    max_retries: int = 3, lock_timeout: float = 30.0,
 ) -> dict:
     """DELETE WHERE ``predicate`` by writing a deletion vector — no data
     file is touched (bytes written ∝ rows deleted, not partition
@@ -367,9 +380,11 @@ def mor_delete(
     base; an interleaved commit rebases free when disjoint or triggers
     an internal re-plan (``max_retries``)."""
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    for attempt in range(max_retries):
-        base = _resolve_base(path)
-        data = _visible_with_row_id(spark, CT._gen_dir(path, base))
+    conflicts = 0
+    wait = CT.lock_retry_loop(lock_timeout)
+    while True:
+        base, added = _resolve_base(path)
+        data = _visible_with_row_id(spark, CT._gen_dir(path, base), added)
         dv = data.filter(pred).select(
             F.col("__ref").alias("file_ref"),
             F.col("__pos").alias("pos"),
@@ -378,7 +393,12 @@ def mor_delete(
         try:
             s = _occ_commit_delta(spark, path, base, dv, "mor_delete")
         except CT.CommitConflictError:
-            if attempt == max_retries - 1:
+            conflicts += 1
+            if conflicts >= max_retries:
+                raise
+            continue
+        except CT.ConcurrentWriterError:
+            if not wait():
                 raise
             continue
         return {"version": s["version"], "deleted_rows": s["vector_rows"]}
@@ -399,6 +419,7 @@ def mor_upsert(
     delete_key: str | None = None,
     extra_meta: dict | None = None,
     max_retries: int = 3,
+    lock_timeout: float = 30.0,
 ) -> dict:
     """SCD2 MERGE, merge-on-read form: matched CURRENT rows are
     position-deleted and their closed + reopened versions APPENDED as
@@ -428,10 +449,12 @@ def mor_upsert(
         SCD2_COLS, _scd2_inserts,
     )
 
-    for attempt in range(max_retries):
-        base = _resolve_base(path)
+    conflicts = 0
+    wait = CT.lock_retry_loop(lock_timeout)
+    while True:
+        base, added = _resolve_base(path)
         base_dir = CT._gen_dir(path, base)
-        data = _visible_with_row_id(spark, base_dir)
+        data = _visible_with_row_id(spark, base_dir, added)
         base_cols = [c for c in data.columns if c not in ("__ref", "__pos")]
         carried = [
             c for c in base_cols if c not in {key, versioned_col, *SCD2_COLS}
@@ -500,9 +523,13 @@ def mor_upsert(
         overrides = (
             {partition_col: insert_partition} if insert_partition is not None else None
         )
+        # insert rows take the PROJECTED schema (added columns included
+        # with their defaults materialized by _visible_with_row_id) —
+        # sampling spark.read.parquet(base_dir).schema on a
+        # mixed-schema generation was nondeterministic (round-8 ADVICE)
         inserts = _scd2_inserts(
             cur_rows.select(F.col(key)),
-            spark.read.parquet(base_dir).schema,
+            data.drop("__ref", "__pos").schema,
             upd_for_insert, key, update_key, versioned_col, new_value_col, carried,
             change_date, carried_overrides=overrides,
         )
@@ -514,7 +541,12 @@ def mor_upsert(
                 extra_meta=extra_meta,
             )
         except CT.CommitConflictError:
-            if attempt == max_retries - 1:
+            conflicts += 1
+            if conflicts >= max_retries:
+                raise
+            continue
+        except CT.ConcurrentWriterError:
+            if not wait():
                 raise
             continue
         return {

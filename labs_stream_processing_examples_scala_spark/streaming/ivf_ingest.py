@@ -174,9 +174,29 @@ class IncrementalIvfIndex:
         )
         d = self._tombstone_dir()
         os.makedirs(d, exist_ok=True)
-        n = len(_glob.glob(os.path.join(d, "d*")))
-        out = os.path.join(d, f"d{n}")
-        df.select("vec_id").distinct().write.mode("overwrite").parquet(out)
+        # Atomic delta allocation (round-8 ADVICE): takedown presents
+        # delete_ids as the ONLINE delete path, so two concurrent calls
+        # are legal. len(glob)+overwrite let both compute the same d{n}
+        # and one silently clobbered the other's tombstones — a missed
+        # deletion already reported as applied. Stage to a unique dir,
+        # then os.rename into the numbered slot: rename onto an
+        # existing non-empty dir fails, so exactly one caller wins each
+        # number and the loser retries with the next.
+        import uuid as _uuid
+
+        stage = os.path.join(d, f"_stage_{os.getpid()}_{_uuid.uuid4().hex[:8]}")
+        df.select("vec_id").distinct().write.mode("overwrite").parquet(stage)
+        while True:
+            n = len(_glob.glob(os.path.join(d, "d*")))
+            out = os.path.join(d, f"d{n}")
+            try:
+                os.rename(stage, out)
+                break
+            except OSError:
+                if not os.path.isdir(out):
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
+                continue  # slot taken by a concurrent delete; next n
         return {"tombstone_delta": n, "ids": spark.read.parquet(out).count()}
 
     def index(self, spark: SparkSession) -> DataFrame:

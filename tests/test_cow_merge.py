@@ -533,9 +533,12 @@ def test_writer_lock_blocks_live_concurrent_writer(spark, tmp_path):
     try:
         with open(os.path.join(path, CT.WRITER_LOCK), "w") as f:
             f.write(str(other.pid))
+        # lock_timeout=0.5: the wrapper now waits out live holders
+        # (round-8 cross-process patience) — cap the wait so the
+        # 30s-sleeping holder still surfaces as the error contract
         with _pytest.raises(CT.ConcurrentWriterError, match="one\nmaintenance writer|one maintenance writer"):
             MG.scd2_merge_cow(spark, path, u, "k", "u_key", "val", "new_val", "p",
-                              change_date="1998-01-01")
+                              change_date="1998-01-01", lock_timeout=0.5)
     finally:
         other.kill()
         other.wait()

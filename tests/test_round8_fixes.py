@@ -1,0 +1,257 @@
+"""Round-8 concurrency/evolution fixes, each with the failure it closes.
+
+1. commit_generation conflicts UP FRONT when the planned-against base
+   generation left the retention window (previously: the staged write's
+   lazy scan died mid-flight with FileNotFoundException the merge retry
+   loops don't catch).
+2. delete_ids allocates tombstone deltas atomically (previously: two
+   concurrent deletes computed the same d{n} and one clobbered the
+   other — a missed deletion already reported as applied).
+3. alter_add_column + mor_upsert interplay: MOR write planning reads
+   the evolved schema deterministically via mergeSchema + default
+   projection (previously: schema sampled from an arbitrary file of a
+   mixed-schema generation).
+4. The writer-lock stale steal is atomic under a kernel-flock sidecar
+   (previously: two processes observing the same dead holder could both
+   remove-and-create, putting two live writers in the commit section).
+5. TRUE cross-process OCC: two OS processes (own JVMs) merge disjoint
+   partitions concurrently; both commit via rebase and the result is
+   the serial one (verdict round-7 task #7).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import labs_stream_processing_examples_scala_spark.operators.cow_table as CT
+import labs_stream_processing_examples_scala_spark.operators.merge as MG
+import labs_stream_processing_examples_scala_spark.operators.mor_table as MT
+
+from tests.conftest import SF_SMOKE
+
+
+def _init(spark, path, n=24, parts=("A", "B", "C")):
+    rows = [(k, parts[k % len(parts)], float(k)) for k in range(n)]
+    df = spark.createDataFrame(rows, "k long, p string, val double")
+    CT.cow_init(MG.scd2_init(df), path, "p")
+    return df
+
+
+def _upd(spark, pairs):
+    return spark.createDataFrame(pairs, "u_key long, new_val double")
+
+
+def test_stale_base_gcd_generation_conflicts_up_front(spark, tmp_path):
+    """A writer stale by >= 2 commits (its base generation GC'd under
+    keep_generations=1) must get CommitConflictError — the signal the
+    merge wrappers' retry loops re-plan on — not a FileNotFound
+    mid-write from the staged scan."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    upd = _upd(spark, [(3, 33.0)])
+    keys = upd.select(F.col("u_key").alias("__uk"))
+    _, pruned, _, _, base = MG._cow_touched(spark, path, keys, keys, "k", "p")
+    out = MG.scd2_apply(pruned, upd, "k", "u_key", "val", "new_val",
+                        change_date="1998-01-01")
+    assert base == 0
+    # two interleaved commits: v2's GC (keep_generations=1) drops gen_v0
+    for k, v in [(1, 11.0), (4, 44.0)]:
+        MG.scd2_merge_cow(spark, path, _upd(spark, [(k, v)]),
+                          "k", "u_key", "val", "new_val", "p",
+                          change_date="1998-01-01")
+    assert not os.path.isdir(CT._gen_dir(path, 0)), "precondition: base GC'd"
+    with pytest.raises(CT.CommitConflictError, match="retention window"):
+        CT.commit_generation(path, out, "p", operation="merge",
+                             base_version=base)
+    assert CT.read_manifest(path)["version"] == 2, "failed commit must not flip"
+    assert not os.path.isdir(CT._gen_dir(path, 3)), "no staged leftover"
+
+
+def test_concurrent_delete_ids_no_clobber(spark, tmp_path):
+    """Two tombstone deletes racing (the online takedown path) must
+    BOTH survive: atomic delta allocation gives them distinct d{n}
+    slots instead of one overwrite-clobbering the other."""
+    import threading
+
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _seed_centroids,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ivf_ingest import (
+        run_ivf_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    embs.write.parquet(src)
+    total = embs.count()
+    proc = run_ivf_ingest(spark, src, str(tmp_path / "work"), _seed_centroids(spark, SF_SMOKE, 8))
+
+    ids = [r.vec_id for r in embs.select("vec_id").orderBy("vec_id").limit(8).collect()]
+    batches = [ids[:2], ids[2:4], ids[4:6], ids[6:8]]
+    errors: list[Exception] = []
+
+    def deleter(batch):
+        try:
+            proc.delete_ids(spark, batch)
+        except Exception as e:  # noqa: BLE001 — surfaced via assert
+            errors.append(e)
+
+    ts = [threading.Thread(target=deleter, args=(b,)) for b in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    # all four deltas landed in distinct slots and every id is hidden
+    deltas = sorted(
+        d for d in os.listdir(proc._tombstone_dir()) if d.startswith("d")
+    )
+    assert len(deltas) == 4, f"clobbered tombstone delta: {deltas}"
+    left = {r.vec_id for r in proc.index(spark).select("vec_id").collect()}
+    assert not (set(ids) & left), "a concurrent delete was lost"
+    assert len(left) == total - 8
+
+
+def test_alter_add_column_then_mor_upsert_deterministic(spark, tmp_path):
+    """Schema evolution on the MOR tier: after alter_add_column, a
+    mor_upsert must plan against the EVOLVED schema (mergeSchema +
+    defaults) so appended version rows and inserts carry the added
+    column deterministically — matched updates, inserts, and untouched
+    rows all read back with the column populated."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    CT.alter_add_column(path, "tier", "string", default_sql="'standard'")
+
+    s = MT.mor_upsert(
+        spark, path,
+        _upd(spark, [(3, 33.0), (300, 5.0)]),  # 3 = matched, 300 = insert
+        "k", "u_key", "val", "new_val", "p",
+        change_date="1998-01-01", insert_partition=F.lit("B"),
+    )
+    assert s["position_deletes"] == 1
+    out = MT.read_mor(spark, path)
+    assert "tier" in out.columns
+    # every row — pre-alter base, appended closed+reopened versions,
+    # and the insert — carries the default, never a sampled-schema null
+    assert out.filter(F.col("tier").isNull()).count() == 0
+    assert out.filter("k = 3").count() == 2  # closed + reopened
+    got = {
+        (r.k, r.val, r.is_current, r.tier)
+        for r in out.filter("k IN (3, 300)").select("k", "val", "is_current", "tier").collect()
+    }
+    assert got == {
+        (3, 3.0, False, "standard"),
+        (3, 33.0, True, "standard"),
+        (300, 5.0, True, "standard"),
+    }
+    # a second upsert over the now-mixed-schema generation (some files
+    # carry `tier`, pre-alter ones don't) stays deterministic
+    MT.mor_upsert(spark, path, _upd(spark, [(300, 6.0)]),
+                  "k", "u_key", "val", "new_val", "p",
+                  change_date="1999-01-01", insert_partition=F.lit("B"))
+    out2 = MT.read_mor(spark, path)
+    assert out2.filter(F.col("tier").isNull()).count() == 0
+    assert out2.filter("k = 300 AND is_current").select("val").first()[0] == 6.0
+
+
+_WRITER_SCRIPT = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from labs_stream_processing_examples_scala_spark import get_spark
+import labs_stream_processing_examples_scala_spark.operators.cow_table as CT
+import labs_stream_processing_examples_scala_spark.operators.merge as MG
+from pyspark.sql import functions as F
+
+path, key, val, tag, sync = sys.argv[1], int(sys.argv[2]), float(sys.argv[3]), sys.argv[4], sys.argv[5]
+spark = get_spark(app_name="occ-proc-" + tag, shuffle_partitions=4)
+upd = spark.createDataFrame([(key, val)], "u_key long, new_val double")
+keys = upd.select(F.col("u_key").alias("__uk"))
+_, pruned, _, _, base = MG._cow_touched(spark, path, keys, keys, "k", "p")
+out = MG.scd2_apply(pruned, upd, "k", "u_key", "val", "new_val",
+                    change_date="1998-01-01")
+# materialize the plan so the commit below holds the lock briefly
+out = spark.createDataFrame(out.collect(), out.schema)
+open(os.path.join(sync, "ready_" + tag), "w").close()
+while not os.path.exists(os.path.join(sync, "go")):
+    time.sleep(0.05)
+# commit with the caller-side live-lock patience (CT.lock_retry_loop —
+# the same loop the merge wrappers now run): whichever process commits
+# second waits out the first's critical section, then REBASES its
+# stale-base plan through the OCC footprint check
+wait = CT.lock_retry_loop(120.0)
+while True:
+    try:
+        s = CT.commit_generation(path, out, "p", operation="merge",
+                                 base_version=base)
+        break
+    except CT.ConcurrentWriterError:
+        if not wait():
+            raise
+print("COMMITTED", tag, s["version"], base, flush=True)
+spark.stop()
+"""
+
+
+def test_cross_process_disjoint_writers_both_commit(spark, tmp_path):
+    """Verdict round-7 task #7: two REAL OS processes (separate JVMs —
+    the in-process RLock layer cannot serialize them) plan against the
+    same base, then commit concurrently on a file barrier. Both must
+    land via the OCC rebase (pid-lockfile + flock steal-guard + _log
+    footprints are the only coordination), the log survives, and the
+    table equals the serial execution."""
+    path = str(tmp_path / "t")
+    df = _init(spark, path)
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = str(tmp_path / "writer.py")
+    with open(script, "w") as f:
+        f.write(_WRITER_SCRIPT.format(repo=repo))
+
+    # key 3 → partition A, key 1 → partition B: disjoint footprints
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, path, str(k), str(v), tag, sync],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for k, v, tag in [(3, 33.0, "a"), (1, 11.0, "b")]
+    ]
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if all(
+                os.path.exists(os.path.join(sync, f"ready_{t}")) for t in ("a", "b")
+            ):
+                break
+            if any(p.poll() is not None for p in procs):
+                break  # a writer died before the barrier — fail below
+            time.sleep(0.1)
+        open(os.path.join(sync, "go"), "w").close()
+        outs = [p.communicate(timeout=240) for p in procs]
+    finally:
+        for p in procs:
+            p.kill()
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"writer failed:\n{so}\n{se}"
+        assert "COMMITTED" in so
+    assert CT.read_manifest(path)["version"] == 2, "one commit was lost"
+
+    want = MG.scd2_apply(
+        MG.scd2_apply(MG.scd2_init(df), _upd(spark, [(3, 33.0)]),
+                      "k", "u_key", "val", "new_val", change_date="1998-01-01"),
+        _upd(spark, [(1, 11.0)]), "k", "u_key", "val", "new_val",
+        change_date="1998-01-01",
+    )
+    cols = ["k", "p", "val", "valid_from", "valid_to", "is_current"]
+    got = frozenset(tuple(r) for r in CT.read_cow(spark, path).select(*cols).collect())
+    assert got == frozenset(tuple(r) for r in want.select(*cols).collect())
+    # both versions' footprints are in the retention-independent log
+    assert os.path.exists(os.path.join(path, CT.ROOT_LOG, "v1.json"))
+    assert os.path.exists(os.path.join(path, CT.ROOT_LOG, "v2.json"))
