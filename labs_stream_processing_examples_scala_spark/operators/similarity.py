@@ -531,29 +531,141 @@ def ivf_topk(
     return _probe_ivf(spark, path, cents_py, qvec, query_id, k, nprobe)
 
 
+def _make_probe_expansion_udf(n_tables: int, bits: int, n_probes: int):
+    """Per-ROW multiprobe (the pairs-path analogue of the query-side
+    :func:`_probe_buckets`, Lv et al. VLDB 2007): for each table emit
+    the row's base bucket PLUS the ``n_probes - 1`` perturbation
+    buckets whose flipped-bit subsets have the smallest summed
+    hyperplane |margin| — the buckets this vector's near neighbours
+    most likely landed in when a plane narrowly split them apart.
+
+    One Arrow batch = one matmul + one (batch × tables × subsets)
+    einsum; subsets are the fixed 2^bits - 1 masks (63 at bits=6), so
+    the expansion is vectorized end-to-end, never per-row Python.
+    Returns ``array<long>`` of length n_tables × n_probes, table-major
+    with the BASE bucket first in each table's group (consumers derive
+    ``table = pos / n_probes`` and ``is_base = pos % n_probes == 0``).
+    """
+    import itertools
+
+    planes = np.array(
+        [
+            [_plane_component(t, b, j) for j in range(DIM)]
+            for t in range(n_tables)
+            for b in range(bits)
+        ]
+    )
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    subsets = [
+        s
+        for r in range(1, bits + 1)
+        for s in itertools.combinations(range(bits), r)
+    ]
+    sub_matrix = np.zeros((len(subsets), bits))
+    for i, s in enumerate(subsets):
+        sub_matrix[i, list(s)] = 1.0
+    sub_masks = np.array([sum(1 << b for b in s) for s in subsets], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def probe_expand(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy()).astype(np.float64)  # (n, DIM)
+        proj = (mat @ planes.T).reshape(len(mat), n_tables, bits)
+        base = ((proj > 0).astype(np.int64) * weights).sum(axis=2)  # (n, T)
+        scores = np.einsum("ntb,sb->nts", np.abs(proj), sub_matrix)  # (n, T, S)
+        top = np.argpartition(scores, n_probes - 1, axis=2)[:, :, : n_probes - 1]
+        flips = base[:, :, None] ^ sub_masks[top]  # (n, T, n_probes-1)
+        out = np.concatenate([base[:, :, None], flips], axis=2)  # (n, T, P)
+        return pd.Series(list(out.reshape(len(mat), -1)))
+
+    return probe_expand
+
+
+# probe-expanded signature cache: same contract as _SIG_CACHE, keyed
+# with n_probes — ONE Arrow expansion pass per corpus serves both join
+# sides (the base side is the pos % n_probes == 0 slice of the same
+# materialization).
+_PROBE_CACHE: dict[tuple[str, str, int, int, int], DataFrame] = {}
+
+
+def _probe_expanded(
+    spark: SparkSession, sf_dir: str, n_tables: int, bits: int, n_probes: int
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, n_tables, bits, n_probes)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    expand = _make_probe_expansion_udf(n_tables, bits, n_probes)
+    out = e.withColumn("pbs", expand("vec")).persist()
+    _PROBE_CACHE[key] = out
+    return out
+
+
 def lsh_neardup_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.9,
     n_tables: int = N_TABLES,
     bits: int = BITS_PER_TABLE,
+    n_probes: int = 4,
 ) -> DataFrame:
-    """Embedding near-dup pairs at scale: candidates = pairs sharing a
-    bucket in ANY hash table, exact cosine verify ≥ threshold on the
-    candidate set only.
+    """Embedding near-dup pairs at scale: candidates = pairs meeting in
+    a bucket in ANY hash table, exact cosine verify ≥ threshold on the
+    candidate set only — precision is exactly 1.0 by construction.
 
-    Same verify as cosine_neardup_pairs, but the quadratic all-pairs
-    never materializes — the join is keyed on (table, bucket), so work
-    ∝ Σ bucket² within each table, not n². Approximate (a pair whose θ
-    splits every table's planes is missed) → rows-only check + recall
-    test vs the exact operator; recall rises with n_tables.
+    Round 8 (verdict task #1): the candidate generation is MULTIPROBE —
+    each vector also probes its ``n_probes - 1`` lowest-margin
+    perturbation buckets per table (:func:`_make_probe_expansion_udf`),
+    and a pair is caught when EITHER member probes into the other's
+    base bucket. Measured recall vs the exact operator at sf0.01,
+    threshold 0.3: 0.356 single-probe → ≥ 0.7 multiprobe (floor pinned
+    in tools/check_oracle.py; dominance asserted by
+    tests/test_extensions.py). ``n_probes=1`` keeps the single-probe
+    teaching baseline (`x_sim_lsh_neardup_sp`).
+
+    The quadratic all-pairs still never materializes — the join stays
+    keyed on (table, bucket); the probe side carries n_probes× the
+    rows, so work ∝ n_probes · Σ (probe-bucket × base-bucket) within
+    each table, not n². At 100 TB both sides read the same
+    (table, bucket)-partitioned index table; the expansion multiplies
+    the probe side's key count, never the scanned corpus.
     """
-    b = lsh_buckets(spark, sf_dir, n_tables, bits).select("table", "bucket", "vec_id", "vec")
-    a = b.select("table", "bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    c = b.select("table", "bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    if n_probes <= 1:
+        b = lsh_buckets(spark, sf_dir, n_tables, bits).select(
+            "table", "bucket", "vec_id", "vec"
+        )
+        a = b.select("table", "bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+        c = b.select("table", "bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+        cand = (
+            a.join(c, ["table", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+        return (
+            cand.select(
+                "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    exp = _probe_expanded(spark, sf_dir, n_tables, bits, n_probes)
+    rows = exp.select(
+        "vec_id", "vec", F.posexplode("pbs").alias("pos", "bucket")
+    ).withColumn("table", (F.col("pos") / n_probes).cast("int"))
+    probe_side = rows.select(
+        "table", "bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
+    )
+    base_side = rows.filter(F.col("pos") % n_probes == 0).select(
+        "table", "bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+    )
     cand = (
-        a.join(c, ["table", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        probe_side.join(base_side, ["table", "bucket"])
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            "va", "vb",
+        )
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return (

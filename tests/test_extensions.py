@@ -105,21 +105,32 @@ def test_lsh_topk_multiprobe_dominates(spark):
 def test_lsh_neardup_pairs_subset_of_exact_with_recall(spark):
     """lsh_neardup_pairs = bucket candidates + exact verify, so every
     returned pair MUST be in the exact set (precision 1.0 by
-    construction); recall on the near-random fixture (θ≈72° at
-    thr=0.3) should land near the sign-LSH theory value
-    1-(1-p^bits)^tables ≈ 0.32, well above zero."""
+    construction) at BOTH probe settings; single-probe recall on the
+    near-random fixture (θ≈72° at thr=0.3) should land near the
+    sign-LSH theory value 1-(1-p^bits)^tables ≈ 0.32, and the
+    round-8 multiprobe default must DOMINATE it (a strict superset of
+    caught pairs — every single-probe candidate key is in the probe
+    set by construction) and clear the ≥0.7 floor the registry pins."""
     thr = 0.3
     exact = {
         (r.vec_a, r.vec_b)
         for r in SIM.cosine_neardup_pairs(spark, SF_SMOKE, thr).collect()
     }
-    lsh = {
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.lsh_neardup_pairs(spark, SF_SMOKE, thr, n_probes=1).collect()
+    }
+    multi = {
         (r.vec_a, r.vec_b) for r in SIM.lsh_neardup_pairs(spark, SF_SMOKE, thr).collect()
     }
     assert exact, "fixture should have pairs at thr=0.3"
-    assert lsh <= exact, "verified candidates can never be false positives"
-    recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.2, f"LSH near-dup recall too low: {recall:.2f}"
+    assert single <= exact, "verified candidates can never be false positives"
+    assert multi <= exact, "verified candidates can never be false positives"
+    assert single <= multi, "multiprobe must dominate single-probe pair-for-pair"
+    r1 = len(single) / len(exact)
+    r4 = len(multi) / len(exact)
+    assert r1 >= 0.2, f"single-probe near-dup recall too low: {r1:.2f}"
+    assert r4 >= 0.7, f"multiprobe near-dup recall below floor: {r4:.2f}"
     # high threshold on near-random vectors: both must agree on "none"
     assert SIM.lsh_neardup_pairs(spark, SF_SMOKE, 0.9).count() == 0
 

@@ -98,6 +98,7 @@ def test_every_query_has_oracle_or_documented_exemption():
         "q36_hll_rollup",
         "q36_approx_percentile",
         "x_sim_lsh_neardup",
+        "x_sim_lsh_neardup_sp",
         "x_sim_lsh_topk",
         "x_sim_lsh_topk_sp",
         "x_sim_ivf_topk",
