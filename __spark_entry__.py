@@ -324,6 +324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bpe_train": BP.bpe_train,
         "x_bpe_segment": BP.bpe_segment,
         "x_dedup_spans": DD.dup_span_stats,
+        # span-level dedup TRANSFORM (round 8): duplicated k-gram spans
+        # excised keep-first corpus-wide — the Lee et al. rewrite next
+        # to the detection stats
+        "x_dedup_span_removal": DD.remove_dup_spans,
         # fuzzy (edit-distance) join: blocking key + length window + verify
         "x_dedup_fuzzy_names": DD.fuzzy_name_pairs,
         "x_chunk_documents": CP.chunk_documents,
@@ -1331,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "x_sample_reservoir": O.sampling_reservoir(),
         "x_freq_heavy_hitters": FQ.heavy_hitters_oracle_sql(),
         "x_dedup_spans": O.dedup_span_stats(),
+        "x_dedup_span_removal": O.dedup_span_removal(),
         # the length window is NOT restated here: with window == dist it
         # is implied by the levenshtein bound, so the oracle checks the
         # advertised contract (every pair with edit_distance <= d),

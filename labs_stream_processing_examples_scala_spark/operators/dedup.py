@@ -671,6 +671,68 @@ def dup_span_stats(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> Dat
     )
 
 
+def remove_dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> DataFrame:
+    """Span-level DEDUPLICATION (round 8, verdict task #4 — the Lee et
+    al. "Deduplicating Training Data Makes Language Models Better"
+    transform next to :func:`dup_span_stats`'s detection): rewrite every
+    document with its duplicated k-word spans EXCISED, keeping exactly
+    the first occurrence corpus-wide (order = (doc_id, position);
+    intra-document repeats count — the second copy inside one doc is
+    removed too). A removed span start r drops token positions
+    [r, r+k-1]; overlapping removed spans union.
+
+    Plan ∝ the inverted index, never all-pairs: the positional k-gram
+    stream (the same zip_with rolling-hash chain and ~59-bit combined
+    key as dup_span_stats) is ranked per gram hash with ONE window
+    (row_number + count over h — first occurrence in the same exchange
+    that finds duplication), removed starts aggregate per doc (a stream
+    ∝ duplicated volume only), and the rewrite is ROW-LOCAL: each doc
+    masks its own token array against its removed-interval set with
+    higher-order functions — the full token stream is never exploded
+    through a shuffle. Exact third-engine oracle: a pure-Python span
+    remover over the raw texts (tests/test_round8_fixes.py), exact
+    because both sides tokenize identically and the combined hash makes
+    gram collisions ~2^-59.
+
+    Returns (doc_id, n_removed_tokens, text) for EVERY document (docs
+    with no duplicated span, or fewer than k tokens, pass through
+    verbatim)."""
+    wh = word_hash_arrays(spark, sf_dir)
+    wh1, wh2 = F.col("wh1"), F.col("wh2")
+    g1, g2 = wh1, wh2
+    for j in range(1, k):
+        g1 = F.zip_with(g1, F.slice(wh1, j + 1, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
+        g2 = F.zip_with(g2, F.slice(wh2, j + 1, _SLICE_BIG), lambda a, b: (a * 37 + b) % H.P2)
+    g8 = F.filter(F.zip_with(g1, g2, H.combine_hashes), lambda x: x.isNotNull())
+    occ = wh.select("doc_id", F.posexplode(g8).alias("pos", "h"))
+    wspec = Window.partitionBy("h").orderBy("doc_id", "pos")
+    ranked = occ.withColumns({
+        "rn": F.row_number().over(wspec),
+        "n_occ": F.count("*").over(Window.partitionBy("h")),
+    })
+    removed = ranked.filter((F.col("n_occ") >= 2) & (F.col("rn") >= 2)).select(
+        "doc_id", "pos"
+    )
+    rem_per_doc = removed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("starts")
+    )
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    out = docs.join(rem_per_doc, "doc_id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    covered = F.array_distinct(
+        F.flatten(F.transform("starts", lambda r: F.sequence(r, r + (k - 1))))
+    )
+    kept_toks = F.filter("toks", lambda x, i: ~F.array_contains(covered, i))
+    return out.select(
+        "doc_id",
+        (F.size("toks") - F.size(kept_toks)).alias("n_removed_tokens"),
+        F.array_join(kept_toks, " ").alias("text"),
+    )
+
+
 # --- fuzzy (edit-distance) join --------------------------------------
 
 FUZZY_MAX_DIST = 3

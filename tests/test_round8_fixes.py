@@ -220,6 +220,48 @@ def test_ingest_hot_bucket_resolves_distributed(spark, tmp_path):
     assert {d for d in surv if d >= 200_000} == {200_000, 200_001, 200_002}
 
 
+def test_remove_dup_spans_matches_python_oracle(spark):
+    """Third engine for the round-8 span-removal transform (the DuckDB
+    SQL oracle shares the rolling-hash helpers, so this pure-Python
+    remover over the RAW texts independently proves tokenization parity
+    and hash-collision-freedom): keep-first-by-(doc_id, pos) per k-gram
+    corpus-wide, excise covered token positions, rebuild with single
+    spaces."""
+    from labs_stream_processing_examples_scala_spark.operators.dedup import (
+        SPAN_WORDS,
+        remove_dup_spans,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    k = SPAN_WORDS
+    rows = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: [w for w in (r.text or "").split(" ") if w] for r in rows}
+    seen: set[tuple] = set()
+    covered: dict[int, set[int]] = {}
+    for d in sorted(toks):
+        ws = toks[d]
+        for p in range(len(ws) - k + 1):
+            g = tuple(ws[p : p + k])
+            if g in seen:
+                covered.setdefault(d, set()).update(range(p, p + k))
+            else:
+                seen.add(g)
+    want = {
+        d: (
+            " ".join(w for i, w in enumerate(ws) if i not in covered.get(d, set())),
+            len(covered.get(d, set())),
+        )
+        for d, ws in toks.items()
+    }
+    got = {
+        r.doc_id: (r.text, r.n_removed_tokens)
+        for r in remove_dup_spans(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(n > 0 for _, n in want.values()), "fixture must exercise removal"
+    assert any(n == 0 for _, n in want.values()), "fixture must have untouched docs"
+
+
 _WRITER_SCRIPT = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})
