@@ -90,9 +90,53 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> dict:
+    """Fixed single-core work, timed — a machine-speed reference
+    recorded in the JSON so a contaminated measurement window (noisy
+    neighbours, thermal throttling) is detectable FROM THE ARTIFACT
+    instead of by cross-query forensics (round-8 verdict task #3:
+    BENCH_r07 carried a uniform ~1.31× host factor that took
+    per-query archaeology to attribute). Two probes:
+
+    - ``calib_py_ms``: a pure-Python integer loop (~10M ops) — CPython
+      single-core speed, immune to numpy/BLAS thread counts.
+    - ``calib_np_ms``: fixed elementwise passes over a 20M-double
+      array — single-core MEMORY BANDWIDTH, the resource noisy
+      neighbours actually steal (deliberately not a BLAS matmul, whose
+      thread pool made the probe itself contention-noisy).
+
+    Reference on this host class (measured over repeated probes while
+    building round 8): ~430 ms / ~200 ms, both ±10%. A run whose
+    calibration is k× that baseline explains a uniform k× query
+    inflation; per-query regressions show up as NON-uniform movers."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i & 1023
+    py_ms = (time.perf_counter() - t0) * 1000
+    rng = np.random.default_rng(0)
+    a = rng.random(20_000_000)
+    b = a * 1.0001 + 0.5  # untimed warm pass (page faults, allocator)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        # in-place: fresh 160 MB allocations made the probe measure the
+        # allocator/THP, not bandwidth (alternated 0.5 s / 2.4 s)
+        np.multiply(a, 1.0001, out=b)
+        b += 0.5
+    np_ms = (time.perf_counter() - t0) * 1000
+    return {
+        "calib_py_ms": round(py_ms, 1),
+        "calib_np_ms": round(np_ms, 1),
+        "_calib_sink": float(b[0]) + acc,  # defeat dead-code elimination
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    calib_start = _calibrate()
     spark = get_spark(app_name="bench")
 
     qs = entrymod.queries()
@@ -119,6 +163,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
+    calib_end = _calibrate()  # re-probe: catches contention starting mid-run
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_total_wall",
@@ -126,6 +171,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration": {
+            "start_py_ms": calib_start["calib_py_ms"],
+            "start_np_ms": calib_start["calib_np_ms"],
+            "end_py_ms": calib_end["calib_py_ms"],
+            "end_np_ms": calib_end["calib_np_ms"],
+        },
     }
     if errors:
         record["errors"] = errors
