@@ -52,6 +52,8 @@ HEADLINE = [
     # dedup (inverted-index shape), and the end-to-end corpus pipeline
     "q58_sessionize",
     "x_dedup_spans",
+    # round 8: the matching removal transform (Lee et al. rewrite)
+    "x_dedup_span_removal",
     "x_corpus_pipeline",
     # round-5 expansion (VERDICT r4 #5): the round-4 surface — IVF ANN
     # probe (cell-partitioned index build + pruned read), temperature

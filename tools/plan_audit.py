@@ -109,6 +109,15 @@ AUDITS = [
     ("x_vocab_topk", ["TakeOrderedAndProject", "Generate"], ["SortMergeJoin"]),
     ("x_chunk_documents", ["Generate"], ["Exchange", "BatchEvalPython"]),
     ("x_dedup_spans", ["HashAggregate", "Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # round-8 removal transform: first-occurrence ranking is ONE window
+    # over the gram hash; the doc-side rebuild joins the (small,
+    # ∝ duplicated docs) removed-starts agg back broadcast — never a
+    # pair product
+    ("x_dedup_span_removal", ["Window", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # round-8 multiprobe near-dup pairs: candidates stay a (table,
+    # bucket) equi-join (probe-expanded side × base side) + exact
+    # verify — the all-pairs product must never appear
+    ("x_sim_lsh_neardup", ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("x_sample_importance", [], ["Exchange"]),
     # LATERAL must decorrelate to a window + join, never re-execute the
     # subquery per outer row; the recursive spine runs as UnionLoop
@@ -264,6 +273,8 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "x_vocab_topk": {},
     "x_chunk_documents": {},
     "x_dedup_spans": {},
+    "x_dedup_span_removal": {},
+    "x_sim_lsh_neardup": {},
     "x_sample_importance": {},
     "q60_lateral_topn": {},
     "q61_date_spine": {},
@@ -398,6 +409,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_vocab_topk": 2,
     "x_chunk_documents": 0,
     "x_dedup_spans": 4,       # inverted-index build + pair agg
+    "x_dedup_span_removal": 4,  # gram window + removed-starts agg (measured 4 at sf0.01)
+    "x_sim_lsh_neardup": 2,   # pair dedup; probe/base join broadcasts at fixture SF (measured 1)
     "x_sample_importance": 0,
     "q60_lateral_topn": 1,
     "q61_date_spine": 1,

@@ -36,48 +36,29 @@ REPLICAS = 10
 REPLICAS10 = 100
 OFF = 10_000_000  # key stride between replicas, same as aqe_evidence
 
-QUERIES = [
-    "q1_scan_project",
-    "q4_agg_tpch_q1",
-    "q7_join_revenue",
-    "q30_tpch_q3",
-    "q48_tpch_q7",
-    # round-5 batch 2: MERGE upsert (orders⋈customer), heavy hitters +
-    # BPE segmentation + LM scoring (documents — replicated ×10 below)
-    "q65_merge_scd2",
-    # round-7: the same MERGE through the merge-on-read tier — the
-    # vector anti-join's cost at 10× target size is the number the
-    # "write ∝ batch, read pays the anti-join" trade is priced on
-    "q70_merge_mor",
-    "x_freq_heavy_hitters",
-    "x_bpe_segment",
-    "x_text_lm_score",
-    # round-6: the linear vector-scan tier over embeddings ×10 — the
-    # Arrow PQ encode (train + encode, cold), the int8 SQ scan, and
-    # the exact brute-force baseline
-    "x_sim_pq_codes",
-    "x_sim_sq_topk",
-    "x_sim_bruteforce_topk",
-]
+# Round 8 (verdict task #6): BOTH decades run the whole HEADLINE set —
+# per-decade factors per query, not a spot sample. Exclusions are
+# documented, not silent:
+EXCLUDE = {
+    # fixed-cardinality blocking key (p_brand): replicated part makes
+    # Σ block² cross the 50M comparison cap, and the operator's
+    # DESIGNED behavior at that scale is the fail-fast
+    # CandidateExplosionError naming the banded operators (measured:
+    # it raises, which the noop-sink timing loop would record as an
+    # error, not a time) — the scale trend for the verify stage is
+    # carried by the banded dedup queries instead
+    "x_dedup_fuzzy_names": "CandidateExplosionError by design at >=sf1",
+}
 
-# the second decade (r6 task #4): top-5 relational + the Arrow heavy
-# hitters + the ANN tiers whose 100 TB story is partition pruning
-# (IVF probe) vs linear scan (SQ, brute force) — the per-decade factor
-# between sf1 and sf10 is the evidence the 100 TB claims extrapolate on
-QUERIES10 = [
-    "q1_scan_project",
-    "q4_agg_tpch_q1",
-    "q7_join_revenue",
-    "q30_tpch_q3",
-    "q48_tpch_q7",
-    "x_freq_heavy_hitters",
-    "x_sim_ivf_topk",
-    "x_sim_sq_topk",
-    "x_sim_bruteforce_topk",
-    # round-7: the MOR merge at 1.5M customers — the second decade of
-    # the vector anti-join + on-disk lifecycle
-    "q70_merge_mor",
-]
+
+def _headline() -> list[str]:
+    import bench
+
+    return [q for q in bench.HEADLINE if q not in EXCLUDE]
+
+
+QUERIES = _headline()
+QUERIES10 = _headline()
 
 
 def synthesize(spark, dst: str, replicas: int, emb_replicas: int | None = None) -> None:
@@ -86,7 +67,7 @@ def synthesize(spark, dst: str, replicas: int, emb_replicas: int | None = None) 
     os.makedirs(dst)
     from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
-    for t in ("region", "nation", "supplier", "part"):
+    for t in ("region", "nation", "supplier"):
         load_table(spark, SRC, t).write.parquet(f"{dst}/{t}.parquet")
 
     def replicate(name: str, key_cols: dict[str, int], n_reps: int) -> None:
@@ -102,6 +83,13 @@ def synthesize(spark, dst: str, replicas: int, emb_replicas: int | None = None) 
     replicate("orders", {"o_orderkey": OFF, "o_custkey": OFF}, replicas)
     replicate("lineitem", {"l_orderkey": OFF, "l_partkey": 0, "l_suppkey": 0}, replicas)
     replicate("documents", {"doc_id": OFF}, replicas)
+    # round 8 (full-HEADLINE anchors): events for the sessionize /
+    # funnel / cohort / range-join / drift families — user_id shifts so
+    # replicas create NEW users (more groups), not 100× hotter ones;
+    # part for the scan families (its fuzzy-join consumer is excluded
+    # above by its documented cap)
+    replicate("events", {"event_id": OFF, "user_id": OFF}, replicas)
+    replicate("part", {"p_partkey": OFF}, replicas)
     # the fixture embeddings table is small (2k rows at sf0.1), so the
     # vector tier gets its own multiplier to reach the row counts the
     # ANN scale claims are about (sf10: ×1500 → 3M vectors, r6 task #4)
