@@ -705,13 +705,22 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> D
         g2 = F.zip_with(g2, F.slice(wh2, j + 1, _SLICE_BIG), lambda a, b: (a * 37 + b) % H.P2)
     g8 = F.filter(F.zip_with(g1, g2, H.combine_hashes), lambda x: x.isNotNull())
     occ = wh.select("doc_id", F.posexplode(g8).alias("pos", "h"))
-    wspec = Window.partitionBy("h").orderBy("doc_id", "pos")
-    ranked = occ.withColumns({
-        "rn": F.row_number().over(wspec),
-        "n_occ": F.count("*").over(Window.partitionBy("h")),
-    })
-    removed = ranked.filter((F.col("n_occ") >= 2) & (F.col("rn") >= 2)).select(
-        "doc_id", "pos"
+    # find DUPLICATED grams first (map-side-combined agg — the shuffle
+    # carries distinct (partition, h) partials, never the positional
+    # stream), then rank positions for ONLY those grams: the window's
+    # exchange + sort is ∝ duplicated occurrences, a tiny slice of the
+    # corpus (measured 11.3 s → the agg+pruned-window form at sf0.1;
+    # an unpruned row_number over every positional gram row paid the
+    # full-stream sort)
+    dup_h = occ.groupBy("h").agg(F.count("*").alias("n_occ")).filter("n_occ >= 2")
+    dup_occ = occ.join(dup_h.select("h"), "h")
+    removed = (
+        dup_occ.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos")),
+        )
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
     )
     rem_per_doc = removed.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("starts")
@@ -725,7 +734,15 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> D
     covered = F.array_distinct(
         F.flatten(F.transform("starts", lambda r: F.sequence(r, r + (k - 1))))
     )
-    kept_toks = F.filter("toks", lambda x, i: ~F.array_contains(covered, i))
+    # kept indices via one set-difference (hash-set build, O(n + m))
+    # instead of an array_contains probe per token (O(n · m) — measured
+    # ~10 s of the 11.3 at sf0.1 on heavily-duplicated docs)
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("toks") - 1), covered
+    )
+    kept_toks = F.when(F.size("toks") == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(kept_idx, lambda i: F.element_at("toks", i + 1))
+    )
     return out.select(
         "doc_id",
         (F.size("toks") - F.size(kept_toks)).alias("n_removed_tokens"),

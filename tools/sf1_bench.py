@@ -110,21 +110,38 @@ def main() -> None:
     spark = get_spark(app_name="sf10-bench" if sf10 else "sf1-bench")
     if "--fresh" in sys.argv or not os.path.isdir(dst):
         synthesize(spark, dst, replicas, emb_replicas=1500 if sf10 else None)
+    import bench as benchmod
+
+    calib_start = benchmod._calibrate()
     qs = entrymod.queries()
     # warm-up on the smallest plan so query 1 isn't charged for JVM init
     qs[queries[0]](spark, dst).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in queries:
         t0 = time.perf_counter()
-        qs[name](spark, dst).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    print(json.dumps({
+        try:
+            qs[name](spark, dst).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+    calib_end = benchmod._calibrate()
+    record = {
         "metric": f"sf{int(sf)}_relational_spot_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+        "calibration": {
+            "start_py_ms": calib_start["calib_py_ms"],
+            "start_np_ms": calib_start["calib_np_ms"],
+            "end_py_ms": calib_end["calib_py_ms"],
+            "end_np_ms": calib_end["calib_np_ms"],
+        },
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
 
 
