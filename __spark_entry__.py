@@ -26,6 +26,7 @@ from labs_stream_processing_examples_scala_spark.operators import corpus as CP
 from labs_stream_processing_examples_scala_spark.operators import dedup as DD
 from labs_stream_processing_examples_scala_spark.operators import frequency as FQ
 from labs_stream_processing_examples_scala_spark.operators import graph as GR
+from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
 from labs_stream_processing_examples_scala_spark.operators import lm as LM
 from labs_stream_processing_examples_scala_spark.operators import merge as MG
 from labs_stream_processing_examples_scala_spark.streaming import cdc_ingest as CDC
@@ -289,6 +290,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (frozen centroids, same scoring) — recall floor 1.0 in the
         # local gate, frame equality in tests/test_streaming.py
         "x_sim_ivf_incremental": IVI.ivf_incremental_topk,
+        # graph-based ANN (round 8): sharded NSW — per-shard greedy
+        # graph search + global TakeOrdered merge; rows-only with a
+        # machine-checked recall floor like the other ANN tiers
+        "x_sim_nsw_topk": GA.nsw_topk,
         "x_sim_pq_codes": QZ.pq_encode,  # trained codebooks → rows-only (numpy oracle)
         "x_sim_pq_topk": QZ.pq_topk_rerank,  # ADC + exact re-rank → rows-only
         "x_sim_ivfpq_topk": QZ.ivfpq_topk,  # pruned cells × code table → rows-only

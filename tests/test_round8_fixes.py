@@ -262,6 +262,40 @@ def test_remove_dup_spans_matches_python_oracle(spark):
     assert any(n == 0 for _, n in want.values()), "fixture must have untouched docs"
 
 
+def test_nsw_graph_ann_recall_and_structure(spark):
+    """Round-8 graph-based ANN (sharded NSW): recall@10 vs exact brute
+    force clears the registry floor; the graph is structurally sound —
+    every vector present exactly once, degree ≤ M, neighbours stay
+    inside their own shard (shards are independent by design); a
+    second probe over the cached graph returns identical rows."""
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+    from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    total = load_table(spark, SF_SMOKE, "embeddings").count()
+    g = GA.nsw_build(spark, SF_SMOKE).collect()
+    assert len(g) == total, "every vector must be in exactly one shard"
+    by_id = {r.vec_id: r for r in g}
+    shard_members: dict[int, set] = {}
+    for r in g:
+        shard_members.setdefault(r.part, set()).add(r.vec_id)
+    for r in g:
+        assert len(r.nbrs) <= GA.M_LINKS, f"degree {len(r.nbrs)} > M at {r.vec_id}"
+        assert set(r.nbrs) <= shard_members[r.part], "edge crossed a shard"
+        assert r.vec_id not in set(r.nbrs), "self-loop"
+    # connectivity floor: all but the first-inserted node have ≥1 edge
+    isolated = [r.vec_id for r in g if len(r.nbrs) == 0]
+    assert len(isolated) <= GA.N_SHARDS, f"too many isolated nodes: {isolated[:10]}"
+
+    brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
+    got = [(r.vec_id, r.cos_sim) for r in GA.nsw_topk(spark, SF_SMOKE, k=10).collect()]
+    recall = len(set(brute) & {v for v, _ in got}) / 10
+    assert recall >= 0.7, f"NSW recall {recall} below floor"
+    assert by_id  # silence linters; structure assertions above
+    again = [(r.vec_id, r.cos_sim) for r in GA.nsw_topk(spark, SF_SMOKE, k=10).collect()]
+    assert again == got, "probe over the cached graph must be deterministic"
+
+
 _WRITER_SCRIPT = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})

@@ -45,10 +45,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def _recall_topk(approx_name: str):
     def compute(spark, sf_dir: str) -> float:
+        from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
         from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
         from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
 
-        fn = getattr(SIM, approx_name, None) or getattr(QZ, approx_name)
+        fn = (
+            getattr(SIM, approx_name, None)
+            or getattr(QZ, approx_name, None)
+            or getattr(GA, approx_name)
+        )
         brute = [r.vec_id for r in SIM.brute_force_topk(spark, sf_dir).collect()]
         ann = {r.vec_id for r in fn(spark, sf_dir).collect()}
         return len(set(brute) & ann) / max(len(brute), 1)
@@ -102,6 +107,9 @@ RECALL_SPECS = {
     "x_sim_pq_topk": (_recall_topk("pq_topk_rerank"), 0.50),
     "x_sim_ivfpq_topk": (_recall_topk("ivfpq_topk"), 0.50),
     "x_sim_sq_topk": (_recall_topk("sq_topk"), 0.70),
+    # round-8 graph tier: sharded NSW greedy search (floor measured at
+    # sf0.01; greedy local minima are the only recall loss)
+    "x_sim_nsw_topk": (_recall_topk("nsw_topk"), 0.70),
     # round-8 multiprobe default: measured 0.90 at sf0.01 thr 0.3
     # (single-probe was 0.356); the _sp baseline keeps its honest floor
     "x_sim_lsh_neardup": (_recall_neardup(4), 0.70),

@@ -46,6 +46,10 @@ AUDITS = [
     # SQ: one partial-aggregated stats pass feeds literal min/scale
     # vectors; scoring is a row-local dequantize+dot, then TakeOrdered
     ("x_sim_sq_topk", ["TakeOrderedAndProject"], ["Join", "Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # round-8 graph tier: per-shard greedy search (MapInPandas over the
+    # cached graph) + global top-k merge — no join, no window; the only
+    # exchange is the build's one shard repartition
+    ("x_sim_nsw_topk", ["TakeOrderedAndProject", "MapInPandas"], ["Join", "Window", "CartesianProduct"]),
     ("x_sim_pq_topk", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
     # IVF-PQ probe: pruned cell partitions of the CODE table + ADC +
     # broadcast point-lookup re-rank — never a shuffle join
@@ -288,6 +292,7 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "x_sim_ivfpq_topk": {"shortlist.select('vec_id')": "query-literal"},
     "x_sim_pq_topk": {"shortlist.select('vec_id')": "query-literal"},
     "x_sim_sq_topk": {},  # hint-free: no joins at all
+    "x_sim_nsw_topk": {},  # hint-free: no joins at all
     "q62_funnel": {},
     "q63_cohort": {},
     "q64_range_hourly": {},  # hint-free: AQE picks broadcast vs SMJ by size
@@ -411,6 +416,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_dedup_spans": 4,       # inverted-index build + pair agg
     "x_dedup_span_removal": 4,  # gram window + removed-starts agg (measured 4 at sf0.01)
     "x_sim_lsh_neardup": 2,   # pair dedup; probe/base join broadcasts at fixture SF (measured 1)
+    "x_sim_nsw_topk": 1,      # the build's shard repartition; probe itself is exchange-free
     "x_sample_importance": 0,
     "q60_lateral_topn": 1,
     "q61_date_spine": 1,
