@@ -414,7 +414,10 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_vocab_topk": 2,
     "x_chunk_documents": 0,
     "x_dedup_spans": 4,       # inverted-index build + pair agg
-    "x_dedup_span_removal": 4,  # gram window + removed-starts agg (measured 4 at sf0.01)
+    # dup-gram agg + pruned window + removed-starts agg + 2 cache
+    # spreads; the extra agg exchange BUYS the window its duplicate-only
+    # input (the 6× sf1 win) — measured 5 at sf0.01
+    "x_dedup_span_removal": 5,
     "x_sim_lsh_neardup": 2,   # pair dedup; probe/base join broadcasts at fixture SF (measured 1)
     "x_sim_nsw_topk": 1,      # the build's shard repartition; probe itself is exchange-free
     "x_sample_importance": 0,
