@@ -631,46 +631,56 @@ def lsh_neardup_pairs(
     (table, bucket)-partitioned index table; the expansion multiplies
     the probe side's key count, never the scanned corpus.
     """
+    # Cost shape (A/B-measured at sf0.1): candidates are DEDUPED as bare
+    # (id, id) pairs BEFORE the exact verify — a pair colliding in many
+    # (table, probe) slots must pay the 64-dim cosine fold once, not
+    # per collision (verify-before-dedup measured 31.7 s), and the
+    # dedup exchange must not carry two 64-double vectors per candidate
+    # (vectors-riding dedup measured 10.4 s in-sweep). Vectors join
+    # back onto the UNIQUE pairs only (id-keyed joins AQE sizes;
+    # broadcast at fixture SF, shuffle at corpus scale): 4.1 s.
     if n_probes <= 1:
-        b = lsh_buckets(spark, sf_dir, n_tables, bits).select(
-            "table", "bucket", "vec_id", "vec"
-        )
-        a = b.select("table", "bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-        c = b.select("table", "bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+        b = lsh_buckets(spark, sf_dir, n_tables, bits)
+        a = b.select("table", "bucket", F.col("vec_id").alias("vec_a"))
+        c = b.select("table", "bucket", F.col("vec_id").alias("vec_b"))
         cand = (
             a.join(c, ["table", "bucket"])
             .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
             .dropDuplicates(["vec_a", "vec_b"])
         )
-        return (
-            cand.select(
-                "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        vecs = b.select("vec_id", "vec").dropDuplicates(["vec_id"])
+    else:
+        exp = _probe_expanded(spark, sf_dir, n_tables, bits, n_probes)
+        rows = exp.select(
+            "vec_id", F.posexplode("pbs").alias("pos", "bucket")
+        ).withColumn("table", (F.col("pos") / n_probes).cast("int"))
+        probe_side = rows.select("table", "bucket", F.col("vec_id").alias("vec_a"))
+        base_side = rows.filter(F.col("pos") % n_probes == 0).select(
+            "table", "bucket", F.col("vec_id").alias("vec_b")
+        )
+        cand = (
+            probe_side.join(base_side, ["table", "bucket"])
+            .filter(F.col("vec_a") != F.col("vec_b"))
+            .select(
+                F.least("vec_a", "vec_b").alias("vec_a"),
+                F.greatest("vec_a", "vec_b").alias("vec_b"),
             )
-            .filter(F.col("cos_sim") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"])
         )
-    exp = _probe_expanded(spark, sf_dir, n_tables, bits, n_probes)
-    rows = exp.select(
-        "vec_id", "vec", F.posexplode("pbs").alias("pos", "bucket")
-    ).withColumn("table", (F.col("pos") / n_probes).cast("int"))
-    probe_side = rows.select(
-        "table", "bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
-    )
-    base_side = rows.filter(F.col("pos") % n_probes == 0).select(
-        "table", "bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
-    )
-    cand = (
-        probe_side.join(base_side, ["table", "bucket"])
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .select(
-            F.least("vec_a", "vec_b").alias("vec_a"),
-            F.greatest("vec_a", "vec_b").alias("vec_b"),
-            "va", "vb",
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+        vecs = exp.select("vec_id", "vec")
     return (
-        cand.select(
-            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        cand.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")),
+            "vec_b",
+        )
+        .select(
+            "vec_a", "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
