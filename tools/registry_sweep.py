@@ -43,6 +43,9 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from labs_stream_processing_examples_scala_spark import get_spark
 
+    import bench as benchmod
+
+    calib_start = benchmod._calibrate()  # host self-evidence (round 8)
     spark = get_spark(app_name="registry-sweep")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -54,6 +57,7 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+    calib_end = benchmod._calibrate()
     record = {
         "metric": "registry_sweep_total_wall",
         "value": round(sum(timings.values()), 2),
@@ -61,6 +65,12 @@ def main() -> int:
         "n_queries": len(timings),
         "queries": timings,
         "sf_dir": sf_dir,
+        "calibration": {
+            "start_py_ms": calib_start["calib_py_ms"],
+            "start_np_ms": calib_start["calib_np_ms"],
+            "end_py_ms": calib_end["calib_py_ms"],
+            "end_np_ms": calib_end["calib_np_ms"],
+        },
     }
     if errors:
         record["errors"] = errors
