@@ -296,6 +296,31 @@ def test_nsw_graph_ann_recall_and_structure(spark):
     assert again == got, "probe over the cached graph must be deterministic"
 
 
+def test_mor_delete_on_evolved_column_predicate(spark, tmp_path):
+    """alter_add_column + mor_delete interplay: a DELETE WHERE over the
+    EVOLVED column must see the projected defaults (pre-alter rows) and
+    materialized values (post-alter appends) alike — the write planner
+    reads through the same mergeSchema+defaults path as read_mor."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    CT.alter_add_column(path, "tier", "string", default_sql="'standard'")
+    # one upsert materializes tier='standard' on new files; key 300 inserts
+    MT.mor_upsert(spark, path, _upd(spark, [(3, 33.0), (300, 5.0)]),
+                  "k", "u_key", "val", "new_val", "p",
+                  change_date="1998-01-01", insert_partition=F.lit("B"))
+    # delete every CURRENT standard-tier row in partition A — matches
+    # pre-alter rows only through the projected default
+    s = MT.mor_delete(spark, path, "tier = 'standard' AND p = 'A' AND is_current", "p")
+    assert s["deleted_rows"] == 8  # 24 keys / 3 partitions = 8 current rows in A
+    out = MT.read_mor(spark, path)
+    assert out.filter("p = 'A' AND is_current").count() == 0
+    assert out.filter("p = 'A' AND NOT is_current").count() > 0  # history kept
+    assert out.filter("k = 300 AND is_current").count() == 1  # B untouched
+    # re-running the same predicate is a no-op (idempotent by read-through)
+    s2 = MT.mor_delete(spark, path, "tier = 'standard' AND p = 'A' AND is_current", "p")
+    assert s2["deleted_rows"] == 0
+
+
 _WRITER_SCRIPT = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})
