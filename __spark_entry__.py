@@ -344,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack_stats": CP.pack_stats,
         "x_corpus_contamination": CP.contamination_report,
         "x_corpus_clean": CP.decontaminate,
+        # span-level decontamination (round 8): benchmark k-grams
+        # excised from otherwise-kept docs — the surgical sibling
+        "x_corpus_clean_spans": CP.decontaminate_spans,
         "x_corpus_pipeline": CP.corpus_pipeline,
         "x_embed_normalize": CP.embed_normalize,
         # binary→feature/resize/frame over a mixed-modality corpus: real
@@ -1362,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "x_pack_stats": O.pack_stats(),
         "x_corpus_contamination": O.contamination_report(),
         "x_corpus_clean": O.decontaminate(),
+        "x_corpus_clean_spans": O.decontaminate_spans(),
         "x_corpus_pipeline": O.corpus_pipeline(),
         "x_embed_normalize": O.embed_normalize(),
     }

@@ -115,6 +115,47 @@ def decontaminate(
     return d.join(dirty, "doc_id", "left_anti").select("doc_id", "lang", "source", "n_chars")
 
 
+def decontaminate_spans(
+    spark: SparkSession, sf_dir: str, n_benchmark: int = BENCHMARK_DOCS, k: int = 8
+) -> DataFrame:
+    """SPAN-level decontamination (round 8): rewrite every corpus doc
+    with the k-word spans that appear in the BENCHMARK set excised —
+    the surgical form of :func:`decontaminate`, which drops whole docs.
+    An LLM pipeline wants both: doc-level for heavy overlap, span-level
+    to keep an otherwise-clean document that quotes one benchmark
+    passage (the Lee et al. machinery pointed at an external gram set
+    instead of corpus-internal duplicates).
+
+    Plan: the benchmark's distinct positional-gram hashes (bounded —
+    eval suites are fixed-size and never corpus-scaled, the same
+    cardinality argument as contamination_report's broadcast) join
+    broadcast against the corpus gram stream; matched (doc_id, pos)
+    feed the shared row-local excision (dedup.excise_spans). No shuffle
+    of corpus grams at all — one broadcast probe + the per-doc
+    removed-starts agg (∝ contaminated volume only).
+
+    Returns (doc_id, n_removed_tokens, text) for every NON-benchmark
+    doc. Exact DuckDB oracle (same shared hash SQL as the span family).
+    """
+    from labs_stream_processing_examples_scala_spark.operators.dedup import (
+        excise_spans,
+        positional_gram_occurrences,
+    )
+
+    occ = positional_gram_occurrences(spark, sf_dir, k)
+    bench = (
+        occ.filter(F.col("doc_id") < n_benchmark).select("h").distinct()
+    )
+    removed = (
+        occ.filter(F.col("doc_id") >= n_benchmark)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id", "pos")
+    )
+    return excise_spans(
+        spark, sf_dir, removed, k, doc_filter=F.col("doc_id") >= n_benchmark
+    )
+
+
 def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norm + normalized head component per embedding row.
 

@@ -697,14 +697,7 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> D
     Returns (doc_id, n_removed_tokens, text) for EVERY document (docs
     with no duplicated span, or fewer than k tokens, pass through
     verbatim)."""
-    wh = word_hash_arrays(spark, sf_dir)
-    wh1, wh2 = F.col("wh1"), F.col("wh2")
-    g1, g2 = wh1, wh2
-    for j in range(1, k):
-        g1 = F.zip_with(g1, F.slice(wh1, j + 1, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
-        g2 = F.zip_with(g2, F.slice(wh2, j + 1, _SLICE_BIG), lambda a, b: (a * 37 + b) % H.P2)
-    g8 = F.filter(F.zip_with(g1, g2, H.combine_hashes), lambda x: x.isNotNull())
-    occ = wh.select("doc_id", F.posexplode(g8).alias("pos", "h"))
+    occ = positional_gram_occurrences(spark, sf_dir, k)
     # find DUPLICATED grams first (map-side-combined agg — the shuffle
     # carries distinct (partition, h) partials, never the positional
     # stream), then rank positions for ONLY those grams: the window's
@@ -722,21 +715,55 @@ def remove_dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> D
         .filter(F.col("rn") >= 2)
         .select("doc_id", "pos")
     )
+    return excise_spans(spark, sf_dir, removed, k)
+
+
+def positional_gram_occurrences(
+    spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS
+) -> DataFrame:
+    """(doc_id, pos, h): every positional k-gram of every document —
+    the zip_with rolling-hash chain over the cached word-hash arrays,
+    exploded through Generate (same construction and ~59-bit combined
+    key as :func:`dup_span_stats`; shared by the span transforms)."""
+    wh = word_hash_arrays(spark, sf_dir)
+    wh1, wh2 = F.col("wh1"), F.col("wh2")
+    g1, g2 = wh1, wh2
+    for j in range(1, k):
+        g1 = F.zip_with(g1, F.slice(wh1, j + 1, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
+        g2 = F.zip_with(g2, F.slice(wh2, j + 1, _SLICE_BIG), lambda a, b: (a * 37 + b) % H.P2)
+    g8 = F.filter(F.zip_with(g1, g2, H.combine_hashes), lambda x: x.isNotNull())
+    return wh.select("doc_id", F.posexplode(g8).alias("pos", "h"))
+
+
+def excise_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    removed: DataFrame,
+    k: int = SPAN_WORDS,
+    doc_filter=None,
+) -> DataFrame:
+    """Rewrite documents with the ``removed`` (doc_id, pos) span starts
+    excised (each start drops token positions [pos, pos+k-1];
+    overlaps union). Row-local: removed starts aggregate per doc (a
+    stream ∝ removed volume), each doc then masks its own token array —
+    kept indices via ONE array_except set-difference (hash-set build,
+    O(n + m)) instead of an array_contains probe per token (O(n · m) —
+    measured ~10 s of 11.3 at sf0.1 on heavily-duplicated docs). Docs
+    matching no removed span pass through verbatim."""
     rem_per_doc = removed.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("starts")
     )
     docs = _spread(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", tokens("text").alias("toks")
     )
+    if doc_filter is not None:
+        docs = docs.filter(doc_filter)
     out = docs.join(rem_per_doc, "doc_id", "left").withColumn(
         "starts", F.coalesce("starts", F.array().cast("array<int>"))
     )
     covered = F.array_distinct(
         F.flatten(F.transform("starts", lambda r: F.sequence(r, r + (k - 1))))
     )
-    # kept indices via one set-difference (hash-set build, O(n + m))
-    # instead of an array_contains probe per token (O(n · m) — measured
-    # ~10 s of the 11.3 at sf0.1 on heavily-duplicated docs)
     kept_idx = F.array_except(
         F.sequence(F.lit(0), F.size("toks") - 1), covered
     )

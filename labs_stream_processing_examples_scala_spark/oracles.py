@@ -649,6 +649,53 @@ def dedup_span_removal(k: int = 8) -> str:
     """
 
 
+def decontaminate_spans(n_benchmark: int = 20, k: int = 8) -> str:
+    """Exact oracle for corpus.decontaminate_spans: benchmark gram set
+    = distinct positional-gram hashes of doc_id < n; corpus positions
+    matching it are excised through the same list_filter rebuild as
+    :func:`dedup_span_removal`."""
+    c1 = H.compose_hashes_sql([f"w1[i + {j}]" for j in range(k)])
+    c2 = "w2[i + 0]"
+    for j in range(1, k):
+        c2 = f"(({c2}) * 37 + (w2[i + {j}])) % {H.P2}"
+    combined = H.combine_hashes_sql(c1, c2)
+    return f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        whs AS (SELECT doc_id,
+                       list_transform(t, w -> {H.rolling_hash_sql('w')}) AS w1,
+                       list_transform(t, w -> {H.rolling_hash2_sql('w')}) AS w2
+                FROM toks),
+        g AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(w1) - {k - 1}), i -> {combined}) AS g8
+            FROM whs WHERE len(w1) >= {k}
+        ),
+        occ AS (
+            SELECT doc_id, unnest(generate_series(1, len(g8))) AS pos, g8
+            FROM g
+        ),
+        bench AS (
+            SELECT DISTINCT g8[pos] AS h FROM occ WHERE doc_id < {n_benchmark}
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, cp FROM (
+                SELECT o.doc_id, unnest(generate_series(o.pos, o.pos + {k - 1})) AS cp
+                FROM occ o JOIN bench b ON g8[o.pos] = b.h
+                WHERE o.doc_id >= {n_benchmark}
+            )
+        ),
+        covl AS (SELECT doc_id, list(cp) AS cps, count(*) AS n_cov FROM cov GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE(n_cov, 0) AS BIGINT) AS n_removed_tokens,
+               COALESCE(array_to_string(
+                   list_filter(t, (x, i) -> NOT list_contains(COALESCE(cps, CAST([] AS BIGINT[])), i)),
+                   ' '
+               ), '') AS text
+        FROM toks t LEFT JOIN covl USING (doc_id)
+        WHERE t.doc_id >= {n_benchmark}
+    """
+
+
 def corpus_pipeline(n_benchmark: int = 20) -> str:
     """End-to-end corpus assembly: decontaminate → exact dedup →
     quality filter → length-band resample — each stage's SQL copied

@@ -122,6 +122,10 @@ AUDITS = [
     # bucket) equi-join (probe-expanded side × base side) + exact
     # verify — the all-pairs product must never appear
     ("x_sim_lsh_neardup", ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # round-8 span decontamination: the benchmark gram set probes the
+    # corpus gram stream BROADCAST (eval suites are fixed-size) — no
+    # ranking window needed, no pair product possible
+    ("x_corpus_clean_spans", ["BroadcastHashJoin"], ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("x_sample_importance", [], ["Exchange"]),
     # LATERAL must decorrelate to a window + join, never re-execute the
     # subquery per outer row; the recursive spine runs as UnionLoop
@@ -278,6 +282,8 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "x_chunk_documents": {},
     "x_dedup_spans": {},
     "x_dedup_span_removal": {},
+    # the benchmark gram set is a fixed eval suite, not SF-scaled
+    "x_corpus_clean_spans": {"bench": "eval-suite"},
     "x_sim_lsh_neardup": {},
     "x_sample_importance": {},
     "q60_lateral_topn": {},
@@ -419,6 +425,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # input (the 6× sf1 win) — measured 5 at sf0.01
     "x_dedup_span_removal": 5,
     "x_sim_lsh_neardup": 2,   # pair dedup; probe/base join broadcasts at fixture SF (measured 1)
+    "x_corpus_clean_spans": 4,  # bench distinct + removed-starts agg + cache spreads (measured 4)
     "x_sim_nsw_topk": 1,      # the build's shard repartition; probe itself is exchange-free
     "x_sample_importance": 0,
     "q60_lateral_topn": 1,
