@@ -32,6 +32,7 @@ from labs_stream_processing_examples_scala_spark.operators import merge as MG
 from labs_stream_processing_examples_scala_spark.streaming import cdc_ingest as CDC
 from labs_stream_processing_examples_scala_spark.streaming import incremental_dedup as ID
 from labs_stream_processing_examples_scala_spark.streaming import ivf_ingest as IVI
+from labs_stream_processing_examples_scala_spark.streaming import nsw_ingest as NSI
 from labs_stream_processing_examples_scala_spark.streaming import materialized_view as MV
 from labs_stream_processing_examples_scala_spark.operators import quantization as QZ
 from labs_stream_processing_examples_scala_spark.operators import relational as R
@@ -290,6 +291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (frozen centroids, same scoring) — recall floor 1.0 in the
         # local gate, frame equality in tests/test_streaming.py
         "x_sim_ivf_incremental": IVI.ivf_incremental_topk,
+        # streaming-maintained NSW segments (round 8): graphs differ
+        # from the batch build's → rows-only with a recall floor
+        "x_sim_nsw_incremental": NSI.nsw_incremental_topk,
         # graph-based ANN (round 8): sharded NSW — per-shard greedy
         # graph search + global TakeOrdered merge; rows-only with a
         # machine-checked recall floor like the other ANN tiers

@@ -100,6 +100,7 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_sim_lsh_neardup",
         "x_sim_lsh_neardup_sp",
         "x_sim_nsw_topk",
+        "x_sim_nsw_incremental",
         "x_sim_lsh_topk",
         "x_sim_lsh_topk_sp",
         "x_sim_ivf_topk",

@@ -321,6 +321,81 @@ def test_mor_delete_on_evolved_column_predicate(spark, tmp_path):
     assert s2["deleted_rows"] == 0
 
 
+def test_nsw_streaming_segments_lifecycle(spark, tmp_path):
+    """Streaming NSW (segment model): ingest in micro-batches, probe
+    recall clears the graph tier's floor; replaying a batch is a no-op
+    (idempotent sink); delete_ids hides ids from the next probe on and
+    backfills; segment merge (compaction) folds tombstoned vectors
+    physically, keeps recall, and collapses the segment count."""
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _query_embedding,
+        brute_force_topk,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.nsw_ingest import (
+        run_nsw_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    total = embs.count()
+    embs.withColumn("split", F.pmod(F.col("vec_id"), F.lit(3))).repartitionByRange(
+        3, "split"
+    ).drop("split").write.parquet(src)
+    proc = run_nsw_ingest(spark, src, str(tmp_path / "work"))
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+
+    assert proc.segments(spark).count() == total
+    got = [r.vec_id for r in proc.probe(spark, qvec, 0, 10).collect()]
+    brute = [r.vec_id for r in brute_force_topk(spark, SF_SMOKE, k=10).collect()]
+    assert len(set(brute) & set(got)) / 10 >= 0.7
+
+    # replay the last batch (what a restarted stream legally does —
+    # the same input rows land in the same _batch_id dir, overwrite):
+    # segment membership and probe quality unchanged
+    b2 = {r.vec_id for r in proc.segments(spark).filter("seg = 2").select("vec_id").collect()}
+    proc.process_batch(
+        embs.join(
+            spark.createDataFrame([(int(i),) for i in sorted(b2)], "vec_id long"),
+            "vec_id",
+        ),
+        2,
+    )
+    assert proc.segments(spark).count() == total, "replay must be a no-op"
+    assert {
+        r.vec_id for r in proc.segments(spark).filter("seg = 2").select("vec_id").collect()
+    } == b2
+    got_replay = [r.vec_id for r in proc.probe(spark, qvec, 0, 10).collect()]
+    assert len(set(brute) & set(got_replay)) / 10 >= 0.7
+    got = got_replay  # downstream assertions compare against live state
+
+    # online delete: victims vanish from results, probe backfills
+    victims = got[:3]
+    s = proc.delete_ids(spark, victims)
+    assert s["ids"] == 3
+    got2 = [r.vec_id for r in proc.probe(spark, qvec, 0, 10).collect()]
+    assert not (set(victims) & set(got2))
+    assert len(got2) == 10
+    # concurrent second delete lands in its own delta slot
+    proc.delete_ids(spark, victims)  # replay by value: harmless
+    assert [r.vec_id for r in proc.probe(spark, qvec, 0, 10).collect()] == got2
+
+    # segment merge: rebuilds one graph per shard over the merged span,
+    # drops tombstoned vectors physically, keeps the newest batch out
+    stats = proc.compact(spark)
+    assert stats["compacted"]
+    seg_after = proc.segments(spark)
+    merged_victims = seg_after.filter(
+        F.col("vec_id").isin(victims) & (F.col("seg") == -1)
+    ).count()
+    assert merged_victims == 0, "merge must fold tombstones out of merged segments"
+    segs = {r.seg for r in seg_after.select("seg").distinct().collect()}
+    assert -1 in segs and len(segs) == 2, f"expected merged + newest, got {segs}"
+    got3 = [r.vec_id for r in proc.probe(spark, qvec, 0, 10).collect()]
+    assert not (set(victims) & set(got3))
+    assert len(set(brute) & set(got3 + victims)) / 10 >= 0.7
+
+
 _WRITER_SCRIPT = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})

@@ -80,6 +80,22 @@ def _recall_neardup(n_probes: int):
     return compute
 
 
+def _recall_nsw_incremental(spark, sf_dir: str) -> float:
+    """Streaming NSW segments vs exact brute force: segment graphs
+    differ from the batch build's, so the floor is the graph tier's
+    0.70, not identity."""
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from labs_stream_processing_examples_scala_spark.streaming.nsw_ingest import (
+        nsw_incremental_topk,
+    )
+
+    brute = [r.vec_id for r in brute_force_topk(spark, sf_dir).collect()]
+    inc = {r.vec_id for r in nsw_incremental_topk(spark, sf_dir).collect()}
+    return len(set(brute) & inc) / max(len(brute), 1)
+
+
 def _recall_ivf_incremental(spark, sf_dir: str) -> float:
     """The streaming-maintained index is claimed IDENTICAL to the batch
     probe (frozen centroids, same rows, same scoring), so its floor is
@@ -110,6 +126,7 @@ RECALL_SPECS = {
     # round-8 graph tier: sharded NSW greedy search (floor measured at
     # sf0.01; greedy local minima are the only recall loss)
     "x_sim_nsw_topk": (_recall_topk("nsw_topk"), 0.70),
+    "x_sim_nsw_incremental": (_recall_nsw_incremental, 0.70),
     # round-8 multiprobe default: measured 0.90 at sf0.01 thr 0.3
     # (single-probe was 0.356); the _sp baseline keeps its honest floor
     "x_sim_lsh_neardup": (_recall_neardup(4), 0.70),
