@@ -49,15 +49,23 @@ def takedown(
 ) -> dict:
     """Remove ``doc_ids`` from the MOR document table at ``docs_path``
     and (when ``index`` is given) tombstone the matching vector ids in
-    the streaming ANN index. ``vec_ids`` defaults to ``doc_ids`` (the
-    common one-embedding-per-document layout); pass the mapped set
-    when the id spaces differ. Returns the per-store stats plus the
-    table version whose change feed carries the audit rows."""
+    the streaming ANN index — or in EVERY index, when a corpus carries
+    several (``index`` accepts a single index or an iterable; anything
+    exposing the ``delete_ids(spark, ids)`` tombstone contract —
+    IncrementalIvfIndex, IncrementalIvfPqIndex, IncrementalNswIndex —
+    participates; all indexes tombstone before the table, preserving
+    the fail-safe ordering for each). ``vec_ids`` defaults to
+    ``doc_ids`` (the common one-embedding-per-document layout); pass
+    the mapped set when the id spaces differ. Returns the per-store
+    stats plus the table version whose change feed carries the audit
+    rows."""
     ids = sorted(set(int(i) for i in doc_ids))
     out: dict = {"doc_ids": len(ids)}
     if index is not None:
         vids = ids if vec_ids is None else sorted(set(int(i) for i in vec_ids))
-        out["index"] = index.delete_ids(spark, vids)
+        indexes = index if isinstance(index, (list, tuple)) else [index]
+        stats_list = [ix.delete_ids(spark, vids) for ix in indexes]
+        out["index"] = stats_list[0] if len(stats_list) == 1 else stats_list
     from pyspark.sql import functions as F
 
     stats = MT.mor_delete(

@@ -77,3 +77,52 @@ def test_takedown_hits_table_and_index_and_audits(spark, tmp_path):
     assert s2["table"]["deleted_rows"] == 0
     assert MT.read_mor(spark, docs_path).count() == n - 2
     assert [r.vec_id for r in idx.probe(spark, qvec, 0, 5, 4).collect()] == got
+
+
+def test_takedown_fans_out_to_multiple_indexes(spark, tmp_path):
+    """Round 8: a corpus carrying BOTH ANN tiers (IVF and NSW) takes
+    one takedown call — every index tombstones (before the table, each
+    preserving the fail-safe ordering) and stops returning the
+    victims; the table's audit feed carries exactly the removed rows."""
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _query_embedding,
+        _seed_centroids,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.ivf_ingest import (
+        run_ivf_ingest,
+    )
+    from labs_stream_processing_examples_scala_spark.streaming.nsw_ingest import (
+        run_nsw_ingest,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    _docs_table(spark, docs_path)
+    src = str(tmp_path / "src")
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    embs.write.parquet(src)
+    ivf = run_ivf_ingest(
+        spark, src, str(tmp_path / "ivf"), _seed_centroids(spark, SF_SMOKE, 8)
+    )
+    nsw = run_nsw_ingest(spark, src, str(tmp_path / "nsw"))
+
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+    victims = [r.vec_id for r in ivf.probe(spark, qvec, 0, 10, 4).collect()][:3]
+
+    s = takedown(spark, docs_path, "doc_id", "lang", victims, index=[ivf, nsw])
+    assert [rec["ids"] for rec in s["index"]] == [3, 3]
+    assert s["table"]["deleted_rows"] == 3
+
+    for idx in (ivf.probe(spark, qvec, 0, 10, 4), nsw.probe(spark, qvec, 0, 10)):
+        got = [r.vec_id for r in idx.collect()]
+        assert not (set(victims) & set(got)), "an index still returns a victim"
+        assert len(got) == 10
+    assert MT.read_mor(spark, docs_path).filter(
+        F.col("doc_id").isin(victims)
+    ).count() == 0
+    audit = takedown_audit(spark, docs_path, s["audit_feed_versions"])
+    assert {r.doc_id for r in audit.collect()} == set(victims)
+
+    # idempotent retry across ALL stores
+    s2 = takedown(spark, docs_path, "doc_id", "lang", victims, index=[ivf, nsw])
+    assert s2["table"]["deleted_rows"] == 0
