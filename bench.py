@@ -64,6 +64,8 @@ HEADLINE = [
     # old default's timing slot; the single-probe baseline rides here
     "x_sim_lsh_topk_sp",
     "x_sim_sq_topk",
+    # round 8: the graph ANN tier (sharded NSW build + probe)
+    "x_sim_nsw_topk",
     "x_sample_mixture",
     "q60_lateral_topn",
     "q61_date_spine",
