@@ -644,15 +644,15 @@ def dup_span_stats(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> Dat
     positives at the birthday bound (~50k distinct grams — measured on
     the sf0.001 fixture!), which a dedup decision can't tolerate.
     """
-    wh = word_hash_arrays(spark, sf_dir)
-    wh1, wh2 = F.col("wh1"), F.col("wh2")
-    g1, g2 = wh1, wh2
-    for j in range(1, k):
-        g1 = F.zip_with(g1, F.slice(wh1, j + 1, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
-        g2 = F.zip_with(g2, F.slice(wh2, j + 1, _SLICE_BIG), lambda a, b: (a * 37 + b) % H.P2)
-    g8 = F.filter(F.zip_with(g1, g2, H.combine_hashes), lambda x: x.isNotNull())
-    pos = wh.select("doc_id", F.explode(g8).alias("h"))
-    per = pos.groupBy("doc_id", "h").agg(F.count("*").alias("cnt"))
+    # the gram construction lives ONCE in positional_gram_occurrences
+    # (round-8 review: the span transforms' "same construction and
+    # combined key as dup_span_stats" invariant must be structural, not
+    # copy-paste); the agg ignores the pos column
+    per = (
+        positional_gram_occurrences(spark, sf_dir, k)
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("cnt"))
+    )
     # cross-doc gram count as a WINDOW over h rather than a groupBy(h)
     # + join back: one exchange of the per-(doc,h) stream instead of
     # two (A/B at sf0.1: 1.74 s → 1.04 s warm, output identical).

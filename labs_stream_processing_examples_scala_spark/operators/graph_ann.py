@@ -131,6 +131,36 @@ def _build_shard(
     return nbrs
 
 
+def make_shard_builder(m: int, ef_construction: int, seg: int | None = None):
+    """The ONE shard-graph construction closure (round-8 review: batch
+    build, streaming segment build, and segment-merge rebuild must stay
+    provably identical — the recall-floor contract assumes it): consume
+    a mapInPandas partition, build one NSW graph per ``part`` group,
+    emit rows with neighbour ids remapped local → global. With ``seg``
+    the output carries the segment id column (the streaming layout)."""
+
+    def build(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for part, grp in pdf.groupby("part"):
+            ids = grp["vec_id"].to_numpy()
+            vecs = np.stack(grp["vec"].to_numpy()).astype(np.float64)
+            nbrs = _build_shard(ids, vecs, m, ef_construction)
+            out = {
+                "part": int(part),
+                "vec_id": ids,
+                "vec": list(vecs),
+                "nbrs": [ids[nb] for nb in nbrs],
+            }
+            if seg is not None:
+                out = {"seg": int(seg), **out}
+            yield pd.DataFrame(out)
+
+    return build
+
+
 def nsw_build(
     spark: SparkSession,
     sf_dir: str,
@@ -155,25 +185,9 @@ def nsw_build(
         .repartition(n_shards, "part")
     )
 
-    def build(batches):
-        pdfs = [b for b in batches]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        for part, grp in pdf.groupby("part"):
-            ids = grp["vec_id"].to_numpy()
-            vecs = np.stack(grp["vec"].to_numpy()).astype(np.float64)
-            nbrs = _build_shard(ids, vecs, m, ef_construction)
-            yield pd.DataFrame(
-                {
-                    "part": int(part),
-                    "vec_id": ids,
-                    "vec": list(vecs),
-                    "nbrs": [ids[nb] for nb in nbrs],  # local → global ids
-                }
-            )
-
-    out = e.mapInPandas(build, _GRAPH_SCHEMA).persist()
+    out = e.mapInPandas(
+        make_shard_builder(m, ef_construction), _GRAPH_SCHEMA
+    ).persist()
     _GRAPH_CACHE[key] = out
     return out
 

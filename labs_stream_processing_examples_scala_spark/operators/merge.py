@@ -499,22 +499,27 @@ def scd2_merge_cow(
     conflicts = 0
     wait = CT.lock_retry_loop(lock_timeout)
     while True:
-        _, pruned, touched, include_null, base = _cow_touched(
-            spark, target_path, upd_keys, upd_keys, key, partition_col,
-            insert_partition=insert_partition,
-        )
-        if not touched and not include_null:
-            return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
-        # partition_col rides through as a carried column: rewritten rows
-        # keep their value; insert rows get null (→ the null partition dir,
-        # which include_null then carries forward on every later rewrite)
-        # — or, with insert_partition, the key-derived real partition
-        overrides = {partition_col: insert_partition} if insert_partition is not None else None
-        out = scd2_apply(
-            pruned, updates, key, update_key, versioned_col, new_value_col, change_date,
-            carried_overrides=overrides,
-        )
+        # the WHOLE iteration sits in the try: the planning heal
+        # (_cow_touched's brief lock hold) hits the live holder far
+        # more often than the commit does — the peer keeps the lock for
+        # its entire staged Spark write — and must take the same
+        # wait-and-retry path (round-8 review finding)
         try:
+            _, pruned, touched, include_null, base = _cow_touched(
+                spark, target_path, upd_keys, upd_keys, key, partition_col,
+                insert_partition=insert_partition,
+            )
+            if not touched and not include_null:
+                return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
+            # partition_col rides through as a carried column: rewritten rows
+            # keep their value; insert rows get null (→ the null partition dir,
+            # which include_null then carries forward on every later rewrite)
+            # — or, with insert_partition, the key-derived real partition
+            overrides = {partition_col: insert_partition} if insert_partition is not None else None
+            out = scd2_apply(
+                pruned, updates, key, update_key, versioned_col, new_value_col, change_date,
+                carried_overrides=overrides,
+            )
             stats = CT.commit_generation(
                 target_path, out, partition_col, extra_meta=extra_meta,
                 operation="merge", base_version=base,
@@ -674,19 +679,19 @@ def merge_cow_cdc(
     conflicts = 0  # same optimistic retry + live-lock patience as scd2_merge_cow
     wait = CT.lock_retry_loop(lock_timeout)
     while True:
-        _, pruned, touched, include_null, base = _cow_touched(
-            spark, target_path, affected, insert_candidates, key, partition_col,
-            insert_partition=insert_partition,
-        )
-        if not touched and not include_null:
-            return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
-        overrides = {partition_col: insert_partition} if insert_partition is not None else None
-        out = scd2_apply_cdc(
-            pruned, updates, delete_keys, key, update_key, delete_key,
-            versioned_col, new_value_col, change_date,
-            carried_overrides=overrides,
-        )
-        try:
+        try:  # planning heal included — see scd2_merge_cow's note
+            _, pruned, touched, include_null, base = _cow_touched(
+                spark, target_path, affected, insert_candidates, key, partition_col,
+                insert_partition=insert_partition,
+            )
+            if not touched and not include_null:
+                return {"touched": [], "swapped": [], "version": None, "null_rewritten": False}
+            overrides = {partition_col: insert_partition} if insert_partition is not None else None
+            out = scd2_apply_cdc(
+                pruned, updates, delete_keys, key, update_key, delete_key,
+                versioned_col, new_value_col, change_date,
+                carried_overrides=overrides,
+            )
             stats = CT.commit_generation(
                 target_path, out, partition_col, extra_meta=extra_meta,
                 operation="merge_cdc", base_version=base,

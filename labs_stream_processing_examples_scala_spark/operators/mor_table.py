@@ -383,14 +383,17 @@ def mor_delete(
     conflicts = 0
     wait = CT.lock_retry_loop(lock_timeout)
     while True:
-        base, added = _resolve_base(path)
-        data = _visible_with_row_id(spark, CT._gen_dir(path, base), added)
-        dv = data.filter(pred).select(
-            F.col("__ref").alias("file_ref"),
-            F.col("__pos").alias("pos"),
-            F.col(partition_col).cast("string").alias("part"),
-        )
+        # planning's brief heal lock (_resolve_base) hits a live
+        # cross-process holder more often than the commit — include it
+        # in the wait-and-retry scope (round-8 review finding)
         try:
+            base, added = _resolve_base(path)
+            data = _visible_with_row_id(spark, CT._gen_dir(path, base), added)
+            dv = data.filter(pred).select(
+                F.col("__ref").alias("file_ref"),
+                F.col("__pos").alias("pos"),
+                F.col(partition_col).cast("string").alias("part"),
+            )
             s = _occ_commit_delta(spark, path, base, dv, "mor_delete")
         except CT.CommitConflictError:
             conflicts += 1
@@ -452,7 +455,15 @@ def mor_upsert(
     conflicts = 0
     wait = CT.lock_retry_loop(lock_timeout)
     while True:
-        base, added = _resolve_base(path)
+        # the planning heal's brief lock hold takes the same
+        # wait-and-retry path as the commit (round-8 review finding);
+        # everything between resolve and commit is lock-free
+        try:
+            base, added = _resolve_base(path)
+        except CT.ConcurrentWriterError:
+            if not wait():
+                raise
+            continue
         base_dir = CT._gen_dir(path, base)
         data = _visible_with_row_id(spark, base_dir, added)
         base_cols = [c for c in data.columns if c not in ("__ref", "__pos")]

@@ -63,7 +63,10 @@ def takedown(
     out: dict = {"doc_ids": len(ids)}
     if index is not None:
         vids = ids if vec_ids is None else sorted(set(int(i) for i in vec_ids))
-        indexes = index if isinstance(index, (list, tuple)) else [index]
+        # a single index is anything exposing the delete_ids contract;
+        # everything else is treated as an iterable OF indexes (sets,
+        # generators — not just list/tuple, matching the docstring)
+        indexes = [index] if hasattr(index, "delete_ids") else list(index)
         stats_list = [ix.delete_ids(spark, vids) for ix in indexes]
         out["index"] = stats_list[0] if len(stats_list) == 1 else stats_list
     from pyspark.sql import functions as F

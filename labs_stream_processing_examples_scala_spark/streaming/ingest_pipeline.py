@@ -183,6 +183,7 @@ class StreamingIngestPipeline:
         )
 
         new_arrs = shingle_arrays_of(good.select("doc_id", "text")).filter(F.col("sz") > 0).persist()
+        ko_df = nn_pairs = None
         try:
             new_buckets = banded_of(minhash_of(new_arrs))
             kept_arrs = self._read_index(spark, self.arrays_dir, _ARR_SCHEMA, batch_id)
@@ -200,7 +201,12 @@ class StreamingIngestPipeline:
                 .distinct()
             )
             vs_kept = _verified_pairs(cand_ko, new_arrs, kept_arrs, self.threshold)
-            ko_df = vs_kept.select("doc_a").distinct()
+            # persist both verify outputs: each is read 2-3× (the
+            # limit-probe, then the resolver's nodes/edges/union) and
+            # the exact-Jaccard verify join is the batch's most
+            # expensive plan — exactly what a hot-bucket failover batch
+            # must not recompute (round-8 review finding)
+            ko_df = vs_kept.select("doc_a").distinct().persist()
 
             # 3b) in-batch pairs, resolved greedily in doc order
             cand_nn = (
@@ -210,7 +216,7 @@ class StreamingIngestPipeline:
                 .select("doc_a", "doc_b")
                 .distinct()
             )
-            nn_pairs = _verified_pairs(cand_nn, new_arrs, new_arrs, self.threshold)
+            nn_pairs = _verified_pairs(cand_nn, new_arrs, new_arrs, self.threshold).persist()
 
             # bounded driver fast path: collect at most cap+1 rows of
             # each — within the cap, limit() returns the COMPLETE sets
@@ -270,6 +276,9 @@ class StreamingIngestPipeline:
             idempotent_write(new_buckets.join(surv_ids, "doc_id"), self.buckets_dir, batch_id)
         finally:
             new_arrs.unpersist()
+            for df in (ko_df, nn_pairs):
+                if df is not None:
+                    df.unpersist()
 
     def survivors(self, spark: SparkSession) -> DataFrame:
         """Every dedup survivor, with its quality score and the

@@ -139,19 +139,11 @@ class IncrementalIvfIndex:
         return os.path.join(self.workdir, "_tombstones")
 
     def _tombstones(self, spark: SparkSession) -> DataFrame | None:
-        import glob as _glob
+        from labs_stream_processing_examples_scala_spark.streaming.tombstones import (
+            read_tombstones,
+        )
 
-        dirs = [
-            d
-            for d in sorted(_glob.glob(os.path.join(self._tombstone_dir(), "d*")))
-            if _glob.glob(os.path.join(d, "*.parquet"))
-        ]
-        if not dirs:
-            return None
-        # no distinct: each delta is distinct at write time, and the
-        # left_anti consumer tolerates cross-delta duplicates — a
-        # distinct here would put a shuffle in every probe
-        return spark.read.parquet(*dirs).select("vec_id")
+        return read_tombstones(spark, self._tombstone_dir())
 
     def _apply_tombstones(self, spark: SparkSession, idx: DataFrame) -> DataFrame:
         t = self._tombstones(spark)
@@ -164,40 +156,15 @@ class IncrementalIvfIndex:
         re-deleting an id adds a duplicate tombstone row the distinct
         collapses, so replaying a delete batch is harmless (the same
         contract as the MOR vector's one-row-per-deleted-row, reached
-        the lazy way because ids are global here, not positional)."""
-        import glob as _glob
-
-        df = (
-            ids
-            if isinstance(ids, DataFrame)
-            else spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+        the lazy way because ids are global here, not positional).
+        Delta allocation is ATOMIC (round-8 ADVICE — the shared
+        protocol, streaming/tombstones.py): two concurrent online
+        deletes land in distinct slots, never clobbering."""
+        from labs_stream_processing_examples_scala_spark.streaming.tombstones import (
+            allocate_tombstone_delta,
         )
-        d = self._tombstone_dir()
-        os.makedirs(d, exist_ok=True)
-        # Atomic delta allocation (round-8 ADVICE): takedown presents
-        # delete_ids as the ONLINE delete path, so two concurrent calls
-        # are legal. len(glob)+overwrite let both compute the same d{n}
-        # and one silently clobbered the other's tombstones — a missed
-        # deletion already reported as applied. Stage to a unique dir,
-        # then os.rename into the numbered slot: rename onto an
-        # existing non-empty dir fails, so exactly one caller wins each
-        # number and the loser retries with the next.
-        import uuid as _uuid
 
-        stage = os.path.join(d, f"_stage_{os.getpid()}_{_uuid.uuid4().hex[:8]}")
-        df.select("vec_id").distinct().write.mode("overwrite").parquet(stage)
-        while True:
-            n = len(_glob.glob(os.path.join(d, "d*")))
-            out = os.path.join(d, f"d{n}")
-            try:
-                os.rename(stage, out)
-                break
-            except OSError:
-                if not os.path.isdir(out):
-                    shutil.rmtree(stage, ignore_errors=True)
-                    raise
-                continue  # slot taken by a concurrent delete; next n
-        return {"tombstone_delta": n, "ids": spark.read.parquet(out).count()}
+        return allocate_tombstone_delta(spark, self._tombstone_dir(), ids)
 
     def index(self, spark: SparkSession) -> DataFrame:
         """The accumulated inverted file (all batches, marker-aware),

@@ -33,7 +33,6 @@ a stream" (round-7 precedent: ivf_ingest).
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 import shutil
 import tempfile
@@ -48,14 +47,18 @@ from labs_stream_processing_examples_scala_spark.operators.graph_ann import (
     EF_SEARCH,
     M_LINKS,
     N_SHARDS,
-    _build_shard,
     _greedy_search,
+    make_shard_builder,
 )
 from labs_stream_processing_examples_scala_spark.streaming.compaction import (
     compact_batched_dir,
     read_batched_dir,
 )
 from labs_stream_processing_examples_scala_spark.streaming.sinks import idempotent_write
+from labs_stream_processing_examples_scala_spark.streaming.tombstones import (
+    allocate_tombstone_delta,
+    read_tombstones,
+)
 
 _SEG_SCHEMA = "seg long, part int, vec_id long, vec array<double>, nbrs array<long>"
 
@@ -79,36 +82,18 @@ class IncrementalNswIndex:
         self.compact_every = compact_every
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        n_shards, m, ef_c = self.n_shards, self.m, self.ef_construction
         rows = (
             batch_df.select(
                 "vec_id",
                 F.col("embedding").cast("array<double>").alias("vec"),
-                F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)).cast("int").alias("part"),
+                F.pmod(F.xxhash64("vec_id"), F.lit(self.n_shards)).cast("int").alias("part"),
             )
-            .repartition(n_shards, "part")
+            .repartition(self.n_shards, "part")
         )
-
-        def build(batches):
-            pdfs = list(batches)
-            if not pdfs:
-                return
-            pdf = pd.concat(pdfs, ignore_index=True)
-            for part, grp in pdf.groupby("part"):
-                ids = grp["vec_id"].to_numpy()
-                vecs = np.stack(grp["vec"].to_numpy()).astype(np.float64)
-                nbrs = _build_shard(ids, vecs, m, ef_c)
-                yield pd.DataFrame(
-                    {
-                        "seg": int(batch_id),
-                        "part": int(part),
-                        "vec_id": ids,
-                        "vec": list(vecs),
-                        "nbrs": [ids[nb] for nb in nbrs],
-                    }
-                )
-
-        seg_rows = rows.mapInPandas(build, _SEG_SCHEMA)
+        seg_rows = rows.mapInPandas(
+            make_shard_builder(self.m, self.ef_construction, seg=batch_id),
+            _SEG_SCHEMA,
+        )
         idempotent_write(seg_rows, self.seg_dir, batch_id)
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.compact(batch_df.sparkSession)
@@ -119,43 +104,15 @@ class IncrementalNswIndex:
         return os.path.join(self.workdir, "_tombstones")
 
     def _tombstones(self, spark: SparkSession) -> DataFrame | None:
-        dirs = [
-            d
-            for d in sorted(_glob.glob(os.path.join(self._tombstone_dir(), "d*")))
-            if _glob.glob(os.path.join(d, "*.parquet"))
-        ]
-        if not dirs:
-            return None
-        return spark.read.parquet(*dirs).select("vec_id")
+        return read_tombstones(spark, self._tombstone_dir())
 
     def delete_ids(self, spark: SparkSession, ids) -> dict:
         """Tombstone ``ids``: probes stop RETURNING them immediately;
         the nodes keep serving as graph waypoints until a segment merge
-        drops them physically. Atomic delta allocation (stage + rename)
-        — two concurrent online deletes land in distinct slots."""
-        import uuid as _uuid
-
-        df = (
-            ids
-            if isinstance(ids, DataFrame)
-            else spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
-        )
-        d = self._tombstone_dir()
-        os.makedirs(d, exist_ok=True)
-        stage = os.path.join(d, f"_stage_{os.getpid()}_{_uuid.uuid4().hex[:8]}")
-        df.select("vec_id").distinct().write.mode("overwrite").parquet(stage)
-        while True:
-            n = len(_glob.glob(os.path.join(d, "d*")))
-            out = os.path.join(d, f"d{n}")
-            try:
-                os.rename(stage, out)
-                break
-            except OSError:
-                if not os.path.isdir(out):
-                    shutil.rmtree(stage, ignore_errors=True)
-                    raise
-                continue
-        return {"tombstone_delta": n, "ids": spark.read.parquet(out).count()}
+        drops them physically. Delta allocation is atomic (the shared
+        protocol, streaming/tombstones.py) — two concurrent online
+        deletes land in distinct slots."""
+        return allocate_tombstone_delta(spark, self._tombstone_dir(), ids)
 
     # --- read side -----------------------------------------------------
 
@@ -222,31 +179,12 @@ class IncrementalNswIndex:
                 "part",
                 F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)).cast("int"),
             ).repartition(n_shards, "part")
-
-            def build(batches):
-                pdfs = list(batches)
-                if not pdfs:
-                    return
-                pdf = pd.concat(pdfs, ignore_index=True)
-                for part, grp in pdf.groupby("part"):
-                    ids = grp["vec_id"].to_numpy()
-                    vs = np.stack(grp["vec"].to_numpy()).astype(np.float64)
-                    nbrs = _build_shard(ids, vs, m, ef_c)
-                    yield pd.DataFrame(
-                        {
-                            # seg -1 = "the merged segment": batch ids
-                            # are ≥ 0 so it can never collide with a
-                            # live segment, and successive compactions
-                            # re-merge it into one graph per shard
-                            "seg": -1,
-                            "part": int(part),
-                            "vec_id": ids,
-                            "vec": list(vs),
-                            "nbrs": [ids[nb] for nb in nbrs],
-                        }
-                    )
-
-            return routed.mapInPandas(build, _SEG_SCHEMA)
+            # seg -1 = "the merged segment": batch ids are ≥ 0 so it
+            # can never collide with a live segment, and successive
+            # compactions re-merge it into one graph per shard
+            return routed.mapInPandas(
+                make_shard_builder(m, ef_c, seg=-1), _SEG_SCHEMA
+            )
 
         return compact_batched_dir(spark, self.seg_dir, transform=rebuild, min_batches=2)
 

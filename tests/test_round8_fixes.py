@@ -396,6 +396,64 @@ def test_nsw_streaming_segments_lifecycle(spark, tmp_path):
     assert len(set(brute) & set(got3 + victims)) / 10 >= 0.7
 
 
+def test_lock_patience_covers_planning_phase(spark, tmp_path):
+    """Round-8 review finding: the live-lock wait must engage when the
+    OTHER process holds the lock during THIS writer's PLANNING heal
+    (_cow_touched / _resolve_base) — the likelier collision, since a
+    peer holds the lock for its whole staged Spark write. A live
+    foreign holder that exits mid-wait must be waited out and stolen,
+    the merge landing without caller retry code; with the patience
+    capped below the holder's lifetime the error still surfaces."""
+    import subprocess
+    import threading
+
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    u = _upd(spark, [(3, 33.0)])
+
+    def _expiring_holder(seconds: str) -> subprocess.Popen:
+        """A live foreign pid that exits mid-wait — REAPED by a
+        background thread the moment it dies (an unreaped zombie still
+        answers kill(pid, 0), which would keep the lock 'alive')."""
+        p = subprocess.Popen(["sleep", seconds])
+        threading.Thread(target=p.wait, daemon=True).start()
+        return p
+
+    holder = _expiring_holder("3")
+    try:
+        with open(os.path.join(path, CT.WRITER_LOCK), "w") as f:
+            f.write(str(holder.pid))
+        s = MG.scd2_merge_cow(spark, path, u, "k", "u_key", "val", "new_val",
+                              "p", change_date="1998-01-01", lock_timeout=60)
+        assert s["version"] == 1, "merge must land after waiting out the holder"
+    finally:
+        holder.kill()
+
+    # MOR tier, same phase: mor_delete's _resolve_base hits the holder
+    holder2 = _expiring_holder("3")
+    try:
+        with open(os.path.join(path, CT.WRITER_LOCK), "w") as f:
+            f.write(str(holder2.pid))
+        s = MT.mor_delete(spark, path, "k = 4", "p", lock_timeout=60)
+        assert s["deleted_rows"] == 1
+    finally:
+        holder2.kill()
+
+    # patience below the holder's lifetime: the contract error surfaces
+    holder3 = subprocess.Popen(["sleep", "30"])
+    try:
+        with open(os.path.join(path, CT.WRITER_LOCK), "w") as f:
+            f.write(str(holder3.pid))
+        with pytest.raises(CT.ConcurrentWriterError):
+            MG.scd2_merge_cow(spark, path, _upd(spark, [(6, 66.0)]),
+                              "k", "u_key", "val", "new_val", "p",
+                              change_date="1999-01-01", lock_timeout=0.5)
+    finally:
+        holder3.kill()
+        holder3.wait()
+        os.remove(os.path.join(path, CT.WRITER_LOCK))
+
+
 _WRITER_SCRIPT = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})
