@@ -184,16 +184,25 @@ def main() -> None:
     }
     if errors:
         record["errors"] = errors
-    print(json.dumps(record))
-    # drop the persisted shingle/signature index tables and sweep
-    # localCheckpoint leftovers so nothing outlives the run (lifecycle
-    # hygiene; mirrored by the pytest session fixture)
+    # Cleanup FIRST, print LAST (round-9 verdict task #2: the unpersist
+    # sweep below emits "locally checkpointed" WARN lines; in round 8
+    # they landed AFTER the JSON and pushed it out of the driver's tail
+    # capture, leaving BENCH_r08.json unparseable). Order here guarantees
+    # the headline JSON is the final output line; the sidecar file makes
+    # the artifact recoverable even if stdout is truncated entirely.
     from labs_stream_processing_examples_scala_spark import release_persisted_rdds
     from labs_stream_processing_examples_scala_spark.operators import dedup as _dedup
 
     _dedup.invalidate_cache()
     release_persisted_rdds(spark)
     spark.stop()
+    line = json.dumps(record)
+    try:
+        (Path(__file__).resolve().parent / "BENCH_LAST.json").write_text(line + "\n")
+    except OSError:
+        pass  # sidecar is best-effort; stdout line is the contract
+    sys.stderr.flush()
+    print(line, flush=True)
     if errors:
         sys.exit(1)
 

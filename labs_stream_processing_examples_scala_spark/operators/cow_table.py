@@ -116,7 +116,12 @@ def _proc_lock(path: str) -> _threading.RLock:
 
 
 import contextlib as _contextlib
-import fcntl as _fcntl
+
+try:  # POSIX-only; imported lazily-guarded so read paths (which never
+    # take the writer lock) work on platforms without fcntl
+    import fcntl as _fcntl
+except ImportError:  # pragma: no cover — non-POSIX
+    _fcntl = None
 
 
 @_contextlib.contextmanager
@@ -130,6 +135,11 @@ def _steal_guard(lock_path: str):
     previously both remove-and-create, the second remove deleting the
     first's FRESH lock and putting two live writers inside the commit
     section."""
+    if _fcntl is None:  # pragma: no cover — non-POSIX fallback: the
+        # O_EXCL pid lockfile below still serializes writers; only the
+        # dead-holder steal loses its cross-process atomicity guard
+        yield
+        return
     fd = os.open(lock_path + ".guard", os.O_CREAT | os.O_RDWR, 0o644)
     try:
         _fcntl.flock(fd, _fcntl.LOCK_EX)

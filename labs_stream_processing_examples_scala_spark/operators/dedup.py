@@ -113,6 +113,14 @@ def invalidate_cache(sf_dir: str | None = None) -> None:
     for key in list(_sim._SIG_CACHE):
         if sf_dir is None or key[1] == sf_dir:
             _sim._SIG_CACHE.pop(key).unpersist()
+    for key in list(_sim._PROBE_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            _sim._PROBE_CACHE.pop(key).unpersist()
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as _gann
+
+    for key in list(_gann._GRAPH_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            _gann._GRAPH_CACHE.pop(key).unpersist()
     from labs_stream_processing_examples_scala_spark.operators import bpe as _bpe
 
     for key in list(_bpe._MERGE_CACHE):

@@ -585,6 +585,20 @@ def _make_probe_expansion_udf(n_tables: int, bits: int, n_probes: int):
 # sides (the base side is the pos % n_probes == 0 slice of the same
 # materialization).
 _PROBE_CACHE: dict[tuple[str, str, int, int, int], DataFrame] = {}
+_PROBE_CACHE_MAX = 4  # round-9 ADVICE: each entry persists the full
+# 64-double vectors + expanded bucket arrays; a long session sweeping
+# corpora/params must not accumulate unbounded executor storage
+
+
+def _cache_put_bounded(cache: dict, key, df: DataFrame, max_entries: int) -> None:
+    """Insert with LRU eviction: dicts iterate in insertion order, so
+    the first key is the oldest; evicted entries are unpersisted so the
+    executor storage is actually released (complements the explicit
+    dedup.invalidate_cache sweep)."""
+    while len(cache) >= max_entries:
+        oldest = next(iter(cache))
+        cache.pop(oldest).unpersist()
+    cache[key] = df
 
 
 def _probe_expanded(
@@ -598,7 +612,7 @@ def _probe_expanded(
     )
     expand = _make_probe_expansion_udf(n_tables, bits, n_probes)
     out = e.withColumn("pbs", expand("vec")).persist()
-    _PROBE_CACHE[key] = out
+    _cache_put_bounded(_PROBE_CACHE, key, out, _PROBE_CACHE_MAX)
     return out
 
 
@@ -631,6 +645,14 @@ def lsh_neardup_pairs(
     (table, bucket)-partitioned index table; the expansion multiplies
     the probe side's key count, never the scanned corpus.
     """
+    # n_probes - 1 perturbation buckets are drawn from the 2^bits - 1
+    # non-empty flip subsets; past that argpartition would raise an
+    # opaque executor-side numpy error, so validate at the entry point
+    if n_probes > (1 << bits):
+        raise ValueError(
+            f"n_probes={n_probes} exceeds the 2**bits={1 << bits} distinct "
+            f"buckets reachable per table at bits={bits}"
+        )
     # Cost shape (A/B-measured at sf0.1): candidates are DEDUPED as bare
     # (id, id) pairs BEFORE the exact verify — a pair colliding in many
     # (table, probe) slots must pay the 64-dim cosine fold once, not

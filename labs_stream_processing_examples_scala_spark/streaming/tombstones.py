@@ -39,8 +39,16 @@ def allocate_tombstone_delta(spark: SparkSession, tombstone_dir: str, ids) -> di
         tombstone_dir, f"_stage_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
     )
     df.select("vec_id").distinct().write.mode("overwrite").parquet(stage)
+    # next slot = max(existing)+1, NOT the glob count: if a delta dir is
+    # ever removed out-of-band (d0,d2 exist → count 2 collides with d2
+    # forever), the count-based loop would spin without advancing
     while True:
-        n = len(_glob.glob(os.path.join(tombstone_dir, "d*")))
+        existing = [
+            int(os.path.basename(p)[1:])
+            for p in _glob.glob(os.path.join(tombstone_dir, "d*"))
+            if os.path.basename(p)[1:].isdigit()
+        ]
+        n = max(existing) + 1 if existing else 0
         out = os.path.join(tombstone_dir, f"d{n}")
         try:
             os.rename(stage, out)
@@ -49,7 +57,7 @@ def allocate_tombstone_delta(spark: SparkSession, tombstone_dir: str, ids) -> di
             if not os.path.isdir(out):
                 shutil.rmtree(stage, ignore_errors=True)
                 raise
-            continue  # slot taken by a concurrent delete; next n
+            continue  # slot taken by a concurrent delete; re-scan
     return {"tombstone_delta": n, "ids": spark.read.parquet(out).count()}
 
 

@@ -74,14 +74,17 @@ def main() -> int:
     }
     if errors:
         record["errors"] = errors
+    # stop Spark BEFORE the JSON print so unpersist/stop WARN lines can't
+    # land after the headline line (round-9 verdict task #2)
+    spark.stop()
     line = json.dumps(record)
-    print(line)
     if out_path:
         Path(out_path).write_text(line + "\n")
     print("slowest 15:", file=sys.stderr)
     for k, v in sorted(timings.items(), key=lambda x: -x[1])[:15]:
         print(f"  {v:8.2f}  {k}", file=sys.stderr)
-    spark.stop()
+    sys.stderr.flush()
+    print(line, flush=True)
     return 1 if errors else 0
 
 

@@ -141,8 +141,10 @@ def main() -> None:
     }
     if errors:
         record["errors"] = errors
-    print(json.dumps(record))
+    # stop BEFORE printing — keeps the JSON the final stdout line even
+    # when stop emits WARNs (round-9 verdict task #2)
     spark.stop()
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
