@@ -43,21 +43,52 @@ N_SHARDS = 8
 M_LINKS = 8
 EF_CONSTRUCTION = 32
 EF_SEARCH = 48
+N_SEEDS = 4
+# per-shard row target for auto-sharding: bounds the O(n²·d) blocked
+# build at ~8k²·64 ≈ 4 GFLOP/shard (sub-second BLAS) and keeps TOTAL
+# build work linear in corpus size — sf10's 3M vectors become ~366
+# shards instead of 8 shards of 375k rows each
+SHARD_TARGET_ROWS = 8192
+
+
+def _auto_shards(n_rows: int) -> int:
+    return max(N_SHARDS, -(-n_rows // SHARD_TARGET_ROWS))
 
 _GRAPH_SCHEMA = (
     "part int, vec_id long, vec array<double>, nbrs array<long>"
 )
 
 # one materialized graph per (session, sf_dir, params) — probe reads the
-# build exactly once, the same cache contract as similarity._SIG_CACHE
+# build exactly once, the same cache contract as similarity._SIG_CACHE.
+# Bounded (round-9 ADVICE): graphs carry full vectors + adjacency, so a
+# parameter sweep must evict-and-unpersist, not accumulate.
 _GRAPH_CACHE: dict[tuple, DataFrame] = {}
+_GRAPH_CACHE_MAX = 4
 
 
-def _cosine_matrix(q: np.ndarray, mat: np.ndarray) -> np.ndarray:
-    qn = q / (np.linalg.norm(q) or 1.0)
-    norms = np.linalg.norm(mat, axis=1)
+def _normalize_rows(vecs: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0] = 1.0
-    return (mat @ qn) / norms
+    return vecs / norms[:, None]
+
+
+def _select_entries(vn: np.ndarray, qn: np.ndarray, n_seeds: int) -> list[int]:
+    """Multi-seed entry selection (round-9 verdict task #5): greedy
+    search from a FIXED entry is the local-minimum risk the HNSW
+    hierarchy exists to fix; instead of an upper layer, score the query
+    against a deterministic stride sample of the shard (one matvec —
+    the same role as HNSW's sparse top layer) and start the search from
+    the ``n_seeds`` best sampled points. ``n_seeds <= 1`` keeps the
+    round-8 fixed-``entry=0`` form as the dominance baseline."""
+    n = len(vn)
+    if n_seeds <= 1 or n <= n_seeds:
+        return [0]
+    sample_size = min(n, max(64, 4 * int(np.sqrt(n))))
+    stride = max(1, n // sample_size)
+    sample = np.arange(0, n, stride)
+    sims = vn[sample] @ qn
+    top = np.argsort(-sims)[:n_seeds]
+    return [int(sample[i]) for i in top]
 
 
 def _greedy_search(
@@ -65,36 +96,45 @@ def _greedy_search(
     nbrs: list[np.ndarray],
     q: np.ndarray,
     ef: int,
-    entry: int,
+    entry: int | list[int],
 ) -> list[tuple[float, int]]:
     """Best-first beam search over one shard's graph (the NSW search):
     maintain a candidate heap and an ef-sized result set; stop when the
-    best open candidate is worse than the worst kept result. Returns
-    [(cos_sim, local_idx)] of the ef best visited, descending."""
+    best open candidate is worse than the worst kept result. ``entry``
+    may be a single local index or a list of seeds (multi-seed search
+    shares one visited set and one beam). Neighbour similarities are
+    computed one BATCHED matvec per expanded node, never per edge in
+    Python. Returns [(cos_sim, local_idx)] of the ef best visited,
+    descending."""
     import heapq
 
     qn = q / (np.linalg.norm(q) or 1.0)
-
-    def sim(i: int) -> float:
-        v = vecs[i]
-        n = np.linalg.norm(v) or 1.0
-        return float(v @ qn / n)
-
-    visited = {entry}
-    s0 = sim(entry)
+    vn = _normalize_rows(np.asarray(vecs, dtype=np.float64))
+    entries = (
+        [int(entry)]
+        if isinstance(entry, (int, np.integer))
+        else [int(x) for x in entry]
+    )
+    visited = set(entries)
+    sims0 = vn[entries] @ qn
     # candidates: max-heap by sim (python heapq is min → negate)
-    cand = [(-s0, entry)]
-    kept = [(s0, entry)]  # min-heap by sim: kept[0] is the worst kept
+    cand = [(-float(s), i) for s, i in zip(sims0, entries)]
+    heapq.heapify(cand)
+    kept = [(float(s), i) for s, i in zip(sims0, entries)]
+    heapq.heapify(kept)  # min-heap by sim: kept[0] is the worst kept
+    while len(kept) > ef:
+        heapq.heappop(kept)
     while cand:
         negs, u = heapq.heappop(cand)
         if -negs < kept[0][0] and len(kept) >= ef:
             break  # best open candidate can't improve the result set
-        for v in nbrs[u]:
-            v = int(v)
-            if v in visited:
-                continue
-            visited.add(v)
-            sv = sim(v)
+        new = [int(v) for v in nbrs[u] if int(v) not in visited]
+        if not new:
+            continue
+        visited.update(new)
+        svs = vn[new] @ qn
+        for v, sv in zip(new, svs):
+            sv = float(sv)
             if len(kept) < ef or sv > kept[0][0]:
                 heapq.heappush(cand, (-sv, v))
                 heapq.heappush(kept, (sv, v))
@@ -103,31 +143,55 @@ def _greedy_search(
     return sorted(kept, reverse=True)
 
 
+_BUILD_BLOCK = 512
+
+
 def _build_shard(
     ids: np.ndarray, vecs: np.ndarray, m: int, ef_c: int
 ) -> list[np.ndarray]:
-    """NSW construction: insert points one by one, linking each to its
-    m nearest among the already-inserted (found by graph search, not
-    exhaustively), bidirectionally; neighbour lists are pruned back to
-    m by similarity. O(n · ef_c · d) per shard."""
+    """NSW construction, BLOCK-BATCHED (round-9 verdict task #1: the
+    round-8 build was a per-insert pure-Python greedy-search loop —
+    hours of interpreter time at sf10 shard sizes). Each point still
+    links to its m nearest among the already-inserted points — but
+    found EXACTLY, by one (block × prefix) matmul per block instead of
+    a Python graph search per insert. Exact-prefix links are what the
+    greedy insertion converges to as ef_construction → ∞, so graph
+    quality can only improve; ``ef_c`` is retained in the signature
+    (cache keys, streaming callers) but no longer bounds build quality.
+
+    Reverse edges are kept up to 2m before a similarity prune (the
+    HNSW layer-0 convention: forward m, degree cap 2m) — pruning
+    reverse lists all the way to m measurably strands late dense
+    regions. O(n² · d / 2) BLAS flops per shard; per-shard n is bounded
+    by the caller scaling ``n_shards`` with the corpus
+    (:func:`_auto_shards`), which keeps total build work LINEAR in
+    corpus size at a fixed shard target."""
     n = len(ids)
     nbrs: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n)]
-    if n == 0:
+    if n <= 1:
         return nbrs
-    sims_to = lambda i, js: _cosine_matrix(vecs[i], vecs[js])  # noqa: E731
-
-    for i in range(1, n):
-        found = _greedy_search(vecs[:i], nbrs[:i], vecs[i], ef_c, entry=0)
-        links = np.array([j for _, j in found[:m]], dtype=np.int64)
-        nbrs[i] = links
-        for j in links:
-            j = int(j)
-            merged = np.append(nbrs[j], i)
-            if len(merged) > m:
-                # prune back to the m most similar to j
-                order = np.argsort(-sims_to(j, merged))
-                merged = merged[order[:m]]
-            nbrs[j] = merged
+    vn = _normalize_rows(np.asarray(vecs, dtype=np.float64))
+    mmax = 2 * m
+    for s in range(1, n, _BUILD_BLOCK):
+        e = min(s + _BUILD_BLOCK, n)
+        sims_block = vn[s:e] @ vn[:e].T  # ONE matmul per block
+        for r in range(e - s):
+            i = s + r
+            row = sims_block[r, :i]  # only earlier points are linkable
+            if i <= m:
+                links = np.argsort(-row).astype(np.int64)
+            else:
+                idx = np.argpartition(-row, m - 1)[:m]
+                links = idx[np.argsort(-row[idx])].astype(np.int64)
+            nbrs[i] = links
+            for j in links:
+                j = int(j)
+                merged = np.append(nbrs[j], i)
+                if len(merged) > mmax:
+                    # prune back to the 2m most similar to j
+                    order = np.argsort(-(vn[merged] @ vn[j]))
+                    merged = merged[order[:mmax]]
+                nbrs[j] = merged
     return nbrs
 
 
@@ -164,14 +228,18 @@ def make_shard_builder(m: int, ef_construction: int, seg: int | None = None):
 def nsw_build(
     spark: SparkSession,
     sf_dir: str,
-    n_shards: int = N_SHARDS,
+    n_shards: int | None = None,
     m: int = M_LINKS,
     ef_construction: int = EF_CONSTRUCTION,
 ) -> DataFrame:
     """The sharded graph table (part, vec_id, vec, nbrs) — one
     independent NSW graph per hash shard, built executor-side. The
     repartition is the family's only shuffle; the build never leaves
-    the executor that owns the shard."""
+    the executor that owns the shard. ``n_shards=None`` (default)
+    scales the shard count with the corpus (:func:`_auto_shards`) so
+    per-shard build work stays bounded at any scale factor."""
+    if n_shards is None:
+        n_shards = _auto_shards(load_table(spark, sf_dir, "embeddings").count())
     key = (spark.sparkContext.applicationId, sf_dir, n_shards, m, ef_construction)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
@@ -188,7 +256,11 @@ def nsw_build(
     out = e.mapInPandas(
         make_shard_builder(m, ef_construction), _GRAPH_SCHEMA
     ).persist()
-    _GRAPH_CACHE[key] = out
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _cache_put_bounded,
+    )
+
+    _cache_put_bounded(_GRAPH_CACHE, key, out, _GRAPH_CACHE_MAX)
     return out
 
 
@@ -198,20 +270,24 @@ def nsw_topk(
     query_id: int = 0,
     k: int = 10,
     ef_search: int = EF_SEARCH,
-    n_shards: int = N_SHARDS,
+    n_shards: int | None = None,
+    n_seeds: int = N_SEEDS,
 ) -> DataFrame:
     """Graph-probe top-k: one greedy search per shard over the
     materialized graph (mapInPandas — zero shuffles past the cached
     build), global TakeOrdered merge of the P·ef candidates. Exact
     scoring on visited vectors, so precision of returned similarities
     is exact; recall is bounded by the graph search (floor pinned in
-    tools/check_oracle.py)."""
+    tools/check_oracle.py). ``n_seeds`` controls multi-seed entry
+    selection (:func:`_select_entries`); ``n_seeds=1`` is the round-8
+    fixed-entry form kept as the dominance baseline."""
     from labs_stream_processing_examples_scala_spark.operators.similarity import (
         _query_embedding,
     )
 
     qvec = np.asarray(_query_embedding(spark, sf_dir, query_id), dtype=np.float64)
     g = nsw_build(spark, sf_dir, n_shards=n_shards)
+    qn = qvec / (np.linalg.norm(qvec) or 1.0)
 
     def probe(batches):
         pdfs = [b for b in batches]
@@ -228,7 +304,8 @@ def nsw_topk(
                 np.array([pos[int(x)] for x in nb if int(x) in pos], dtype=np.int64)
                 for nb in grp["nbrs"]
             ]
-            found = _greedy_search(vecs, nbrs, qvec, ef_search, entry=0)
+            entries = _select_entries(_normalize_rows(vecs), qn, n_seeds)
+            found = _greedy_search(vecs, nbrs, qvec, ef_search, entry=entries)
             rows = [
                 (int(ids[i]), round(s, 6))
                 for s, i in found

@@ -46,8 +46,12 @@ from labs_stream_processing_examples_scala_spark.operators.graph_ann import (
     EF_CONSTRUCTION,
     EF_SEARCH,
     M_LINKS,
+    N_SEEDS,
     N_SHARDS,
+    _auto_shards,
     _greedy_search,
+    _normalize_rows,
+    _select_entries,
     make_shard_builder,
 )
 from labs_stream_processing_examples_scala_spark.streaming.compaction import (
@@ -126,13 +130,16 @@ class IncrementalNswIndex:
         query_id: int = -1,
         k: int = 10,
         ef_search: int = EF_SEARCH,
+        n_seeds: int = N_SEEDS,
     ) -> DataFrame:
         """Top-k over every (segment, shard) graph: one greedy search
         per group (``applyInPandas`` — the grouping shuffle guarantees
         each search sees its WHOLE graph regardless of file-split
         layout), tombstones filtered from the RESULTS (waypoints until
-        merged away), global TakeOrdered merge."""
+        merged away), global TakeOrdered merge. Multi-seed entry per
+        graph, same contract as the batch probe (round-9 task #5)."""
         q = np.asarray(qvec, dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
 
         def search(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.reset_index(drop=True)
@@ -143,7 +150,8 @@ class IncrementalNswIndex:
                 np.array([pos[int(x)] for x in nb if int(x) in pos], dtype=np.int64)
                 for nb in pdf["nbrs"]
             ]
-            found = _greedy_search(vecs, nbrs, q, ef_search, entry=0)
+            entries = _select_entries(_normalize_rows(vecs), qn, n_seeds)
+            found = _greedy_search(vecs, nbrs, q, ef_search, entry=entries)
             rows = [
                 (int(ids[i]), round(s, 6)) for s, i in found if ids[i] != query_id
             ]
@@ -168,13 +176,19 @@ class IncrementalNswIndex:
         shard), dropping tombstoned vectors physically. The newest
         batch stays out (replay contract, streaming/compaction.py);
         its tombstone filtering continues at search."""
-        n_shards, m, ef_c = self.n_shards, self.m, self.ef_construction
+        m, ef_c = self.m, self.ef_construction
         tomb = self._tombstones(spark)
+        base_shards = self.n_shards
 
         def rebuild(df: DataFrame) -> DataFrame:
             vecs = df.select("vec_id", "vec").dropDuplicates(["vec_id"])
             if tomb is not None:
                 vecs = vecs.join(tomb, "vec_id", "left_anti")
+            # the merged segment accumulates the whole history — scale
+            # its shard count with the surviving row count so the
+            # per-shard blocked rebuild stays bounded (round-9 task #1;
+            # live per-batch segments keep the configured fixed count)
+            n_shards = max(base_shards, _auto_shards(vecs.count()))
             routed = vecs.withColumn(
                 "part",
                 F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)).cast("int"),

@@ -280,17 +280,20 @@ def test_nsw_graph_ann_recall_and_structure(spark):
     for r in g:
         shard_members.setdefault(r.part, set()).add(r.vec_id)
     for r in g:
-        assert len(r.nbrs) <= GA.M_LINKS, f"degree {len(r.nbrs)} > M at {r.vec_id}"
+        # round 9: blocked build keeps forward links ≤ m and reverse
+        # merges up to the HNSW layer-0 degree cap of 2m
+        assert len(r.nbrs) <= 2 * GA.M_LINKS, f"degree {len(r.nbrs)} > 2M at {r.vec_id}"
         assert set(r.nbrs) <= shard_members[r.part], "edge crossed a shard"
         assert r.vec_id not in set(r.nbrs), "self-loop"
     # connectivity floor: all but the first-inserted node have ≥1 edge
+    n_shards = len(shard_members)
     isolated = [r.vec_id for r in g if len(r.nbrs) == 0]
-    assert len(isolated) <= GA.N_SHARDS, f"too many isolated nodes: {isolated[:10]}"
+    assert len(isolated) <= n_shards, f"too many isolated nodes: {isolated[:10]}"
 
     brute = [r.vec_id for r in SIM.brute_force_topk(spark, SF_SMOKE, k=10).collect()]
     got = [(r.vec_id, r.cos_sim) for r in GA.nsw_topk(spark, SF_SMOKE, k=10).collect()]
     recall = len(set(brute) & {v for v, _ in got}) / 10
-    assert recall >= 0.7, f"NSW recall {recall} below floor"
+    assert recall >= 0.85, f"NSW recall {recall} below floor"
     assert by_id  # silence linters; structure assertions above
     again = [(r.vec_id, r.cos_sim) for r in GA.nsw_topk(spark, SF_SMOKE, k=10).collect()]
     assert again == got, "probe over the cached graph must be deterministic"
@@ -348,7 +351,7 @@ def test_nsw_streaming_segments_lifecycle(spark, tmp_path):
     assert proc.segments(spark).count() == total
     got = [r.vec_id for r in proc.probe(spark, qvec, 0, 10).collect()]
     brute = [r.vec_id for r in brute_force_topk(spark, SF_SMOKE, k=10).collect()]
-    assert len(set(brute) & set(got)) / 10 >= 0.7
+    assert len(set(brute) & set(got)) / 10 >= 0.85
 
     # replay the last batch (what a restarted stream legally does —
     # the same input rows land in the same _batch_id dir, overwrite):
@@ -366,7 +369,7 @@ def test_nsw_streaming_segments_lifecycle(spark, tmp_path):
         r.vec_id for r in proc.segments(spark).filter("seg = 2").select("vec_id").collect()
     } == b2
     got_replay = [r.vec_id for r in proc.probe(spark, qvec, 0, 10).collect()]
-    assert len(set(brute) & set(got_replay)) / 10 >= 0.7
+    assert len(set(brute) & set(got_replay)) / 10 >= 0.85
     got = got_replay  # downstream assertions compare against live state
 
     # online delete: victims vanish from results, probe backfills
@@ -393,7 +396,7 @@ def test_nsw_streaming_segments_lifecycle(spark, tmp_path):
     assert -1 in segs and len(segs) == 2, f"expected merged + newest, got {segs}"
     got3 = [r.vec_id for r in proc.probe(spark, qvec, 0, 10).collect()]
     assert not (set(victims) & set(got3))
-    assert len(set(brute) & set(got3 + victims)) / 10 >= 0.7
+    assert len(set(brute) & set(got3 + victims)) / 10 >= 0.85
 
 
 def test_lock_patience_covers_planning_phase(spark, tmp_path):

@@ -1,0 +1,204 @@
+"""Round-9 fixes, each with the failure it closes.
+
+1. NSW tier hardening (verdict round-8 tasks #1 and #5): the shard
+   build is BLOCK-BATCHED (one matmul per block instead of a
+   per-insert pure-Python graph search — bounded interpreter time at
+   sf10 shard sizes) and the probe uses MULTI-SEED entry selection
+   (fixed entry=0 greedy search stalls in a local cluster — measured
+   recall ~0.0 on clustered data vs 0.97+ multi-seed). Floor raised
+   0.70 → 0.85, dominance-tested against the single-seed form (the
+   multiprobe-LSH precedent from round 8).
+2. Tombstone delta slots allocate as max(existing)+1 (ADVICE r8: a
+   gap left by an out-of-band removal made the count-based allocator
+   collide with an existing dir forever).
+3. lsh_neardup_pairs validates n_probes against the 2^bits bucket
+   count at the entry point (ADVICE r8: argpartition raised an opaque
+   executor-side numpy error past it).
+4. _PROBE_CACHE / _GRAPH_CACHE are LRU-bounded with unpersist on
+   eviction (ADVICE r8: a parameter sweep accumulated unbounded
+   executor storage).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+# --- 1. NSW blocked build + multi-seed probe -------------------------
+
+
+def _clustered(n: int, n_clusters: int = 50, dim: int = 64, seed: int = 0):
+    """Adversarial-for-greedy-search data: tight gaussian clusters, so
+    a search seeded in the wrong cluster has no gradient toward the
+    right one. Deterministic."""
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, dim))
+    labels = rng.integers(0, n_clusters, n)
+    return cents, cents[labels] + 0.15 * rng.normal(size=(n, dim))
+
+
+def test_nsw_blocked_build_matches_unblocked_reference():
+    """The blocked build must be EXACTLY the per-insert algorithm it
+    batches (insert point i with links = exact top-m among the prefix,
+    bidirectional merge, prune overflowing lists to the 2m most
+    similar) — verified adjacency-list-identical against an unblocked
+    pure-Python third-engine reference. The block boundary is the risk
+    (a row mid-block must see its OWN block's earlier rows), so 300
+    rows spans blocks only if _BUILD_BLOCK < 300; also run a size that
+    straddles a boundary exactly."""
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+
+    m = GA.M_LINKS
+
+    def reference(vecs):
+        vn = GA._normalize_rows(vecs)
+        n = len(vecs)
+        nbrs = [np.empty(0, dtype=np.int64) for _ in range(n)]
+        for i in range(1, n):
+            sims = vn[:i] @ vn[i]
+            order = np.argsort(-sims)
+            links = order[: min(m, i)].astype(np.int64)
+            # match the blocked build's argpartition-then-sort order
+            nbrs[i] = links
+            for j in links:
+                j = int(j)
+                merged = np.append(nbrs[j], i)
+                if len(merged) > 2 * m:
+                    keep = np.argsort(-(vn[merged] @ vn[j]))
+                    merged = merged[keep[: 2 * m]]
+                nbrs[j] = merged
+        return nbrs
+
+    for n in (300, GA._BUILD_BLOCK + 7):
+        _, vecs = _clustered(n, seed=1)
+        got = GA._build_shard(np.arange(n), vecs, m, GA.EF_CONSTRUCTION)
+        want = reference(vecs)
+        for i in range(n):
+            assert list(got[i]) == list(want[i]), (
+                f"n={n} node {i}: {list(got[i])} != {list(want[i])}"
+            )
+            assert len(got[i]) <= 2 * m
+
+
+def test_nsw_multi_seed_dominates_single_seed_on_clustered_data():
+    """The round-9 probe upgrade must DOMINATE the round-8 fixed-entry
+    form where it matters: clustered data, where entry=0 greedy search
+    stalls in whatever cluster node 0 belongs to. Multi-seed recall
+    must clear the new 0.85 registry floor AND be >= the single-seed
+    recall on every query (never worse, strictly better overall)."""
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+
+    cents, vecs = _clustered(4096, seed=2)
+    ids = np.arange(len(vecs))
+    nbrs = GA._build_shard(ids, vecs, GA.M_LINKS, GA.EF_CONSTRUCTION)
+    vn = GA._normalize_rows(vecs)
+    rng = np.random.default_rng(3)
+    rec_multi, rec_single = [], []
+    for qi in range(20):
+        q = cents[qi % len(cents)] + 0.15 * rng.normal(size=64)
+        qn = q / np.linalg.norm(q)
+        exact = set(np.argsort(-(vn @ qn))[:10].tolist())
+        seeds = GA._select_entries(vn, qn, GA.N_SEEDS)
+        multi = {i for _, i in GA._greedy_search(vecs, nbrs, q, GA.EF_SEARCH, seeds)[:10]}
+        single = {i for _, i in GA._greedy_search(vecs, nbrs, q, GA.EF_SEARCH, 0)[:10]}
+        rec_multi.append(len(exact & multi) / 10)
+        rec_single.append(len(exact & single) / 10)
+    assert np.mean(rec_multi) >= 0.85, f"multi-seed recall {np.mean(rec_multi)}"
+    assert np.mean(rec_multi) > np.mean(rec_single), (
+        f"multi {np.mean(rec_multi)} must beat single {np.mean(rec_single)} "
+        "on clustered data"
+    )
+    assert all(m >= s for m, s in zip(rec_multi, rec_single)), (
+        "multi-seed must never lose to single-seed on any query"
+    )
+
+
+def test_nsw_auto_shards_bounds_per_shard_rows():
+    """_auto_shards keeps per-shard work bounded: the shard count
+    scales so n/shards <= SHARD_TARGET_ROWS, with the round-8 minimum
+    kept for small corpora (probe parallelism)."""
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+
+    assert GA._auto_shards(500) == GA.N_SHARDS
+    assert GA._auto_shards(GA.SHARD_TARGET_ROWS * GA.N_SHARDS) == GA.N_SHARDS
+    for n in (100_000, 3_000_000):
+        p = GA._auto_shards(n)
+        assert -(-n // p) <= GA.SHARD_TARGET_ROWS, f"{n} rows / {p} shards"
+
+
+def test_nsw_build_uses_auto_shards_from_corpus(spark):
+    """nsw_build with the default n_shards=None derives the shard count
+    from the corpus row count (and the fixture is small enough that it
+    equals the minimum)."""
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+
+    g = GA.nsw_build(spark, SF_SMOKE)
+    parts = {r.part for r in g.select("part").distinct().collect()}
+    assert parts <= set(range(GA.N_SHARDS))
+
+
+# --- 2. tombstone slot allocation survives gaps ----------------------
+
+
+def test_tombstone_slot_allocation_skips_gaps(spark, tmp_path):
+    """d0 and d2 exist (d1 removed out-of-band): the next delta must
+    land in d3 — max+1 — not spin on the count-collision d2."""
+    from labs_stream_processing_examples_scala_spark.streaming.tombstones import (
+        allocate_tombstone_delta,
+        read_tombstones,
+    )
+
+    tdir = str(tmp_path / "tombs")
+    allocate_tombstone_delta(spark, tdir, [1])  # d0
+    allocate_tombstone_delta(spark, tdir, [2])  # d1
+    allocate_tombstone_delta(spark, tdir, [3])  # d2
+    import shutil
+
+    shutil.rmtree(os.path.join(tdir, "d1"))  # the out-of-band gap
+    got = allocate_tombstone_delta(spark, tdir, [4])
+    assert got["tombstone_delta"] == 3
+    ids = {r.vec_id for r in read_tombstones(spark, tdir).collect()}
+    assert ids == {1, 3, 4}
+
+
+# --- 3. n_probes validation ------------------------------------------
+
+
+def test_lsh_neardup_n_probes_validated_at_entry():
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="n_probes"):
+        lsh_neardup_pairs(None, "unused", bits=6, n_probes=65)
+
+
+# --- 4. bounded probe/graph caches ------------------------------------
+
+
+def test_probe_cache_lru_evicts_and_unpersists(spark):
+    """Sweeping more parameter settings than the cap must evict the
+    oldest entry and unpersist it (executor storage actually released,
+    not just dereferenced)."""
+    from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
+
+    SIM._PROBE_CACHE.clear()
+    dfs = []
+    for i in range(SIM._PROBE_CACHE_MAX + 2):
+        df = SIM._probe_expanded(spark, SF_SMOKE, n_tables=2, bits=4, n_probes=2 + i)
+        dfs.append(df)
+    assert len(SIM._PROBE_CACHE) == SIM._PROBE_CACHE_MAX
+    # the first two entries were evicted AND unpersisted
+    for df in dfs[:2]:
+        assert df.storageLevel.useMemory is False and df.storageLevel.useDisk is False
+    # survivors stay persisted
+    assert dfs[-1].storageLevel.useMemory or dfs[-1].storageLevel.useDisk
+    from labs_stream_processing_examples_scala_spark.operators import dedup
+
+    dedup.invalidate_cache(SF_SMOKE)
+    assert not SIM._PROBE_CACHE, "invalidate_cache must cascade to _PROBE_CACHE"
