@@ -49,9 +49,16 @@ def _check_format(spark: SparkSession, fmt: str) -> None:
                 }[fmt]
             )
         except Exception as exc:
+            hint = (
+                " — for a broker-shaped source without the jar, use "
+                "format('fqueue') (sources/queue_source.py): segmented-log "
+                "publish/ACK/NACK-replay/DLQ with the same consumer contract"
+                if fmt == "kafka"
+                else ""
+            )
             raise NotImplementedError(
                 f"format '{fmt}' needs its connector jar on the classpath "
-                f"(not present in this build)"
+                f"(not present in this build){hint}"
             ) from exc
         return
     raise ValueError(f"unknown format '{fmt}'")

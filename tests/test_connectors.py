@@ -126,3 +126,218 @@ def test_streaming_sink_into_jdbc(spark, sample, tmp_path):
     assert q.exception() is None
     got = C.read_jdbc(spark, url, "sunk")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, sample.collect()))
+
+
+# --- fqueue: the broker-shaped queue source (round-9 verdict task #3) --
+# No broker client jar ships in this environment, so the RabbitMQ
+# contract the reference intends (README.md:7, build.sbt:20) is driven
+# end-to-end against the file-backed segmented-log source instead:
+# per-record ACK offsets, NACK replay, DLQ routing, group-ack retention.
+
+from labs_stream_processing_examples_scala_spark.sources import queue_source as Q  # noqa: E402
+
+
+def _drain(spark, qdir, ckpt, out, rows_per_batch=100, on_batch=None):
+    """One availableNow consumption run: fqueue -> parquet (or a custom
+    foreachBatch), returning the query after termination."""
+    Q.register(spark)
+    reader = (
+        spark.readStream.format("fqueue")
+        .option("path", qdir)
+        .option("rows_per_batch", rows_per_batch)
+        .load()
+    )
+    w = reader.writeStream.outputMode("append").option(
+        "checkpointLocation", ckpt
+    )
+    if on_batch is not None:
+        w = w.foreachBatch(on_batch)
+    else:
+        w = w.format("parquet").option("path", out)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    if q.exception() is None:
+        # the broker-side group ACK derives from the engine checkpoint
+        # (the documented Kafka pattern — Spark never commits group
+        # offsets to the broker itself)
+        Q.sync_group_offset(qdir, "default", ckpt)
+    return q
+
+
+def test_fqueue_batch_read_parallelizes_per_segment(spark, tmp_path):
+    qdir = str(tmp_path / "q")
+    Q.publish(qdir, [(f"k{i}", f"v{i}") for i in range(5)])
+    Q.publish(qdir, [(f"k{i}", f"v{i}") for i in range(5, 8)])
+    Q.register(spark)
+    df = spark.read.format("fqueue").option("path", qdir).load()
+    assert df.rdd.getNumPartitions() == 2, "one task per segment"
+    got = sorted((r.seg, r.pos, r.key, r.value) for r in df.collect())
+    assert got == [(0, i, f"k{i}", f"v{i}") for i in range(5)] + [
+        (1, i - 5, f"k{i}", f"v{i}") for i in range(5, 8)
+    ]
+
+
+def test_fqueue_stream_acks_and_never_reprocesses(spark, tmp_path):
+    """ACK direction (S3): a committed batch never reprocesses — a
+    second run over the same checkpoint adds nothing; a third run picks
+    up ONLY newly published segments. The broker-side group offset
+    tracks the engine's commits."""
+    qdir, ckpt, out = (str(tmp_path / p) for p in ("q", "ckpt", "out"))
+    Q.publish(qdir, [(str(i), f"m{i}") for i in range(10)])
+    q = _drain(spark, qdir, ckpt, out)
+    assert q.exception() is None
+    assert spark.read.parquet(out).count() == 10
+    off = Q.read_group_offset(qdir, "default")
+    assert (off["seg"], off["row"]) == (0, 10), f"group ACK not recorded: {off}"
+
+    _drain(spark, qdir, ckpt, out)  # same checkpoint, nothing new
+    assert spark.read.parquet(out).count() == 10
+
+    Q.publish(qdir, [(str(i), f"m{i}") for i in range(10, 14)])
+    _drain(spark, qdir, ckpt, out)
+    vals = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert vals == sorted(f"m{i}" for i in range(14)), "dup or loss across runs"
+
+
+def test_fqueue_nack_replay_after_sink_failure(spark, tmp_path):
+    """NACK direction: the sink dies before the batch commits → the
+    restarted query REDELIVERS the same span (readBetweenOffsets over
+    the immutable segments) and the idempotent sink keeps the output
+    exactly-once."""
+    from labs_stream_processing_examples_scala_spark.streaming.sinks import (
+        idempotent_write,
+        read_batched_output,
+    )
+
+    qdir, ckpt, out = (str(tmp_path / p) for p in ("q", "ckpt", "out"))
+    Q.publish(qdir, [(str(i), f"m{i}") for i in range(8)])
+    marker = tmp_path / "fail_once"
+    marker.write_text("arm")
+
+    def flaky(df, batch_id):
+        if marker.exists():
+            marker.unlink()
+            raise ValueError("sink crash before commit")
+        idempotent_write(df, out, batch_id)
+
+    with pytest.raises(Exception, match="sink crash"):
+        _drain(spark, qdir, ckpt, out, on_batch=flaky)
+
+    q2 = _drain(spark, qdir, ckpt, out, on_batch=flaky)  # marker gone
+    assert q2.exception() is None
+    got = sorted(r.value for r in read_batched_output(spark, out).collect())
+    assert got == sorted(f"m{i}" for i in range(8)), "redelivery lost or duped"
+
+
+def test_fqueue_poison_routed_to_dlq_query_survives(spark, tmp_path):
+    """DLQ contract (F3/K3/R5): poison lines decode as key=NULL
+    errors-as-data rows; the F2 split dead-letters them and the query
+    keeps running — the whole stream never fails."""
+    from labs_stream_processing_examples_scala_spark.streaming.sinks import (
+        main_and_dlq_sink,
+        read_batched_output,
+    )
+
+    qdir, ckpt = (str(tmp_path / p) for p in ("q", "ckpt"))
+    main, dlq = str(tmp_path / "main"), str(tmp_path / "dlq")
+    Q.publish(qdir, [(str(i), f"ok{i}") for i in range(6)])
+    Q.publish_poison(qdir, ['{"broken', "plain noise"])
+    Q.publish(qdir, [("9", "ok9")])
+
+    sink = main_and_dlq_sink(main, dlq)
+
+    def on_batch(df, batch_id):
+        classified = df.withColumn(
+            "err",
+            F.when(
+                F.col("key").isNull(),
+                F.struct(
+                    F.lit("MalformedMessage").alias("cls"),
+                    F.col("value").alias("msg"),
+                ),
+            ),
+        )
+        sink(classified, batch_id)
+
+    q = _drain(spark, qdir, ckpt, None, on_batch=on_batch)
+    assert q.exception() is None, f"poison killed the query: {q.exception()}"
+    ok = sorted(r.value for r in read_batched_output(spark, main).collect())
+    assert ok == sorted([f"ok{i}" for i in range(6)] + ["ok9"])
+    bad = sorted(r.err_msg for r in read_batched_output(spark, dlq).collect())
+    assert bad == sorted(['{"broken', "plain noise"])
+
+
+def test_fqueue_purge_acked_retention_and_continue(spark, tmp_path):
+    """Group-ACK-driven retention: once the consumer group acked past
+    them, fully-consumed segments are purgeable; consumption continues
+    correctly over the truncated log (offsets are absolute, so the
+    purge is invisible to the checkpoint)."""
+    qdir, ckpt, out = (str(tmp_path / p) for p in ("q", "ckpt", "out"))
+    Q.publish(qdir, [("a", "1")])
+    Q.publish(qdir, [("b", "2")])
+    _drain(spark, qdir, ckpt, out)
+    assert spark.read.parquet(out).count() == 2
+    purged = Q.purge_acked(qdir)
+    assert purged == [0], f"only fully-acked segments purge: {purged}"
+    Q.publish(qdir, [("c", "3")])
+    _drain(spark, qdir, ckpt, out)
+    vals = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert vals == ["1", "2", "3"]
+
+
+def test_fqueue_engine_to_broker_round_trip(spark, tmp_path):
+    """The producer half: a streaming query PUBLISHES its batches into
+    the queue (queue_sink), a second query consumes them back — the
+    engine->broker->engine hop preserves every record."""
+    from labs_stream_processing_examples_scala_spark.sources import tick_source
+
+    tick_source.register(spark)
+    qdir = str(tmp_path / "q")
+    src = (
+        spark.readStream.format("tick").option("ticks_per_batch", 20).load()
+        .select(F.col("id").cast("string").alias("key"), F.col("value"))
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_prod"))
+        .foreachBatch(Q.queue_sink(qdir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt_cons")
+    q2 = _drain(spark, qdir, ckpt, out)
+    assert q2.exception() is None
+    got = sorted(int(r.key) for r in spark.read.parquet(out).collect())
+    assert got == list(range(20))
+
+
+def test_fqueue_concurrent_producers_distinct_segments(tmp_path):
+    """Two producers racing must land in DISTINCT segments (the
+    stage+rename slot race) with no message lost."""
+    import threading
+
+    qdir = str(tmp_path / "q")
+    errs = []
+
+    def produce(tag):
+        try:
+            for i in range(5):
+                Q.publish(qdir, [(f"{tag}{i}", f"{tag}{i}")])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=produce, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    segs = Q._list_segments(qdir)
+    assert len(segs) == 10, f"a segment was clobbered: {segs}"
+    keys = []
+    for s in segs:
+        keys += [k for _, _, k, _ in Q._read_segment_rows(qdir, s)]
+    assert sorted(keys) == sorted([f"a{i}" for i in range(5)] + [f"b{i}" for i in range(5)])
