@@ -202,3 +202,237 @@ def test_probe_cache_lru_evicts_and_unpersists(spark):
 
     dedup.invalidate_cache(SF_SMOKE)
     assert not SIM._PROBE_CACHE, "invalidate_cache must cascade to _PROBE_CACHE"
+
+
+# --- 5. cross-process OCC with CONFLICTING footprints (verdict #4) ----
+
+import subprocess
+import sys
+import time
+
+import labs_stream_processing_examples_scala_spark.operators.cow_table as CT
+import labs_stream_processing_examples_scala_spark.operators.merge as MG
+import labs_stream_processing_examples_scala_spark.operators.mor_table as MT
+from pyspark.sql import functions as F
+
+
+def _init_table(spark, path, n=24, parts=("A", "B", "C")):
+    rows = [(k, parts[k % len(parts)], float(k)) for k in range(n)]
+    df = spark.createDataFrame(rows, "k long, p string, val double")
+    CT.cow_init(MG.scd2_init(df), path, "p")
+    return df
+
+
+def _upd(spark, pairs):
+    return spark.createDataFrame(pairs, "u_key long, new_val double")
+
+
+# The conflicting-footprint writer: plans against the CURRENT version,
+# waits on the barrier, then commits — and on CommitConflictError
+# RE-PLANS from the new live version (the path scd2_merge_cow automates)
+# so the conflict is OBSERVED and reported, not silently absorbed.
+_CONFLICT_SCRIPT = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from labs_stream_processing_examples_scala_spark import get_spark
+import labs_stream_processing_examples_scala_spark.operators.cow_table as CT
+import labs_stream_processing_examples_scala_spark.operators.merge as MG
+from pyspark.sql import functions as F
+
+path, key, val, tag, sync = sys.argv[1], int(sys.argv[2]), float(sys.argv[3]), sys.argv[4], sys.argv[5]
+spark = get_spark(app_name="occ-conf-" + tag, shuffle_partitions=4)
+upd = spark.createDataFrame([(key, val)], "u_key long, new_val double")
+
+def plan():
+    keys = upd.select(F.col("u_key").alias("__uk"))
+    _, pruned, _, _, base = MG._cow_touched(spark, path, keys, keys, "k", "p")
+    out = MG.scd2_apply(pruned, upd, "k", "u_key", "val", "new_val",
+                        change_date="1998-01-01")
+    return spark.createDataFrame(out.collect(), out.schema), base
+
+out, base = plan()
+open(os.path.join(sync, "ready_" + tag), "w").close()
+while not os.path.exists(os.path.join(sync, "go")):
+    time.sleep(0.05)
+conflicts = 0
+wait = CT.lock_retry_loop(120.0)
+while True:
+    try:
+        s = CT.commit_generation(path, out, "p", operation="merge",
+                                 base_version=base)
+        break
+    except CT.ConcurrentWriterError:
+        if not wait():
+            raise
+    except CT.CommitConflictError:
+        conflicts += 1
+        out, base = plan()  # re-plan from the NEW live version
+print("COMMITTED", tag, s["version"], conflicts, flush=True)
+spark.stop()
+"""
+
+
+def _run_barrier_writers(tmp_path, script_body, argv_per_writer):
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = str(tmp_path / "writer.py")
+    with open(script, "w") as f:
+        f.write(script_body.format(repo=repo))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, *map(str, args), tag, sync],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for tag, args in argv_per_writer
+    ]
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if all(
+                os.path.exists(os.path.join(sync, f"ready_{t}"))
+                for t, _ in argv_per_writer
+            ):
+                break
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(0.1)
+        open(os.path.join(sync, "go"), "w").close()
+        outs = [p.communicate(timeout=240) for p in procs]
+    finally:
+        for p in procs:
+            p.kill()
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"writer failed:\n{so}\n{se}"
+    return outs
+
+
+def test_cross_process_conflicting_writers_one_rebases(spark, tmp_path):
+    """Round-9 verdict task #4: two OS processes merge DIFFERENT keys in
+    the SAME partition (overlapping OCC footprints). Exactly one commits
+    clean; the other must observe CommitConflictError and land only
+    after re-planning from the new live version. Both commits survive,
+    the log is intact, and the table equals the serial execution (the
+    two updates commute, so both serial orders agree)."""
+    path = str(tmp_path / "t")
+    df = _init_table(spark, path)
+    # k=3 and k=6 both live in partition A — guaranteed overlap
+    outs = _run_barrier_writers(
+        tmp_path, _CONFLICT_SCRIPT, [("a", [path, 3, 33.0]), ("b", [path, 6, 66.0])]
+    )
+    lines = [so.strip().splitlines()[-1].split() for so, _ in outs]
+    assert all(ln[0] == "COMMITTED" for ln in lines)
+    conflicts = sorted(int(ln[3]) for ln in lines)
+    assert conflicts == [0, 1], (
+        f"exactly one writer must observe the footprint conflict: {conflicts}"
+    )
+    assert CT.read_manifest(path)["version"] == 2, "a commit was lost"
+
+    want = MG.scd2_apply(
+        MG.scd2_apply(MG.scd2_init(df), _upd(spark, [(3, 33.0)]),
+                      "k", "u_key", "val", "new_val", change_date="1998-01-01"),
+        _upd(spark, [(6, 66.0)]), "k", "u_key", "val", "new_val",
+        change_date="1998-01-01",
+    )
+    cols = ["k", "p", "val", "valid_from", "valid_to", "is_current"]
+    got = frozenset(tuple(r) for r in CT.read_cow(spark, path).select(*cols).collect())
+    assert got == frozenset(tuple(r) for r in want.select(*cols).collect())
+    for v in (1, 2):
+        assert os.path.exists(os.path.join(path, CT.ROOT_LOG, f"v{v}.json"))
+
+
+def test_cross_process_same_key_writers_serialize(spark, tmp_path):
+    """The strongest OCC claim: two processes update the SAME key with
+    DIFFERENT values. The result must equal ONE of the two serial
+    orders — the loser's rebase re-reads the winner's row version and
+    stacks on top, never interleaves."""
+    path = str(tmp_path / "t")
+    df = _init_table(spark, path)
+    _run_barrier_writers(
+        tmp_path, _CONFLICT_SCRIPT, [("a", [path, 3, 33.0]), ("b", [path, 3, 99.0])]
+    )
+    assert CT.read_manifest(path)["version"] == 2
+
+    def serial(first, second):
+        return MG.scd2_apply(
+            MG.scd2_apply(MG.scd2_init(df), _upd(spark, [(3, first)]),
+                          "k", "u_key", "val", "new_val", change_date="1998-01-01"),
+            _upd(spark, [(3, second)]), "k", "u_key", "val", "new_val",
+            change_date="1998-01-01",
+        )
+
+    cols = ["k", "p", "val", "valid_from", "valid_to", "is_current"]
+    got = frozenset(tuple(r) for r in CT.read_cow(spark, path).select(*cols).collect())
+    admissible = [
+        frozenset(tuple(r) for r in serial(a, b).select(*cols).collect())
+        for a, b in [(33.0, 99.0), (99.0, 33.0)]
+    ]
+    assert got in admissible, "result matches neither serial order"
+
+
+_TIER_SCRIPT = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from labs_stream_processing_examples_scala_spark import get_spark
+import labs_stream_processing_examples_scala_spark.operators.merge as MG
+import labs_stream_processing_examples_scala_spark.operators.mor_table as MT
+from pyspark.sql import functions as F
+
+path, mode, tag, sync = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+spark = get_spark(app_name="occ-tier-" + tag, shuffle_partitions=4)
+open(os.path.join(sync, "ready_" + tag), "w").close()
+while not os.path.exists(os.path.join(sync, "go")):
+    time.sleep(0.05)
+compacted = 0
+if mode == "cow":
+    upd = spark.createDataFrame([(3, 33.0)], "u_key long, new_val double")
+    while True:
+        try:
+            s = MG.scd2_merge_cow(spark, path, upd, "k", "u_key", "val",
+                                  "new_val", "p",
+                                  change_date="1998-01-01", lock_timeout=120.0)
+            break
+        except ValueError as e:
+            # the designed COW-over-deletion-vectors guard: a rewrite of
+            # a vector-bearing partition would resurrect deleted rows —
+            # the documented remediation is to fold the vectors first
+            if "deletion vectors" not in str(e):
+                raise
+            compacted += 1
+            MT.mor_compact(spark, path, "p")
+else:
+    s = MT.mor_delete(spark, path, "k = 6 AND is_current", "p",
+                      lock_timeout=120.0)
+print("DONE", tag, s.get("version", -1), compacted, flush=True)
+spark.stop()
+"""
+
+
+def test_cross_process_cow_merge_vs_mor_delete_same_partition(spark, tmp_path):
+    """Tier interplay under cross-process OCC: a COW SCD2 merge and a
+    MOR delete race on the SAME partition. If the delete lands first,
+    the COW writer hits the designed resurrect-guard (a rewrite over a
+    vector-bearing partition is refused), folds the vectors via
+    mor_compact, and retries — the production client pattern. Either
+    commit order must yield the same logical state: the update AND the
+    delete applied, history intact."""
+    path = str(tmp_path / "t")
+    _init_table(spark, path)
+    outs = _run_barrier_writers(
+        tmp_path, _TIER_SCRIPT, [("a", [path, "cow"]), ("b", [path, "mor"])]
+    )
+    lines = {ln[1]: ln for ln in
+             (so.strip().splitlines()[-1].split() for so, _ in outs)}
+    assert all(ln[0] == "DONE" for ln in lines.values())
+    version = CT.read_manifest(path)["version"]
+    compactions = int(lines["a"][3])
+    # cow-first: merge v1, delete v2 (no compaction). mor-first: delete
+    # v1, compact v2, merge v3.
+    assert (version, compactions) in {(2, 0), (3, 1)}, (version, compactions)
+    out = MT.read_mor(spark, path)
+    cur3 = out.filter("k = 3 AND is_current").select("val").collect()
+    assert [r.val for r in cur3] == [33.0], "COW merge lost"
+    assert out.filter("k = 6 AND is_current").count() == 0, "MOR delete lost"
+    assert out.filter("k = 3 AND NOT is_current").count() == 1, "history lost"
+    for v in range(1, version + 1):
+        assert os.path.exists(os.path.join(path, CT.ROOT_LOG, f"v{v}.json"))
