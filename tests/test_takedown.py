@@ -126,3 +126,83 @@ def test_takedown_fans_out_to_multiple_indexes(spark, tmp_path):
     # idempotent retry across ALL stores
     s2 = takedown(spark, docs_path, "doc_id", "lang", victims, index=[ivf, nsw])
     assert s2["table"]["deleted_rows"] == 0
+
+
+def test_takedown_nsw_survives_mid_compaction_crash(spark, tmp_path):
+    """Round-9 verdict task #6: takedown through the NSW SEGMENT model
+    under a crash between the tombstone write and the segment merge —
+    the kill-matrix treatment the IVF tier has. At every crash window
+    the probe must already hide the victims (tombstones filter at
+    search), the takedown replay must be a no-op, and the recovered
+    compaction must fold the victims OUT PHYSICALLY while keeping
+    probe quality."""
+    import json
+    import os
+
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _query_embedding,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from labs_stream_processing_examples_scala_spark.streaming.compaction import (
+        MARKER,
+        STAGING,
+    )
+    from labs_stream_processing_examples_scala_spark.streaming.nsw_ingest import (
+        run_nsw_ingest,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    _docs_table(spark, docs_path)
+    src = str(tmp_path / "src")
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    total = embs.count()
+    embs.withColumn("split", F.pmod(F.col("vec_id"), F.lit(3))).repartitionByRange(
+        3, "split"
+    ).drop("split").write.parquet(src)
+    nsw = run_nsw_ingest(spark, src, str(tmp_path / "nsw"))
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+    victims = [r.vec_id for r in nsw.probe(spark, qvec, 0, 10).collect()][:3]
+
+    # --- crash window 1: tombstone written, compact never started ---
+    s = takedown(spark, docs_path, "doc_id", "lang", victims, index=nsw)
+    assert s["index"]["ids"] == 3
+    got1 = [r.vec_id for r in nsw.probe(spark, qvec, 0, 10).collect()]
+    assert not (set(victims) & set(got1)) and len(got1) == 10
+    # the victims are still physical graph rows (waypoints until merged)
+    assert nsw.segments(spark).filter(
+        F.col("vec_id").isin(victims)
+    ).count() == 3
+
+    # replaying the takedown in this window is a no-op everywhere
+    s2 = takedown(spark, docs_path, "doc_id", "lang", victims, index=nsw)
+    assert s2["table"]["deleted_rows"] == 0
+    assert [r.vec_id for r in nsw.probe(spark, qvec, 0, 10).collect()] == got1
+
+    # --- crash window 2: compaction marker written, staging incomplete
+    # (no _SUCCESS) — the reader must ignore the stale attempt, probes
+    # unchanged, and recovery must roll it back then compact fresh ---
+    os.makedirs(os.path.join(nsw.seg_dir, STAGING), exist_ok=True)
+    with open(os.path.join(nsw.seg_dir, MARKER), "w") as f:
+        json.dump({"target_id": 1, "sources": [0, 1], "staging": STAGING}, f)
+    assert nsw.segments(spark).count() == total, "stale staging leaked into reads"
+    got2 = [r.vec_id for r in nsw.probe(spark, qvec, 0, 10).collect()]
+    assert got2 == got1, "mid-crash probe changed"
+
+    stats = nsw.compact(spark)
+    assert stats["compacted"]
+    assert not os.path.exists(os.path.join(nsw.seg_dir, MARKER))
+
+    # merged segment: victims folded out PHYSICALLY (not just filtered);
+    # the newest batch stays unmerged per the replay contract, so any
+    # victim row remaining must live there and stay tombstone-filtered
+    merged_victims = nsw.segments(spark).filter(
+        (F.col("seg") == -1) & F.col("vec_id").isin(victims)
+    )
+    assert merged_victims.count() == 0, "compaction resurrected a victim"
+    got3 = [r.vec_id for r in nsw.probe(spark, qvec, 0, 10).collect()]
+    assert not (set(victims) & set(got3)) and len(got3) == 10
+
+    # replay-idempotence AFTER the fold: same no-op contract
+    s3 = takedown(spark, docs_path, "doc_id", "lang", victims, index=nsw)
+    assert s3["table"]["deleted_rows"] == 0
+    assert [r.vec_id for r in nsw.probe(spark, qvec, 0, 10).collect()] == got3
