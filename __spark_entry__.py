@@ -73,6 +73,55 @@ def _s1_tick_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("tick").option("n", 1000).load()
 
 
+_QUEUE_DIRS: dict[tuple, str] = {}
+_QUEUE_TMP: list[str] = []
+
+import atexit as _atexit  # noqa: E402
+import shutil as _shutil  # noqa: E402
+
+
+@_atexit.register
+def _cleanup_queue_tmp() -> None:
+    for p in _QUEUE_TMP:
+        _shutil.rmtree(p, ignore_errors=True)
+
+
+def _s4_queue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 9: the broker-shaped queue source, ORACLE-checked (not just
+    scenario-tested): the 1000 lowest event_ids published as messages
+    into a file-backed fqueue (sources/queue_source.py — the RabbitMQ
+    contract, reference README.md:7), read back via format('fqueue').
+    The publish is a fixed-size driver-side producer call (1000 rows),
+    the read is the parallel per-segment batch scan."""
+    import tempfile
+
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _QUEUE_DIRS:
+        work = tempfile.mkdtemp(prefix="fqueue_reg_")
+        _QUEUE_TMP.append(work)
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id")
+            .orderBy("event_id")
+            .limit(1000)
+            .collect()
+        )
+        Q.publish(
+            work,
+            [(str(r.event_id), f"Input Data: {r.event_id}") for r in rows],
+        )
+        _QUEUE_DIRS[key] = work
+    Q.register(spark)
+    return (
+        spark.read.format("fqueue")
+        .option("path", _QUEUE_DIRS[key])
+        .load()
+        .select("key", "value")
+    )
+
+
 # --- P-queries: scalar transforms + errors-as-data (FIXTURES.md §4) ---
 
 
@@ -142,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S1/S2 tick source as a Spark 4 Python DataSource (batch form;
         # the stream form is scenario-tested in tests/test_streaming.py)
         "s1_tick_source": _s1_tick_source,
+        "s4_queue_roundtrip": _s4_queue_roundtrip,
         "p2_charsort": _p2_charsort,
         "p3_enrich_full": _p3_enrich_full,
         "p3_gather_form": _p3_gather_form,
@@ -382,6 +432,11 @@ def oracle_sql() -> dict[str, str]:
         "s1_tick_source": """
             SELECT CAST(i AS BIGINT) AS id, 'Input Data: ' || i AS value
             FROM generate_series(0, 999) t(i)
+        """,
+        "s4_queue_roundtrip": """
+            SELECT CAST(event_id AS VARCHAR) AS key,
+                   'Input Data: ' || CAST(event_id AS VARCHAR) AS value
+            FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 1000)
         """,
         "p1_reverse_upper": f"""
             SELECT event_id AS id, {_V} AS value,
