@@ -34,11 +34,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     out_path = None
-    if "--json" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--json") + 1]
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]  # drop flag AND its value
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     import __spark_entry__ as entrymod
     from labs_stream_processing_examples_scala_spark import get_spark

@@ -110,6 +110,20 @@ def main() -> None:
     spark = get_spark(app_name="sf10-bench" if sf10 else "sf1-bench")
     if "--fresh" in sys.argv or not os.path.isdir(dst):
         synthesize(spark, dst, replicas, emb_replicas=1500 if sf10 else None)
+    if "--synth-only" in sys.argv:
+        # synthesize-then-bench in one window is a documented
+        # anti-pattern (round-8 anchor notes: writeback contaminates the
+        # first timed queries) — this flag supports the two-window form
+        spark.stop()
+        return
+    if "--only" in sys.argv:
+        # run a comma-separated slice (keeps each timing window short
+        # and lets the slices land in separate quiet windows)
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [q for q in only if q not in queries]
+        if unknown:
+            raise SystemExit(f"--only names not in the anchor set: {unknown}")
+        queries = only
     import bench as benchmod
 
     calib_start = benchmod._calibrate()
