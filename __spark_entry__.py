@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph search + global TakeOrdered merge; rows-only with a
         # machine-checked recall floor like the other ANN tiers
         "x_sim_nsw_topk": GA.nsw_topk,
+        # round 9: the steady-state and batched probes over the
+        # MATERIALIZED on-disk graph index (build-once-probe-many)
+        "x_sim_nsw_probe": GA.nsw_probe_topk,
+        "x_sim_nsw_batch": GA.nsw_batch_topk,
         "x_sim_pq_codes": QZ.pq_encode,  # trained codebooks → rows-only (numpy oracle)
         "x_sim_pq_topk": QZ.pq_topk_rerank,  # ADC + exact re-rank → rows-only
         "x_sim_ivfpq_topk": QZ.ivfpq_topk,  # pruned cells × code table → rows-only

@@ -66,6 +66,12 @@ HEADLINE = [
     "x_sim_sq_topk",
     # round 8: the graph ANN tier (sharded NSW build + probe)
     "x_sim_nsw_topk",
+    # round 9: the steady-state probe over the MATERIALIZED on-disk
+    # index (zero-Exchange) and the batched 4-query probe (one scan
+    # amortized across queries — 170 ms/query at sf10); both ride the
+    # build the line above already paid (shared graph cache)
+    "x_sim_nsw_probe",
+    "x_sim_nsw_batch",
     "x_sample_mixture",
     "q60_lateral_topn",
     "q61_date_spine",

@@ -100,6 +100,10 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_sim_lsh_neardup",
         "x_sim_lsh_neardup_sp",
         "x_sim_nsw_topk",
+        # round 9: steady-state + batched probes over the materialized
+        # on-disk graph index — same ANN recall-floor exemption
+        "x_sim_nsw_probe",
+        "x_sim_nsw_batch",
         "x_sim_nsw_incremental",
         "x_sim_lsh_topk",
         "x_sim_lsh_topk_sp",

@@ -436,3 +436,53 @@ def test_cross_process_cow_merge_vs_mor_delete_same_partition(spark, tmp_path):
     assert out.filter("k = 3 AND NOT is_current").count() == 1, "history lost"
     for v in range(1, version + 1):
         assert os.path.exists(os.path.join(path, CT.ROOT_LOG, f"v{v}.json"))
+
+
+# --- 6. materialized on-disk NSW index + batched probe ----------------
+
+
+def test_nsw_materialized_index_probe_matches_inmemory(spark):
+    """The on-disk graph index (partitioned by part — the 100 TB
+    build-once-probe-many layout) must probe IDENTICALLY to the
+    in-memory cached graph, with a zero-Exchange plan."""
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _query_embedding,
+    )
+
+    mem = [(r.vec_id, r.cos_sim) for r in GA.nsw_topk(spark, SF_SMOKE, 0, 10).collect()]
+    path = GA.materialize_nsw_index(spark, SF_SMOKE)
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+    df = GA.nsw_topk_from_index(spark, path, qvec, 0, 10)
+    disk = [(r.vec_id, r.cos_sim) for r in df.collect()]
+    assert disk == mem
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, "steady-state probe must be exchange-free"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_nsw_batch_probe_per_query_equals_single(spark):
+    """Each query in a batched probe must return EXACTLY what its
+    single probe returns — batching amortizes the scan (measured
+    170 ms/query at sf10 vs ~5 s single), it must not change results."""
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _query_embedding,
+    )
+
+    path = GA.materialize_nsw_index(spark, SF_SMOKE)
+    qids = (0, 1, 2, 3)
+    batch: dict[int, list] = {q: [] for q in qids}
+    for r in GA.nsw_batch_topk(spark, SF_SMOKE, qids, 10).collect():
+        batch[r.query_id].append((r.vec_id, r.cos_sim))
+    for q in qids:
+        qvec = _query_embedding(spark, SF_SMOKE, q)
+        single = [
+            (r.vec_id, r.cos_sim)
+            for r in GA.nsw_topk_from_index(spark, path, qvec, q, 10).collect()
+        ]
+        got = sorted(batch[q], key=lambda x: (-x[1], x[0]))
+        assert got == single, f"query {q}: batch != single"
+        assert len(got) == 10

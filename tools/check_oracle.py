@@ -80,6 +80,28 @@ def _recall_neardup(n_probes: int):
     return compute
 
 
+def _recall_nsw_batch(spark, sf_dir: str) -> float:
+    """Mean per-query recall@10 of the BATCHED graph probe vs per-query
+    brute force — each batched query must individually clear the tier's
+    floor on average, not just query 0."""
+    from labs_stream_processing_examples_scala_spark.operators.graph_ann import (
+        nsw_batch_topk,
+    )
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    qids = (0, 1, 2, 3)
+    got: dict[int, set] = {q: set() for q in qids}
+    for r in nsw_batch_topk(spark, sf_dir, qids).collect():
+        got[r.query_id].add(r.vec_id)
+    recalls = []
+    for q in qids:
+        brute = [r.vec_id for r in brute_force_topk(spark, sf_dir, query_id=q).collect()]
+        recalls.append(len(set(brute) & got[q]) / max(len(brute), 1))
+    return sum(recalls) / len(recalls)
+
+
 def _recall_nsw_incremental(spark, sf_dir: str) -> float:
     """Streaming NSW segments vs exact brute force: segment graphs
     differ from the batch build's, so the floor is the graph tier's
@@ -128,6 +150,8 @@ RECALL_SPECS = {
     # sf0.01/sf0.1 and 0.97+ on adversarial clustered data
     # (tests/test_round9_fixes.py dominance test)
     "x_sim_nsw_topk": (_recall_topk("nsw_topk"), 0.85),
+    "x_sim_nsw_probe": (_recall_topk("nsw_probe_topk"), 0.85),
+    "x_sim_nsw_batch": (_recall_nsw_batch, 0.85),
     "x_sim_nsw_incremental": (_recall_nsw_incremental, 0.85),
     # round-8 multiprobe default: measured 0.90 at sf0.01 thr 0.3
     # (single-probe was 0.356); the _sp baseline keeps its honest floor

@@ -50,6 +50,12 @@ AUDITS = [
     # cached graph) + global top-k merge — no join, no window; the only
     # exchange is the build's one shard repartition
     ("x_sim_nsw_topk", ["TakeOrderedAndProject", "MapInPandas"], ["Join", "Window", "CartesianProduct"]),
+    # round-9 steady-state probe over the MATERIALIZED on-disk graph
+    # index: pure scan + per-shard search + top-k merge — zero exchanges
+    ("x_sim_nsw_probe", ["TakeOrderedAndProject", "MapInPandas"], ["Join", "Window", "CartesianProduct", "Exchange"]),
+    # round-9 batched probe: many queries share one scan; the only wide
+    # op is the per-query top-k Window over P*ef*|Q| candidate rows
+    ("x_sim_nsw_batch", ["MapInPandas", "Window"], ["Join", "CartesianProduct"]),
     ("x_sim_pq_topk", ["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
     # IVF-PQ probe: pruned cell partitions of the CODE table + ADC +
     # broadcast point-lookup re-rank — never a shuffle join
@@ -299,6 +305,8 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "x_sim_pq_topk": {"shortlist.select('vec_id')": "query-literal"},
     "x_sim_sq_topk": {},  # hint-free: no joins at all
     "x_sim_nsw_topk": {},  # hint-free: no joins at all
+    "x_sim_nsw_probe": {},  # hint-free: no joins at all
+    "x_sim_nsw_batch": {},  # hint-free: no joins at all
     "q62_funnel": {},
     "q63_cohort": {},
     "q64_range_hourly": {},  # hint-free: AQE picks broadcast vs SMJ by size
@@ -427,6 +435,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_sim_lsh_neardup": 2,   # pair dedup; probe/base join broadcasts at fixture SF (measured 1)
     "x_corpus_clean_spans": 4,  # bench distinct + removed-starts agg + cache spreads (measured 4)
     "x_sim_nsw_topk": 1,      # the build's shard repartition; probe itself is exchange-free
+    "x_sim_nsw_probe": 0,     # on-disk index scan: no exchange at all
+    "x_sim_nsw_batch": 1,     # the per-query top-k Window over candidates
     "x_sample_importance": 0,
     "q60_lateral_topn": 1,
     "q61_date_spine": 1,
