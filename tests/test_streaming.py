@@ -927,3 +927,38 @@ def test_incremental_ivfpq_rebuild_from_raw_retrains_and_swaps(spark, tmp_path):
     # tier positions must agree: raw is now missing split 2 → refused
     with _pytest.raises(ValueError, match="same source position"):
         proc.rebuild_from_raw(spark, raw, n_iter=1)
+
+
+def test_queue_source_through_enrichment_pipeline(spark, tmp_path):
+    """The reference's PRODUCTION topology end-to-end: broker queue →
+    3 enrichments + transform → reliable sink (README.md:7 names
+    RabbitMQ as the intended source; the file-backed fqueue carries the
+    same consumer contract). Output must equal the batch enrichment of
+    the same published ids — the broker hop is semantically invisible."""
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    qdir = str(tmp_path / "q")
+    Q.publish(qdir, [(str(i), f"Input Data: {i}") for i in range(300)])
+    Q.register(spark)
+    msgs = (
+        spark.readStream.format("fqueue")
+        .option("path", qdir)
+        .option("rows_per_batch", 1000)
+        .load()
+        .select(F.col("key").cast("long").alias("id"), F.col("value"))
+    )
+    pipe = _pipeline(tmp_path, chaos=False)
+    q = pipe.start(msgs, trigger_once=True)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = pipe.output(spark).drop("err")
+    assert got.count() == 300
+    ids = spark.range(300).select(F.col("id"))
+    want = enrichment_with_errors(
+        ids.select(
+            "id",
+            F.concat(F.lit("Input Data: "), F.col("id").cast("string")).alias("value"),
+        ),
+        chaos=False,
+    ).drop("err")
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
