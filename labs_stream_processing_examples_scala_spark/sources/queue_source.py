@@ -80,59 +80,60 @@ def _list_segments(queue_dir: str) -> list[int]:
     return sorted(out)
 
 
-def publish(queue_dir: str, records) -> int:
-    """Append one immutable segment of ``records`` (iterable of
-    (key, value) pairs or {"key","value"} dicts; values stringified).
-    Atomic: a reader either sees the whole segment or none of it.
-    Returns the segment number."""
+def _stage_lines(queue_dir: str, lines) -> str:
+    """Durably write a staged segment file (fsync'd) and return its path."""
     os.makedirs(queue_dir, exist_ok=True)
     stage = os.path.join(queue_dir, f"_stage_{os.getpid()}_{uuid.uuid4().hex[:8]}")
     with open(stage, "w", encoding="utf-8") as f:
-        for rec in records:
-            if isinstance(rec, dict):
-                key, value = rec.get("key"), rec.get("value")
-            else:
-                key, value = rec
-            f.write(json.dumps({"key": key, "value": value}) + "\n")
+        for line in lines:
+            f.write(line + "\n")
         f.flush()
         os.fsync(f.fileno())
-    while True:
-        segs = _list_segments(queue_dir)
-        n = segs[-1] + 1 if segs else 0  # max+1, gap-safe
-        target = _seg_path(queue_dir, n)
-        if os.path.exists(target):
-            n += 1
-            continue
-        try:
-            os.rename(stage, target)
-            return n
-        except OSError:
-            if not os.path.exists(target):
-                raise
-            continue  # lost the slot race to a concurrent producer
+    return stage
 
 
-def publish_poison(queue_dir: str, raw_lines: list[str]) -> int:
-    """Append a segment of RAW lines (not JSON-wrapped) — the test
-    hook for the DLQ contract: these decode as key=NULL poison rows."""
-    os.makedirs(queue_dir, exist_ok=True)
-    stage = os.path.join(queue_dir, f"_stage_{os.getpid()}_{uuid.uuid4().hex[:8]}")
-    with open(stage, "w", encoding="utf-8") as f:
-        for line in raw_lines:
-            f.write(line.rstrip("\n") + "\n")
-        f.flush()
-        os.fsync(f.fileno())
+def _commit_segment(queue_dir: str, stage: str) -> int:
+    """Link the staged file into the next free ``seg-%012d`` slot
+    (max+1, gap-safe — the tombstone-delta protocol). os.link, NOT
+    os.rename: rename silently OVERWRITES an existing FILE target on
+    POSIX (the tombstone precedent is safe only because its slots are
+    directories), so two producers racing to the same slot would
+    clobber one segment; link is atomic and raises FileExistsError for
+    the loser, who re-scans and takes the next slot."""
     while True:
         segs = _list_segments(queue_dir)
         n = segs[-1] + 1 if segs else 0
         target = _seg_path(queue_dir, n)
         try:
-            os.rename(stage, target)
+            os.link(stage, target)
+            os.unlink(stage)
             return n
-        except OSError:
-            if not os.path.exists(target):
-                raise
-            continue
+        except FileExistsError:
+            continue  # lost the slot race to a concurrent producer
+
+
+def publish(queue_dir: str, records) -> int:
+    """Append one immutable segment of ``records`` (iterable of
+    (key, value) pairs or {"key","value"} dicts; values stringified).
+    Atomic: a reader either sees the whole segment or none of it.
+    Returns the segment number."""
+
+    def lines():
+        for rec in records:
+            if isinstance(rec, dict):
+                key, value = rec.get("key"), rec.get("value")
+            else:
+                key, value = rec
+            yield json.dumps({"key": key, "value": value})
+
+    return _commit_segment(queue_dir, _stage_lines(queue_dir, lines()))
+
+
+def publish_poison(queue_dir: str, raw_lines: list[str]) -> int:
+    """Append a segment of RAW lines (not JSON-wrapped) — the test
+    hook for the DLQ contract: these decode as key=NULL poison rows."""
+    stage = _stage_lines(queue_dir, (ln.rstrip("\n") for ln in raw_lines))
+    return _commit_segment(queue_dir, stage)
 
 
 def _group_path(queue_dir: str, group: str) -> str:

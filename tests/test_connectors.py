@@ -341,3 +341,32 @@ def test_fqueue_concurrent_producers_distinct_segments(tmp_path):
     for s in segs:
         keys += [k for _, _, k, _ in Q._read_segment_rows(qdir, s)]
     assert sorted(keys) == sorted([f"a{i}" for i in range(5)] + [f"b{i}" for i in range(5)])
+
+
+def test_fqueue_publish_slot_race_hammer(tmp_path):
+    """8 producers × 25 segments with no barrier: every publish must
+    land in a distinct slot with all messages intact. Guards the
+    os.link commit (os.rename silently overwrites an existing FILE
+    target on POSIX — the round-9 refactor's near-miss)."""
+    import threading
+
+    qdir = str(tmp_path / "q")
+    errs = []
+
+    def produce(tag):
+        try:
+            for i in range(25):
+                Q.publish(qdir, [(f"{tag}-{i}", str(i))])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=produce, args=(t,)) for t in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    segs = Q._list_segments(qdir)
+    assert len(segs) == 200, f"lost {200 - len(segs)} segments to the slot race"
+    keys = [k for s in segs for _, _, k, _ in Q._read_segment_rows(qdir, s)]
+    assert len(keys) == 200 and len(set(keys)) == 200
