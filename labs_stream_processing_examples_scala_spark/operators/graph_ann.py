@@ -54,6 +54,18 @@ SHARD_TARGET_ROWS = 8192
 def _auto_shards(n_rows: int) -> int:
     return max(N_SHARDS, -(-n_rows // SHARD_TARGET_ROWS))
 
+
+# corpus row counts are stable per (session, sf_dir) — cache them so a
+# cached nsw_build/probe doesn't pay a count() job per call
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
+    return _COUNT_CACHE[key]
+
 _GRAPH_SCHEMA = (
     "part int, vec_id long, vec array<double>, nbrs array<long>"
 )
@@ -97,6 +109,7 @@ def _greedy_search(
     q: np.ndarray,
     ef: int,
     entry: int | list[int],
+    vn: np.ndarray | None = None,
 ) -> list[tuple[float, int]]:
     """Best-first beam search over one shard's graph (the NSW search):
     maintain a candidate heap and an ef-sized result set; stop when the
@@ -109,7 +122,8 @@ def _greedy_search(
     import heapq
 
     qn = q / (np.linalg.norm(q) or 1.0)
-    vn = _normalize_rows(np.asarray(vecs, dtype=np.float64))
+    if vn is None:
+        vn = _normalize_rows(np.asarray(vecs, dtype=np.float64))
     entries = (
         [int(entry)]
         if isinstance(entry, (int, np.integer))
@@ -239,7 +253,7 @@ def nsw_build(
     scales the shard count with the corpus (:func:`_auto_shards`) so
     per-shard build work stays bounded at any scale factor."""
     if n_shards is None:
-        n_shards = _auto_shards(load_table(spark, sf_dir, "embeddings").count())
+        n_shards = _auto_shards(_corpus_rows(spark, sf_dir))
     key = (spark.sparkContext.applicationId, sf_dir, n_shards, m, ef_construction)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
@@ -299,7 +313,7 @@ def materialize_nsw_index(
     )
 
     if n_shards is None:
-        n_shards = _auto_shards(load_table(spark, sf_dir, "embeddings").count())
+        n_shards = _auto_shards(_corpus_rows(spark, sf_dir))
     key = (spark.sparkContext.applicationId, sf_dir, n_shards, m, ef_construction)
     if path is None:
         if key in _NSW_INDEX_CACHE:
@@ -407,7 +421,7 @@ def nsw_topk_batch(
             for qi in range(len(qids)):
                 qn = qn_mat[qi]
                 entries = _select_entries(vn, qn, n_seeds)
-                found = _greedy_search(vecs, nbrs, qn, ef_search, entry=entries)
+                found = _greedy_search(vecs, nbrs, qn, ef_search, entry=entries, vn=vn)
                 for sim, i in found[: max(k, 1)]:
                     if int(ids[i]) != int(qids[qi]):
                         out_q.append(int(qids[qi]))
