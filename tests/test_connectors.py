@@ -370,3 +370,20 @@ def test_fqueue_publish_slot_race_hammer(tmp_path):
     assert len(segs) == 200, f"lost {200 - len(segs)} segments to the slot race"
     keys = [k for s in segs for _, _, k, _ in Q._read_segment_rows(qdir, s)]
     assert len(keys) == 200 and len(set(keys)) == 200
+
+
+def test_fqueue_resumes_mid_segment_across_runs(spark, tmp_path):
+    """rows_per_batch smaller than a segment: each availableNow run
+    consumes one batch (simple-reader semantics), so three runs drain
+    10 rows at 4/batch — the (seg,row) offset must resume MID-segment
+    with no dup or gap, including across the segment boundary."""
+    qdir, ckpt, out = (str(tmp_path / p) for p in ("q", "ckpt", "out"))
+    Q.publish(qdir, [(str(i), f"m{i}") for i in range(6)])   # seg 0
+    Q.publish(qdir, [(str(i), f"m{i}") for i in range(6, 10)])  # seg 1
+    for expect in (4, 8, 10):
+        _drain(spark, qdir, ckpt, out, rows_per_batch=4)
+        assert spark.read.parquet(out).count() == expect
+    vals = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert vals == sorted(f"m{i}" for i in range(10))
+    off = Q.read_group_offset(qdir, "default")
+    assert (off["seg"], off["row"]) == (1, 4)
