@@ -17,6 +17,13 @@
 4. _PROBE_CACHE / _GRAPH_CACHE are LRU-bounded with unpersist on
    eviction (ADVICE r8: a parameter sweep accumulated unbounded
    executor storage).
+5. Cross-process OCC under CONFLICTING footprints (verdict r8 task
+   #4): same-partition rebase with the conflict observed, same-key
+   serializability (result ≡ one serial order), and the COW-merge vs
+   MOR-delete tier interplay (resurrect-guard → mor_compact → retry).
+6. Materialized on-disk NSW index: steady-state probe ≡ in-memory
+   probe with a zero-Exchange plan; batched probe per-query ≡ single
+   probe (one scan amortized across queries).
 """
 
 from __future__ import annotations
