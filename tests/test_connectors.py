@@ -387,3 +387,19 @@ def test_fqueue_resumes_mid_segment_across_runs(spark, tmp_path):
     assert vals == sorted(f"m{i}" for i in range(10))
     off = Q.read_group_offset(qdir, "default")
     assert (off["seg"], off["row"]) == (1, 4)
+
+
+def test_fqueue_stream_starts_on_empty_queue(spark, tmp_path):
+    """A consumer attached BEFORE any producer published: the first run
+    sees zero rows (offset does not advance), a later run picks up the
+    first published segment from offset zero — nothing skipped."""
+    qdir, ckpt, out = (str(tmp_path / p) for p in ("q", "ckpt", "out"))
+    import os
+
+    os.makedirs(qdir)
+    q = _drain(spark, qdir, ckpt, out)
+    assert q.exception() is None  # empty batch must not fail the query
+    Q.publish(qdir, [("a", "1"), ("b", "2")])
+    _drain(spark, qdir, ckpt, out)
+    vals = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert vals == ["1", "2"]

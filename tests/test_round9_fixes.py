@@ -493,3 +493,48 @@ def test_nsw_batch_probe_per_query_equals_single(spark):
         got = sorted(batch[q], key=lambda x: (-x[1], x[0]))
         assert got == single, f"query {q}: batch != single"
         assert len(got) == 10
+
+
+def test_nsw_blocked_build_property_random_shapes():
+    """Property form of the blocked-vs-unblocked equivalence: random
+    sizes (straddling block boundaries), link budgets, and cluster
+    shapes — the adjacency lists must match the unblocked per-insert
+    reference exactly (pure numpy, no Spark)."""
+    from hypothesis import given, settings, strategies as st
+
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+
+    def reference(vecs, m):
+        vn = GA._normalize_rows(vecs)
+        n = len(vecs)
+        nbrs = [np.empty(0, dtype=np.int64) for _ in range(n)]
+        for i in range(1, n):
+            sims = vn[:i] @ vn[i]
+            links = np.argsort(-sims)[: min(m, i)].astype(np.int64)
+            nbrs[i] = links
+            for j in links:
+                j = int(j)
+                merged = np.append(nbrs[j], i)
+                if len(merged) > 2 * m:
+                    keep = np.argsort(-(vn[merged] @ vn[j]))
+                    merged = merged[keep[: 2 * m]]
+                nbrs[j] = merged
+        return nbrs
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.sampled_from(
+            [1, 2, 7, 100, GA._BUILD_BLOCK - 1, GA._BUILD_BLOCK, GA._BUILD_BLOCK + 1]
+        ),
+        m=st.integers(2, 12),
+        n_clusters=st.integers(2, 30),
+        seed=st.integers(0, 10_000),
+    )
+    def run(n, m, n_clusters, seed):
+        _, vecs = _clustered(n, n_clusters=n_clusters, seed=seed)
+        got = GA._build_shard(np.arange(n), vecs, m, GA.EF_CONSTRUCTION)
+        want = reference(vecs, m)
+        for i in range(n):
+            assert list(got[i]) == list(want[i]), (n, m, seed, i)
+
+    run()
