@@ -168,7 +168,11 @@ def sync_group_offset(queue_dir: str, group: str, checkpoint_dir: str) -> dict |
     pattern is exactly this: derive them from the checkpoint or a query
     listener). Reads the newest batch present in ``commits/`` and acks
     its end offset from ``offsets/<batch>``; monotonic like
-    :meth:`QueueSimpleStreamReader.commit`. Returns the acked offset,
+    :meth:`QueueSimpleStreamReader.commit`. The ack is RETENTION
+    metadata, never the replay authority (the checkpoint is): the
+    monotonic check has a read-modify-write window, so two queries
+    sharing one group can transiently under-report progress — which
+    only delays purging, never loses data. Returns the acked offset,
     or None when nothing committed yet."""
     cdir = os.path.join(checkpoint_dir, "commits")
     try:
@@ -236,19 +240,21 @@ def _decode_line(line: str) -> tuple[str | None, str]:
 def _read_segment_rows(
     queue_dir: str, seg: int, start_row: int = 0, end_row: int | None = None
 ) -> Iterator[tuple]:
+    # stream line-by-line: a segment is never slurped whole, so a large
+    # segment costs the reader only the span it consumes
     with open(_seg_path(queue_dir, seg), encoding="utf-8") as f:
-        for pos, line in enumerate(f.read().splitlines()):
+        for pos, line in enumerate(f):
             if pos < start_row:
                 continue
             if end_row is not None and pos >= end_row:
                 break
-            key, value = _decode_line(line)
+            key, value = _decode_line(line.rstrip("\n"))
             yield (seg, pos, key, value)
 
 
 def _segment_len(queue_dir: str, seg: int) -> int:
     with open(_seg_path(queue_dir, seg), encoding="utf-8") as f:
-        return len(f.read().splitlines())
+        return sum(1 for _ in f)
 
 
 # --- Spark DataSource --------------------------------------------------
