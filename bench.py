@@ -190,23 +190,26 @@ def main() -> None:
     }
     if errors:
         record["errors"] = errors
-    # Cleanup FIRST, print LAST (round-9 verdict task #2: the unpersist
-    # sweep below emits "locally checkpointed" WARN lines; in round 8
-    # they landed AFTER the JSON and pushed it out of the driver's tail
-    # capture, leaving BENCH_r08.json unparseable). Order here guarantees
-    # the headline JSON is the final output line; the sidecar file makes
-    # the artifact recoverable even if stdout is truncated entirely.
-    from labs_stream_processing_examples_scala_spark import release_persisted_rdds
-    from labs_stream_processing_examples_scala_spark.operators import dedup as _dedup
-
-    _dedup.invalidate_cache()
-    release_persisted_rdds(spark)
-    spark.stop()
+    # Sidecar FIRST (writing a file emits no WARN lines and survives a
+    # cleanup crash), cleanup SECOND and GUARDED (the unpersist sweep
+    # emits "locally checkpointed" WARNs — in round 8 they landed after
+    # the JSON and pushed it out of the driver's tail capture; and a
+    # cleanup exception must not lose a fully-measured run), stdout
+    # print LAST so the headline JSON is the final output line.
     line = json.dumps(record)
     try:
         (Path(__file__).resolve().parent / "BENCH_LAST.json").write_text(line + "\n")
     except OSError:
         pass  # sidecar is best-effort; stdout line is the contract
+    try:
+        from labs_stream_processing_examples_scala_spark import release_persisted_rdds
+        from labs_stream_processing_examples_scala_spark.operators import dedup as _dedup
+
+        _dedup.invalidate_cache()
+        release_persisted_rdds(spark)
+        spark.stop()
+    except Exception as e:  # noqa: BLE001 — cleanup must not eat the record
+        print(f"bench cleanup failed (record intact): {e}", file=sys.stderr)
     sys.stderr.flush()
     print(line, flush=True)
     if errors:

@@ -256,7 +256,11 @@ def nsw_build(
         n_shards = _auto_shards(_corpus_rows(spark, sf_dir))
     key = (spark.sparkContext.applicationId, sf_dir, n_shards, m, ef_construction)
     if key in _GRAPH_CACHE:
-        return _GRAPH_CACHE[key]
+        # refresh recency (see similarity._cache_put_bounded): a hit
+        # re-inserts so the hottest graph is never the eviction victim
+        df = _GRAPH_CACHE.pop(key)
+        _GRAPH_CACHE[key] = df
+        return df
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -326,6 +330,24 @@ def materialize_nsw_index(
     return path
 
 
+def _scan_preserves_shards(spark: SparkSession, index_path: str) -> bool:
+    """True when no parquet file in the index can SPLIT across scan
+    tasks (every file ≤ spark.sql.files.maxPartitionBytes). Splitting
+    would hand a probe task HALF a graph and the `in pos` guard would
+    silently drop every cross-split edge (the hazard the streaming
+    probe's applyInPandas explicitly avoids). Auto-sharded indexes
+    (~8k rows ≈ 4-6 MB/file) always pass; an explicitly under-sharded
+    index falls back to the grouped probe."""
+    import glob
+    import os
+
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    max_bytes = int(digits) if digits else 134217728
+    files = glob.glob(os.path.join(index_path, "**", "*.parquet"), recursive=True)
+    return all(os.path.getsize(f) <= max_bytes for f in files)
+
+
 def nsw_topk_from_index(
     spark: SparkSession,
     index_path: str,
@@ -339,33 +361,46 @@ def nsw_topk_from_index(
     search per shard over the partitioned parquet (each task reads one
     shard's files — no build cost, no shuffle), global TakeOrdered
     merge. This is the steady-state query path at scale; the build is
-    :func:`materialize_nsw_index`, paid once."""
+    :func:`materialize_nsw_index`, paid once. When a file COULD split
+    across tasks (:func:`_scan_preserves_shards` false), the probe
+    routes through groupBy(part).applyInPandas — one shuffle buys the
+    whole-graph guarantee."""
     q = np.asarray(qvec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     g = spark.read.parquet(index_path)
 
-    def probe(batches):
-        pdfs = [b for b in batches]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        for _, grp in pdf.groupby("part"):
-            grp = grp.reset_index(drop=True)
-            ids = grp["vec_id"].to_numpy()
-            vecs = np.stack(grp["vec"].to_numpy()).astype(np.float64)
-            pos = {int(v): i for i, v in enumerate(ids)}
-            nbrs = [
-                np.array([pos[int(x)] for x in nb if int(x) in pos], dtype=np.int64)
-                for nb in grp["nbrs"]
-            ]
-            entries = _select_entries(_normalize_rows(vecs), qn, n_seeds)
-            found = _greedy_search(vecs, nbrs, q, ef_search, entry=entries)
-            rows = [
-                (int(ids[i]), round(s, 6)) for s, i in found if ids[i] != query_id
-            ]
-            yield pd.DataFrame(rows, columns=["vec_id", "cos_sim"])
+    def search_shard(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.reset_index(drop=True)
+        ids = grp["vec_id"].to_numpy()
+        vecs = np.stack(grp["vec"].to_numpy()).astype(np.float64)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        nbrs = [
+            np.array([pos[int(x)] for x in nb if int(x) in pos], dtype=np.int64)
+            for nb in grp["nbrs"]
+        ]
+        vn = _normalize_rows(vecs)
+        entries = _select_entries(vn, qn, n_seeds)
+        found = _greedy_search(vecs, nbrs, q, ef_search, entry=entries, vn=vn)
+        rows = [
+            (int(ids[i]), round(s, 6)) for s, i in found if ids[i] != query_id
+        ]
+        return pd.DataFrame(rows, columns=["vec_id", "cos_sim"])
 
-    cand = g.mapInPandas(probe, "vec_id long, cos_sim double")
+    if _scan_preserves_shards(spark, index_path):
+
+        def probe(batches):
+            pdfs = [b for b in batches]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            for _, grp in pdf.groupby("part"):
+                yield search_shard(grp)
+
+        cand = g.mapInPandas(probe, "vec_id long, cos_sim double")
+    else:
+        cand = g.groupBy("part").applyInPandas(
+            lambda pdf: search_shard(pdf), "vec_id long, cos_sim double"
+        )
     return cand.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
@@ -402,36 +437,49 @@ def nsw_topk_batch(
     qn_mat = qmat / qnorms[:, None]
     g = spark.read.parquet(index_path)
 
-    def probe(batches):
-        pdfs = [b for b in batches]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        for _, grp in pdf.groupby("part"):
-            grp = grp.reset_index(drop=True)
-            ids = grp["vec_id"].to_numpy()
-            vecs = np.stack(grp["vec"].to_numpy()).astype(np.float64)
-            vn = _normalize_rows(vecs)
-            pos = {int(v): i for i, v in enumerate(ids)}
-            nbrs = [
-                np.array([pos[int(x)] for x in nb if int(x) in pos], dtype=np.int64)
-                for nb in grp["nbrs"]
-            ]
-            out_q, out_v, out_s = [], [], []
-            for qi in range(len(qids)):
-                qn = qn_mat[qi]
-                entries = _select_entries(vn, qn, n_seeds)
-                found = _greedy_search(vecs, nbrs, qn, ef_search, entry=entries, vn=vn)
-                for sim, i in found[: max(k, 1)]:
-                    if int(ids[i]) != int(qids[qi]):
-                        out_q.append(int(qids[qi]))
-                        out_v.append(int(ids[i]))
-                        out_s.append(round(sim, 6))
-            yield pd.DataFrame(
-                {"query_id": out_q, "vec_id": out_v, "cos_sim": out_s}
-            )
+    def search_shard(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.reset_index(drop=True)
+        ids = grp["vec_id"].to_numpy()
+        vecs = np.stack(grp["vec"].to_numpy()).astype(np.float64)
+        vn = _normalize_rows(vecs)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        nbrs = [
+            np.array([pos[int(x)] for x in nb if int(x) in pos], dtype=np.int64)
+            for nb in grp["nbrs"]
+        ]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            qn = qn_mat[qi]
+            entries = _select_entries(vn, qn, n_seeds)
+            found = _greedy_search(vecs, nbrs, qn, ef_search, entry=entries, vn=vn)
+            # self-filter BEFORE the top-k cut: the query's home shard
+            # must still contribute k real candidates (review finding:
+            # slicing first lost the shard's k-th best)
+            kept = [
+                (sim, i) for sim, i in found if int(ids[i]) != int(qids[qi])
+            ][: max(k, 1)]
+            for sim, i in kept:
+                out_q.append(int(qids[qi]))
+                out_v.append(int(ids[i]))
+                out_s.append(round(sim, 6))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos_sim": out_s})
 
-    cand = g.mapInPandas(probe, "query_id long, vec_id long, cos_sim double")
+    if _scan_preserves_shards(spark, index_path):
+
+        def probe(batches):
+            pdfs = [b for b in batches]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            for _, grp in pdf.groupby("part"):
+                yield search_shard(grp)
+
+        cand = g.mapInPandas(probe, "query_id long, vec_id long, cos_sim double")
+    else:
+        cand = g.groupBy("part").applyInPandas(
+            lambda pdf: search_shard(pdf),
+            "query_id long, vec_id long, cos_sim double",
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -483,6 +531,9 @@ def nsw_batch_topk(
         .collect()  # fixed-size: len(query_ids) vectors
     )
     queries = [(int(r.vec_id), [float(x) for x in r.vec]) for r in rows]
+    missing = set(qids) - {q for q, _ in queries}
+    if missing:
+        raise ValueError(f"query_ids not found in embeddings: {sorted(missing)}")
     path = materialize_nsw_index(spark, sf_dir)
     return nsw_topk_batch(
         spark, path, queries, k, ef_search=ef_search, n_seeds=n_seeds
@@ -529,8 +580,9 @@ def nsw_topk(
                 np.array([pos[int(x)] for x in nb if int(x) in pos], dtype=np.int64)
                 for nb in grp["nbrs"]
             ]
-            entries = _select_entries(_normalize_rows(vecs), qn, n_seeds)
-            found = _greedy_search(vecs, nbrs, qvec, ef_search, entry=entries)
+            vn = _normalize_rows(vecs)
+            entries = _select_entries(vn, qn, n_seeds)
+            found = _greedy_search(vecs, nbrs, qvec, ef_search, entry=entries, vn=vn)
             rows = [
                 (int(ids[i]), round(s, 6))
                 for s, i in found

@@ -591,9 +591,10 @@ _PROBE_CACHE_MAX = 4  # round-9 ADVICE: each entry persists the full
 
 
 def _cache_put_bounded(cache: dict, key, df: DataFrame, max_entries: int) -> None:
-    """Insert with LRU eviction: dicts iterate in insertion order, so
-    the first key is the oldest; evicted entries are unpersisted so the
-    executor storage is actually released (complements the explicit
+    """Insert with LRU eviction: dicts iterate in insertion order and
+    HIT paths re-insert (pop + put), so the first key is the least
+    recently used; evicted entries are unpersisted so the executor
+    storage is actually released (complements the explicit
     dedup.invalidate_cache sweep)."""
     while len(cache) >= max_entries:
         oldest = next(iter(cache))
@@ -606,7 +607,11 @@ def _probe_expanded(
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, n_tables, bits, n_probes)
     if key in _PROBE_CACHE:
-        return _PROBE_CACHE[key]
+        # refresh recency: dict order is the eviction order, so a hit
+        # re-inserts — the hottest entry is never the eviction victim
+        df = _PROBE_CACHE.pop(key)
+        _PROBE_CACHE[key] = df
+        return df
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("vec")
     )

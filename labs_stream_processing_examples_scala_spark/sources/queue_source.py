@@ -252,11 +252,6 @@ def _read_segment_rows(
             yield (seg, pos, key, value)
 
 
-def _segment_len(queue_dir: str, seg: int) -> int:
-    with open(_seg_path(queue_dir, seg), encoding="utf-8") as f:
-        return sum(1 for _ in f)
-
-
 # --- Spark DataSource --------------------------------------------------
 
 
@@ -302,19 +297,23 @@ class QueueSimpleStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         s, r = int(start["seg"]), int(start["row"])
         rows: list[tuple] = []
-        segs = [n for n in _list_segments(self.queue_dir) if n >= s]
-        for seg in segs:
-            if len(rows) >= self.rows_per_batch:
+        # ONE pass per segment: _read_segment_rows streams lines and
+        # stops at the batch budget, so no separate length-count scan
+        # (review finding: the old two-pass form read every candidate
+        # segment twice per planning call)
+        for seg in [n for n in _list_segments(self.queue_dir) if n >= s]:
+            budget = self.rows_per_batch - len(rows)
+            if budget <= 0:
                 break
             first = r if seg == s else 0
-            n_rows = _segment_len(self.queue_dir, seg)
-            take = min(n_rows - first, self.rows_per_batch - len(rows))
-            if take <= 0:
-                if seg == s and first >= n_rows:
-                    continue  # current segment fully consumed
-                continue
-            rows.extend(_read_segment_rows(self.queue_dir, seg, first, first + take))
-            s, r = seg, first + take
+            taken = list(
+                _read_segment_rows(self.queue_dir, seg, first, first + budget)
+            )
+            if taken:
+                rows.extend(taken)
+                s, r = seg, taken[-1][1] + 1
+            # empty ⇒ segment fully consumed (or empty): the offset
+            # stays where it is; a later segment with rows advances it
         # an ITERATOR, not a list: when no data arrived (end == start)
         # the engine's prefetch wrapper probes it with next() to verify
         # emptiness (datasource_internal.add_result_to_cache)

@@ -150,8 +150,9 @@ class IncrementalNswIndex:
                 np.array([pos[int(x)] for x in nb if int(x) in pos], dtype=np.int64)
                 for nb in pdf["nbrs"]
             ]
-            entries = _select_entries(_normalize_rows(vecs), qn, n_seeds)
-            found = _greedy_search(vecs, nbrs, q, ef_search, entry=entries)
+            vn = _normalize_rows(vecs)
+            entries = _select_entries(vn, qn, n_seeds)
+            found = _greedy_search(vecs, nbrs, q, ef_search, entry=entries, vn=vn)
             rows = [
                 (int(ids[i]), round(s, 6)) for s, i in found if ids[i] != query_id
             ]
@@ -179,6 +180,7 @@ class IncrementalNswIndex:
         m, ef_c = self.m, self.ef_construction
         tomb = self._tombstones(spark)
         base_shards = self.n_shards
+        persisted: list[DataFrame] = []
 
         def rebuild(df: DataFrame) -> DataFrame:
             vecs = df.select("vec_id", "vec").dropDuplicates(["vec_id"])
@@ -187,7 +189,11 @@ class IncrementalNswIndex:
             # the merged segment accumulates the whole history — scale
             # its shard count with the surviving row count so the
             # per-shard blocked rebuild stays bounded (round-9 task #1;
-            # live per-batch segments keep the configured fixed count)
+            # live per-batch segments keep the configured fixed count).
+            # persist first: the count() and the rebuild write must not
+            # each re-run the dedup + anti-join over the whole history
+            vecs = vecs.persist()
+            persisted.append(vecs)
             n_shards = max(base_shards, _auto_shards(vecs.count()))
             routed = vecs.withColumn(
                 "part",
@@ -200,7 +206,13 @@ class IncrementalNswIndex:
                 make_shard_builder(m, ef_c, seg=-1), _SEG_SCHEMA
             )
 
-        return compact_batched_dir(spark, self.seg_dir, transform=rebuild, min_batches=2)
+        try:
+            return compact_batched_dir(
+                spark, self.seg_dir, transform=rebuild, min_batches=2
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
 
 
 def run_nsw_ingest(

@@ -538,3 +538,38 @@ def test_nsw_blocked_build_property_random_shapes():
             assert list(got[i]) == list(want[i]), (n, m, seed, i)
 
     run()
+
+
+def test_nsw_disk_probe_survives_file_splitting(spark):
+    """The shard-split hazard, forced for real: with maxPartitionBytes
+    shrunk below the index file sizes the parquet scan WOULD split a
+    shard across tasks, silently halving graphs under mapInPandas —
+    _scan_preserves_shards must detect it and route through
+    groupBy(part).applyInPandas, with results IDENTICAL to the normal
+    path."""
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _query_embedding,
+    )
+
+    path = GA.materialize_nsw_index(spark, SF_SMOKE)
+    qvec = _query_embedding(spark, SF_SMOKE, 0)
+    want = [(r.vec_id, r.cos_sim) for r in
+            GA.nsw_topk_from_index(spark, path, qvec, 0, 10).collect()]
+    assert GA._scan_preserves_shards(spark, path), "fixture index must be split-safe"
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        assert not GA._scan_preserves_shards(spark, path), (
+            "2KB budget must flag the index as splittable"
+        )
+        got = [(r.vec_id, r.cos_sim) for r in
+               GA.nsw_topk_from_index(spark, path, qvec, 0, 10).collect()]
+        assert got == want, "grouped fallback must return identical results"
+        df = GA.nsw_topk_batch(spark, path, [(0, qvec)], 10)
+        b = sorted(((r.vec_id, r.cos_sim) for r in df.collect()),
+                   key=lambda x: (-x[1], x[0]))
+        assert b == want
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -38,6 +38,8 @@ def main() -> int:
     argv = sys.argv[1:]
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: registry_sweep.py [sf_dir] --json <out.json>")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]  # drop flag AND its value
     args = [a for a in argv if not a.startswith("--")]
@@ -77,12 +79,16 @@ def main() -> int:
     }
     if errors:
         record["errors"] = errors
-    # stop Spark BEFORE the JSON print so unpersist/stop WARN lines can't
-    # land after the headline line (round-9 verdict task #2)
-    spark.stop()
+    # sidecar first, then stop Spark GUARDED, then the JSON print as
+    # the final stdout line (round-9 verdict task #2 + review: a stop()
+    # exception must not lose a fully-measured sweep)
     line = json.dumps(record)
     if out_path:
         Path(out_path).write_text(line + "\n")
+    try:
+        spark.stop()
+    except Exception as e:  # noqa: BLE001 — cleanup must not eat the record
+        print(f"sweep cleanup failed (record intact): {e}", file=sys.stderr)
     print("slowest 15:", file=sys.stderr)
     for k, v in sorted(timings.items(), key=lambda x: -x[1])[:15]:
         print(f"  {v:8.2f}  {k}", file=sys.stderr)

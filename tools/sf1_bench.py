@@ -119,6 +119,8 @@ def main() -> None:
     if "--only" in sys.argv:
         # run a comma-separated slice (keeps each timing window short
         # and lets the slices land in separate quiet windows)
+        if sys.argv.index("--only") + 1 >= len(sys.argv):
+            raise SystemExit("usage: sf1_bench.py [--sf10] --only q1,q2,...")
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
         unknown = [q for q in only if q not in queries]
         if unknown:
@@ -155,9 +157,13 @@ def main() -> None:
     }
     if errors:
         record["errors"] = errors
-    # stop BEFORE printing — keeps the JSON the final stdout line even
-    # when stop emits WARNs (round-9 verdict task #2)
-    spark.stop()
+    # stop (guarded) BEFORE printing — keeps the JSON the final stdout
+    # line even when stop emits WARNs, and a stop() exception must not
+    # lose a fully-measured run (round-9 verdict task #2 + review)
+    try:
+        spark.stop()
+    except Exception as e:  # noqa: BLE001 — cleanup must not eat the record
+        print(f"bench cleanup failed (record intact): {e}", file=sys.stderr)
     print(json.dumps(record), flush=True)
 
 
