@@ -251,10 +251,17 @@ def nsw_build(
     repartition is the family's only shuffle; the build never leaves
     the executor that owns the shard. ``n_shards=None`` (default)
     scales the shard count with the corpus (:func:`_auto_shards`) so
-    per-shard build work stays bounded at any scale factor."""
+    per-shard build work stays bounded at any scale factor.
+
+    ``ef_construction`` is accepted for signature compatibility but is
+    NOT part of the cache key: the blocked build links each point to
+    its exact-prefix nearest neighbours, so graphs differing only in
+    ef_c are identical — keying on it would store duplicate graphs in
+    the bounded cache, evicting genuinely distinct ones
+    (round-9 ADVICE)."""
     if n_shards is None:
         n_shards = _auto_shards(_corpus_rows(spark, sf_dir))
-    key = (spark.sparkContext.applicationId, sf_dir, n_shards, m, ef_construction)
+    key = (spark.sparkContext.applicationId, sf_dir, n_shards, m)
     if key in _GRAPH_CACHE:
         # refresh recency (see similarity._cache_put_bounded): a hit
         # re-inserts so the hottest graph is never the eviction victim
@@ -295,6 +302,17 @@ def _cleanup_nsw_index_tmp() -> None:
         _shutil.rmtree(p, ignore_errors=True)
 
 
+def _index_on_disk(path: str) -> bool:
+    """True when ``path`` already holds a part-partitioned graph index
+    (at least one ``part=*/...parquet`` leaf)."""
+    import glob
+    import os
+
+    return bool(
+        glob.glob(os.path.join(path, "part=*", "*.parquet"))
+    )
+
+
 def materialize_nsw_index(
     spark: SparkSession,
     sf_dir: str,
@@ -309,7 +327,13 @@ def materialize_nsw_index(
     exactly one shard's files, the build cost amortizes over every
     later query, and the index outlives the session (unlike the
     in-memory _GRAPH_CACHE, which serves single-session reuse).
-    Returns the index path; cached per (session, sf_dir, params)."""
+    Returns the index path.
+
+    Only AUTO-CREATED temp paths enter the session cache (round-9
+    ADVICE): a caller-supplied explicit ``path`` is the caller's to
+    delete or overwrite, so caching it would dangle the registry's
+    default-path probes. An explicit path that already contains an
+    index returns early instead of re-running the partitioned write."""
     import tempfile
 
     from labs_stream_processing_examples_scala_spark.sources.layout import (
@@ -318,34 +342,107 @@ def materialize_nsw_index(
 
     if n_shards is None:
         n_shards = _auto_shards(_corpus_rows(spark, sf_dir))
-    key = (spark.sparkContext.applicationId, sf_dir, n_shards, m, ef_construction)
-    if path is None:
+    key = (spark.sparkContext.applicationId, sf_dir, n_shards, m)
+    explicit = path is not None
+    if explicit:
+        if _index_on_disk(path):
+            return path
+    else:
         if key in _NSW_INDEX_CACHE:
             return _NSW_INDEX_CACHE[key]
         path = tempfile.mkdtemp(prefix="nsw_index_")
         _NSW_TMP_ROOTS.append(path)
     g = nsw_build(spark, sf_dir, n_shards=n_shards, m=m, ef_construction=ef_construction)
     write_partitioned(g, path, "part")
-    _NSW_INDEX_CACHE[key] = path
+    if not explicit:
+        _NSW_INDEX_CACHE[key] = path
     return path
 
 
+_BYTE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+
+
+def _parse_byte_conf(raw, default: int) -> int:
+    """Parse a Spark byte-string config value ('134217728', '128m',
+    '1g', '4194304b') into bytes. The round-9 form stripped non-digits,
+    turning '128m' into 128 bytes — which failed every file and forced
+    the shuffle fallback permanently (round-9 ADVICE)."""
+    if raw is None:
+        return default
+    s = str(raw).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in _BYTE_SUFFIX:
+        mult = _BYTE_SUFFIX[s[-1]]
+        s = s[:-1]
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return default
+
+
+def _max_split_bytes(spark: SparkSession, file_sizes: list) -> int:
+    """Spark's ACTUAL per-task split bound for a file scan
+    (FilePartition.maxSplitBytes): min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore)) where bytesPerCore =
+    (totalBytes + nFiles·openCost) / defaultParallelism. The round-9
+    guard compared sizes to maxPartitionBytes alone, so a 4-6 MB index
+    file could still be byte-range split when bytesPerCore is small
+    (round-9 ADVICE, medium)."""
+    max_part = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", None), 128 * 1024**2
+    )
+    open_cost = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", None), 4 * 1024**2
+    )
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    total = sum(file_sizes) + open_cost * len(file_sizes)
+    return min(max_part, max(open_cost, total // parallelism))
+
+
 def _scan_preserves_shards(spark: SparkSession, index_path: str) -> bool:
-    """True when no parquet file in the index can SPLIT across scan
-    tasks (every file ≤ spark.sql.files.maxPartitionBytes). Splitting
-    would hand a probe task HALF a graph and the `in pos` guard would
+    """True when every probe task is guaranteed to see WHOLE shard
+    graphs from a plain parquet scan. Splitting a shard across tasks
+    would hand a probe HALF a graph and the `in pos` remap would
     silently drop every cross-split edge (the hazard the streaming
-    probe's applyInPandas explicitly avoids). Auto-sharded indexes
-    (~8k rows ≈ 4-6 MB/file) always pass; an explicitly under-sharded
-    index falls back to the grouped probe."""
+    probe's applyInPandas explicitly avoids). Three checks:
+
+    1. one file per ``part=`` directory — two files of one shard can
+       land in two different scan tasks even without byte splitting;
+    2. every file ≤ the REAL maxSplitBytes (incl. openCostInBytes and
+       bytesPerCore — see :func:`_max_split_bytes`), so no byte-range
+       split can occur; OR
+    3. an oversize file holds a SINGLE parquet row group — Spark
+       assigns a row group to exactly one byte-range task (the one
+       containing its midpoint), so the other range tasks of that file
+       see zero rows and exactly one task still sees the whole graph.
+
+    Anything unverifiable routes through the groupBy(part)
+    applyInPandas fallback — one shuffle buys the guarantee."""
     import glob
     import os
 
-    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
-    digits = "".join(ch for ch in raw if ch.isdigit())
-    max_bytes = int(digits) if digits else 134217728
     files = glob.glob(os.path.join(index_path, "**", "*.parquet"), recursive=True)
-    return all(os.path.getsize(f) <= max_bytes for f in files)
+    if not files:
+        return True
+    by_dir: dict[str, int] = {}
+    for f in files:
+        d = os.path.dirname(f)
+        by_dir[d] = by_dir.get(d, 0) + 1
+    if any(n > 1 for n in by_dir.values()):
+        return False
+    sizes = [os.path.getsize(f) for f in files]
+    max_split = _max_split_bytes(spark, sizes)
+    oversize = [f for f, sz in zip(files, sizes) if sz > max_split]
+    if not oversize:
+        return True
+    try:
+        import pyarrow.parquet as pq
+
+        return all(pq.ParquetFile(f).metadata.num_row_groups <= 1 for f in oversize)
+    except Exception:
+        return False
 
 
 def nsw_topk_from_index(

@@ -403,3 +403,239 @@ def test_fqueue_stream_starts_on_empty_queue(spark, tmp_path):
     _drain(spark, qdir, ckpt, out)
     vals = sorted(r.value for r in spark.read.parquet(out).collect())
     assert vals == ["1", "2"]
+
+
+# --- round 10: distributed producer + competing consumers ---------------
+
+
+def test_fqueue_sink_publishes_per_partition_no_collect(spark, tmp_path):
+    """Round-9 verdict task #1: queue_sink must publish from the
+    EXECUTORS — one segment per non-empty partition, nothing
+    materialized on the driver. DataFrame.collect is poisoned for the
+    duration to prove the data path never crosses it."""
+    from pyspark.sql import DataFrame
+
+    qdir = str(tmp_path / "q")
+    df = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(40)], "key string, value string"
+    ).repartition(4)
+
+    real_collect = DataFrame.collect
+
+    def poisoned(self):
+        raise AssertionError("queue_sink materialized the batch on the driver")
+
+    DataFrame.collect = poisoned
+    try:
+        Q.queue_sink(qdir)(df, 0)
+    finally:
+        DataFrame.collect = real_collect
+
+    segs = Q._list_segments(qdir)
+    assert len(segs) == 4, f"expected one segment per partition: {segs}"
+    keys = [k for s in segs for _, _, k, _ in Q._read_segment_rows(qdir, s)]
+    assert sorted(keys) == sorted(f"k{i}" for i in range(40))
+
+
+def test_fqueue_sink_skips_empty_partitions(spark, tmp_path):
+    qdir = str(tmp_path / "q")
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "key string, value string"
+    ).repartition(8)
+    Q.queue_sink(qdir)(df, 0)
+    segs = Q._list_segments(qdir)
+    rows = [r for s in segs for r in Q._read_segment_rows(qdir, s)]
+    assert len(rows) == 2 and 1 <= len(segs) <= 2, "empty partitions must not publish"
+
+
+def test_fqueue_sink_idempotent_replay_with_producer_id(spark, tmp_path):
+    """A stable producer_id makes re-publishing a (batch, partition)
+    a no-op — task-retry / batch-replay idempotence. A NEW batch id
+    still appends."""
+    qdir = str(tmp_path / "q")
+    df = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(6)], "key string, value string"
+    ).repartition(3)
+    sink = Q.queue_sink(qdir, producer_id="prod-A")
+    sink(df, 7)
+    first = Q._list_segments(qdir)
+    sink(df, 7)  # replay of the same batch id: markers skip every partition
+    assert Q._list_segments(qdir) == first, "replayed batch must not duplicate"
+    sink(df, 8)  # a genuinely new batch appends
+    assert len(Q._list_segments(qdir)) == 2 * len(first)
+
+
+def test_fqueue_competing_readers_split_segments_unit():
+    """Two QueueCompetingStreamReader instances in one group claim
+    DISJOINT segments whose union is the whole queue; replay via
+    readBetweenOffsets is byte-identical; per-consumer ACK bookkeeping
+    (group_progress) is consistent."""
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_unit_")
+    for s in range(6):
+        Q.publish(qdir, [(f"s{s}r{r}", f"{s}:{r}") for r in range(4)])
+
+    opts = {"path": qdir, "rows_per_batch": "8", "group": "g"}
+    r1 = Q.QueueCompetingStreamReader({**opts, "consumer": "c1"})
+    r2 = Q.QueueCompetingStreamReader({**opts, "consumer": "c2"})
+
+    got = {"c1": [], "c2": []}
+    offs = {"c1": r1.initialOffset(), "c2": r2.initialOffset()}
+    spans = {"c1": [], "c2": []}
+    for _ in range(6):  # alternate batches until both drain
+        for name, rd in (("c1", r1), ("c2", r2)):
+            start = offs[name]
+            rows, end = rd.read(start)
+            rows = list(rows)
+            got[name].extend(rows)
+            spans[name].append((start, end, rows))
+            offs[name] = end
+
+    claims = Q._group_claims(qdir, "g")
+    assert set(claims.get("c1", [])).isdisjoint(claims.get("c2", []))
+    assert sorted(claims.get("c1", []) + claims.get("c2", [])) == list(range(6))
+    assert got["c1"] and got["c2"], "both consumers must make progress"
+    all_vals = sorted(v for rows in got.values() for _, _, _, v in rows)
+    assert all_vals == sorted(f"{s}:{r}" for s in range(6) for r in range(4)), (
+        "union of competing consumers must be the queue exactly once"
+    )
+    # NACK replay: every span re-reads byte-identically from immutable segs
+    for name, rd in (("c1", r1), ("c2", r2)):
+        for start, end, rows in spans[name]:
+            assert list(rd.readBetweenOffsets(start, end)) == rows
+    # ACK ledger: commit each consumer's final offset, check group math
+    r1.commit(offs["c1"])
+    r2.commit(offs["c2"])
+    prog = Q.group_progress(qdir, "g")
+    acked_union = sorted(
+        s for info in prog["acked"].values() for s in info["fully_acked"]
+    )
+    assert acked_union == list(range(6)), f"group ack inconsistent: {prog}"
+    # retention: fully-acked segments purge; claim tombstones survive
+    purged = Q.purge_competing_acked(qdir, "g")
+    assert purged == list(range(6))
+    assert Q._claimed_segments(qdir, "g") == set(range(6))
+
+
+def test_fqueue_competing_reader_adopts_own_claims_after_crash():
+    """Claim-then-crash window: a restarted consumer (same id, offset
+    from its last checkpoint) re-adopts claims it committed before the
+    crash — no segment is stranded or double-claimed."""
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_adopt_")
+    Q.publish(qdir, [("a", "1"), ("b", "2")])
+    opts = {"path": qdir, "rows_per_batch": "10", "group": "g", "consumer": "c1"}
+    r1 = Q.QueueCompetingStreamReader(opts)
+    assert r1._try_claim(0)  # claimed, then "crash" before any read
+    r1b = Q.QueueCompetingStreamReader(opts)  # restart, empty checkpoint
+    rows, end = r1b.read(r1b.initialOffset())
+    assert [v for _, _, _, v in rows] == ["1", "2"]
+    assert end["claimed"] == [0]
+
+
+def test_fqueue_release_claims_lets_survivor_take_over():
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_release_")
+    Q.publish(qdir, [("a", "1")])
+    Q.publish(qdir, [("b", "2")])
+    opts = {"path": qdir, "rows_per_batch": "1", "group": "g"}
+    dead = Q.QueueCompetingStreamReader({**opts, "consumer": "dead"})
+    rows, off = dead.read(dead.initialOffset())
+    dead.commit(off)  # seg 0 consumed+acked; then claim seg 1 and die
+    assert dead._try_claim(1)
+    released = Q.release_claims(qdir, "g", "dead")
+    assert released == [1], "only the unacked claim is released"
+    surv = Q.QueueCompetingStreamReader({**opts, "consumer": "surv"})
+    rows2, _ = surv.read(surv.initialOffset())
+    assert [v for _, _, _, v in rows2] == ["2"], "survivor must take over seg 1"
+
+
+def test_fqueue_two_simultaneous_competing_queries_exactly_once(spark, tmp_path):
+    """The scenario form (round-9 verdict task #3): two streaming
+    queries in one consumer group run at the same time; the union of
+    their sinks equals the queue EXACTLY once, per-group ACK
+    bookkeeping is consistent, and no ordering is promised across
+    consumers (only within a segment)."""
+    qdir = str(tmp_path / "q")
+    for s in range(8):
+        Q.publish(qdir, [(f"s{s}r{r}", f"{s}:{r}") for r in range(5)])
+    Q.register(spark)
+
+    def start_consumer(cid):
+        out, ckpt = str(tmp_path / f"out_{cid}"), str(tmp_path / f"ckpt_{cid}")
+        reader = (
+            spark.readStream.format("fqueue")
+            .option("path", qdir)
+            .option("group", "g")
+            .option("consumer", cid)
+            .option("rows_per_batch", 20)
+            .load()
+        )
+        q = (
+            reader.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return q, out, ckpt
+
+    q1, out1, ck1 = start_consumer("c1")
+    q2, out2, ck2 = start_consumer("c2")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    assert q1.exception() is None and q2.exception() is None
+    Q.sync_competing_offset(qdir, "g", "c1", ck1)
+    Q.sync_competing_offset(qdir, "g", "c2", ck2)
+
+    import glob as _glob
+
+    def read_out(path):
+        return (
+            spark.read.parquet(path).collect()
+            if _glob.glob(f"{path}/*.parquet")
+            else []
+        )
+
+    rows1, rows2 = read_out(out1), read_out(out2)
+    union = sorted(r.value for r in rows1 + rows2)
+    assert union == sorted(f"{s}:{r}" for s in range(8) for r in range(5)), (
+        "union of the group's sinks must be the queue exactly once"
+    )
+    claims = Q._group_claims(qdir, "g")
+    owned = sorted(s for segs in claims.values() for s in segs)
+    assert owned == list(range(8)), f"every segment claimed exactly once: {claims}"
+    prog = Q.group_progress(qdir, "g")
+    acked_union = sorted(
+        s for info in prog["acked"].values() for s in info["fully_acked"]
+    )
+    assert acked_union == list(range(8)), f"group ACK bookkeeping broken: {prog}"
+
+
+def test_fqueue_sync_group_offset_rejects_ambiguous_sources(tmp_path):
+    """Round-9 ADVICE: sync_group_offset must locate the fqueue source
+    line instead of hardcoding line 2 — an offsets file with two source
+    lines is ambiguous and must raise, not ack a wrong offset."""
+    import os
+
+    qdir = str(tmp_path / "q")
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "offsets").mkdir()
+    (ckpt / "commits" / "0").write_text("v1\n{}")
+    (ckpt / "offsets" / "0").write_text(
+        'v1\n{"batchWatermarkMs":0}\n{"seg": 1, "row": 2}\n{"seg": 0, "row": 9}'
+    )
+    os.makedirs(qdir)
+    with pytest.raises(ValueError, match="exactly one fqueue source offset"):
+        Q.sync_group_offset(qdir, "default", str(ckpt))
+    # the unambiguous single-source file still acks normally
+    (ckpt / "offsets" / "0").write_text(
+        'v1\n{"batchWatermarkMs":0}\n{"seg": 1, "row": 2}'
+    )
+    off = Q.sync_group_offset(qdir, "default", str(ckpt))
+    assert (off["seg"], off["row"]) == (1, 2)
