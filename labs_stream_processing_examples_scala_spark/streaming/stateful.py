@@ -242,7 +242,12 @@ def has_transform_with_state() -> bool:
     return ensure_protobuf()
 
 
-def transform_with_state_gather(slots: DataFrame) -> DataFrame:
+GATHER_TTL_OUTPUT_SCHEMA = GATHER_OUTPUT_SCHEMA + ", status string"
+
+
+def transform_with_state_gather(
+    slots: DataFrame, ttl_seconds: float | None = None
+) -> DataFrame:
     """J3 gather on ``transformWithStateInPandas`` — the Spark 4.x
     stateful API (typed per-key ValueState, timers, RocksDB-backed).
     Same semantics as :func:`stateful_gather`; preferred where the
@@ -250,6 +255,21 @@ def transform_with_state_gather(slots: DataFrame) -> DataFrame:
     checkpointed (RocksDB changelog) instead of full-snapshot per
     batch — the difference that matters when gather state is large at
     100 TB.
+
+    ``ttl_seconds`` arms the K5 ``onNotProcessed`` timer (round-9
+    verdict task #4) — the reference NACKs a message whose enrichment
+    verdict never arrives (reference AkkaPipelineActors.scala:144-168:
+    the cameo actor's receive timeout fires ``onNotProcessed`` from
+    postStop). Here a PROCESSING-TIME timer is registered when a key's
+    state is first created; if the gather has not completed by the
+    deadline, ``handleExpiredTimer`` emits the partial record with
+    ``status='timeout'`` (errors-as-data, the F2/K3 discipline) and
+    drops the state — bounded state even when an enrichment leg is
+    permanently lost. Completion deletes the pending timer and emits
+    ``status='complete'``. Timers and state live in the checkpoint, so
+    the deadline survives a query restart. With a TTL the output gains
+    the ``status`` column; the downstream F2 split routes timeouts to
+    the DLQ leg.
 
     Raises RuntimeError if no google.protobuf runtime can be resolved;
     callers fall back to :func:`stateful_gather`.
@@ -262,14 +282,32 @@ def transform_with_state_gather(slots: DataFrame) -> DataFrame:
     import pandas as _pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
+    use_ttl = ttl_seconds is not None
+    ttl_ms = int(ttl_seconds * 1000) if use_ttl else 0
+
     class GatherProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
             self.state = handle.getValueState("slots", GATHER_STATE_SCHEMA)
+
+        def _row(self, msg_id, value, e1, e2, e3, status):
+            out = {
+                "id": msg_id,
+                "value": value,
+                "extra1": e1,
+                "extra2": e2,
+                "extra3_name": e3,
+                "additional": f"transformed {msg_id}",
+            }
+            if use_ttl:
+                out["status"] = status
+            return _pd.DataFrame([out])
 
         def handleInputRows(self, key, rows, timerValues):
             (msg_id,) = key
+            existed = self.state.exists()
             value, e1, e2, e3 = (
-                self.state.get() if self.state.exists() else (None, None, None, None)
+                self.state.get() if existed else (None, None, None, None)
             )
             for pdf in rows:
                 for row in pdf.itertuples(index=False):
@@ -282,29 +320,37 @@ def transform_with_state_gather(slots: DataFrame) -> DataFrame:
                         e3 = row.res
             if e1 is not None and e2 is not None and e3 is not None:
                 self.state.clear()
-                yield _pd.DataFrame(
-                    [
-                        {
-                            "id": msg_id,
-                            "value": value,
-                            "extra1": e1,
-                            "extra2": e2,
-                            "extra3_name": e3,
-                            "additional": f"transformed {msg_id}",
-                        }
-                    ]
-                )
+                if use_ttl:
+                    for t in self.handle.listTimers():
+                        self.handle.deleteTimer(t)
+                yield self._row(msg_id, value, e1, e2, e3, "complete")
             else:
                 self.state.update((value, e1, e2, e3))
+                if use_ttl and not existed:
+                    # one deadline per message, from FIRST sighting —
+                    # the cameo actor's receiveTimeout starts when the
+                    # actor spawns, not per enrichment leg
+                    self.handle.registerTimer(
+                        timerValues.getCurrentProcessingTimeInMs() + ttl_ms
+                    )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # onNotProcessed: the verdict never arrived — emit the
+            # partial record as errors-as-data and free the state
+            if self.state.exists():
+                (msg_id,) = key
+                value, e1, e2, e3 = self.state.get()
+                self.state.clear()
+                yield self._row(msg_id, value, e1, e2, e3, "timeout")
 
         def close(self) -> None:
             pass
 
     return slots.groupBy("id").transformWithStateInPandas(
         statefulProcessor=GatherProcessor(),
-        outputStructType=GATHER_OUTPUT_SCHEMA,
+        outputStructType=GATHER_TTL_OUTPUT_SCHEMA if use_ttl else GATHER_OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if use_ttl else "None",
     )
 
 

@@ -360,3 +360,161 @@ def test_cluster_conf_shape():
     assert all(k.startswith("spark.") and isinstance(v, str) for k, v in c.items())
     small = cluster_conf(total_cores=1000, input_tb=0.1)
     assert int(small["spark.sql.shuffle.partitions"]) == 2000  # floor = 2x cores
+
+
+# --- round 10: K5 onNotProcessed timer parity (verdict task #4) ---------
+
+
+def _rocksdb(spark):
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return prev
+
+
+def _restore_provider(spark, prev):
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _poll(fn, timeout=90.0, step=0.5):
+    """Poll fn() until truthy or deadline; returns the last value."""
+    import time as _t
+
+    deadline = _t.time() + timeout
+    val = None
+    while _t.time() < deadline:
+        try:
+            val = fn()
+        except Exception:  # output dir not created yet, etc.
+            val = None
+        if val:
+            return val
+        _t.sleep(step)
+    return val
+
+
+_SLOT_SCHEMA = "id long, value string, slot string, res string"
+
+
+def _complete_slots(i):
+    return [
+        (i, f"v{i}", "extra1", f"r{i}"),
+        (i, f"v{i}", "extra2", f"u{i}"),
+        (i, f"v{i}", "extra3", f"s{i}"),
+    ]
+
+
+def test_tws_gather_ttl_times_out_incomplete_message(spark, tmp_path):
+    """K5 onNotProcessed (reference AkkaPipelineActors.scala:144-168):
+    a message whose enrichment leg never arrives reaches the DLQ leg as
+    status='timeout' after the processing-time deadline; complete
+    messages emit status='complete' and are unaffected. With
+    timeMode=ProcessingTime the engine keeps scheduling micro-batches,
+    so the timer fires without any nudge data."""
+    from labs_stream_processing_examples_scala_spark.streaming.sinks import (
+        idempotent_write,
+        read_batched_output,
+    )
+
+    assert S.has_transform_with_state()
+    prev = _rocksdb(spark)
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ck"))
+    try:
+        spark.createDataFrame(
+            _complete_slots(1) + [(2, "v2", "extra1", "only-leg")], _SLOT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(_SLOT_SCHEMA).parquet(src)
+        gathered = S.transform_with_state_gather(stream, ttl_seconds=10)
+        q = (
+            gathered.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: idempotent_write(df, out, bid))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+
+            def rows():
+                return {r.id: r for r in read_batched_output(spark, out).collect()}
+
+            got = _poll(lambda: 1 in rows() and rows())
+            assert got and got[1].status == "complete", f"complete leg broken: {got}"
+            assert 2 not in got, "timeout must not fire before the deadline"
+            got = _poll(lambda: 2 in rows() and rows())
+            assert got and 2 in got, "incomplete message never timed out"
+            dlq = got[2]
+            assert dlq.status == "timeout"
+            assert dlq.extra1 == "only-leg" and dlq.extra2 is None and (
+                dlq.extra3_name is None
+            ), "timeout row must carry the partial gather as errors-as-data"
+            assert got[1].status == "complete", "complete message unaffected"
+        finally:
+            q.stop()
+    finally:
+        _restore_provider(spark, prev)
+
+
+def test_tws_gather_ttl_deadline_survives_restart(spark, tmp_path):
+    """The deadline is checkpoint state: stop the query while the timer
+    is pending, let the TTL lapse while DOWN, restart — the recovered
+    timer fires on a recovery batch and the partial record reaches the
+    DLQ leg."""
+    import time
+
+    from labs_stream_processing_examples_scala_spark.streaming.sinks import (
+        idempotent_write,
+        read_batched_output,
+    )
+
+    assert S.has_transform_with_state()
+    prev = _rocksdb(spark)
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ck"))
+    try:
+        # sentinel id=6 completes immediately; id=7 never will
+        spark.createDataFrame(
+            _complete_slots(6) + [(7, "v7", "extra2", "leg")], _SLOT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def start():
+            stream = spark.readStream.schema(_SLOT_SCHEMA).parquet(src)
+            gathered = S.transform_with_state_gather(stream, ttl_seconds=15)
+            return (
+                gathered.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(lambda df, bid: idempotent_write(df, out, bid))
+                .trigger(processingTime="500 milliseconds")
+                .start()
+            )
+
+        def rows():
+            return {r.id: r for r in read_batched_output(spark, out).collect()}
+
+        q = start()
+        got = _poll(lambda: 6 in rows() and rows())
+        q.stop()  # crash/redeploy while id=7's timer is pending
+        assert got and got[6].status == "complete"
+        assert 7 not in got, "timer fired before the deadline"
+        time.sleep(16)  # TTL lapses while the query is DOWN
+        q2 = start()
+        try:
+            got = _poll(lambda: 7 in rows() and rows())
+            assert got and 7 in got, "recovered timer never fired after restart"
+            assert got[7].status == "timeout" and got[7].extra2 == "leg"
+        finally:
+            q2.stop()
+    finally:
+        _restore_provider(spark, prev)
+
+
+def test_tws_gather_without_ttl_unchanged(spark):
+    """ttl=None keeps the round-9 contract byte-for-byte: 6-column
+    schema, no status, timeMode None."""
+    msgs = events_message_stream(spark, SF_SMOKE)
+    slots = S.slot_stream(msgs)
+    df = S.transform_with_state_gather(slots)
+    assert "status" not in df.columns
