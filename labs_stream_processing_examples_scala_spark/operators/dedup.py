@@ -227,30 +227,92 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_of(shingle_hash_arrays(spark, sf_dir))
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+LSH_BUCKET_CAP = 4096
+LSH_SKEW_SALTS = 16
 
-    shingle→minhash→band→bucket-join→verify. The self-join is on
-    (band_idx, bucket): at 100 TB the bucket key is the shuffle key and
-    candidate volume scales with collision rate, not n².
 
-    Everything up to the banding self-join is a narrow projection over
-    the cached shingle arrays (4 exchanges total vs 11 for the
-    exploded+window form — output verified identical). Exact-Jaccard
-    verification attaches the two arrays per candidate pair and
-    intersects row-locally (array_intersect), so the verify cost is
-    ∝ candidates, and no shingle ever shuffles.
-    """
-    arrs = shingle_hash_arrays(spark, sf_dir)
-    banded = banded_of(minhash_signatures(spark, sf_dir))
+def lsh_candidate_join(
+    banded: DataFrame,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    n_salts: int = LSH_SKEW_SALTS,
+) -> DataFrame:
+    """The (band, bucket) self-join producing distinct (doc_a < doc_b)
+    candidate pairs, SKEW-GUARDED (round-9 verdict task #5): a real
+    100 TB corpus with a viral document puts millions of docs in ONE
+    (band, bucket), and a plain self-join hands that bucket's entire
+    quadratic candidate set to a single reducer. Buckets over
+    ``bucket_cap`` get the salted self-join treatment — results are
+    IDENTICAL (salting parallelizes the hot bucket's pair generation
+    over ``n_salts`` reducers; it cannot shrink the candidate set,
+    which is inherently quadratic in bucket size):
+
+    - bucket sizes are one small aggregation; over-cap keys join
+      back as a `_hot` tag (hint-free: AQE broadcasts the hot-key set
+      by its runtime size — at fixture scale it is empty or tiny, and
+      an SF-scaled hint would violate the broadcast policy);
+    - LEFT side: hot rows take a deterministic salt
+      pmod(xxhash64(doc_a), n_salts), cold rows salt 0;
+    - RIGHT side: hot rows REPLICATE across the full salt domain
+      (explode(sequence)), cold rows stay single — so every hot pair
+      meets on exactly one salt and every cold pair on salt 0.
+
+    One declarative plan, no driver-side branching: the salt is a
+    conditional expression, so the replication multiplier applies ONLY
+    to over-cap rows. ``bucket_cap=None`` is the unguarded round-9
+    form (kept for the equivalence tests)."""
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    if bucket_cap is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > bucket_cap)
+            .select("band", "bucket", F.lit(True).alias("_hot"))
+        )
+        left = (
+            left.join(hot, ["band", "bucket"], "left")
+            .withColumn(
+                "_salt",
+                F.when(
+                    F.col("_hot"), F.pmod(F.xxhash64("doc_a"), F.lit(n_salts))
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hot")
+        )
+        right = (
+            right.join(hot, ["band", "bucket"], "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.when(F.col("_hot"), F.lit(n_salts - 1)).otherwise(F.lit(0)),
+                    )
+                ),
+            )
+            .drop("_hot")
+        )
+        joined = left.join(right, ["band", "bucket", "_salt"])
+    else:
+        joined = left.join(right, ["band", "bucket"])
+    return (
+        joined.filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def lsh_verified_pairs(
+    arrs: DataFrame,
+    banded: DataFrame,
+    threshold: float = 0.5,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    n_salts: int = LSH_SKEW_SALTS,
+) -> DataFrame:
+    """Candidates (:func:`lsh_candidate_join`) + exact-Jaccard verify
+    against the shingle arrays — the uncached core of
+    :func:`lsh_candidate_pairs`, reusable over ANY corpus frame."""
+    cand = lsh_candidate_join(banded, bucket_cap=bucket_cap, n_salts=n_salts)
     a_side = arrs.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"), F.col("sz").alias("sz_a")
     )
@@ -268,6 +330,32 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def lsh_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    shingle→minhash→band→bucket-join→verify. The self-join is on
+    (band_idx, bucket): at 100 TB the bucket key is the shuffle key and
+    candidate volume scales with collision rate, not n². Buckets over
+    ``bucket_cap`` route through the salted join (see
+    :func:`lsh_candidate_join`) so one viral document cannot pin the
+    whole bucket's quadratic verify on a single reducer.
+
+    Everything up to the banding self-join is a narrow projection over
+    the cached shingle arrays. Exact-Jaccard verification attaches the
+    two arrays per candidate pair and intersects row-locally
+    (array_intersect), so the verify cost is ∝ candidates, and no
+    shingle ever shuffles.
+    """
+    arrs = shingle_hash_arrays(spark, sf_dir)
+    banded = banded_of(minhash_signatures(spark, sf_dir))
+    return lsh_verified_pairs(arrs, banded, threshold, bucket_cap=bucket_cap)
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

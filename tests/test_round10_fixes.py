@@ -164,3 +164,94 @@ def test_explicit_path_probe_matches_default(spark, tmp_path):
     got = [(r.vec_id, r.cos_sim) for r in
            GA.nsw_topk_from_index(spark, mine, qvec, 0, 10).collect()]
     assert got == want
+
+
+# --- LSH hot-bucket skew guard (round-9 verdict task #5) -----------------
+
+
+def _mk_banded(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+
+
+def test_lsh_salted_candidate_join_identical_pairs(spark):
+    """The salted hot-bucket path must produce EXACTLY the plain
+    self-join's pair set: every hot pair meets on one salt, every cold
+    pair on salt 0, cross-band duplicates still collapse."""
+    import itertools
+
+    from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+
+    rows = (
+        [(i, 0, 100) for i in range(6)]        # hot bucket (cap 3)
+        + [(10 + i, 0, 200) for i in range(3)]  # cold bucket
+        + [(1, 1, 300), (7, 1, 300)]             # cross-band extra pair
+        + [(1, 2, 400)]                          # singleton bucket
+    )
+    banded = _mk_banded(spark, rows)
+    want = sorted(
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_join(banded, bucket_cap=None).collect()
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_join(banded, bucket_cap=3, n_salts=4).collect()
+    )
+    assert got == want
+    expect = sorted(
+        set(itertools.combinations(range(6), 2))
+        | set(itertools.combinations(range(10, 13), 2))
+        | {(1, 7)}
+    )
+    assert want == expect
+
+
+def test_lsh_salt_applies_only_to_hot_buckets(spark):
+    """Structural check: the join key carries _salt, the replication
+    multiplier is CONDITIONAL on the over-cap tag (cold rows replicate
+    1×), and the unguarded form has neither."""
+    from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+
+    rows = [(i, 0, 100) for i in range(6)] + [(10 + i, 0, 200) for i in range(3)]
+    banded = _mk_banded(spark, rows)
+    df = DD.lsh_candidate_join(banded, bucket_cap=3, n_salts=4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan, "salt column missing from the guarded plan"
+    assert "sequence(0, CASE WHEN" in plan, (
+        "replication multiplier must be conditional on the hot tag"
+    )
+    plain = DD.lsh_candidate_join(banded, bucket_cap=None)
+    assert "_salt" not in plain._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_lsh_pairs_viral_corpus_guarded_equals_unguarded(spark):
+    """End-to-end on a degenerate corpus (one viral document copied 40×
+    → one (band,bucket) holds 40 docs in every band): the guarded
+    operator returns the identical verified pair set."""
+    from math import comb
+
+    from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+
+    viral = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, viral) for i in range(40)]
+        + [(100 + i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    arrs = DD.shingle_arrays_of(docs).persist()
+    try:
+        banded = DD.banded_of(DD.minhash_of(arrs))
+        base = sorted(
+            map(tuple, DD.lsh_verified_pairs(arrs, banded, 0.5, bucket_cap=None).collect())
+        )
+        guarded = sorted(
+            map(
+                tuple,
+                DD.lsh_verified_pairs(
+                    arrs, banded, 0.5, bucket_cap=8, n_salts=4
+                ).collect(),
+            )
+        )
+        assert guarded == base
+        assert len(base) == comb(40, 2), "the viral clique must survive intact"
+    finally:
+        arrs.unpersist()

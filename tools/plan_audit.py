@@ -78,6 +78,10 @@ AUDITS = [
     ("x_sample_hash_split", [], ["Exchange"]),  # pure narrow projection
     ("x_sample_stratified", [], ["Exchange"]),
     ("x_dedup_simhash_pairs", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # round 10: skew-guarded LSH pairs — hot-tag joins and the verify
+    # joins all broadcast at audit SF; the salt is a conditional
+    # expression so cold rows replicate 1x
+    ("x_dedup_lsh_pairs", ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # TPC-H shapes batch 3
     ("q39_tpch_q4", ["LeftSemi"], ["BroadcastNestedLoopJoin"]),
     # every predicate reaches the scan; no join anywhere
@@ -323,6 +327,7 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "q70_merge_mor": {},  # hint-free: AQE sizes the vector anti-join
     "q71_cdf_mv": {},
     "x_dedup_fuzzy_names": {},  # hint-free: AQE picks by block size
+    "x_dedup_lsh_pairs": {},  # hint-free: AQE sizes the hot-tag joins
     "x_sample_reservoir": {},
     "x_freq_heavy_hitters": {
         "candidates": "bounded-candidates",  # ≤ K_COUNTERS×partitions rows
@@ -401,6 +406,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # the pair-dedup distinct + the deliberate _spread of the
     # single-file fixture scan (a no-op exchange on parallel input)
     "x_dedup_simhash_pairs": 2,
+    # cache spread + two hot-bucket size aggs (one per join leg;
+    # ReusedExchange folds them at runtime) + the pair-dedup distinct
+    "x_dedup_lsh_pairs": 4,
     "q39_tpch_q4": 1,
     "q40_tpch_q6": 1,         # the single global-agg exchange
     "q41_brand_suppliers": 2,
