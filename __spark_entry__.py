@@ -184,8 +184,53 @@ def _p5_malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness gate hashes the FIRST 50 registry entries
+# against their DuckDB oracles, so the window must SAMPLE EVERY TIER
+# (round-9 verdict task #2) — core stream operators first (SURVEY §2),
+# then relational / TPC-H / temporal / lakehouse / streaming-MV / CDC /
+# dedup / similarity / graph / text / sampling / frequency / validation /
+# multimodal / skew / corpus, one or more exact-oracle representatives
+# each. Only exact-DuckDB-oracle entries qualify (a rows-only entry
+# would surface as `err` to the driver); the approximate/stream-only
+# tiers keep their proof in the local gate (tools/check_oracle.py) and
+# pytest. Everything after the window keeps its family grouping.
+DRIVER_WINDOW = [
+    "p1_reverse_upper", "s1_tick_source", "s4_queue_roundtrip",
+    "p2_charsort", "p3_enrich_full", "p3_gather_form",
+    "p4_errors_main", "p4_errors_dlq", "p5_malformed_json",
+    # relational core
+    "q1_scan_project", "q2_filter", "q4_agg_tpch_q1", "q6_rollup",
+    "q7_join_revenue", "q8_outer_join", "q10_window_rank", "q12_topk",
+    "q13_union", "q14_pivot",
+    # TPC-H deep
+    "q30_tpch_q3", "q35_tpch_q18", "q55_tpch_q9",
+    # temporal
+    "q18_asof_join", "q19_range_join", "q58_sessionize",
+    # lakehouse (MERGE / COW / MOR / CDF)
+    "q65_merge_scd2", "q66_merge_delete", "q67_merge_cdc",
+    "q70_merge_mor", "q71_cdf_mv",
+    # streaming MV + CDC ingest
+    "x_mv_event_stats", "x_cdc_stream_ingest",
+    # dedup family
+    "x_dedup_exact", "x_dedup_minhash_sig", "x_dedup_lsh_pairs",
+    "x_dedup_simhash_pairs", "x_dedup_span_removal", "x_dedup_keep_first",
+    # similarity (exact members)
+    "x_sim_bruteforce_topk", "x_sim_neardup_pairs",
+    # graph / text / sampling / frequency / validation / multimodal /
+    # skew / corpus
+    "x_graph_pagerank",
+    "x_text_stats", "x_text_langid", "x_text_tfidf",
+    "x_sample_hash_split",
+    "x_freq_heavy_hitters",
+    "x_validate_orders",
+    "x_multimodal_meta",
+    "x_skew_salted_agg",
+    "x_pack_sequences",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    reg = {
         # scalar transforms / enrichment pipeline (SURVEY §2.2-2.3, §2.8)
         "p1_reverse_upper": _p1_reverse_upper,
         # S1/S2 tick source as a Spark 4 Python DataSource (batch form;
@@ -423,6 +468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.synthesize_mixed(MM.binary_documents(spark, sf))
         ),
     }
+    ordered = {k: reg[k] for k in DRIVER_WINDOW}
+    ordered.update((k, v) for k, v in reg.items() if k not in ordered)
+    return ordered
 
 
 # DuckDB-side helpers (inlined per query): v = 'Input Data: ' || event_id;

@@ -147,3 +147,43 @@ def test_every_query_has_oracle_or_documented_exemption():
 def test_registry_query_matches_oracle(name, spark, duck):
     rec = check_one(spark, duck, REGISTRY[name], ORACLES.get(name), SF_SMOKE)
     assert _green(rec), rec["err"]
+
+
+def test_driver_window_samples_every_tier():
+    """Round-9 verdict task #2: the driver hashes the FIRST 50 registry
+    entries, so that window must (a) be exactly the queries() prefix,
+    (b) contain only exact-DuckDB-oracle entries (a rows-only entry
+    would surface as `err` to the driver), and (c) sample every
+    operator tier."""
+    import __spark_entry__ as m
+
+    window = m.DRIVER_WINDOW
+    assert len(window) == 50 and len(set(window)) == 50
+    assert list(m.queries())[:50] == window
+    no_oracle = [k for k in window if m.oracle_sql().get(k) is None]
+    assert not no_oracle, f"rows-only entries in the driver window: {no_oracle}"
+    tiers = {
+        "core": ["p1_", "s1_", "s4_", "p2_", "p3_", "p4_", "p5_"],
+        "relational": ["q1_", "q4_", "q10_"],
+        "tpch": ["q30_", "q35_", "q55_"],
+        "temporal": ["q18_", "q19_", "q58_"],
+        "lakehouse": ["q65_", "q66_", "q67_", "q70_", "q71_"],
+        "streaming-mv": ["x_mv_"],
+        "cdc": ["x_cdc_"],
+        "dedup": ["x_dedup_"],
+        "similarity": ["x_sim_"],
+        "graph": ["x_graph_"],
+        "text": ["x_text_"],
+        "sampling": ["x_sample_"],
+        "frequency": ["x_freq_"],
+        "validation": ["x_validate_"],
+        "multimodal": ["x_multimodal_"],
+        "skew": ["x_skew_"],
+        "corpus": ["x_pack_"],
+    }
+    unsampled = [
+        tier
+        for tier, prefixes in tiers.items()
+        if not any(any(w.startswith(p) for p in prefixes) for w in window)
+    ]
+    assert not unsampled, f"driver window misses tiers: {unsampled}"
