@@ -214,13 +214,34 @@ def sync_group_offset(queue_dir: str, group: str, checkpoint_dir: str) -> dict |
     return read_group_offset(queue_dir, group)
 
 
+def _purge_segment(queue_dir: str, seg: int) -> bool:
+    """Reclaim one segment's space by TRUNCATING it in place (round-10
+    fix): deleting the file would let ``_commit_segment``'s max+1 slot
+    allocation RE-USE the number once the max segment is purged — a new
+    publish would then land below consumers' committed offsets (linear
+    mode skips it silently; competing mode's claim tombstone blocks it)
+    and the records would be lost. An empty segment keeps the slot
+    occupied forever, costs one inode, reads as zero rows everywhere,
+    and keeps every offset/claim invariant intact. Returns False when
+    the segment is already empty (idempotence — don't re-report)."""
+    p = _seg_path(queue_dir, seg)
+    if os.path.getsize(p) == 0:
+        return False
+    with open(p, "r+b") as f:
+        f.truncate(0)
+        f.flush()
+        os.fsync(f.fileno())
+    return True
+
+
 def purge_acked(queue_dir: str, up_to_group: str | None = None) -> list[int]:
-    """Broker retention: delete segments every consumer group has fully
-    acked (strictly below the MIN group offset's segment). With
-    ``up_to_group``, consider only that group. Returns purged segment
-    numbers. Segments are immutable and replay stops needing them only
-    once the engine checkpoint passed them too — call this with the
-    same discipline as broker retention config."""
+    """Broker retention: reclaim segments every consumer group has fully
+    acked (strictly below the MIN group offset's segment) by truncating
+    them in place (:func:`_purge_segment` — slot numbers never reuse).
+    With ``up_to_group``, consider only that group. Returns purged
+    segment numbers. Segments are immutable and replay stops needing
+    them only once the engine checkpoint passed them too — call this
+    with the same discipline as broker retention config."""
     cdir = os.path.join(queue_dir, "_consumers")
     groups = (
         [up_to_group]
@@ -232,11 +253,17 @@ def purge_acked(queue_dir: str, up_to_group: str | None = None) -> list[int]:
     offs = [read_group_offset(queue_dir, g) for g in groups]
     if not offs or any(o is None for o in offs):
         return []
+    # competing-mode ledgers ({"claimed","idx","row"} shape) share the
+    # _consumers dir. A mixed queue (linear groups AND competing groups)
+    # must NOT purge on linear offsets alone — a competing consumer may
+    # still need those segments — so the linear sweep refuses; use
+    # purge_competing_acked per competing group instead.
+    if any("seg" not in o for o in offs):
+        return []
     min_seg = min(int(o["seg"]) for o in offs)
     purged = []
     for n in _list_segments(queue_dir):
-        if n < min_seg:
-            os.remove(_seg_path(queue_dir, n))
+        if n < min_seg and _purge_segment(queue_dir, n):
             purged.append(n)
     return purged
 
@@ -443,9 +470,18 @@ class QueueCompetingStreamReader(SimpleDataSourceStreamReader):
         while len(rows) < self.rows_per_batch:
             if idx < len(claimed):
                 budget = self.rows_per_batch - len(rows)
-                taken = list(
-                    _read_segment_rows(self.queue_dir, claimed[idx], row, row + budget)
-                )
+                try:
+                    taken = list(
+                        _read_segment_rows(
+                            self.queue_dir, claimed[idx], row, row + budget
+                        )
+                    )
+                except FileNotFoundError:
+                    # purged by competing retention: purge only removes
+                    # segments whose claimer FULLY acked them, and idx
+                    # can lag one behind a fully-consumed segment (the
+                    # row==len case) — treat as exhausted
+                    taken = []
                 rows.extend(taken)
                 if len(taken) < budget:
                     idx += 1  # segment exhausted (immutable — stays so)
@@ -614,18 +650,19 @@ def sync_competing_offset(
 
 
 def purge_competing_acked(queue_dir: str, group: str) -> list[int]:
-    """Competing-mode retention: delete segments their CLAIMER has
+    """Competing-mode retention: reclaim segments their CLAIMER has
     fully acked (the segment sits in the claimed[:idx] prefix of the
-    claimer's committed offset). Claim files are kept — they are the
-    tombstones that stop a purged segment number being re-claimed."""
+    claimer's committed offset, or at claimed[idx] with every row
+    delivered). Truncation, not deletion (:func:`_purge_segment`), so
+    slot numbers never reuse; claim files are kept as the ownership
+    record."""
     prog = group_progress(queue_dir, group)
     done: set[int] = set()
     for info in prog["acked"].values():
         done.update(info["fully_acked"])
     purged = []
     for seg in _list_segments(queue_dir):
-        if seg in done:
-            os.remove(_seg_path(queue_dir, seg))
+        if seg in done and _purge_segment(queue_dir, seg):
             purged.append(seg)
     return purged
 

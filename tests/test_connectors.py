@@ -639,3 +639,48 @@ def test_fqueue_sync_group_offset_rejects_ambiguous_sources(tmp_path):
     )
     off = Q.sync_group_offset(qdir, "default", str(ckpt))
     assert (off["seg"], off["row"]) == (1, 2)
+
+
+def test_fqueue_competing_read_survives_purge_of_lagging_segment():
+    """purge_competing_acked can remove a fully-acked segment BEFORE the
+    claimer's idx advances past it (idx lags one behind when the batch
+    budget exactly drained the segment) — the next read must treat the
+    purged segment as exhausted, not crash, and continue with new data."""
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_purgelag_")
+    Q.publish(qdir, [("a", "1"), ("b", "2")])
+    opts = {"path": qdir, "rows_per_batch": "2", "group": "g", "consumer": "c1"}
+    r = Q.QueueCompetingStreamReader(opts)
+    rows, off = r.read(r.initialOffset())
+    assert [v for _, _, _, v in rows] == ["1", "2"]
+    assert (off["idx"], off["row"]) == (0, 2), "idx lags on exact drain"
+    r.commit(off)
+    assert Q.purge_competing_acked(qdir, "g") == [0]
+    Q.publish(qdir, [("c", "3")])
+    rows2, off2 = r.read(off)
+    assert [v for _, _, _, v in rows2] == ["3"], "must skip purged seg and continue"
+    assert off2["claimed"] == [0, 1]
+
+
+def test_fqueue_purge_never_reuses_slots_and_mixed_mode_refuses():
+    """Purge truncates in place so _commit_segment's max+1 allocation
+    can never hand a new publish an already-consumed slot number; and
+    the linear sweep refuses to purge a queue that also has competing
+    ledgers (those segments may still be unconsumed by a claimer)."""
+    import os
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_slots_")
+    Q.publish(qdir, [("a", "1")])
+    Q._write_group_offset(qdir, "lin", {"seg": 1, "row": 0})  # past seg 0
+    assert Q.purge_acked(qdir) == [0]
+    assert Q._list_segments(qdir) == [0], "slot must stay occupied"
+    assert os.path.getsize(Q._seg_path(qdir, 0)) == 0
+    assert Q.purge_acked(qdir) == [], "idempotent: empty segs not re-reported"
+    assert Q.publish(qdir, [("b", "2")]) == 1, "new publish must take slot 1"
+    # mixed mode: add a competing ledger -> linear sweep refuses
+    Q._write_group_offset(qdir, "g.c1", {"claimed": [1], "idx": 0, "row": 0})
+    Q._write_group_offset(qdir, "lin", {"seg": 2, "row": 0})
+    assert Q.purge_acked(qdir) == [], "mixed-mode purge must refuse"
+    assert [v for _, _, _, v in Q._read_segment_rows(qdir, 1)] == ["2"]
