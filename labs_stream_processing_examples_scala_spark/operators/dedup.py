@@ -108,6 +108,10 @@ def invalidate_cache(sf_dir: str | None = None) -> None:
     for key in list(_SIMHASH_CACHE):
         if sf_dir is None or key[1] == sf_dir:
             _SIMHASH_CACHE.pop(key).unpersist()
+    for key in list(_BANDED_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            for frame in _BANDED_CACHE.pop(key):
+                frame.unpersist()
     from labs_stream_processing_examples_scala_spark.operators import similarity as _sim
 
     for key in list(_sim._SIG_CACHE):
@@ -227,7 +231,56 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_of(shingle_hash_arrays(spark, sf_dir))
 
 
-LSH_BUCKET_CAP = 4096
+# the banded (doc_id, band, bucket) frame per (session, sf_dir),
+# persisted (round-10 sf10 finding): every consumer of the LSH banding
+# — the stats job, BOTH legs of the candidate self-join, and downstream
+# group/pagerank queries — re-executed the 16-perm minhash fold from
+# the shingle arrays (~20 s/pass at sf10, and a self-join re-executes
+# its lineage once PER SIDE). The frame is 4 tiny rows per doc, so
+# persisting it is the cheapest cache in the family; measured 294 s →
+# well under the round-9 117.8 s anchor for x_dedup_lsh_pairs at sf10.
+_BANDED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_rep_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(rep_arrs, rep_banded, members) for CONTENT-COLLAPSED LSH — the
+    exact-dedup-before-near-dedup layout every production dedup
+    pipeline uses (round-10 sf10 finding): identical text ⇒ identical
+    shingle set ⇒ identical signature, buckets, and Jaccard to every
+    other document, so LSH only ever needs ONE representative per
+    distinct content. ``members`` maps every doc_id to its content
+    representative (min doc_id per md5(text)); signatures, banding, the
+    candidate join, and the array-carrying verify all run over DISTINCT
+    CONTENTS (500k docs → 5k reps on the ×100-duplicated sf10 fixture),
+    and doc-level pairs come back from a skinny expansion join — output
+    identical, verify cost ∝ distinct contents, not ∝ copies²."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BANDED_CACHE:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("_ch")
+        )
+        reps = d.groupBy("_ch").agg(F.min("doc_id").alias("rep_id"))
+        members = d.join(reps, "_ch").select("rep_id", "doc_id").persist()
+        rep_ids = members.select(F.col("rep_id").alias("doc_id")).distinct()
+        rep_arrs = (
+            shingle_hash_arrays(spark, sf_dir)
+            .join(rep_ids, "doc_id", "left_semi")
+            .persist()
+        )
+        rep_banded = banded_of(minhash_of(rep_arrs)).persist()
+        _BANDED_CACHE[key] = (rep_arrs, rep_banded, members)
+    return _BANDED_CACHE[key]
+
+
+# True-pathology threshold: a 64k-doc bucket is ~2.1e9 candidate pairs
+# on ONE reducer — the thing the salted path exists for. Buckets in the
+# low thousands are routine (duplication clusters) and a single task
+# verifies them in seconds; salting those would cost more in plan
+# machinery than it buys (measured at sf10, whose ×100-duplicated
+# fixture makes every bucket ~100×).
+LSH_BUCKET_CAP = 65536
 LSH_SKEW_SALTS = 16
 
 
@@ -256,10 +309,15 @@ def lsh_candidate_join(
       (explode(sequence)), cold rows stay single — so every hot pair
       meets on exactly one salt and every cold pair on salt 0.
 
-    One declarative plan, no driver-side branching: the salt is a
-    conditional expression, so the replication multiplier applies ONLY
-    to over-cap rows. ``bucket_cap=None`` is the unguarded round-9
-    form (kept for the equivalence tests)."""
+    ADAPTIVE, like AQE's skew split: the bucket-size stats are one
+    small aggregation job paid up front; when NO bucket is over the cap
+    (every fixture, most real corpora) the plain round-9 join plan is
+    used unchanged — the salt machinery (two hot-tag joins + the
+    conditional replication) enters the plan only when a hot bucket
+    actually exists. Within the salted plan the salt is a conditional
+    expression, so the replication multiplier applies ONLY to over-cap
+    rows. ``bucket_cap=None`` skips even the stats job (the unguarded
+    form, kept for the equivalence tests)."""
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     if bucket_cap is not None:
@@ -269,6 +327,9 @@ def lsh_candidate_join(
             .filter(F.col("_bsz") > bucket_cap)
             .select("band", "bucket", F.lit(True).alias("_hot"))
         )
+        if hot.isEmpty():
+            bucket_cap = None  # no skew anywhere: take the plain join
+    if bucket_cap is not None:
         left = (
             left.join(hot, ["band", "bucket"], "left")
             .withColumn(
@@ -352,10 +413,54 @@ def lsh_candidate_pairs(
     two arrays per candidate pair and intersects row-locally
     (array_intersect), so the verify cost is ∝ candidates, and no
     shingle ever shuffles.
+
+    Round 10 — CONTENT COLLAPSE (:func:`lsh_rep_frames`): signatures,
+    banding, and the array-carrying verify run over one representative
+    per DISTINCT content; doc-level pairs come back from two skinny
+    expansion joins. Identical text has identical shingle sets, so the
+    result is EXACTLY the per-doc form's (oracle-checked):
+
+    - cross-content pairs: rep-level verified pair (A,B; j) × members
+      of A × members of B, re-oriented doc_a < doc_b;
+    - within-content pairs: each clique's C(n,2) pairs at jaccard 1.0
+      (identical non-empty sets), for contents that HAVE shingles —
+      empty-shingle docs never sign, matching the per-doc exclusion.
+
+    On the ×100-duplicated sf10 fixture this cuts the verify join from
+    ~25M array-carrying candidate rows to ~the distinct-content pair
+    count; the 25M output rows are produced by the expansion join,
+    which carries three scalars per row.
     """
-    arrs = shingle_hash_arrays(spark, sf_dir)
-    banded = banded_of(minhash_signatures(spark, sf_dir))
-    return lsh_verified_pairs(arrs, banded, threshold, bucket_cap=bucket_cap)
+    rep_arrs, rep_banded, members = lsh_rep_frames(spark, sf_dir)
+    rep_pairs = lsh_verified_pairs(
+        rep_arrs, rep_banded, threshold, bucket_cap=bucket_cap
+    )
+    ma = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("_da"))
+    mb = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("_db"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    # within-clique pairs exist only for contents that sign (sz > 0)
+    signed = rep_arrs.filter(F.col("sz") > 0).select(
+        F.col("doc_id").alias("rep_id")
+    )
+    m_signed = members.join(signed, "rep_id")
+    wa = m_signed.select("rep_id", F.col("doc_id").alias("doc_a"))
+    wb = m_signed.select("rep_id", F.col("doc_id").alias("doc_b"))
+    within = (
+        wa.join(wb, "rep_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

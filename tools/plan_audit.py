@@ -406,9 +406,11 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # the pair-dedup distinct + the deliberate _spread of the
     # single-file fixture scan (a no-op exchange on parallel input)
     "x_dedup_simhash_pairs": 2,
-    # cache spread + two hot-bucket size aggs (one per join leg;
-    # ReusedExchange folds them at runtime) + the pair-dedup distinct
-    "x_dedup_lsh_pairs": 4,
+    # content-collapsed form: rep-frame cache builds (content agg,
+    # cache spread — once per session, then cache hits) + pair-dedup
+    # distinct + final agg; the expansion joins broadcast at audit
+    # SF. Measured 5 unique exchanges at sf0.01.
+    "x_dedup_lsh_pairs": 5,
     "q39_tpch_q4": 1,
     "q40_tpch_q6": 1,         # the single global-agg exchange
     "q41_brand_suppliers": 2,
@@ -487,11 +489,36 @@ EXCHANGE_BUDGET: dict[str, int] = {
 
 
 def shuffle_exchange_count(plan: str) -> int:
-    """Count shuffle Exchange nodes in a formatted plan. Formatted
-    explain numbers nodes as ``(N) Exchange``; BroadcastExchange and
-    ReusedExchange spell differently, so ``) Exchange`` matches only the
-    true shuffle exchanges."""
-    return plan.count(") Exchange")
+    """Count DISTINCT shuffle Exchange nodes in a formatted plan,
+    excluding ``== Initial Plan ==`` subtrees: once a shared cached
+    frame has been materialized (earlier audit entry, same session),
+    its InMemoryRelation prints an executed AdaptiveSparkPlan carrying
+    BOTH the final and the initial plan — one logical shuffle, two
+    printed Exchange nodes — and a repeated cached subtree prints its
+    nodes once per reference. Unique node ids outside initial-plan
+    blocks count each real shuffle exactly once. BroadcastExchange and
+    ReusedExchange spell differently and never match."""
+    import re
+
+    seen: set[str] = set()
+    skip_indent: int | None = None
+    for line in plan.splitlines():
+        body = line.lstrip(" :+-*")
+        pos = len(line) - len(body)
+        if skip_indent is not None:
+            # initial-plan children print at the marker's BODY position
+            # (the marker line carries a "+- " prefix), so the block is
+            # every following line at equal-or-deeper body position
+            if body and pos >= skip_indent:
+                continue
+            skip_indent = None
+        if body.startswith("== Initial Plan =="):
+            skip_indent = pos
+            continue
+        m = re.search(r"(?:^|[^A-Za-z])Exchange \((\d+)\)", line)
+        if m and "BroadcastExchange" not in line and "ReusedExchange" not in line:
+            seen.add(m.group(1))
+    return len(seen)
 
 
 # helper functions whose source must ALSO be scanned for F.broadcast
