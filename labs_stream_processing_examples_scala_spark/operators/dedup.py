@@ -111,7 +111,8 @@ def invalidate_cache(sf_dir: str | None = None) -> None:
     for key in list(_BANDED_CACHE):
         if sf_dir is None or key[1] == sf_dir:
             for frame in _BANDED_CACHE.pop(key):
-                frame.unpersist()
+                if frame is not None:
+                    frame.unpersist()
     from labs_stream_processing_examples_scala_spark.operators import similarity as _sim
 
     for key in list(_sim._SIG_CACHE):
@@ -242,35 +243,64 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BANDED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+# collapse only when it pays: below this distinct-content ratio the
+# corpus is duplicated enough that rep-level LSH + expansion wins; above
+# it (a mostly-distinct corpus) the rep frames would just duplicate the
+# doc-level frames and the expansion joins are pure overhead (measured
+# +2s at sf0.1 where 95% of documents are unique)
+LSH_COLLAPSE_RATIO = 0.8
+
+
 def lsh_rep_frames(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(rep_arrs, rep_banded, members) for CONTENT-COLLAPSED LSH — the
-    exact-dedup-before-near-dedup layout every production dedup
-    pipeline uses (round-10 sf10 finding): identical text ⇒ identical
-    shingle set ⇒ identical signature, buckets, and Jaccard to every
-    other document, so LSH only ever needs ONE representative per
-    distinct content. ``members`` maps every doc_id to its content
-    representative (min doc_id per md5(text)); signatures, banding, the
-    candidate join, and the array-carrying verify all run over DISTINCT
-    CONTENTS (500k docs → 5k reps on the ×100-duplicated sf10 fixture),
-    and doc-level pairs come back from a skinny expansion join — output
-    identical, verify cost ∝ distinct contents, not ∝ copies²."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    spark: SparkSession, sf_dir: str, force: str | None = None
+) -> tuple[DataFrame | None, DataFrame, DataFrame | None]:
+    """(rep_arrs, banded, members) for the LSH pair family, with
+    DATA-ADAPTIVE content collapse — the exact-dedup-before-near-dedup
+    layout every production dedup pipeline uses (round-10 sf10
+    finding): identical text ⇒ identical shingle set ⇒ identical
+    signature, buckets, and Jaccard to every other document, so LSH
+    only ever needs ONE representative per distinct content.
+
+    One cheap stats job decides the mode (the same philosophy as the
+    hot-bucket probe): when distinct contents exceed
+    ``LSH_COLLAPSE_RATIO`` of the corpus the DIRECT doc-level frames
+    are used (members is None — a mostly-distinct corpus gains nothing
+    from collapsing); otherwise signatures, banding, the candidate
+    join, and the array-carrying verify all run over DISTINCT CONTENTS
+    (500k docs → 5k reps on the ×100-duplicated sf10 fixture) and
+    ``members`` maps every doc back to its representative (min doc_id
+    per md5(text)) for the skinny doc-level expansion. Both modes are
+    proven byte-identical (sf1 equivalence + forced-mode tests).
+    ``force`` pins the mode for tests ('direct' / 'collapsed')."""
+    key = (spark.sparkContext.applicationId, sf_dir, force)
     if key not in _BANDED_CACHE:
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", F.md5("text").alias("_ch")
         )
-        reps = d.groupBy("_ch").agg(F.min("doc_id").alias("rep_id"))
-        members = d.join(reps, "_ch").select("rep_id", "doc_id").persist()
-        rep_ids = members.select(F.col("rep_id").alias("doc_id")).distinct()
-        rep_arrs = (
-            shingle_hash_arrays(spark, sf_dir)
-            .join(rep_ids, "doc_id", "left_semi")
-            .persist()
-        )
-        rep_banded = banded_of(minhash_of(rep_arrs)).persist()
-        _BANDED_CACHE[key] = (rep_arrs, rep_banded, members)
+        mode = force
+        if mode is None:
+            stats = d.agg(
+                F.count("*").alias("n"), F.countDistinct("_ch").alias("r")
+            ).collect()[0]
+            mode = (
+                "direct"
+                if stats.r > LSH_COLLAPSE_RATIO * stats.n
+                else "collapsed"
+            )
+        if mode == "direct":
+            banded = banded_of(minhash_signatures(spark, sf_dir)).persist()
+            _BANDED_CACHE[key] = (None, banded, None)
+        else:
+            reps = d.groupBy("_ch").agg(F.min("doc_id").alias("rep_id"))
+            members = d.join(reps, "_ch").select("rep_id", "doc_id").persist()
+            rep_ids = members.select(F.col("rep_id").alias("doc_id")).distinct()
+            rep_arrs = (
+                shingle_hash_arrays(spark, sf_dir)
+                .join(rep_ids, "doc_id", "left_semi")
+                .persist()
+            )
+            rep_banded = banded_of(minhash_of(rep_arrs)).persist()
+            _BANDED_CACHE[key] = (rep_arrs, rep_banded, members)
     return _BANDED_CACHE[key]
 
 
@@ -398,6 +428,7 @@ def lsh_candidate_pairs(
     sf_dir: str,
     threshold: float = 0.5,
     bucket_cap: int | None = LSH_BUCKET_CAP,
+    force: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -431,9 +462,12 @@ def lsh_candidate_pairs(
     count; the 25M output rows are produced by the expansion join,
     which carries three scalars per row.
     """
-    rep_arrs, rep_banded, members = lsh_rep_frames(spark, sf_dir)
+    rep_arrs, banded, members = lsh_rep_frames(spark, sf_dir, force=force)
+    if members is None:  # direct mode: doc-level frames, no expansion
+        arrs = shingle_hash_arrays(spark, sf_dir)
+        return lsh_verified_pairs(arrs, banded, threshold, bucket_cap=bucket_cap)
     rep_pairs = lsh_verified_pairs(
-        rep_arrs, rep_banded, threshold, bucket_cap=bucket_cap
+        rep_arrs, banded, threshold, bucket_cap=bucket_cap
     )
     ma = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("_da"))
     mb = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("_db"))

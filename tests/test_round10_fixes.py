@@ -255,3 +255,20 @@ def test_lsh_pairs_viral_corpus_guarded_equals_unguarded(spark):
         assert len(base) == comb(40, 2), "the viral clique must survive intact"
     finally:
         arrs.unpersist()
+
+
+def test_lsh_collapse_modes_byte_identical(spark):
+    """The data-adaptive content collapse must be invisible: forced
+    direct, forced collapsed, and auto modes return identical pair
+    sets (values included) on the fixture corpus."""
+    from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+
+    direct = sorted(
+        map(tuple, DD.lsh_candidate_pairs(spark, SF_SMOKE, force="direct").collect())
+    )
+    collapsed = sorted(
+        map(tuple, DD.lsh_candidate_pairs(spark, SF_SMOKE, force="collapsed").collect())
+    )
+    auto = sorted(map(tuple, DD.lsh_candidate_pairs(spark, SF_SMOKE).collect()))
+    assert direct == collapsed == auto
+    assert len(direct) > 0, "fixture must produce near-dup pairs"
