@@ -34,11 +34,27 @@ sources/tick_source.py):
   streaming/sinks.py) routes them without killing the stream, the
   reference's R5 negative requirement.
 
+Round 10 completes both ends of the hop:
+
+- **distributed producer** — :func:`queue_sink` publishes one segment
+  per non-empty partition FROM THE EXECUTORS (the round-9 form
+  collect()ed the micro-batch to the driver); a stable ``producer_id``
+  adds once-per-(batch, partition) markers.
+- **competing consumers** — ``.option("consumer", <id>)`` switches a
+  group to claim-based segment splitting
+  (:class:`QueueCompetingStreamReader`): the RabbitMQ one-queue,
+  many-workers pattern, with per-consumer ACK ledgers, crash
+  re-adoption, competing retention, and dead-consumer claim release.
+- **slot-stable retention** — purge TRUNCATES segments in place
+  instead of deleting them, so the max+1 slot allocation can never
+  hand a new publish an already-consumed segment number.
+
 At 100 TB: a real broker replaces the directory — the consumer-side
 contract (offset-driven replay, group ACKs, DLQ-as-data) is what the
-pipeline code depends on, and it is identical. The batch reader
-parallelizes one segment per task; the stream reader prefetches on the
-driver (documented SimpleReader trade-off; bounded by rows_per_batch).
+pipeline code depends on, and it is identical; the directory would be
+shared storage. The batch reader parallelizes one segment per task;
+the stream reader prefetches on the driver (documented SimpleReader
+trade-off; bounded by rows_per_batch).
 """
 
 from __future__ import annotations
