@@ -118,7 +118,18 @@ def _calibrate() -> dict:
     Reference on this host class (measured over repeated probes while
     building round 8): ~430 ms / ~200 ms, both ±10%. A run whose
     calibration is k× that baseline explains a uniform k× query
-    inflation; per-query regressions show up as NON-uniform movers."""
+    inflation; per-query regressions show up as NON-uniform movers.
+
+    Round 10 adds a third probe recorded by main(): ``job_ms`` — the
+    median wall of 5 trivial Spark jobs (spark.range(1).count()). The
+    round-10 windows showed a failure mode the single-core probes
+    MISS: CPU steal that leaves numpy bandwidth clean (~1.05×) but
+    inflates per-JOB scheduler latency 1.5-1.8×, hitting exactly the
+    job-count-heavy queries (merge family, date spine, funnel,
+    iterative pagerank) while scan-bound queries stay flat. Compare
+    start/end within a run and across runs — the absolute value is
+    host-and-session dependent (measured ~135-250 ms in the round-10
+    windows)."""
     import numpy as np
 
     t0 = time.perf_counter()
@@ -143,6 +154,18 @@ def _calibrate() -> dict:
     }
 
 
+def _job_probe_ms(spark) -> float:
+    """Median wall of 5 trivial jobs — per-job scheduler latency."""
+    import statistics
+
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        samples.append((time.perf_counter() - t0) * 1000)
+    return round(statistics.median(samples), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -159,6 +182,8 @@ def main() -> None:
     except Exception:
         pass  # the timed loop below will record the error per-query
 
+    start_job_ms = _job_probe_ms(spark)
+
     # a single failing query must not lose the whole run's timings
     # (round 3: one AnalysisException at query 25/27 → rc=1, zero
     # timings recorded). Record the error per query, keep going, and
@@ -173,6 +198,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
+    end_job_ms = _job_probe_ms(spark)
     calib_end = _calibrate()  # re-probe: catches contention starting mid-run
     total = round(sum(timings.values()), 3)
     record = {
@@ -186,6 +212,8 @@ def main() -> None:
             "start_np_ms": calib_start["calib_np_ms"],
             "end_py_ms": calib_end["calib_py_ms"],
             "end_np_ms": calib_end["calib_np_ms"],
+            "start_job_ms": start_job_ms,
+            "end_job_ms": end_job_ms,
         },
     }
     if errors:
