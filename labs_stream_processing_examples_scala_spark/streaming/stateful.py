@@ -103,40 +103,62 @@ GATHER_OUTPUT_SCHEMA = (
 GATHER_STATE_SCHEMA = "value string, extra1 string, extra2 string, extra3_name string"
 
 
-def _gather_fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
-    """Accumulate slot values for one message id; emit when all three
-    enrichments are present (completeness check ≡
-    AkkaEnrichmentPipeline.scala:154-163). State is dropped on emit
-    (the cameo actor stops itself)."""
-    (msg_id,) = key
-    value, e1, e2, e3 = state.get if state.exists else (None, None, None, None)
-    for pdf in pdf_iter:
-        for row in pdf.itertuples(index=False):
-            value = row.value if row.value is not None else value
-            if row.slot == "extra1":
-                e1 = row.res
-            elif row.slot == "extra2":
-                e2 = row.res
-            elif row.slot == "extra3":
-                e3 = row.res
-            # unexpected slots are dropped-and-logged in the reference
-            # (F3, AkkaPipelineActors.scala:55) — here simply ignored
-    if e1 is not None and e2 is not None and e3 is not None:
-        state.remove()
-        yield pd.DataFrame(
-            [
-                {
-                    "id": msg_id,
-                    "value": value,
-                    "extra1": e1,
-                    "extra2": e2,
-                    "extra3_name": e3,
-                    "additional": f"transformed {msg_id}",
-                }
-            ]
-        )
-    else:
-        state.update((value, e1, e2, e3))
+def _make_gather_fn(ttl_ms: int | None):
+    """Build the gather function; with ``ttl_ms`` the state carries an
+    INACTIVITY deadline (GroupState ProcessingTimeTimeout — reset on
+    every slot arrival, exactly Akka's ``context.setReceiveTimeout``
+    semantics at reference AkkaPipelineActors.scala:144-151) and a
+    timed-out gather emits its partial record with status='timeout'
+    (the ``onNotProcessed`` NACK leg, errors-as-data)."""
+
+    def _row(msg_id, value, e1, e2, e3, status):
+        out = {
+            "id": msg_id,
+            "value": value,
+            "extra1": e1,
+            "extra2": e2,
+            "extra3_name": e3,
+            "additional": f"transformed {msg_id}",
+        }
+        if ttl_ms is not None:
+            out["status"] = status
+        return pd.DataFrame([out])
+
+    def gather(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        """Accumulate slot values for one message id; emit when all
+        three enrichments are present (completeness check ≡
+        AkkaEnrichmentPipeline.scala:154-163). State is dropped on emit
+        (the cameo actor stops itself)."""
+        (msg_id,) = key
+        value, e1, e2, e3 = state.get if state.exists else (None, None, None, None)
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield _row(msg_id, value, e1, e2, e3, "timeout")
+            return
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                value = row.value if row.value is not None else value
+                if row.slot == "extra1":
+                    e1 = row.res
+                elif row.slot == "extra2":
+                    e2 = row.res
+                elif row.slot == "extra3":
+                    e3 = row.res
+                # unexpected slots are dropped-and-logged in the reference
+                # (F3, AkkaPipelineActors.scala:55) — here simply ignored
+        if e1 is not None and e2 is not None and e3 is not None:
+            state.remove()
+            yield _row(msg_id, value, e1, e2, e3, "complete")
+        else:
+            state.update((value, e1, e2, e3))
+            if ttl_ms is not None:
+                # inactivity deadline: reset on every arrival
+                state.setTimeoutDuration(ttl_ms)
+
+    return gather
+
+
+_gather_fn = _make_gather_fn(None)  # the round-9 form, kept importable
 
 
 def slot_stream(messages: DataFrame) -> DataFrame:
@@ -150,15 +172,22 @@ def slot_stream(messages: DataFrame) -> DataFrame:
     )
 
 
-def stateful_gather(slots: DataFrame) -> DataFrame:
+def stateful_gather(slots: DataFrame, ttl_seconds: float | None = None) -> DataFrame:
     """J3 — gather slot records per id with explicit state; emit complete
-    EnrichedData+transform rows (update mode)."""
+    EnrichedData+transform rows (update mode). ``ttl_seconds`` arms the
+    K5 ``onNotProcessed`` leg on THIS API too (the TWS form is
+    :func:`transform_with_state_gather`): a gather idle past the
+    deadline emits its partial record with ``status='timeout'`` and
+    frees its state — GroupState's ProcessingTimeTimeout, reset per
+    arrival (Akka receiveTimeout semantics). With a TTL the output
+    gains the ``status`` column."""
+    use_ttl = ttl_seconds is not None
     return slots.groupBy("id").applyInPandasWithState(
-        _gather_fn,
-        outputStructType=GATHER_OUTPUT_SCHEMA,
+        _make_gather_fn(int(ttl_seconds * 1000) if use_ttl else None),
+        outputStructType=GATHER_TTL_OUTPUT_SCHEMA if use_ttl else GATHER_OUTPUT_SCHEMA,
         stateStructType=GATHER_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if use_ttl else "NoTimeout",
     )
 
 
