@@ -291,7 +291,13 @@ def lsh_rep_frames(
             banded = banded_of(minhash_signatures(spark, sf_dir)).persist()
             _BANDED_CACHE[key] = (None, banded, None)
         else:
-            reps = d.groupBy("_ch").agg(F.min("doc_id").alias("rep_id"))
+            # the keeper rule (min doc_id per content hash) is
+            # exact_dedup's — derive from it rather than restating it,
+            # so the two can never diverge (review finding)
+            reps = exact_dedup(spark, sf_dir).select(
+                F.col("content_hash").alias("_ch"),
+                F.col("keep_id").alias("rep_id"),
+            )
             members = d.join(reps, "_ch").select("rep_id", "doc_id").persist()
             rep_ids = members.select(F.col("rep_id").alias("doc_id")).distinct()
             rep_arrs = (
@@ -318,6 +324,7 @@ def lsh_candidate_join(
     banded: DataFrame,
     bucket_cap: int | None = LSH_BUCKET_CAP,
     n_salts: int = LSH_SKEW_SALTS,
+    dedupe: bool = True,
 ) -> DataFrame:
     """The (band, bucket) self-join producing distinct (doc_a < doc_b)
     candidate pairs, SKEW-GUARDED (round-9 verdict task #5): a real
@@ -347,18 +354,30 @@ def lsh_candidate_join(
     actually exists. Within the salted plan the salt is a conditional
     expression, so the replication multiplier applies ONLY to over-cap
     rows. ``bucket_cap=None`` skips even the stats job (the unguarded
-    form, kept for the equivalence tests)."""
+    form, kept for the equivalence tests). ``dedupe=False`` skips the
+    final distinct for callers whose key structure already makes each
+    pair unique (the within-clique expansion: one bucket per doc)."""
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     if bucket_cap is not None:
-        hot = (
+        # review finding (round 10): run the stats agg ONCE — collect
+        # the over-cap keys (bounded by n_rows/bucket_cap by
+        # construction) into a local relation instead of re-planning
+        # the aggregation inside each join leg
+        hot_rows = (
             banded.groupBy("band", "bucket")
             .agg(F.count("*").alias("_bsz"))
             .filter(F.col("_bsz") > bucket_cap)
-            .select("band", "bucket", F.lit(True).alias("_hot"))
+            .select("band", "bucket")
+            .collect()
         )
-        if hot.isEmpty():
+        if not hot_rows:
             bucket_cap = None  # no skew anywhere: take the plain join
+        else:
+            hot = banded.sparkSession.createDataFrame(
+                [(int(r.band), int(r.bucket), True) for r in hot_rows],
+                "band int, bucket long, _hot boolean",
+            )
     if bucket_cap is not None:
         left = (
             left.join(hot, ["band", "bucket"], "left")
@@ -386,11 +405,8 @@ def lsh_candidate_join(
         joined = left.join(right, ["band", "bucket", "_salt"])
     else:
         joined = left.join(right, ["band", "bucket"])
-    return (
-        joined.filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pairs = joined.filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    return pairs.distinct() if dedupe else pairs
 
 
 def lsh_verified_pairs(
@@ -482,18 +498,23 @@ def lsh_candidate_pairs(
     )
     if threshold > 1.0:
         return cross
-    # within-clique pairs exist only for contents that sign (sz > 0)
+    # within-clique pairs exist only for contents that sign (sz > 0).
+    # The expansion is itself a self-join on a single key per clique —
+    # a 10M-copy viral content would otherwise hand one reducer ~5e13
+    # pairs (review finding), so it goes through the SAME skew-guarded
+    # join as the bucket candidates (band=0, bucket=rep_id; each doc
+    # appears once per clique, so pairs are unique and the distinct is
+    # skipped). The output is inherently quadratic in clique size —
+    # salting spreads its GENERATION, nothing can shrink it.
     signed = rep_arrs.filter(F.col("sz") > 0).select(
         F.col("doc_id").alias("rep_id")
     )
-    m_signed = members.join(signed, "rep_id")
-    wa = m_signed.select("rep_id", F.col("doc_id").alias("doc_a"))
-    wb = m_signed.select("rep_id", F.col("doc_id").alias("doc_b"))
-    within = (
-        wa.join(wb, "rep_id")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    clique = members.join(signed, "rep_id").select(
+        "doc_id", F.lit(0).alias("band"), F.col("rep_id").alias("bucket")
     )
+    within = lsh_candidate_join(
+        clique, bucket_cap=bucket_cap, dedupe=False
+    ).select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
     return cross.unionByName(within)
 
 

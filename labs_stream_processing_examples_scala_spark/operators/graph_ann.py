@@ -302,15 +302,41 @@ def _cleanup_nsw_index_tmp() -> None:
         _shutil.rmtree(p, ignore_errors=True)
 
 
-def _index_on_disk(path: str) -> bool:
+_NSW_MANIFEST = "_nsw_meta.json"
+
+
+def _index_manifest(path: str) -> dict | None:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _NSW_MANIFEST), encoding="utf-8") as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _write_index_manifest(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, f".{_NSW_MANIFEST}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _NSW_MANIFEST))
+
+
+def _index_on_disk(path: str, meta: dict) -> bool:
     """True when ``path`` already holds a part-partitioned graph index
-    (at least one ``part=*/...parquet`` leaf)."""
+    BUILT WITH THESE PARAMETERS — the manifest must match, not just any
+    parquet exist (review finding: an explicit path reused across
+    sf_dirs or m/n_shards values silently served the stale graph)."""
     import glob
     import os
 
-    return bool(
-        glob.glob(os.path.join(path, "part=*", "*.parquet"))
-    )
+    if not glob.glob(os.path.join(path, "part=*", "*.parquet")):
+        return False
+    return _index_manifest(path) == meta
 
 
 def materialize_nsw_index(
@@ -343,10 +369,13 @@ def materialize_nsw_index(
     if n_shards is None:
         n_shards = _auto_shards(_corpus_rows(spark, sf_dir))
     key = (spark.sparkContext.applicationId, sf_dir, n_shards, m)
+    meta = {"sf_dir": sf_dir, "n_shards": n_shards, "m": m}
     explicit = path is not None
     if explicit:
-        if _index_on_disk(path):
+        if _index_on_disk(path, meta):
             return path
+        # missing or parameter-mismatched index: rebuild in place (the
+        # caller owns the path and asked for THESE parameters)
     else:
         if key in _NSW_INDEX_CACHE:
             return _NSW_INDEX_CACHE[key]
@@ -354,6 +383,7 @@ def materialize_nsw_index(
         _NSW_TMP_ROOTS.append(path)
     g = nsw_build(spark, sf_dir, n_shards=n_shards, m=m, ef_construction=ef_construction)
     write_partitioned(g, path, "part")
+    _write_index_manifest(path, meta)
     if not explicit:
         _NSW_INDEX_CACHE[key] = path
     return path
@@ -396,7 +426,21 @@ def _max_split_bytes(spark: SparkSession, file_sizes: list) -> int:
     open_cost = _parse_byte_conf(
         spark.conf.get("spark.sql.files.openCostInBytes", None), 4 * 1024**2
     )
+    # Spark divides by spark.sql.files.minPartitionNum, falling back to
+    # spark.sql.leafNodeDefaultParallelism, then defaultParallelism —
+    # using defaultParallelism alone over-estimates the bound when
+    # minPartitionNum is set higher (review finding)
     parallelism = max(1, spark.sparkContext.defaultParallelism)
+    for conf_key in (
+        "spark.sql.leafNodeDefaultParallelism",
+        "spark.sql.files.minPartitionNum",
+    ):
+        raw = spark.conf.get(conf_key, None)
+        if raw is not None:
+            try:
+                parallelism = max(1, int(raw))
+            except ValueError:
+                pass
     total = sum(file_sizes) + open_cost * len(file_sizes)
     return min(max_part, max(open_cost, total // parallelism))
 

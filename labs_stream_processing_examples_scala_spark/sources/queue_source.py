@@ -259,22 +259,24 @@ def purge_acked(queue_dir: str, up_to_group: str | None = None) -> list[int]:
     them only once the engine checkpoint passed them too — call this
     with the same discipline as broker retention config."""
     cdir = os.path.join(queue_dir, "_consumers")
-    groups = (
-        [up_to_group]
-        if up_to_group
-        else [g[:-5] for g in os.listdir(cdir) if g.endswith(".json")]
+    all_groups = (
+        [g[:-5] for g in os.listdir(cdir) if g.endswith(".json")]
         if os.path.isdir(cdir)
         else []
     )
-    offs = [read_group_offset(queue_dir, g) for g in groups]
-    if not offs or any(o is None for o in offs):
-        return []
     # competing-mode ledgers ({"claimed","idx","row"} shape) share the
     # _consumers dir. A mixed queue (linear groups AND competing groups)
     # must NOT purge on linear offsets alone — a competing consumer may
-    # still need those segments — so the linear sweep refuses; use
-    # purge_competing_acked per competing group instead.
-    if any("seg" not in o for o in offs):
+    # still need those segments — so the linear sweep refuses EVEN when
+    # an explicit up_to_group is passed (review finding: the narrowed
+    # scan previously bypassed the guard); use purge_competing_acked
+    # per competing group instead.
+    all_offs = [read_group_offset(queue_dir, g) for g in all_groups]
+    if any(o is not None and "seg" not in o for o in all_offs):
+        return []
+    groups = [up_to_group] if up_to_group else all_groups
+    offs = [read_group_offset(queue_dir, g) for g in groups]
+    if not offs or any(o is None for o in offs):
         return []
     min_seg = min(int(o["seg"]) for o in offs)
     purged = []
@@ -738,16 +740,18 @@ def register(spark) -> None:
     spark.dataSource.register(QueueDataSource)
 
 
-def _marker_path(queue_dir: str, producer_id: str, batch_id: int, pid: int) -> str:
+def _marker_path(
+    queue_dir: str, producer_id: str, batch_id: int, pid: int, digest: str
+) -> str:
     return os.path.join(
-        queue_dir, "_producers", producer_id, f"b{batch_id}-p{pid}"
+        queue_dir, "_producers", producer_id, f"b{batch_id}-p{pid}-{digest}"
     )
 
 
 def _write_marker(
-    queue_dir: str, producer_id: str, batch_id: int, pid: int, seg: int
+    queue_dir: str, producer_id: str, batch_id: int, pid: int, digest: str, seg: int
 ) -> None:
-    path = _marker_path(queue_dir, producer_id, batch_id, pid)
+    path = _marker_path(queue_dir, producer_id, batch_id, pid, digest)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -767,23 +771,40 @@ def _publish_partition(
     """Executor-side publish of one partition's rows as one segment,
     under the same stage + fsync + os.link slot protocol as
     :func:`publish`. Skips empty partitions; with a ``producer_id``,
-    skips partitions whose (batch, partition) marker already exists
-    (task-retry / batch-replay idempotence)."""
-    from itertools import chain
+    skips publishing when a marker for this (batch, partition, CONTENT
+    DIGEST) already exists. The digest is in the key on purpose (review
+    finding): a replayed batch can map rows to partitions DIFFERENTLY
+    (changed shuffle partitioning, non-deterministic upstream), and a
+    marker keyed on partition index alone would then silently DROP the
+    rows now landing in an already-marked index — at-most-once. With
+    the digest, a repartitioned replay re-publishes (duplicates, the
+    documented at-least-once arm) and an identical replay skips exactly
+    the segments it already committed; two same-batch partitions with
+    identical content stay distinct through the index."""
+    import hashlib
 
     first = next(rows, None)
     if first is None:
         return
-    if producer_id is not None and os.path.exists(
-        _marker_path(queue_dir, producer_id, batch_id, pid)
-    ):
-        return
+    from itertools import chain
+
     lines = (
         json.dumps({"key": r[0], "value": r[1]}) for r in chain([first], rows)
     )
-    seg = _commit_segment(queue_dir, _stage_lines(queue_dir, lines))
-    if producer_id is not None:
-        _write_marker(queue_dir, producer_id, batch_id, pid, seg)
+    stage = _stage_lines(queue_dir, lines)
+    if producer_id is None:
+        _commit_segment(queue_dir, stage)
+        return
+    h = hashlib.sha256()
+    with open(stage, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    digest = h.hexdigest()[:16]
+    if os.path.exists(_marker_path(queue_dir, producer_id, batch_id, pid, digest)):
+        os.unlink(stage)  # this exact content already committed
+        return
+    seg = _commit_segment(queue_dir, stage)
+    _write_marker(queue_dir, producer_id, batch_id, pid, digest, seg)
 
 
 def queue_sink(

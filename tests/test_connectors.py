@@ -684,3 +684,46 @@ def test_fqueue_purge_never_reuses_slots_and_mixed_mode_refuses():
     Q._write_group_offset(qdir, "lin", {"seg": 2, "row": 0})
     assert Q.purge_acked(qdir) == [], "mixed-mode purge must refuse"
     assert [v for _, _, _, v in Q._read_segment_rows(qdir, 1)] == ["2"]
+
+
+def test_fqueue_purge_up_to_group_refuses_mixed_mode():
+    """Review finding: purge_acked(up_to_group=...) must honor the
+    competing-ledger guard too — an explicit linear group must not
+    truncate segments a competing claimer still needs."""
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_mix2_")
+    Q.publish(qdir, [("a", "1")])
+    Q._write_group_offset(qdir, "lin", {"seg": 5, "row": 0})
+    Q._write_group_offset(qdir, "g.c1", {"claimed": [0], "idx": 0, "row": 0})
+    assert Q.purge_acked(qdir, up_to_group="lin") == [], (
+        "explicit-group purge bypassed the mixed-mode guard"
+    )
+    assert [v for _, _, _, v in Q._read_segment_rows(qdir, 0)] == ["1"]
+
+
+def test_fqueue_sink_repartitioned_replay_never_loses(spark, tmp_path):
+    """Review finding: markers keyed on partition index alone made a
+    repartitioned replay at-most-once. With content digests in the key,
+    a replay whose rows land in DIFFERENT partitions re-publishes
+    (duplicates allowed — at-least-once) but can never drop rows."""
+    qdir = str(tmp_path / "q")
+    rows = [(f"k{i}", f"v{i}") for i in range(12)]
+    sink = Q.queue_sink(qdir, producer_id="prod-R")
+    df3 = spark.createDataFrame(rows, "key string, value string").repartition(3)
+    sink(df3, 7)
+    # same batch id replayed with a DIFFERENT partitioning
+    df5 = spark.createDataFrame(rows, "key string, value string").repartition(5)
+    sink(df5, 7)
+    keys = [
+        k
+        for s in Q._list_segments(qdir)
+        for _, _, k, _ in Q._read_segment_rows(qdir, s)
+    ]
+    assert set(keys) == {f"k{i}" for i in range(12)}, (
+        f"rows lost across repartitioned replay: {sorted(set(keys))}"
+    )
+    # identical replay (same partitioning) is still an exact no-op
+    before = Q._list_segments(qdir)
+    sink(spark.createDataFrame(rows, "key string, value string").repartition(3), 7)
+    assert Q._list_segments(qdir) == before

@@ -272,3 +272,46 @@ def test_lsh_collapse_modes_byte_identical(spark):
     auto = sorted(map(tuple, DD.lsh_candidate_pairs(spark, SF_SMOKE).collect()))
     assert direct == collapsed == auto
     assert len(direct) > 0, "fixture must produce near-dup pairs"
+
+
+def test_materialize_explicit_path_rebuilds_on_parameter_mismatch(spark, tmp_path):
+    """Review finding: an explicit path reused with different build
+    parameters must not silently serve the stale index — the manifest
+    mismatch triggers a rebuild with the requested parameters."""
+    mine = str(tmp_path / "idx")
+    GA.materialize_nsw_index(spark, SF_SMOKE, path=mine, n_shards=8)
+    meta1 = GA._index_manifest(mine)
+    assert meta1 == {"sf_dir": SF_SMOKE, "n_shards": 8, "m": GA.M_LINKS}
+    GA.materialize_nsw_index(spark, SF_SMOKE, path=mine, n_shards=12)
+    meta2 = GA._index_manifest(mine)
+    assert meta2["n_shards"] == 12, "mismatched params must rebuild"
+    parts = glob.glob(os.path.join(mine, "part=*"))
+    assert len(parts) == 12
+
+
+def test_lsh_within_clique_expansion_is_skew_guarded(spark):
+    """Review finding: the within-clique expansion self-join must route
+    through the same salted machinery — a duplicated corpus in
+    collapsed mode with a clique over the cap must spread, with results
+    identical to the unguarded expansion."""
+    from labs_stream_processing_examples_scala_spark.operators import dedup as DD
+
+    # a clique self-join frame: one viral rep with 30 members, cap 8
+    rows = [(i, 0, 777) for i in range(30)] + [(100, 0, 888), (101, 0, 888)]
+    clique = _mk_banded(spark, rows)
+    plain = sorted(
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_join(clique, bucket_cap=None, dedupe=False).collect()
+    )
+    guarded = sorted(
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_join(
+            clique, bucket_cap=8, n_salts=4, dedupe=False
+        ).collect()
+    )
+    assert guarded == plain
+    import itertools
+
+    assert plain == sorted(
+        list(itertools.combinations(range(30), 2)) + [(100, 101)]
+    )

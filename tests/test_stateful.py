@@ -430,6 +430,9 @@ def test_tws_gather_ttl_times_out_incomplete_message(spark, tmp_path):
         ).coalesce(1).write.mode("append").parquet(src)
         stream = spark.readStream.schema(_SLOT_SCHEMA).parquet(src)
         gathered = S.transform_with_state_gather(stream, ttl_seconds=10)
+        import time as _time
+
+        t_start = _time.time()
         q = (
             gathered.writeStream.outputMode("update")
             .option("checkpointLocation", ckpt)
@@ -444,7 +447,11 @@ def test_tws_gather_ttl_times_out_incomplete_message(spark, tmp_path):
 
             got = _poll(lambda: 1 in rows() and rows())
             assert got and got[1].status == "complete", f"complete leg broken: {got}"
-            assert 2 not in got, "timeout must not fire before the deadline"
+            if _time.time() - t_start < 10:
+                # only assert no-early-fire when the wall clock proves
+                # the deadline has not legitimately passed (slow-host
+                # batches can outlast the TTL before the first poll)
+                assert 2 not in got, "timeout must not fire before the deadline"
             got = _poll(lambda: 2 in rows() and rows())
             assert got and 2 in got, "incomplete message never timed out"
             dlq = got[2]
@@ -538,7 +545,10 @@ def test_apwstate_gather_ttl_times_out_incomplete_message(spark, tmp_path):
         read_batched_output,
     )
 
+    import time
+
     src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ck"))
+    t_start = time.time()
     spark.createDataFrame(
         _complete_slots(1) + [(2, "v2", "extra3", "late-leg")], _SLOT_SCHEMA
     ).coalesce(1).write.mode("append").parquet(src)
@@ -562,7 +572,8 @@ def test_apwstate_gather_ttl_times_out_incomplete_message(spark, tmp_path):
 
         got = _poll(lambda: 1 in rows() and rows())
         assert got and got[1].status == "complete"
-        assert 2 not in got, "timeout must not fire before the deadline"
+        if time.time() - t_start < 10:
+            assert 2 not in got, "timeout must not fire before the deadline"
         got = _poll(lambda: 2 in rows() and rows())
         assert got and 2 in got, "incomplete gather never timed out"
         assert got[2].status == "timeout"

@@ -406,11 +406,10 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # the pair-dedup distinct + the deliberate _spread of the
     # single-file fixture scan (a no-op exchange on parallel input)
     "x_dedup_simhash_pairs": 2,
-    # content-collapsed form: rep-frame cache builds (content agg,
-    # cache spread — once per session, then cache hits) + pair-dedup
-    # distinct + final agg; the expansion joins broadcast at audit
-    # SF. Measured 5 unique exchanges at sf0.01.
-    "x_dedup_lsh_pairs": 5,
+    # adaptive LSH pairs at audit SF (direct mode, no hot buckets):
+    # banding cache build + pair-dedup distinct. The mode/hot-bucket
+    # stats run as separate bounded jobs, not in this plan.
+    "x_dedup_lsh_pairs": 2,
     "q39_tpch_q4": 1,
     "q40_tpch_q6": 1,         # the single global-agg exchange
     "q41_brand_suppliers": 2,
