@@ -727,3 +727,64 @@ def test_fqueue_sink_repartitioned_replay_never_loses(spark, tmp_path):
     before = Q._list_segments(qdir)
     sink(spark.createDataFrame(rows, "key string, value string").repartition(3), 7)
     assert Q._list_segments(qdir) == before
+
+
+def test_fqueue_competing_claim_race_hammer():
+    """3 consumers racing read() concurrently over 30 segments: every
+    segment claimed exactly once, the union of all reads is the queue
+    exactly once, and each consumer's readBetweenOffsets replay is
+    byte-identical — the os.link claim commit under real thread
+    contention."""
+    import tempfile
+    import threading
+
+    qdir = tempfile.mkdtemp(prefix="fq_hammer_")
+    for s in range(30):
+        Q.publish(qdir, [(f"s{s}r{r}", f"{s}:{r}") for r in range(3)])
+    results: dict[str, list] = {}
+    spans: dict[str, list] = {}
+    errs: list[Exception] = []
+
+    def consume(cid):
+        try:
+            rd = Q.QueueCompetingStreamReader(
+                {"path": qdir, "rows_per_batch": "7", "group": "g", "consumer": cid}
+            )
+            off = rd.initialOffset()
+            rows_out, my_spans = [], []
+            for _ in range(40):  # enough batches to drain the queue
+                rows, end = rd.read(off)
+                rows = list(rows)
+                rows_out.extend(rows)
+                my_spans.append((off, end, rows))
+                off = end
+            rd.commit(off)
+            results[cid] = rows_out
+            spans[cid] = my_spans
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=consume, args=(f"c{i}",)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    claims = Q._group_claims(qdir, "g")
+    owned = sorted(s for segs in claims.values() for s in segs)
+    assert owned == list(range(30)), f"claim race double/lost a segment: {claims}"
+    union = sorted(v for rows in results.values() for _, _, _, v in rows)
+    assert union == sorted(f"{s}:{r}" for s in range(30) for r in range(3)), (
+        "union across racing consumers must be the queue exactly once"
+    )
+    for cid, my_spans in spans.items():
+        rd = Q.QueueCompetingStreamReader(
+            {"path": qdir, "rows_per_batch": "7", "group": "g", "consumer": cid}
+        )
+        for start, end, rows in my_spans:
+            assert list(rd.readBetweenOffsets(start, end)) == rows, (
+                f"{cid}: replay diverged"
+            )
+    prog = Q.group_progress(qdir, "g")
+    acked = sorted(s for info in prog["acked"].values() for s in info["fully_acked"])
+    assert acked == list(range(30)), f"ACK bookkeeping inconsistent: {prog}"
