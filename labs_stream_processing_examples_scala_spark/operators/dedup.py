@@ -240,7 +240,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its lineage once PER SIDE). The frame is 4 tiny rows per doc, so
 # persisting it is the cheapest cache in the family; measured 294 s →
 # well under the round-9 117.8 s anchor for x_dedup_lsh_pairs at sf10.
-_BANDED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BANDED_CACHE: dict[
+    tuple[str, str, str | None],
+    tuple[DataFrame | None, DataFrame, DataFrame | None],
+] = {}
 
 
 # collapse only when it pays: below this distinct-content ratio the

@@ -15,13 +15,16 @@ sources/tick_source.py):
   fsync + rename into the next ``seg-%012d`` slot, max+1 allocation —
   the tombstone-delta protocol): concurrent producers land in distinct
   segments, a torn write is invisible.
-- **stream read** is a ``SimpleDataSourceStreamReader``: the engine
-  owns the (segment, row) offset through its checkpoint, so an
-  uncommitted micro-batch REPLAYS byte-identically after a crash
-  (NACK-by-redelivery, at-least-once) — segments are immutable, which
-  is what makes ``readBetweenOffsets`` deterministic. The same
-  restart-correctness argument as the tick source applies: the
-  checkpoint is the offset authority; this reader is stateless.
+- **stream read** is a partition-planning ``DataSourceStreamReader``
+  (round-10 verdict task #1 — the previous
+  ``SimpleDataSourceStreamReader`` form prefetched every consumed row
+  ON THE DRIVER): the driver plans offsets and claims from METADATA
+  only (row-count sidecars, ``_counts/``), and the row bytes are read
+  by EXECUTOR tasks, one ``_SpanPartition`` per (segment, row-span).
+  The engine owns the (segment, row) offset through its checkpoint, so
+  an uncommitted micro-batch REPLAYS byte-identically after a crash
+  (``partitions(start, end)`` is deterministic over the immutable
+  segments) — NACK-by-redelivery, at-least-once.
 - **ACK** is two-ledger, like a real broker consumed through Spark:
   the engine's checkpoint commit is the processing ACK (exactly-once
   into transactional sinks), and ``commit()`` additionally records the
@@ -34,45 +37,65 @@ sources/tick_source.py):
   streaming/sinks.py) routes them without killing the stream, the
   reference's R5 negative requirement.
 
-Round 10 completes both ends of the hop:
+Round 10 distributed the producer (one segment per partition published
+FROM the executors, idempotent (batch, partition, digest) markers) and
+added competing consumers. Round 11 completes the scale story:
 
-- **distributed producer** — :func:`queue_sink` publishes one segment
-  per non-empty partition FROM THE EXECUTORS (the round-9 form
-  collect()ed the micro-batch to the driver); a stable ``producer_id``
-  adds once-per-(batch, partition) markers.
-- **competing consumers** — ``.option("consumer", <id>)`` switches a
-  group to claim-based segment splitting
-  (:class:`QueueCompetingStreamReader`): the RabbitMQ one-queue,
-  many-workers pattern, with per-consumer ACK ledgers, crash
-  re-adoption, competing retention, and dead-consumer claim release.
-- **slot-stable retention** — purge TRUNCATES segments in place
-  instead of deleting them, so the max+1 slot allocation can never
-  hand a new publish an already-consumed segment number.
+- **executor-parallel streaming consume** — both stream readers now
+  plan partitions instead of prefetching rows. Restart correctness
+  rides the engine contract the built-in simple-reader wrapper also
+  depends on (pyspark datasource_internal.py: "this depends on the
+  streaming engine calling planInputPartitions() of the last batch in
+  offset log when query restart"): ``partitions(start, end)`` teaches
+  the reader its position before the next ``latestOffset()``, so the
+  admission budget (``rows_per_batch``) never plans an offset BEHIND
+  the checkpoint; a position-blind ``latestOffset`` can therefore only
+  be a fresh query and budgets from ``initialOffset``.
+- **row-count sidecars** (``_counts/%012d``, written by every
+  producer) make offset arithmetic O(#segments) tiny metadata reads on
+  the driver; a missing/stale sidecar (crash window, external
+  truncation) falls back to a one-time newline count and is rewritten.
+- **lease-based claim redelivery** (round-10 verdict task #4) — each
+  competing consumer holds a lease (``_claims/<group>/_lease_<id>``)
+  heartbeated at every planning tick; with ``lease_timeout_s`` set,
+  survivors FENCE an expired consumer and auto-release its unacked
+  claims (broker visibility-timeout redelivery). A fenced zombie's
+  next heartbeat, claim, or ACK raises :class:`FencedConsumerError` —
+  it can neither double-ACK nor re-read.
+- **Arrow-batched producer crossing** (round-10 verdict task #5) —
+  ``queue_sink`` ships rows to Python via ``mapInArrow`` record
+  batches instead of per-row RDD pickling.
 
 At 100 TB: a real broker replaces the directory — the consumer-side
 contract (offset-driven replay, group ACKs, DLQ-as-data) is what the
 pipeline code depends on, and it is identical; the directory would be
-shared storage. The batch reader parallelizes one segment per task;
-the stream reader prefetches on the driver (documented SimpleReader
-trade-off; bounded by rows_per_batch).
+shared storage. Both batch and stream reads parallelize per
+(segment, row-span) on executors; the driver touches metadata only.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 _SEG_PREFIX = "seg-"
 _SEG_DIGITS = 12
+
+
+class FencedConsumerError(RuntimeError):
+    """A competing consumer's lease was superseded or fenced: the
+    instance is a ZOMBIE and must not claim, read on, or ACK — the
+    broker analogue of an epoch/generation fencing error."""
 
 
 # --- broker-side API (producer / retention) ---------------------------
@@ -80,6 +103,10 @@ _SEG_DIGITS = 12
 
 def _seg_path(queue_dir: str, n: int) -> str:
     return os.path.join(queue_dir, f"{_SEG_PREFIX}{n:0{_SEG_DIGITS}d}.jsonl")
+
+
+def _count_path(queue_dir: str, n: int) -> str:
+    return os.path.join(queue_dir, "_counts", f"{n:0{_SEG_DIGITS}d}")
 
 
 def _list_segments(queue_dir: str) -> list[int]:
@@ -96,36 +123,93 @@ def _list_segments(queue_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _stage_lines(queue_dir: str, lines) -> str:
-    """Durably write a staged segment file (fsync'd) and return its path."""
+def _stage_lines(queue_dir: str, lines) -> tuple[str, int]:
+    """Durably write a staged segment file (fsync'd); return its path
+    and line count (the row-count sidecar datum)."""
     os.makedirs(queue_dir, exist_ok=True)
     stage = os.path.join(queue_dir, f"_stage_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    n = 0
     with open(stage, "w", encoding="utf-8") as f:
         for line in lines:
             f.write(line + "\n")
+            n += 1
         f.flush()
         os.fsync(f.fileno())
-    return stage
+    return stage, n
 
 
-def _commit_segment(queue_dir: str, stage: str) -> int:
+def _atomic_write(path: str, text: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _write_count(queue_dir: str, seg: int, n_rows: int, size: int) -> None:
+    # "rows:bytes" — the byte size validates the sidecar against later
+    # truncation (retention zeroes a segment; its sidecar goes stale)
+    _atomic_write(_count_path(queue_dir, seg), f"{n_rows}:{size}")
+
+
+def _segment_count(queue_dir: str, seg: int) -> int | None:
+    """Row count of a segment from metadata: the producer-written
+    sidecar when it matches the current byte size, else a one-time
+    newline count (rewriting the sidecar). None when the segment no
+    longer exists. This is the broker end-offset query — the planning
+    path never reads row DATA on the driver."""
+    p = _seg_path(queue_dir, seg)
+    try:
+        size = os.path.getsize(p)
+    except FileNotFoundError:
+        return None
+    if size == 0:
+        return 0
+    try:
+        with open(_count_path(queue_dir, seg), encoding="utf-8") as f:
+            n_s, sz_s = f.read().split(":")
+        if int(sz_s) == size:
+            return int(n_s)
+    except (FileNotFoundError, ValueError):
+        pass
+    n = 0
+    last = b"\n"
+    with open(p, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            n += chunk.count(b"\n")
+            last = chunk[-1:]
+    if last != b"\n":
+        n += 1  # a final unterminated line still decodes as one row
+    _write_count(queue_dir, seg, n, size)
+    return n
+
+
+def _commit_segment(queue_dir: str, stage: str, n_lines: int | None = None) -> int:
     """Link the staged file into the next free ``seg-%012d`` slot
     (max+1, gap-safe — the tombstone-delta protocol). os.link, NOT
     os.rename: rename silently OVERWRITES an existing FILE target on
     POSIX (the tombstone precedent is safe only because its slots are
     directories), so two producers racing to the same slot would
     clobber one segment; link is atomic and raises FileExistsError for
-    the loser, who re-scans and takes the next slot."""
+    the loser, who re-scans and takes the next slot. With ``n_lines``
+    the row-count sidecar is written after the link (a crash between
+    the two leaves a recountable segment, never a wrong count)."""
     while True:
         segs = _list_segments(queue_dir)
         n = segs[-1] + 1 if segs else 0
         target = _seg_path(queue_dir, n)
         try:
             os.link(stage, target)
-            os.unlink(stage)
-            return n
+            break
         except FileExistsError:
             continue  # lost the slot race to a concurrent producer
+    size = os.path.getsize(stage)
+    os.unlink(stage)
+    if n_lines is not None:
+        _write_count(queue_dir, n, n_lines, size)
+    return n
 
 
 def publish(queue_dir: str, records) -> int:
@@ -142,14 +226,15 @@ def publish(queue_dir: str, records) -> int:
                 key, value = rec
             yield json.dumps({"key": key, "value": value})
 
-    return _commit_segment(queue_dir, _stage_lines(queue_dir, lines()))
+    stage, n = _stage_lines(queue_dir, lines())
+    return _commit_segment(queue_dir, stage, n)
 
 
 def publish_poison(queue_dir: str, raw_lines: list[str]) -> int:
     """Append a segment of RAW lines (not JSON-wrapped) — the test
     hook for the DLQ contract: these decode as key=NULL poison rows."""
-    stage = _stage_lines(queue_dir, (ln.rstrip("\n") for ln in raw_lines))
-    return _commit_segment(queue_dir, stage)
+    stage, n = _stage_lines(queue_dir, (ln.rstrip("\n") for ln in raw_lines))
+    return _commit_segment(queue_dir, stage, n)
 
 
 def _group_path(queue_dir: str, group: str) -> str:
@@ -165,14 +250,8 @@ def read_group_offset(queue_dir: str, group: str) -> dict | None:
 
 
 def _write_group_offset(queue_dir: str, group: str, offset: dict) -> None:
-    path = _group_path(queue_dir, group)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(offset, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)  # atomic — a crashed commit leaves the old ack
+    # atomic — a crashed commit leaves the old ack
+    _atomic_write(_group_path(queue_dir, group), json.dumps(offset))
 
 
 def sync_group_offset(queue_dir: str, group: str, checkpoint_dir: str) -> dict | None:
@@ -184,7 +263,7 @@ def sync_group_offset(queue_dir: str, group: str, checkpoint_dir: str) -> dict |
     pattern is exactly this: derive them from the checkpoint or a query
     listener). Reads the newest batch present in ``commits/`` and acks
     its end offset from ``offsets/<batch>``; monotonic like
-    :meth:`QueueSimpleStreamReader.commit`. The ack is RETENTION
+    :meth:`QueueStreamReader.commit`. The ack is RETENTION
     metadata, never the replay authority (the checkpoint is): the
     monotonic check has a read-modify-write window, so two queries
     sharing one group can transiently under-report progress — which
@@ -237,7 +316,8 @@ def _purge_segment(queue_dir: str, seg: int) -> bool:
     publish would then land below consumers' committed offsets (linear
     mode skips it silently; competing mode's claim tombstone blocks it)
     and the records would be lost. An empty segment keeps the slot
-    occupied forever, costs one inode, reads as zero rows everywhere,
+    occupied forever, costs one inode, reads as zero rows everywhere
+    (the stale count sidecar is invalidated by its byte-size check),
     and keeps every offset/claim invariant intact. Returns False when
     the segment is already empty (idempotence — don't re-report)."""
     p = _seg_path(queue_dir, seg)
@@ -326,6 +406,59 @@ class _SegPartition(InputPartition):
         self.seg = seg
 
 
+class _SpanPartition(InputPartition):
+    """One executor task's slice of a micro-batch: a (segment,
+    row-span). Carries everything ``read`` needs — the reader object is
+    pickled to executors and must stay stateless there."""
+
+    def __init__(
+        self,
+        queue_dir: str,
+        seg: int,
+        start_row: int,
+        end_row: int,
+        beacon_dir: str | None = None,
+    ):
+        self.queue_dir = queue_dir
+        self.seg = seg
+        self.start_row = start_row
+        self.end_row = end_row
+        self.beacon_dir = beacon_dir
+
+
+def _maybe_beacon(beacon_dir: str | None) -> None:
+    """Test hook (``task_beacon_dir`` option): drop one marker file per
+    executor task so a test can PROVE rows were read in executor tasks
+    (TaskContext present, worker pid ≠ driver pid) rather than
+    prefetched on the driver."""
+    if not beacon_dir:
+        return
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    if tc is None:
+        return
+    os.makedirs(beacon_dir, exist_ok=True)
+    name = f"stage{tc.stageId()}-part{tc.partitionId()}-pid{os.getpid()}"
+    with open(os.path.join(beacon_dir, name), "w", encoding="utf-8") as f:
+        f.write("task")
+
+
+def _read_span(partition: _SpanPartition) -> Iterator[tuple]:
+    _maybe_beacon(partition.beacon_dir)
+    try:
+        yield from _read_segment_rows(
+            partition.queue_dir, partition.seg, partition.start_row, partition.end_row
+        )
+    except FileNotFoundError:
+        # segment file missing (externally removed): planned spans over
+        # retention-truncated segments read as zero rows via the normal
+        # open-and-find-nothing path, so this guard only fires for
+        # out-of-band deletion — treat as exhausted, as a broker treats
+        # an aged-out span
+        return
+
+
 class QueueBatchReader(DataSourceReader):
     """Bounded read of the whole queue — one task per segment."""
 
@@ -341,61 +474,109 @@ class QueueBatchReader(DataSourceReader):
         return _read_segment_rows(partition.queue_dir, partition.seg)
 
 
-class QueueSimpleStreamReader(SimpleDataSourceStreamReader):
-    """Offset = {"seg": s, "row": r} — the next unread position in the
+class QueueStreamReader(DataSourceStreamReader):
+    """Linear (every-group-member-reads-everything) stream reader.
+    Offset = {"seg": s, "row": r} — the next unread position in the
     (segment asc, row asc) linearization. The engine checkpoint owns
-    it; replay of a planned-but-uncommitted span re-reads the immutable
-    files (``readBetweenOffsets``), which is the NACK-redelivery arm.
-    ``commit`` additionally records the broker-side group ACK."""
+    it; replay of a planned-but-uncommitted span re-plans the identical
+    ``_SpanPartition`` list over the immutable files, which is the
+    NACK-redelivery arm. ``commit`` additionally records the
+    broker-side group ACK.
+
+    Planning is metadata-only (``_segment_count`` sidecars); row bytes
+    cross in EXECUTOR tasks via ``read(partition)``. ``self._pos`` (the
+    last offset this process planned) budgets ``latestOffset`` to
+    ``rows_per_batch`` rows; at restart the engine re-plans the last
+    logged batch first (the documented engine contract the built-in
+    simple-reader wrapper's ``current_offset`` also depends on), which
+    restores ``self._pos`` before the next ``latestOffset`` — so a
+    position-blind ``latestOffset`` can only be a FRESH query and
+    budgets from ``initialOffset``."""
 
     def __init__(self, options):
         self.queue_dir = options.get("path")
         if not self.queue_dir:
             raise ValueError("fqueue requires .option('path', <queue dir>)")
         self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        self.rows_per_partition = int(options.get("rows_per_partition", 10000))
         self.group = options.get("group", "default")
+        self.beacon_dir = options.get("task_beacon_dir")
+        self._pos: tuple[int, int] | None = None
 
     def initialOffset(self) -> dict:
         segs = _list_segments(self.queue_dir)
-        return {"seg": segs[0] if segs else 0, "row": 0}
+        off = {"seg": segs[0] if segs else 0, "row": 0}
+        self._pos = (off["seg"], off["row"])
+        return off
 
-    def read(self, start: dict):
-        s, r = int(start["seg"]), int(start["row"])
-        rows: list[tuple] = []
-        # ONE pass per segment: _read_segment_rows streams lines and
-        # stops at the batch budget, so no separate length-count scan
-        # (review finding: the old two-pass form read every candidate
-        # segment twice per planning call)
+    def _advance(self, s: int, r: int, budget: int) -> tuple[int, int]:
+        """The next-unread position after consuming up to ``budget``
+        rows from (s, r) — sidecar counts only, no data bytes. The
+        offset only moves when rows are taken (an empty/truncated
+        segment between data never advances it past real data)."""
         for seg in [n for n in _list_segments(self.queue_dir) if n >= s]:
-            budget = self.rows_per_batch - len(rows)
             if budget <= 0:
                 break
             first = r if seg == s else 0
-            taken = list(
-                _read_segment_rows(self.queue_dir, seg, first, first + budget)
-            )
-            if taken:
-                rows.extend(taken)
-                s, r = seg, taken[-1][1] + 1
-            # empty ⇒ segment fully consumed (or empty): the offset
-            # stays where it is; a later segment with rows advances it
-        # an ITERATOR, not a list: when no data arrived (end == start)
-        # the engine's prefetch wrapper probes it with next() to verify
-        # emptiness (datasource_internal.add_result_to_cache)
-        return iter(rows), {"seg": s, "row": r}
+            n = _segment_count(self.queue_dir, seg) or 0
+            avail = n - first
+            if avail <= 0:
+                continue
+            take = min(avail, budget)
+            s, r = seg, first + take
+            budget -= take
+        return s, r
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def latestOffset(self) -> dict:
+        # position-blind ⇒ FRESH query: the engine calls latestOffset
+        # before initialOffset on a new stream, and on a RESTART it
+        # re-plans the last logged batch (partitions()) before asking
+        # for a new latestOffset — the same engine contract the
+        # built-in simple-reader wrapper's current_offset relies on
+        # (pyspark datasource_internal.py) — so partitions() has
+        # already restored self._pos in every restart path
+        if self._pos is None:
+            self.initialOffset()
+        s, r = self._advance(*self._pos, self.rows_per_batch)
+        s, r = max(self._pos, (s, r))
+        self._pos = (s, r)
+        return {"seg": s, "row": r}
+
+    def partitions(self, start: dict, end: dict):
         s0, r0 = int(start["seg"]), int(start["row"])
         s1, r1 = int(end["seg"]), int(end["row"])
+        # the restart contract: the engine re-plans the last logged
+        # batch before asking for a new latestOffset — learn our
+        # position from it (monotone: replays of old batches never
+        # rewind it)
+        self._pos = max(self._pos or (s0, r0), (s0, r0), (s1, r1))
+        if (s1, r1) <= (s0, r0):
+            return []
+        parts = []
         for seg in _list_segments(self.queue_dir):
             if seg < s0 or seg > s1:
                 continue
             first = r0 if seg == s0 else 0
-            last = r1 if seg == s1 else None
-            yield from _read_segment_rows(self.queue_dir, seg, first, last)
+            last = r1 if seg == s1 else (_segment_count(self.queue_dir, seg) or 0)
+            for a in range(first, last, self.rows_per_partition):
+                parts.append(
+                    _SpanPartition(
+                        self.queue_dir,
+                        seg,
+                        a,
+                        min(a + self.rows_per_partition, last),
+                        self.beacon_dir,
+                    )
+                )
+        return parts
+
+    def read(self, partition: _SpanPartition):
+        # EXECUTOR-side: the only place row bytes are touched
+        return _read_span(partition)
 
     def commit(self, end: dict) -> None:
         # broker-side consumer-group ACK: monotonic (never rewind)
+        self._pos = max(self._pos or (0, 0), (int(end["seg"]), int(end["row"])))
         cur = read_group_offset(self.queue_dir, self.group)
         if cur is not None and (int(cur["seg"]), int(cur["row"])) >= (
             int(end["seg"]),
@@ -405,169 +586,166 @@ class QueueSimpleStreamReader(SimpleDataSourceStreamReader):
         _write_group_offset(self.queue_dir, self.group, dict(end))
 
 
-class QueueCompetingStreamReader(SimpleDataSourceStreamReader):
-    """COMPETING CONSUMERS (round-9 verdict task #3): members of one
-    group SPLIT the queue instead of each reading everything — the
-    RabbitMQ pattern the reference is written against (one queue, many
-    workers; reference Services.scala:70-73 consumes with per-message
-    ACK precisely so multiple consumers can share the queue, and
-    reference README.md:20 states the multi-core requirement).
-    Activated by ``.option("consumer", <id>)``.
-
-    Ownership is per SEGMENT, claimed atomically: a claim is a file
-    ``_claims/<group>/<seg>`` whose content is the consumer id,
-    committed by the stage + fsync + os.link protocol (link either
-    fully succeeds for exactly one claimer or raises — no empty-claim
-    crash window). The claimer is that segment's only reader in the
-    group.
-
-    Offset = ``{"claimed": [segs in claim order], "idx": i, "row": r}``
-    — the consumer's private linearization is its claimed segments in
-    claim order, and (idx, row) is the next unread position in it. The
-    claimed list only ever appends, so ``readBetweenOffsets`` replays a
-    span byte-identically after a crash (segments are immutable), and a
-    restart RE-ADOPTS claims this consumer id owns that predate its
-    checkpoint (the claim-then-crash window loses nothing as long as
-    consumer ids are stable).
-
-    Ordering (documented non-guarantees, as for any broker's competing
-    consumers): rows WITHIN a segment stay ordered; segments of ONE
-    consumer replay in claim order; there is NO cross-consumer or
-    global queue order. Exactly-once per group = the union of the
-    group's sinks, each query keeping its own checkpoint.
-
-    A consumer that dies FOREVER strands its unconsumed claims — real
-    brokers redeliver after a visibility timeout; here the operator
-    fences the dead consumer and calls :func:`release_claims`
-    (re-admitting a released consumer id afterwards would double-read,
-    exactly like un-fenced redelivery)."""
-
-    def __init__(self, options):
-        self.queue_dir = options.get("path")
-        if not self.queue_dir:
-            raise ValueError("fqueue requires .option('path', <queue dir>)")
-        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
-        self.group = options.get("group", "default")
-        self.consumer = str(options["consumer"])
-
-    # -- claim bookkeeping (all driver-side: SimpleReader prefetch) --
-
-    def _claims_dir(self) -> str:
-        return _claims_dir(self.queue_dir, self.group)
-
-    def _try_claim(self, seg: int) -> bool:
-        d = self._claims_dir()
-        os.makedirs(d, exist_ok=True)
-        stage = os.path.join(d, f"_stage_{os.getpid()}_{uuid.uuid4().hex[:8]}")
-        with open(stage, "w", encoding="utf-8") as f:
-            f.write(self.consumer)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(stage, os.path.join(d, f"{seg:0{_SEG_DIGITS}d}"))
-            won = True
-        except FileExistsError:
-            won = False
-        os.unlink(stage)
-        return won
-
-    def initialOffset(self) -> dict:
-        return {"claimed": [], "idx": 0, "row": 0}
-
-    def read(self, start: dict):
-        claimed = [int(s) for s in start["claimed"]]
-        idx, row = int(start["idx"]), int(start["row"])
-        # crash-recovery adoption: claims committed under this consumer
-        # id before a crash but after its last checkpointed offset
-        orphans = sorted(
-            set(_group_claims(self.queue_dir, self.group).get(self.consumer, []))
-            - set(claimed)
-        )
-        claimed.extend(orphans)
-        rows: list[tuple] = []
-        while len(rows) < self.rows_per_batch:
-            if idx < len(claimed):
-                budget = self.rows_per_batch - len(rows)
-                try:
-                    taken = list(
-                        _read_segment_rows(
-                            self.queue_dir, claimed[idx], row, row + budget
-                        )
-                    )
-                except FileNotFoundError:
-                    # purged by competing retention: purge only removes
-                    # segments whose claimer FULLY acked them, and idx
-                    # can lag one behind a fully-consumed segment (the
-                    # row==len case) — treat as exhausted
-                    taken = []
-                rows.extend(taken)
-                if len(taken) < budget:
-                    idx += 1  # segment exhausted (immutable — stays so)
-                    row = 0
-                else:
-                    row += len(taken)
-                continue
-            # need another segment: claim the lowest unclaimed one
-            taken_by_anyone = _claimed_segments(self.queue_dir, self.group)
-            got = None
-            for seg in _list_segments(self.queue_dir):
-                if seg in taken_by_anyone or seg in claimed:
-                    continue
-                if self._try_claim(seg):
-                    got = seg
-                    break
-                # lost the race — that seg now belongs to a rival
-            if got is None:
-                break
-            claimed.append(got)
-        return iter(rows), {"claimed": claimed, "idx": idx, "row": row}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        claimed = [int(s) for s in end["claimed"]]
-        i0, r0 = int(start["idx"]), int(start["row"])
-        i1, r1 = int(end["idx"]), int(end["row"])
-        for i in range(i0, min(i1 + 1, len(claimed))):
-            first = r0 if i == i0 else 0
-            last = r1 if i == i1 else None
-            yield from _read_segment_rows(self.queue_dir, claimed[i], first, last)
-
-    def commit(self, end: dict) -> None:
-        # per-consumer ACK ledger: _consumers/<group>.<consumer>.json —
-        # group progress is the set of these files (group_progress)
-        ledger = f"{self.group}.{self.consumer}"
-        cur = read_group_offset(self.queue_dir, ledger)
-        if cur is not None and (int(cur["idx"]), int(cur["row"])) > (
-            int(end["idx"]),
-            int(end["row"]),
-        ):
-            return
-        _write_group_offset(self.queue_dir, ledger, dict(end))
+# --- competing consumers: leases, claims, fencing ----------------------
 
 
 def _claims_dir(queue_dir: str, group: str) -> str:
     return os.path.join(queue_dir, "_claims", group)
 
 
-def _group_claims(queue_dir: str, group: str) -> dict[str, list[int]]:
-    """{consumer_id: [claimed segments]} for one group."""
+def _lease_path(queue_dir: str, group: str, consumer: str) -> str:
+    return os.path.join(_claims_dir(queue_dir, group), f"_lease_{consumer}.json")
+
+
+def _read_lease(queue_dir: str, group: str, consumer: str) -> dict | None:
+    try:
+        with open(_lease_path(queue_dir, group, consumer), encoding="utf-8") as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def register_consumer(queue_dir: str, group: str, consumer: str) -> str:
+    """Take (or take over) the lease for ``consumer``: generates a fresh
+    fencing token and installs it as the CURRENT one — any prior
+    instance still holding an older token becomes a zombie (its next
+    heartbeat/ACK raises), exactly like a broker bumping the client
+    generation on reconnect. Raises :class:`FencedConsumerError` when
+    the id was fenced after a visibility-timeout release: re-admitting
+    it blind would double-read (its checkpoint references claims that
+    now belong to survivors) — an operator must :func:`readmit_consumer`
+    with a fresh checkpoint."""
+    lease = _read_lease(queue_dir, group, consumer)
+    if lease is not None and lease.get("fenced"):
+        raise FencedConsumerError(
+            f"consumer {consumer!r} (group {group!r}) was fenced after a "
+            "lease-timeout release; readmit_consumer + a fresh checkpoint "
+            "is required to re-admit the id"
+        )
+    token = uuid.uuid4().hex
+    _atomic_write(
+        _lease_path(queue_dir, group, consumer),
+        json.dumps({"token": token, "fenced": False}),
+    )
+    return token
+
+
+def heartbeat_consumer(queue_dir: str, group: str, consumer: str, token: str) -> None:
+    """Refresh the lease mtime (the liveness signal survivors watch).
+    Raises :class:`FencedConsumerError` when the lease was fenced or
+    the token superseded — the caller is a zombie."""
+    path = _lease_path(queue_dir, group, consumer)
+    lease = _read_lease(queue_dir, group, consumer)
+    if lease is None:
+        # lease removed out-of-band (readmit): re-install our token —
+        # we are the live instance by assumption of a removed fence
+        _atomic_write(path, json.dumps({"token": token, "fenced": False}))
+        return
+    if lease.get("fenced") or lease.get("token") != token:
+        raise FencedConsumerError(
+            f"consumer {consumer!r} (group {group!r}) holds a superseded "
+            "or fenced lease token — zombie fenced"
+        )
+    os.utime(path)
+
+
+def fence_consumer(queue_dir: str, group: str, consumer: str) -> None:
+    """Mark the consumer's lease fenced: every instance holding its id
+    is permanently rejected (heartbeat/claim/ACK raise) until
+    :func:`readmit_consumer`."""
+    lease = _read_lease(queue_dir, group, consumer) or {"token": ""}
+    _atomic_write(
+        _lease_path(queue_dir, group, consumer),
+        json.dumps({"token": lease.get("token", ""), "fenced": True}),
+    )
+
+
+def readmit_consumer(queue_dir: str, group: str, consumer: str) -> None:
+    """Admin: lift a fence so the consumer id can register again. The
+    operator owns the safety argument: the id must restart from a FRESH
+    checkpoint (its old one references released claims — resuming it
+    would re-read segments survivors now own)."""
+    try:
+        os.remove(_lease_path(queue_dir, group, consumer))
+    except FileNotFoundError:
+        pass
+
+
+def expired_consumers(queue_dir: str, group: str, timeout_s: float) -> list[str]:
+    """Consumer ids whose lease heartbeat is older than ``timeout_s``
+    (and not already fenced) — candidates for visibility-timeout
+    release."""
     d = _claims_dir(queue_dir, group)
-    out: dict[str, list[int]] = {}
     try:
         names = os.listdir(d)
     except FileNotFoundError:
-        return out
+        return []
+    now = time.time()
+    out = []
+    for nm in names:
+        if not (nm.startswith("_lease_") and nm.endswith(".json")):
+            continue
+        consumer = nm[len("_lease_") : -len(".json")]
+        lease = _read_lease(queue_dir, group, consumer)
+        if lease is None or lease.get("fenced"):
+            continue
+        try:
+            mtime = os.path.getmtime(os.path.join(d, nm))
+        except FileNotFoundError:
+            continue
+        if now - mtime > timeout_s:
+            out.append(consumer)
+    return sorted(out)
+
+
+def auto_release_expired(
+    queue_dir: str, group: str, timeout_s: float, keep: str | None = None
+) -> dict[str, list[int]]:
+    """Visibility-timeout redelivery (round-10 verdict task #4): fence
+    every consumer whose lease expired, then release its unacked claims
+    so survivors re-claim them. FENCE BEFORE RELEASE — a zombie that
+    wakes after its claims moved raises on its next heartbeat/ACK
+    instead of double-delivering. Returns {consumer: released segs}.
+    Survivors call this from ``latestOffset`` when ``lease_timeout_s``
+    is set; it is also a valid operator call."""
+    out: dict[str, list[int]] = {}
+    for consumer in expired_consumers(queue_dir, group, timeout_s):
+        if keep is not None and consumer == keep:
+            continue
+        fence_consumer(queue_dir, group, consumer)
+        out[consumer] = release_claims(queue_dir, group, consumer, _fence=False)
+    return out
+
+
+def _group_claims(queue_dir: str, group: str) -> dict[str, list[int]]:
+    """{consumer_id: [claimed segments in CLAIM order]} for one group.
+    Claim files carry ``consumer\\nseq``; the per-consumer sort key is
+    (seq, seg), so a consumer's linearization is reconstructible from
+    broker state alone — what lets a restarted planning reader rebuild
+    its offset's ``claimed`` list with the checkpoint's order as a
+    prefix."""
+    d = _claims_dir(queue_dir, group)
+    out: dict[str, list[tuple[int, int]]] = {}
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return {}
     for nm in names:
         if not nm.isdigit():
             continue
         try:
             with open(os.path.join(d, nm), encoding="utf-8") as f:
-                owner = f.read().strip()
+                body = f.read().splitlines()
         except FileNotFoundError:
             continue
-        out.setdefault(owner, []).append(int(nm))
-    for v in out.values():
-        v.sort()
-    return out
+        owner = body[0].strip() if body else ""
+        seg = int(nm)
+        try:
+            seq = int(body[1])
+        except (IndexError, ValueError):
+            seq = seg  # legacy claim without a seq: claim order ≈ seg order
+        out.setdefault(owner, []).append((seq, seg))
+    return {k: [seg for _, seg in sorted(v)] for k, v in out.items()}
 
 
 def _claimed_segments(queue_dir: str, group: str) -> set[int]:
@@ -578,26 +756,17 @@ def _claimed_segments(queue_dir: str, group: str) -> set[int]:
         return set()
 
 
-def _segment_row_count(queue_dir: str, seg: int) -> int | None:
-    """Line count of a segment, or None when it no longer exists
-    (already purged)."""
-    try:
-        with open(_seg_path(queue_dir, seg), encoding="utf-8") as f:
-            return sum(1 for _ in f)
-    except FileNotFoundError:
-        return None
-
-
 def _acked_segments(queue_dir: str, off: dict) -> list[int]:
     """Segments a committed competing offset has FULLY delivered: the
     claimed[:idx] prefix, plus claimed[idx] itself when the committed
     row equals the segment's length (the reader only learns a segment
-    is exhausted on its NEXT read, so idx can lag one behind)."""
+    is exhausted on its NEXT planning pass, so idx can lag one
+    behind)."""
     claimed = [int(s) for s in off["claimed"]]
     idx, row = int(off["idx"]), int(off["row"])
     done = claimed[:idx]
     if idx < len(claimed) and row > 0:
-        n = _segment_row_count(queue_dir, claimed[idx])
+        n = _segment_count(queue_dir, claimed[idx])
         if n is not None and row >= n:
             done.append(claimed[idx])
     return done
@@ -685,17 +854,21 @@ def purge_competing_acked(queue_dir: str, group: str) -> list[int]:
     return purged
 
 
-def release_claims(queue_dir: str, group: str, consumer: str) -> list[int]:
-    """Admin: release a PERMANENTLY DEAD consumer's unconsumed claims
-    so surviving group members can claim those segments (the broker
-    visibility-timeout/redelivery analogue). The caller must fence the
-    dead consumer first — if it comes back after a release it would
-    re-read or re-claim, exactly like un-fenced broker redelivery.
-    Claims the consumer fully delivered are kept; a PARTIALLY consumed
-    claim is released whole, so its acked head re-delivers to the new
-    claimer — segment-granularity redelivery is at-least-once, exactly
-    like a broker redelivering a dead consumer's unacked window.
-    Returns released segment numbers."""
+def release_claims(
+    queue_dir: str, group: str, consumer: str, _fence: bool = True
+) -> list[int]:
+    """Release a DEAD consumer's unconsumed claims so surviving group
+    members can claim those segments (the broker visibility-timeout /
+    redelivery analogue). The consumer is FENCED first (round-11): a
+    returning zombie raises on heartbeat/claim/ACK instead of
+    double-reading — un-fenced redelivery is exactly how real brokers
+    duplicate. Claims the consumer fully delivered are kept; a
+    PARTIALLY consumed claim is released whole, so its acked head
+    re-delivers to the new claimer — segment-granularity redelivery is
+    at-least-once, like a broker redelivering a dead consumer's unacked
+    window. Returns released segment numbers."""
+    if _fence:
+        fence_consumer(queue_dir, group, consumer)
     off = read_group_offset(queue_dir, f"{group}.{consumer}")
     acked = (
         set(_acked_segments(queue_dir, off))
@@ -708,7 +881,216 @@ def release_claims(queue_dir: str, group: str, consumer: str) -> list[int]:
         if seg not in acked:
             os.remove(os.path.join(d, f"{seg:0{_SEG_DIGITS}d}"))
             released.append(seg)
-    return released
+    return sorted(released)
+
+
+class QueueCompetingStreamReader(DataSourceStreamReader):
+    """COMPETING CONSUMERS: members of one group SPLIT the queue
+    instead of each reading everything — the RabbitMQ pattern the
+    reference is written against (one queue, many workers; reference
+    Services.scala:70-73 consumes with per-message ACK precisely so
+    multiple consumers can share the queue, and reference README.md:20
+    states the multi-core requirement). Activated by
+    ``.option("consumer", <id>)``.
+
+    Ownership is per SEGMENT, claimed atomically AT PLANNING TIME (the
+    driver-side ``latestOffset`` — claims are metadata): a claim is a
+    file ``_claims/<group>/<seg>`` whose content is
+    ``consumer_id\\nclaim_seq``, committed by the stage + fsync +
+    os.link protocol (link either fully succeeds for exactly one
+    claimer or raises — no empty-claim crash window). The claim seq
+    records the consumer's claim ORDER broker-side, so a restarted
+    reader reconstructs its private linearization with any checkpoint's
+    ``claimed`` list as a prefix. Row bytes are then read by EXECUTOR
+    tasks (``read(partition)``), one ``_SpanPartition`` per
+    (segment, row-span).
+
+    Offset = ``{"claimed": [segs in claim order], "idx": i, "row": r}``
+    — (idx, row) is the next unread position in the consumer's private
+    linearization. The claimed list only ever appends, so
+    ``partitions(start, end)`` replays a span byte-identically after a
+    crash (segments are immutable), and a restart RE-ADOPTS claims this
+    consumer id owns that predate its checkpoint (the claim-then-crash
+    window loses nothing as long as consumer ids are stable).
+
+    LEASES: the reader registers a lease on first planning (fresh
+    fencing token — a prior same-id instance becomes a zombie) and
+    heartbeats it every ``latestOffset``. With ``lease_timeout_s`` set,
+    each planning tick also fences-and-releases any group member whose
+    heartbeat lapsed (:func:`auto_release_expired`) — automatic
+    visibility-timeout redelivery; a fenced zombie's heartbeat, claim,
+    or ACK raises :class:`FencedConsumerError`.
+
+    Ordering (documented non-guarantees, as for any broker's competing
+    consumers): rows WITHIN a segment stay ordered; segments of ONE
+    consumer replay in claim order; there is NO cross-consumer or
+    global queue order. Exactly-once per group = the union of the
+    group's sinks, each query keeping its own checkpoint."""
+
+    def __init__(self, options):
+        self.queue_dir = options.get("path")
+        if not self.queue_dir:
+            raise ValueError("fqueue requires .option('path', <queue dir>)")
+        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        self.rows_per_partition = int(options.get("rows_per_partition", 10000))
+        self.group = options.get("group", "default")
+        self.consumer = str(options["consumer"])
+        self.lease_timeout_s = float(options.get("lease_timeout_s", 0) or 0)
+        self.beacon_dir = options.get("task_beacon_dir")
+        # _pos: (claimed list, idx, row) this process last planned.
+        # _token: our lease fencing token. BOTH are lazy — __init__ runs
+        # in several harness processes (the offsets runner AND the
+        # read-function planner whose instance ships to executors);
+        # only the offsets runner may touch the lease, and it is the
+        # only caller of latestOffset/commit.
+        self._pos: tuple[list[int], int, int] | None = None
+        self._token: str | None = None
+
+    # -- lease bookkeeping (driver-side planning only) --
+
+    def _ensure_lease(self) -> None:
+        if self._token is None:
+            self._token = register_consumer(self.queue_dir, self.group, self.consumer)
+        else:
+            heartbeat_consumer(self.queue_dir, self.group, self.consumer, self._token)
+
+    # -- claim bookkeeping (driver-side planning only) --
+
+    def _try_claim(self, seg: int, seq: int | None = None) -> bool:
+        if seq is None:
+            seq = len(_group_claims(self.queue_dir, self.group).get(self.consumer, []))
+        d = _claims_dir(self.queue_dir, self.group)
+        os.makedirs(d, exist_ok=True)
+        stage = os.path.join(d, f"_stage_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+        with open(stage, "w", encoding="utf-8") as f:
+            f.write(f"{self.consumer}\n{seq}")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(stage, os.path.join(d, f"{seg:0{_SEG_DIGITS}d}"))
+            won = True
+        except FileExistsError:
+            won = False
+        os.unlink(stage)
+        return won
+
+    def initialOffset(self) -> dict:
+        self._pos = ([], 0, 0)
+        return {"claimed": [], "idx": 0, "row": 0}
+
+    def latestOffset(self) -> dict:
+        self._ensure_lease()
+        if self.lease_timeout_s > 0:
+            # visibility-timeout redelivery: fence + release lapsed
+            # group members so their segments re-deliver to survivors
+            auto_release_expired(
+                self.queue_dir, self.group, self.lease_timeout_s, keep=self.consumer
+            )
+        # position-blind ⇒ FRESH query (see QueueStreamReader: on a
+        # restart the engine re-plans the last logged batch first,
+        # which restores self._pos through partitions()); a fresh
+        # checkpoint with a reused consumer id re-adopts its claims
+        # below and re-reads them from idx 0 — the documented
+        # stable-id semantics
+        if self._pos is None:
+            self.initialOffset()
+        claimed, idx, row = list(self._pos[0]), self._pos[1], self._pos[2]
+        # crash-recovery adoption: claims committed under this consumer
+        # id before a crash but not yet in our linearization (appended
+        # in claim-seq order, so any checkpoint prefix stays a prefix)
+        for seg in _group_claims(self.queue_dir, self.group).get(self.consumer, []):
+            if seg not in claimed:
+                claimed.append(seg)
+        budget = self.rows_per_batch
+        while budget > 0:
+            if idx < len(claimed):
+                n = _segment_count(self.queue_dir, claimed[idx])
+                n = 0 if n is None else n
+                take = min(max(0, n - row), budget)
+                if take < budget:
+                    idx += 1  # segment exhausted (immutable — stays so)
+                    row = 0
+                else:
+                    row += take
+                budget -= take
+                continue
+            # need another segment: claim the lowest unclaimed one
+            taken_by_anyone = _claimed_segments(self.queue_dir, self.group)
+            got = None
+            for seg in _list_segments(self.queue_dir):
+                if seg in taken_by_anyone or seg in claimed:
+                    continue
+                if self._try_claim(seg, seq=len(claimed)):
+                    got = seg
+                    break
+                # lost the race — that seg now belongs to a rival
+            if got is None:
+                break
+            claimed.append(got)
+        self._pos = (claimed, idx, row)
+        return {"claimed": claimed, "idx": idx, "row": row}
+
+    def partitions(self, start: dict, end: dict):
+        claimed = [int(s) for s in end["claimed"]]
+        i0, r0 = int(start["idx"]), int(start["row"])
+        i1, r1 = int(end["idx"]), int(end["row"])
+        # the restart contract (see QueueStreamReader.partitions):
+        # learn position from the re-planned last batch, monotone
+        if self._pos is None:
+            self._pos = (claimed, i1, r1)
+        else:
+            cur_claimed, ci, cr = self._pos
+            self._pos = (
+                claimed if len(claimed) >= len(cur_claimed) else cur_claimed,
+                *max((i1, r1), (ci, cr)),
+            )
+        if (i1, r1) <= (i0, r0):
+            return []
+        parts = []
+        for i in range(i0, min(i1 + 1, len(claimed))):
+            first = r0 if i == i0 else 0
+            last = (
+                r1 if i == i1 else (_segment_count(self.queue_dir, claimed[i]) or 0)
+            )
+            for a in range(first, last, self.rows_per_partition):
+                parts.append(
+                    _SpanPartition(
+                        self.queue_dir,
+                        claimed[i],
+                        a,
+                        min(a + self.rows_per_partition, last),
+                        self.beacon_dir,
+                    )
+                )
+        return parts
+
+    def read(self, partition: _SpanPartition):
+        # EXECUTOR-side: the only place row bytes are touched
+        return _read_span(partition)
+
+    def commit(self, end: dict) -> None:
+        # a fenced zombie must not double-ACK: its claims may already
+        # belong to a survivor, and acking them would let retention
+        # truncate rows the survivor still owes its sink
+        lease = _read_lease(self.queue_dir, self.group, self.consumer)
+        if lease is not None and (
+            lease.get("fenced")
+            or (self._token is not None and lease.get("token") != self._token)
+        ):
+            raise FencedConsumerError(
+                f"consumer {self.consumer!r} (group {self.group!r}) is "
+                "fenced/superseded — ACK rejected"
+            )
+        # per-consumer ACK ledger: _consumers/<group>.<consumer>.json —
+        # group progress is the set of these files (group_progress)
+        ledger = f"{self.group}.{self.consumer}"
+        cur = read_group_offset(self.queue_dir, ledger)
+        if cur is not None and (int(cur["idx"]), int(cur["row"])) > (
+            int(end["idx"]),
+            int(end["row"]),
+        ):
+            return
+        _write_group_offset(self.queue_dir, ledger, dict(end))
 
 
 class QueueDataSource(DataSource):
@@ -727,13 +1109,13 @@ class QueueDataSource(DataSource):
     def reader(self, schema) -> QueueBatchReader:
         return QueueBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
         # .option("consumer", <id>) selects competing-consumers mode:
         # group members SPLIT segments via atomic claims instead of
         # each reading the whole queue
         if self.options.get("consumer"):
             return QueueCompetingStreamReader(self.options)
-        return QueueSimpleStreamReader(self.options)
+        return QueueStreamReader(self.options)
 
 
 def register(spark) -> None:
@@ -751,14 +1133,9 @@ def _marker_path(
 def _write_marker(
     queue_dir: str, producer_id: str, batch_id: int, pid: int, digest: str, seg: int
 ) -> None:
-    path = _marker_path(queue_dir, producer_id, batch_id, pid, digest)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(seg))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    _atomic_write(
+        _marker_path(queue_dir, producer_id, batch_id, pid, digest), str(seg)
+    )
 
 
 def _publish_partition(
@@ -783,6 +1160,7 @@ def _publish_partition(
     identical content stay distinct through the index."""
     import hashlib
 
+    rows = iter(rows)
     first = next(rows, None)
     if first is None:
         return
@@ -791,9 +1169,9 @@ def _publish_partition(
     lines = (
         json.dumps({"key": r[0], "value": r[1]}) for r in chain([first], rows)
     )
-    stage = _stage_lines(queue_dir, lines)
+    stage, n = _stage_lines(queue_dir, lines)
     if producer_id is None:
-        _commit_segment(queue_dir, stage)
+        _commit_segment(queue_dir, stage, n)
         return
     h = hashlib.sha256()
     with open(stage, "rb") as f:
@@ -803,7 +1181,7 @@ def _publish_partition(
     if os.path.exists(_marker_path(queue_dir, producer_id, batch_id, pid, digest)):
         os.unlink(stage)  # this exact content already committed
         return
-    seg = _commit_segment(queue_dir, stage)
+    seg = _commit_segment(queue_dir, stage, n)
     _write_marker(queue_dir, producer_id, batch_id, pid, digest, seg)
 
 
@@ -815,36 +1193,48 @@ def queue_sink(
 ):
     """foreachBatch writer publishing each micro-batch from the
     EXECUTORS — one segment per non-empty partition (round-9 verdict
-    task #1: the old form ``collect()``ed the whole micro-batch to the
-    driver, the one driver-side materialization left on a data path; at
-    100 TB a micro-batch does not fit on the driver). Each partition
-    stages, fsyncs, and ``os.link``s its own segment — the identical
-    atomic slot protocol as :func:`publish`, and the (seg, row) offset
-    model already tolerates many segments per batch. Cross-partition
-    segment order within a batch is unspecified (the slot race decides
-    it) — matching the reference's no-ordering guarantee
-    (reference README.md:15); per-partition order IS preserved inside a
-    segment.
+    task #1: nothing is materialized on the driver; at 100 TB a
+    micro-batch does not fit there). Rows cross to Python as ARROW
+    RECORD BATCHES (``mapInArrow``, round-10 verdict task #5 — the
+    previous ``rdd.mapPartitionsWithIndex`` hop pickled every row
+    individually); each partition stages, fsyncs, and ``os.link``s its
+    own segment — the identical atomic slot protocol as
+    :func:`publish`, and the (seg, row) offset model already tolerates
+    many segments per batch. Cross-partition segment order within a
+    batch is unspecified (the slot race decides it) — matching the
+    reference's no-ordering guarantee (reference README.md:15);
+    per-partition order IS preserved inside a segment.
 
     Delivery across the hop: the broker is append-only, so a replayed
     batch id publishes fresh segments (at-least-once), as before. A
     stable ``producer_id`` upgrades this to once-per-(batch, partition):
-    each partition commits a ``_producers/<id>/b<batch>-p<part>`` marker
-    after its segment, and a task retry or batch replay that finds the
-    marker skips the publish. The gap between segment link and marker
-    write can still duplicate that one partition on a crash (the
-    classic two-phase window) — consumers needing exactly-once dedupe
-    downstream, as with a real broker."""
+    each partition commits a ``_producers/<id>/b<batch>-p<part>-<digest>``
+    marker after its segment, and a task retry or batch replay that
+    finds the marker skips the publish. The gap between segment link
+    and marker write can still duplicate that one partition on a crash
+    (the classic two-phase window) — consumers needing exactly-once
+    dedupe downstream, as with a real broker."""
 
     def write(batch_df, batch_id: int) -> None:
         sel = batch_df.select(key_col, value_col)
 
-        def pub(pid, it):
-            _publish_partition(queue_dir, producer_id, batch_id, pid, it)
-            return iter(())
+        def pub(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+
+            def rows():
+                for b in batches:
+                    keys = b.column(0).to_pylist()
+                    vals = b.column(1).to_pylist()
+                    yield from zip(keys, vals)
+
+            _publish_partition(queue_dir, producer_id, batch_id, pid, rows())
+            return
+            yield  # pragma: no cover — makes pub a generator
 
         # an action that moves NOTHING to the driver: every partition
-        # publishes its own segment and yields zero rows
-        sel.rdd.mapPartitionsWithIndex(pub).count()
+        # publishes its own segment and yields zero record batches
+        sel.mapInArrow(pub, "seg bigint").foreach(lambda _r: None)
 
     return write

@@ -289,9 +289,12 @@ def transform_with_state_gather(
     verdict task #4) — the reference NACKs a message whose enrichment
     verdict never arrives (reference AkkaPipelineActors.scala:144-168:
     the cameo actor's receive timeout fires ``onNotProcessed`` from
-    postStop). Here a PROCESSING-TIME timer is registered when a key's
-    state is first created; if the gather has not completed by the
-    deadline, ``handleExpiredTimer`` emits the partial record with
+    postStop). Here a PROCESSING-TIME timer is (re-)armed on EVERY
+    arrival for the key — Akka's ``setReceiveTimeout`` resets after
+    each received message, so the TTL bounds INACTIVITY, matching the
+    ``applyInPandasWithState`` form's per-batch ``setTimeoutDuration``;
+    if no further leg arrives within the TTL and the gather is still
+    incomplete, ``handleExpiredTimer`` emits the partial record with
     ``status='timeout'`` (errors-as-data, the F2/K3 discipline) and
     drops the state — bounded state even when an enrichment leg is
     permanently lost. Completion deletes the pending timer and emits
@@ -355,10 +358,16 @@ def transform_with_state_gather(
                 yield self._row(msg_id, value, e1, e2, e3, "complete")
             else:
                 self.state.update((value, e1, e2, e3))
-                if use_ttl and not existed:
-                    # one deadline per message, from FIRST sighting —
-                    # the cameo actor's receiveTimeout starts when the
-                    # actor spawns, not per enrichment leg
+                if use_ttl:
+                    # re-arm the deadline on EVERY arrival (round-10
+                    # ADVICE): Akka's context.setReceiveTimeout resets
+                    # after each received message, and stateful_gather's
+                    # setTimeoutDuration does the same per batch — the
+                    # TTL bounds INACTIVITY, so legs that keep trickling
+                    # in (each within TTL of the previous) complete even
+                    # when the total elapsed exceeds one TTL
+                    for t in self.handle.listTimers():
+                        self.handle.deleteTimer(t)
                     self.handle.registerTimer(
                         timerValues.getCurrentProcessingTimeInMs() + ttl_ms
                     )

@@ -137,6 +137,22 @@ def test_streaming_sink_into_jdbc(spark, sample, tmp_path):
 from labs_stream_processing_examples_scala_spark.sources import queue_source as Q  # noqa: E402
 
 
+def _plan_batch(rd, start):
+    """Drive a planning stream reader exactly as the engine does for
+    one micro-batch: latestOffset() -> partitions(start, end) ->
+    read(partition) per span (executor side in a real query). Returns
+    (rows, end)."""
+    end = rd.latestOffset()
+    rows = [r for p in rd.partitions(start, end) for r in rd.read(p)]
+    return rows, end
+
+
+def _replay(rd, start, end):
+    """NACK replay of a planned batch: partitions(start, end) is
+    deterministic over the immutable segments."""
+    return [r for p in rd.partitions(start, end) for r in rd.read(p)]
+
+
 def _drain(spark, qdir, ckpt, out, rows_per_batch=100, on_batch=None):
     """One availableNow consumption run: fqueue -> parquet (or a custom
     foreachBatch), returning the query after termination."""
@@ -467,9 +483,10 @@ def test_fqueue_sink_idempotent_replay_with_producer_id(spark, tmp_path):
 
 def test_fqueue_competing_readers_split_segments_unit():
     """Two QueueCompetingStreamReader instances in one group claim
-    DISJOINT segments whose union is the whole queue; replay via
-    readBetweenOffsets is byte-identical; per-consumer ACK bookkeeping
-    (group_progress) is consistent."""
+    DISJOINT segments whose union is the whole queue; replaying any
+    planned batch (partitions over the immutable segments) is
+    byte-identical; per-consumer ACK bookkeeping (group_progress) is
+    consistent."""
     import tempfile
 
     qdir = tempfile.mkdtemp(prefix="fq_unit_")
@@ -486,8 +503,7 @@ def test_fqueue_competing_readers_split_segments_unit():
     for _ in range(6):  # alternate batches until both drain
         for name, rd in (("c1", r1), ("c2", r2)):
             start = offs[name]
-            rows, end = rd.read(start)
-            rows = list(rows)
+            rows, end = _plan_batch(rd, start)
             got[name].extend(rows)
             spans[name].append((start, end, rows))
             offs[name] = end
@@ -500,10 +516,10 @@ def test_fqueue_competing_readers_split_segments_unit():
     assert all_vals == sorted(f"{s}:{r}" for s in range(6) for r in range(4)), (
         "union of competing consumers must be the queue exactly once"
     )
-    # NACK replay: every span re-reads byte-identically from immutable segs
+    # NACK replay: every span re-plans byte-identically from immutable segs
     for name, rd in (("c1", r1), ("c2", r2)):
         for start, end, rows in spans[name]:
-            assert list(rd.readBetweenOffsets(start, end)) == rows
+            assert _replay(rd, start, end) == rows
     # ACK ledger: commit each consumer's final offset, check group math
     r1.commit(offs["c1"])
     r2.commit(offs["c2"])
@@ -530,7 +546,7 @@ def test_fqueue_competing_reader_adopts_own_claims_after_crash():
     r1 = Q.QueueCompetingStreamReader(opts)
     assert r1._try_claim(0)  # claimed, then "crash" before any read
     r1b = Q.QueueCompetingStreamReader(opts)  # restart, empty checkpoint
-    rows, end = r1b.read(r1b.initialOffset())
+    rows, end = _plan_batch(r1b, r1b.initialOffset())
     assert [v for _, _, _, v in rows] == ["1", "2"]
     assert end["claimed"] == [0]
 
@@ -543,14 +559,20 @@ def test_fqueue_release_claims_lets_survivor_take_over():
     Q.publish(qdir, [("b", "2")])
     opts = {"path": qdir, "rows_per_batch": "1", "group": "g"}
     dead = Q.QueueCompetingStreamReader({**opts, "consumer": "dead"})
-    rows, off = dead.read(dead.initialOffset())
+    rows, off = _plan_batch(dead, dead.initialOffset())
     dead.commit(off)  # seg 0 consumed+acked; then claim seg 1 and die
     assert dead._try_claim(1)
     released = Q.release_claims(qdir, "g", "dead")
     assert released == [1], "only the unacked claim is released"
     surv = Q.QueueCompetingStreamReader({**opts, "consumer": "surv"})
-    rows2, _ = surv.read(surv.initialOffset())
+    rows2, _ = _plan_batch(surv, surv.initialOffset())
     assert [v for _, _, _, v in rows2] == ["2"], "survivor must take over seg 1"
+    # release_claims fenced "dead" (round-11): a returning zombie can
+    # neither re-ACK nor heartbeat
+    with pytest.raises(Q.FencedConsumerError):
+        dead.commit(off)
+    with pytest.raises(Q.FencedConsumerError):
+        dead.latestOffset()
 
 
 def test_fqueue_two_simultaneous_competing_queries_exactly_once(spark, tmp_path):
@@ -652,13 +674,13 @@ def test_fqueue_competing_read_survives_purge_of_lagging_segment():
     Q.publish(qdir, [("a", "1"), ("b", "2")])
     opts = {"path": qdir, "rows_per_batch": "2", "group": "g", "consumer": "c1"}
     r = Q.QueueCompetingStreamReader(opts)
-    rows, off = r.read(r.initialOffset())
+    rows, off = _plan_batch(r, r.initialOffset())
     assert [v for _, _, _, v in rows] == ["1", "2"]
     assert (off["idx"], off["row"]) == (0, 2), "idx lags on exact drain"
     r.commit(off)
     assert Q.purge_competing_acked(qdir, "g") == [0]
     Q.publish(qdir, [("c", "3")])
-    rows2, off2 = r.read(off)
+    rows2, off2 = _plan_batch(r, off)
     assert [v for _, _, _, v in rows2] == ["3"], "must skip purged seg and continue"
     assert off2["claimed"] == [0, 1]
 
@@ -753,8 +775,7 @@ def test_fqueue_competing_claim_race_hammer():
             off = rd.initialOffset()
             rows_out, my_spans = [], []
             for _ in range(40):  # enough batches to drain the queue
-                rows, end = rd.read(off)
-                rows = list(rows)
+                rows, end = _plan_batch(rd, off)
                 rows_out.extend(rows)
                 my_spans.append((off, end, rows))
                 off = end
@@ -782,9 +803,226 @@ def test_fqueue_competing_claim_race_hammer():
             {"path": qdir, "rows_per_batch": "7", "group": "g", "consumer": cid}
         )
         for start, end, rows in my_spans:
-            assert list(rd.readBetweenOffsets(start, end)) == rows, (
-                f"{cid}: replay diverged"
-            )
+            assert _replay(rd, start, end) == rows, f"{cid}: replay diverged"
     prog = Q.group_progress(qdir, "g")
     acked = sorted(s for info in prog["acked"].values() for s in info["fully_acked"])
     assert acked == list(range(30)), f"ACK bookkeeping inconsistent: {prog}"
+
+
+# --- round 11: executor-parallel streaming consume + leases -------------
+
+
+def test_fqueue_linear_planner_splits_spans_unit():
+    """The planning reader's driver side is METADATA-only: latestOffset
+    budgets via row-count sidecars, partitions() yields one span per
+    rows_per_partition slice, and a replay of (end, end) plans nothing."""
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_spans_")
+    Q.publish(qdir, [(f"k{i}", f"v{i}") for i in range(25)])  # seg 0
+    Q.publish(qdir, [(f"k{i}", f"v{i}") for i in range(25, 30)])  # seg 1
+    rd = Q.QueueStreamReader(
+        {"path": qdir, "rows_per_batch": "100", "rows_per_partition": "10"}
+    )
+    start = rd.initialOffset()
+    end = rd.latestOffset()
+    assert (end["seg"], end["row"]) == (1, 5)
+    parts = rd.partitions(start, end)
+    spans = [(p.seg, p.start_row, p.end_row) for p in parts]
+    assert spans == [(0, 0, 10), (0, 10, 20), (0, 20, 25), (1, 0, 5)], (
+        "a multi-segment batch must split into bounded scan partitions"
+    )
+    rows = [r for p in parts for r in rd.read(p)]
+    assert [v for _, _, _, v in rows] == [f"v{i}" for i in range(30)]
+    assert rd.partitions(end, end) == [], "empty span must plan no partitions"
+    # the budget applies on the NEXT tick once position is known
+    Q.publish(qdir, [(f"k{i}", f"v{i}") for i in range(30, 45)])  # seg 2
+    end2 = rd.latestOffset()
+    assert (end2["seg"], end2["row"]) == (2, 15)
+
+
+def test_fqueue_linear_budget_caps_each_batch_unit():
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_budget_")
+    Q.publish(qdir, [(f"k{i}", f"v{i}") for i in range(10)])
+    rd = Q.QueueStreamReader({"path": qdir, "rows_per_batch": "4"})
+    start = rd.initialOffset()
+    e1 = rd.latestOffset()
+    assert (e1["seg"], e1["row"]) == (0, 4)
+    e2 = rd.latestOffset()
+    assert (e2["seg"], e2["row"]) == (0, 8)
+    e3 = rd.latestOffset()
+    assert (e3["seg"], e3["row"]) == (0, 10), "budget must clamp at true end"
+    rows = [r for p in rd.partitions(start, e1) for r in rd.read(p)]
+    assert [v for _, _, _, v in rows] == ["v0", "v1", "v2", "v3"]
+
+
+def test_fqueue_stream_reads_on_executors_multi_partition(spark, tmp_path):
+    """Round-10 verdict task #1 'done' criteria: a real streaming query
+    reads rows in EXECUTOR tasks (TaskContext beacons exist — the
+    beacon is only written when TaskContext.get() is non-None, which is
+    never true on the driver-side planning path) and a multi-segment
+    batch produces MULTIPLE scan partitions."""
+    import os
+
+    qdir, ckpt, out, beacons = (
+        str(tmp_path / p) for p in ("q", "ckpt", "out", "beacons")
+    )
+    Q.publish(qdir, [(str(i), f"m{i}") for i in range(20)])
+    Q.publish(qdir, [(str(i), f"m{i}") for i in range(20, 40)])
+    Q.register(spark)
+    reader = (
+        spark.readStream.format("fqueue")
+        .option("path", qdir)
+        .option("rows_per_batch", 100)
+        .option("rows_per_partition", 10)
+        .option("task_beacon_dir", beacons)
+        .load()
+    )
+    q = (
+        reader.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, f"query failed: {q.exception()}"
+    vals = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert vals == sorted(f"m{i}" for i in range(40)), "rows lost in executor read"
+    names = os.listdir(beacons)
+    assert len(names) >= 4, (
+        f"40 rows at rows_per_partition=10 must run >=4 executor tasks: {names}"
+    )
+    part_ids = {n.split("-")[1] for n in names}
+    assert len(part_ids) >= 2, f"beacons must span distinct scan partitions: {names}"
+
+
+def test_fqueue_lease_timeout_auto_release_and_fencing():
+    """Round-10 verdict task #4: a consumer dies mid-claim; once its
+    lease lapses, a survivor's planning tick fences it and auto-adopts
+    the unacked claim (visibility-timeout redelivery). The returning
+    zombie can neither heartbeat/claim nor double-ACK
+    (FencedConsumerError), and the union of committed reads equals the
+    queue exactly once."""
+    import os
+    import tempfile
+    import time as _time
+
+    qdir = tempfile.mkdtemp(prefix="fq_lease_")
+    for s in range(4):
+        Q.publish(qdir, [(f"s{s}", f"v{s}")])
+    opts = {
+        "path": qdir,
+        "rows_per_batch": "1",
+        "group": "g",
+        "lease_timeout_s": "5",
+    }
+    dead = Q.QueueCompetingStreamReader({**opts, "consumer": "dead"})
+    rows_d, off_d = _plan_batch(dead, dead.initialOffset())  # seg 0
+    dead.commit(off_d)  # ACKed seg 0
+    rows_d2, off_d2 = _plan_batch(dead, off_d)  # claims seg 1, NEVER commits
+    assert [v for _, _, _, v in rows_d2] == ["v1"]
+    # the consumer dies; age its lease past the visibility timeout
+    lp = Q._lease_path(qdir, "g", "dead")
+    old = _time.time() - 3600
+    os.utime(lp, (old, old))
+
+    surv = Q.QueueCompetingStreamReader({**opts, "consumer": "surv"})
+    got, off_s = [], surv.initialOffset()
+    for _ in range(8):
+        rows, off_s = _plan_batch(surv, off_s)
+        got.extend(rows)
+    surv.commit(off_s)
+    # survivor re-claimed the released seg 1 plus the unclaimed 2, 3
+    vals = sorted(v for _, _, _, v in rows_d + got)
+    assert vals == ["v0", "v1", "v2", "v3"], (
+        "committed union must be the queue exactly once after redelivery"
+    )
+    # the zombie is fenced: every avenue raises
+    with pytest.raises(Q.FencedConsumerError):
+        dead.latestOffset()
+    with pytest.raises(Q.FencedConsumerError):
+        dead.commit(off_d2)
+    with pytest.raises(Q.FencedConsumerError):
+        Q.register_consumer(qdir, "g", "dead")
+    # the operator path back in: readmit + fresh registration
+    Q.readmit_consumer(qdir, "g", "dead")
+    assert Q.register_consumer(qdir, "g", "dead")
+
+
+def test_fqueue_lease_scenario_zombie_query_refused(spark, tmp_path):
+    """Scenario form: consumer c1's query stops with a stranded claim
+    (claim-then-crash window); its lease expires; survivor c2's QUERY
+    fences c1, adopts the claim, and the union of both sinks is the
+    queue exactly once. A restarted c1 query (the zombie) fails its
+    first planning call instead of double-reading."""
+    import glob as _glob
+    import os
+    import time as _time
+
+    qdir = str(tmp_path / "q")
+    for s in range(3):
+        Q.publish(qdir, [(f"s{s}", f"v{s}")])
+    Q.register(spark)
+
+    def run_consumer(cid):
+        out, ckpt = str(tmp_path / f"out_{cid}"), str(tmp_path / f"ckpt_{cid}")
+        reader = (
+            spark.readStream.format("fqueue")
+            .option("path", qdir)
+            .option("group", "g")
+            .option("consumer", cid)
+            .option("rows_per_batch", 20)
+            .option("lease_timeout_s", 5)
+            .load()
+        )
+        q = (
+            reader.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q, out, ckpt
+
+    q1, out1, ck1 = run_consumer("c1")
+    assert q1.exception() is None
+    # record c1's broker-side ACK from its checkpoint (Spark never
+    # commits group offsets to the broker itself — without this the
+    # release below would treat c1's CONSUMED claims as unacked and
+    # legitimately redeliver them, like any broker would)
+    Q.sync_competing_offset(qdir, "g", "c1", ck1)
+    # claim-then-crash: c1 claimed a new segment but died before reading
+    Q.publish(qdir, [("s3", "v3")])
+    stale = Q.QueueCompetingStreamReader(
+        {"path": qdir, "group": "g", "consumer": "c1"}
+    )
+    assert stale._try_claim(3)
+    lp = Q._lease_path(qdir, "g", "c1")
+    old = _time.time() - 3600
+    os.utime(lp, (old, old))
+
+    q2, out2, _ck2 = run_consumer("c2")
+    assert q2.exception() is None
+
+    def read_out(path):
+        return (
+            [r.value for r in spark.read.parquet(path).collect()]
+            if _glob.glob(f"{path}/*.parquet")
+            else []
+        )
+
+    union = sorted(read_out(out1) + read_out(out2))
+    assert union == ["v0", "v1", "v2", "v3"], (
+        "survivor must adopt the stranded claim; union exactly once"
+    )
+    # the zombie query is refused at its first planning call
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="(?i)fenced"):
+        run_consumer("c1")

@@ -499,11 +499,25 @@ def shuffle_exchange_count(plan: str) -> int:
     ReusedExchange spell differently and never match."""
     import re
 
-    seen: set[str] = set()
+    seen: set[tuple[int, str]] = set()
     skip_indent: int | None = None
+    # Numbering scope (round-10 ADVICE adjudication): within ONE
+    # explainString("formatted") output, node ids are GLOBAL — a second
+    # cached frame's subtree continues the outer numbering (verified
+    # empirically on Spark 4.1: frame A cached+referenced twice prints
+    # `Exchange (6)` twice under the same `AdaptiveSparkPlan (12)`,
+    # while distinct frame B numbers (21)+ with `Exchange (25)`). So a
+    # repeated id inside one plan is always a re-printed reference to
+    # the SAME cached subtree (dedup is correct), and ids only restart
+    # when a caller concatenates several plans — scope the key by the
+    # `== Physical Plan ==` header count to keep that case honest.
+    scope = 0
     for line in plan.splitlines():
         body = line.lstrip(" :+-*")
         pos = len(line) - len(body)
+        if body.startswith("== Physical Plan =="):
+            scope += 1
+            continue
         if skip_indent is not None:
             # initial-plan children print at the marker's BODY position
             # (the marker line carries a "+- " prefix), so the block is
@@ -516,7 +530,7 @@ def shuffle_exchange_count(plan: str) -> int:
             continue
         m = re.search(r"(?:^|[^A-Za-z])Exchange \((\d+)\)", line)
         if m and "BroadcastExchange" not in line and "ReusedExchange" not in line:
-            seen.add(m.group(1))
+            seen.add((scope, m.group(1)))
     return len(seen)
 
 
