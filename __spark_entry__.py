@@ -186,50 +186,86 @@ def _p5_malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate hashes the FIRST 50 registry entries
 # against their DuckDB oracles, so the window must SAMPLE EVERY TIER
-# (round-9 verdict task #2) — core stream operators first (SURVEY §2),
-# then relational / TPC-H / temporal / lakehouse / streaming-MV / CDC /
-# dedup / similarity / graph / text / sampling / frequency / validation /
-# multimodal / skew / corpus, one or more exact-oracle representatives
-# each. Only exact-DuckDB-oracle entries qualify (a rows-only entry
-# would surface as `err` to the driver); the approximate/stream-only
-# tiers keep their proof in the local gate (tools/check_oracle.py) and
-# pytest. Everything after the window keeps its family grouping.
-DRIVER_WINDOW = [
+# (round-9 verdict task #2) AND ROTATE (round-10 verdict task #6: only
+# 50 of the 130+ exact-oracle entries can earn a driver-side green row
+# per round, so the non-core slots rotate deterministically with the
+# round number until every exact entry has been driver-checked). Only
+# exact-DuckDB-oracle entries qualify (a rows-only entry would surface
+# as `err` to the driver); the approximate/stream-only tiers keep their
+# proof in the local gate (tools/check_oracle.py) and pytest.
+
+# §2 core operators: always driver-checked (the reference's own surface)
+DRIVER_CORE = [
     "p1_reverse_upper", "s1_tick_source", "s4_queue_roundtrip",
     "p2_charsort", "p3_enrich_full", "p3_gather_form",
     "p4_errors_main", "p4_errors_dlq", "p5_malformed_json",
-    # relational core
-    "q1_scan_project", "q2_filter", "q4_agg_tpch_q1", "q6_rollup",
-    "q7_join_revenue", "q8_outer_join", "q10_window_rank", "q12_topk",
-    "q13_union", "q14_pivot",
-    # TPC-H deep
-    "q30_tpch_q3", "q35_tpch_q18", "q55_tpch_q9",
-    # temporal
-    "q18_asof_join", "q19_range_join", "q58_sessionize",
-    # lakehouse (MERGE / COW / MOR / CDF)
-    "q65_merge_scd2", "q66_merge_delete", "q67_merge_cdc",
-    "q70_merge_mor", "q71_cdf_mv",
-    # streaming MV + CDC ingest
-    "x_mv_event_stats", "x_cdc_stream_ingest",
-    # dedup family
-    "x_dedup_exact", "x_dedup_minhash_sig", "x_dedup_lsh_pairs",
-    "x_dedup_simhash_pairs", "x_dedup_span_removal", "x_dedup_keep_first",
-    # similarity (exact members)
-    "x_sim_bruteforce_topk", "x_sim_neardup_pairs",
-    # graph / text / sampling / frequency / validation / multimodal /
-    # skew / corpus
-    "x_graph_pagerank",
-    "x_text_stats", "x_text_langid", "x_text_tfidf",
-    "x_sample_hash_split",
-    "x_freq_heavy_hitters",
-    "x_validate_orders",
-    "x_multimodal_meta",
-    "x_skew_salted_agg",
-    "x_pack_sequences",
+]
+
+# tier → name prefixes (shared with the contract test): each tier keeps
+# one rotating representative in every round's window
+DRIVER_TIERS = [
+    ("relational", ("q1_", "q4_", "q10_")),
+    ("tpch", ("q30_", "q35_", "q55_")),
+    ("temporal", ("q18_", "q19_", "q58_")),
+    ("lakehouse", ("q65_", "q66_", "q67_", "q70_", "q71_")),
+    ("streaming-mv", ("x_mv_",)),
+    ("cdc", ("x_cdc_",)),
+    ("dedup", ("x_dedup_",)),
+    ("similarity", ("x_sim_",)),
+    ("graph", ("x_graph_",)),
+    ("text", ("x_text_",)),
+    ("sampling", ("x_sample_",)),
+    ("frequency", ("x_freq_",)),
+    ("validation", ("x_validate_",)),
+    ("multimodal", ("x_multimodal_",)),
+    ("skew", ("x_skew_",)),
+    ("corpus", ("x_pack_",)),
 ]
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def current_round() -> int:
+    """The build round, derived from the driver's own per-round
+    artifacts (CORRECTNESS_r{N}.json is written AFTER round N's gate
+    runs, so while round N executes the max on disk is N-1). Keeps the
+    window rotation deterministic within a round with no side channel."""
+    import re as _re
+    from pathlib import Path as _Path
+
+    rounds = [
+        int(m.group(1))
+        for p in _Path(__file__).parent.glob("CORRECTNESS_r*.json")
+        if (m := _re.fullmatch(r"CORRECTNESS_r0*(\d+)\.json", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _build_driver_window(reg_keys, oracle_keys, rnd: int) -> list[str]:
+    """50 entries: the pinned §2 core, one rotating exact-oracle
+    representative per tier, then rotating fillers from the remaining
+    exact-oracle pool — a different ~25-entry filler slice each round,
+    so every exact entry earns a driver-side green row within a few
+    rounds."""
+    pool = [k for k in reg_keys if k in oracle_keys and k not in DRIVER_CORE]
+    window = list(DRIVER_CORE)
+    for _tier, prefixes in DRIVER_TIERS:
+        members = [
+            k
+            for k in pool
+            if k not in window and any(k.startswith(p) for p in prefixes)
+        ]
+        if members:
+            window.append(members[rnd % len(members)])
+    rest = [k for k in pool if k not in window]
+    need = 50 - len(window)
+    start = (rnd * 23) % len(rest) if rest else 0
+    window.extend(rest[(start + i) % len(rest)] for i in range(min(need, len(rest))))
+    return window
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full query registry in CANONICAL (family-grouped) order —
+    the stable order the window rotation indexes into. queries() serves
+    a reordered view with this round's driver window first."""
     reg = {
         # scalar transforms / enrichment pipeline (SURVEY §2.2-2.3, §2.8)
         "p1_reverse_upper": _p1_reverse_upper,
@@ -468,9 +504,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.synthesize_mixed(MM.binary_documents(spark, sf))
         ),
     }
-    ordered = {k: reg[k] for k in DRIVER_WINDOW}
+    return reg
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    reg = _registry()
+    window = _build_driver_window(list(reg), set(oracle_sql()), current_round())
+    ordered = {k: reg[k] for k in window}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
     return ordered
+
+
+def driver_window() -> list[str]:
+    """This round's 50-entry driver correctness window (the queries()
+    prefix) — exposed for the contract test and for humans diffing
+    rounds."""
+    return list(queries())[:50]
 
 
 # DuckDB-side helpers (inlined per query): v = 'Input Data: ' || event_id;

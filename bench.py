@@ -166,6 +166,35 @@ def _job_probe_ms(spark) -> float:
     return round(statistics.median(samples), 1)
 
 
+_PROBE_BUF = None
+
+
+def _light_probe_ms() -> float:
+    """One in-place pass over the calibration array (~1/5 of the np
+    probe, ≈40 ms clean) — cheap enough to run AFTER EVERY QUERY, so a
+    dirty measurement window is localized to the specific queries it
+    contaminated instead of being inferred from cross-artifact
+    forensics (round-10 verdict task #3: three of four rounds shipped a
+    contaminated BENCH_r* that read as a fake regression)."""
+    global _PROBE_BUF
+    import numpy as np
+
+    if _PROBE_BUF is None:
+        rng = np.random.default_rng(0)
+        a = rng.random(20_000_000)
+        _PROBE_BUF = (a, a * 1.0001)
+    a, b = _PROBE_BUF
+    t0 = time.perf_counter()
+    np.multiply(a, 1.0001, out=b)
+    b += 0.5
+    return (time.perf_counter() - t0) * 1000
+
+
+# a query's window is DIRTY when its post-query probe exceeds this
+# multiple of the run's cleanest observed probe
+DIRTY_PROBE_RATIO = 1.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -174,6 +203,14 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] or sorted(qs)
+    # --only a,b,c : run a slice (clean-window sf10 re-anchoring is done
+    # in slices so each slice carries its own calibration stamps)
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
+        names = only
 
     # JVM/codegen warm-up on the smallest plan so query 1 isn't charged
     # for class loading.
@@ -190,6 +227,7 @@ def main() -> None:
     # always print the JSON line; exit non-zero if anything failed.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    probes: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         try:
@@ -197,6 +235,46 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+        probes[name] = round(_light_probe_ms(), 1)
+
+    # --- self-healing against dirty windows (round-10 verdict task #3):
+    # each query carries a post-query bandwidth probe; queries whose
+    # probe exceeded DIRTY_PROBE_RATIO x the run's cleanest probe are
+    # re-run ONCE (bounded), both values are recorded, and the run with
+    # the cleaner probe is the defended number published in `queries`.
+    # Caveat recorded with each retry: queries that warm shared session
+    # caches (the LSH banded frames, the NSW graph cache) re-run warm,
+    # so their retry time can undercut a legitimate cold first run —
+    # `cache_warm_risk` flags them for the reader.
+    retries: dict[str, dict] = {}
+    if probes:
+        floor = min(probes.values())
+        dirty = [
+            n
+            for n in names
+            if n in timings and probes[n] > DIRTY_PROBE_RATIO * floor
+        ]
+        warm_risk = {n for n in dirty if n.startswith(("x_dedup_", "x_sim_", "x_graph_"))}
+        for name in dirty:
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                retry_sec = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — harness boundary
+                errors[name] = f"retry: {type(e).__name__}: {e}"[:300]
+                continue
+            retry_probe = round(_light_probe_ms(), 1)
+            use_retry = retry_probe < probes[name]
+            retries[name] = {
+                "first_sec": timings[name],
+                "first_probe_ms": probes[name],
+                "retry_sec": retry_sec,
+                "retry_probe_ms": retry_probe,
+                "defended": "retry" if use_retry else "first",
+                "cache_warm_risk": name in warm_risk,
+            }
+            if use_retry:
+                timings[name] = retry_sec
 
     end_job_ms = _job_probe_ms(spark)
     calib_end = _calibrate()  # re-probe: catches contention starting mid-run
@@ -215,7 +293,10 @@ def main() -> None:
             "start_job_ms": start_job_ms,
             "end_job_ms": end_job_ms,
         },
+        "probes": probes,
     }
+    if retries:
+        record["retries"] = retries
     if errors:
         record["errors"] = errors
     # Sidecar FIRST (writing a file emits no WARN lines and survives a

@@ -150,40 +150,50 @@ def test_registry_query_matches_oracle(name, spark, duck):
 
 
 def test_driver_window_samples_every_tier():
-    """Round-9 verdict task #2: the driver hashes the FIRST 50 registry
-    entries, so that window must (a) be exactly the queries() prefix,
-    (b) contain only exact-DuckDB-oracle entries (a rows-only entry
-    would surface as `err` to the driver), and (c) sample every
-    operator tier."""
+    """Round-9 verdict task #2 + round-10 task #6: the driver hashes
+    the FIRST 50 registry entries, so that window must (a) be exactly
+    the queries() prefix, (b) contain only exact-DuckDB-oracle entries
+    (a rows-only entry would surface as `err` to the driver), (c)
+    sample every operator tier, and (d) ROTATE its non-core slots with
+    the round number so every exact entry earns a driver-side green row
+    within a few rounds."""
     import __spark_entry__ as m
 
-    window = m.DRIVER_WINDOW
+    window = m.driver_window()
     assert len(window) == 50 and len(set(window)) == 50
     assert list(m.queries())[:50] == window
     no_oracle = [k for k in window if m.oracle_sql().get(k) is None]
     assert not no_oracle, f"rows-only entries in the driver window: {no_oracle}"
-    tiers = {
-        "core": ["p1_", "s1_", "s4_", "p2_", "p3_", "p4_", "p5_"],
-        "relational": ["q1_", "q4_", "q10_"],
-        "tpch": ["q30_", "q35_", "q55_"],
-        "temporal": ["q18_", "q19_", "q58_"],
-        "lakehouse": ["q65_", "q66_", "q67_", "q70_", "q71_"],
-        "streaming-mv": ["x_mv_"],
-        "cdc": ["x_cdc_"],
-        "dedup": ["x_dedup_"],
-        "similarity": ["x_sim_"],
-        "graph": ["x_graph_"],
-        "text": ["x_text_"],
-        "sampling": ["x_sample_"],
-        "frequency": ["x_freq_"],
-        "validation": ["x_validate_"],
-        "multimodal": ["x_multimodal_"],
-        "skew": ["x_skew_"],
-        "corpus": ["x_pack_"],
-    }
-    unsampled = [
-        tier
-        for tier, prefixes in tiers.items()
-        if not any(any(w.startswith(p) for p in prefixes) for w in window)
+    tiers = dict(m.DRIVER_TIERS)
+    tiers["core"] = ("p1_", "s1_", "s4_", "p2_", "p3_", "p4_", "p5_")
+
+    def unsampled(win):
+        return [
+            tier
+            for tier, prefixes in tiers.items()
+            if not any(any(w.startswith(p) for p in prefixes) for w in win)
+        ]
+
+    assert not unsampled(window), f"driver window misses tiers: {unsampled(window)}"
+    # rotation: consecutive rounds must differ in >=20 non-core slots,
+    # every rotated window keeps the core pinned and every tier sampled
+    reg_keys = list(m._registry())
+    oracle_keys = set(m.oracle_sql())
+    rnd = m.current_round()
+    wins = [
+        m._build_driver_window(reg_keys, oracle_keys, r)
+        for r in range(rnd, rnd + 6)
     ]
-    assert not unsampled, f"driver window misses tiers: {unsampled}"
+    assert wins[0] == window
+    pool = [k for k in reg_keys if k in oracle_keys]
+    for a, b in zip(wins, wins[1:]):
+        assert a[: len(m.DRIVER_CORE)] == m.DRIVER_CORE
+        assert len(a) == 50 == len(set(a))
+        assert not unsampled(a)
+        diff = len(set(a) ^ set(b)) // 2
+        assert diff >= 20, f"rotation too slow: consecutive windows share all but {diff}"
+    # coverage: within a handful of rounds, (almost) every exact entry
+    # has appeared in some window
+    seen = set().union(*map(set, wins))
+    missed = set(pool) - seen
+    assert len(missed) <= 5, f"rotation starves exact entries: {sorted(missed)}"
