@@ -55,9 +55,17 @@ def pagerank(
     sf_dir: str,
     n_iter: int = N_ITER,
     damping: float = DAMPING,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """x_graph_pagerank — (doc_id, rank, n_neighbors) after ``n_iter``
-    power iterations over the similarity graph."""
+    power iterations over the similarity graph.
+
+    ``checkpoint_every`` sets the lineage-truncation cadence: each
+    update references the previous generation twice, so k generations
+    without a checkpoint grow the logical plan ~2^k-fold while saving
+    (k-1)/k of the materialization jobs — the round-10 verdict's A/B
+    knob (task #7). The default (every iteration) is the measured
+    winner at every SF; see BASELINE.md round-11 for the sf10 A/B."""
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = _edges(spark, sf_dir).persist()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
@@ -79,7 +87,7 @@ def pagerank(
     # in DuckDB. The dangling mass rides the plan as a one-row
     # broadcast frame (no per-round collect).
     ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    for _ in range(n_iter):
+    for it in range(n_iter):
         with_deg = ranks.join(outdeg, ranks.doc_id == outdeg.src, "left")
         dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
@@ -102,8 +110,10 @@ def pagerank(
                     * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("m") / F.lit(float(n)))
                 ).alias("rank"),
             )
-            .localCheckpoint()  # eager: materialize + truncate lineage
         )
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            # eager: materialize + truncate lineage
+            ranks = ranks.localCheckpoint()
     return (
         ranks.join(outdeg, ranks.doc_id == outdeg.src, "left")
         .select(
