@@ -134,6 +134,7 @@ def main() -> None:
     qs[queries[0]](spark, dst).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    probes: dict[str, float] = {}
     for name in queries:
         t0 = time.perf_counter()
         try:
@@ -141,6 +142,41 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+        probes[name] = round(benchmod._light_probe_ms(), 1)
+    # per-query dirty-window retry, same policy as bench.py (round-10
+    # verdict task #3): contaminated queries re-run once; both values
+    # recorded; the cleaner-probe run is the defended number
+    retries: dict[str, dict] = {}
+    if probes:
+        floor = min(probes.values())
+        dirty = [
+            n
+            for n in queries
+            if n in timings and probes[n] > benchmod.DIRTY_PROBE_RATIO * floor
+        ]
+        warm_risk = {
+            n for n in dirty if n.startswith(("x_dedup_", "x_sim_", "x_graph_"))
+        }
+        for name in dirty:
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, dst).write.format("noop").mode("overwrite").save()
+                retry_sec = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — harness boundary
+                errors[name] = f"retry: {type(e).__name__}: {e}"[:200]
+                continue
+            retry_probe = round(benchmod._light_probe_ms(), 1)
+            use_retry = retry_probe < probes[name]
+            retries[name] = {
+                "first_sec": timings[name],
+                "first_probe_ms": probes[name],
+                "retry_sec": retry_sec,
+                "retry_probe_ms": retry_probe,
+                "defended": "retry" if use_retry else "first",
+                "cache_warm_risk": name in warm_risk,
+            }
+            if use_retry:
+                timings[name] = retry_sec
     calib_end = benchmod._calibrate()
     record = {
         "metric": f"sf{int(sf)}_relational_spot_total_wall",
@@ -154,7 +190,10 @@ def main() -> None:
             "end_py_ms": calib_end["calib_py_ms"],
             "end_np_ms": calib_end["calib_np_ms"],
         },
+        "probes": probes,
     }
+    if retries:
+        record["retries"] = retries
     if errors:
         record["errors"] = errors
     # stop (guarded) BEFORE printing — keeps the JSON the final stdout
