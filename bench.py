@@ -194,6 +194,62 @@ def _light_probe_ms() -> float:
 # multiple of the run's cleanest observed probe
 DIRTY_PROBE_RATIO = 1.5
 
+# query families that warm SESSION CACHES on first run (dedup shingle/
+# banded frames, similarity signature caches, NSW graph cache, BPE
+# merge tables, LM model, corpus shingle reuse — grep applicationId
+# keys in operators/): their retry re-runs WARM, so a retry time can
+# unfairly undercut a legitimate cold first run. For these, the FIRST
+# run stays the defended number (its probe stamp tells the reader how
+# dirty its window was); the retry is recorded alongside as evidence.
+CACHE_WARM_PREFIXES = (
+    "x_dedup_",
+    "x_sim_",
+    "x_graph_",
+    "x_corpus_",
+    "x_pack_",
+    "x_bpe_",
+    "x_text_lm",
+)
+
+
+def _self_heal(run_query, names, timings, probes, errors) -> dict:
+    """Self-healing against dirty measurement windows (round-10 verdict
+    task #3): each query carries a post-query bandwidth probe; queries
+    whose probe exceeded DIRTY_PROBE_RATIO x the run's cleanest probe
+    are re-run ONCE (bounded). Both values + probes land in the
+    artifact; the cleaner-probe run is the defended number published in
+    `queries` — EXCEPT for cache-warming families (CACHE_WARM_PREFIXES),
+    where the retry is evidence only."""
+    retries: dict[str, dict] = {}
+    if not probes:
+        return retries
+    floor = min(probes.values())
+    dirty = [
+        n for n in names if n in timings and probes[n] > DIRTY_PROBE_RATIO * floor
+    ]
+    for name in dirty:
+        warm_risk = name.startswith(CACHE_WARM_PREFIXES)
+        t0 = time.perf_counter()
+        try:
+            run_query(name)
+            retry_sec = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — harness boundary
+            errors[name] = f"retry: {type(e).__name__}: {e}"[:300]
+            continue
+        retry_probe = round(_light_probe_ms(), 1)
+        use_retry = retry_probe < probes[name] and not warm_risk
+        retries[name] = {
+            "first_sec": timings[name],
+            "first_probe_ms": probes[name],
+            "retry_sec": retry_sec,
+            "retry_probe_ms": retry_probe,
+            "defended": "retry" if use_retry else "first",
+            "cache_warm_risk": warm_risk,
+        }
+        if use_retry:
+            timings[name] = retry_sec
+    return retries
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -237,44 +293,16 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
         probes[name] = round(_light_probe_ms(), 1)
 
-    # --- self-healing against dirty windows (round-10 verdict task #3):
-    # each query carries a post-query bandwidth probe; queries whose
-    # probe exceeded DIRTY_PROBE_RATIO x the run's cleanest probe are
-    # re-run ONCE (bounded), both values are recorded, and the run with
-    # the cleaner probe is the defended number published in `queries`.
-    # Caveat recorded with each retry: queries that warm shared session
-    # caches (the LSH banded frames, the NSW graph cache) re-run warm,
-    # so their retry time can undercut a legitimate cold first run —
-    # `cache_warm_risk` flags them for the reader.
-    retries: dict[str, dict] = {}
-    if probes:
-        floor = min(probes.values())
-        dirty = [
-            n
-            for n in names
-            if n in timings and probes[n] > DIRTY_PROBE_RATIO * floor
-        ]
-        warm_risk = {n for n in dirty if n.startswith(("x_dedup_", "x_sim_", "x_graph_"))}
-        for name in dirty:
-            t0 = time.perf_counter()
-            try:
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                retry_sec = round(time.perf_counter() - t0, 3)
-            except Exception as e:  # noqa: BLE001 — harness boundary
-                errors[name] = f"retry: {type(e).__name__}: {e}"[:300]
-                continue
-            retry_probe = round(_light_probe_ms(), 1)
-            use_retry = retry_probe < probes[name]
-            retries[name] = {
-                "first_sec": timings[name],
-                "first_probe_ms": probes[name],
-                "retry_sec": retry_sec,
-                "retry_probe_ms": retry_probe,
-                "defended": "retry" if use_retry else "first",
-                "cache_warm_risk": name in warm_risk,
-            }
-            if use_retry:
-                timings[name] = retry_sec
+    retries = _self_heal(
+        lambda name: qs[name](spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        names,
+        timings,
+        probes,
+        errors,
+    )
 
     end_job_ms = _job_probe_ms(spark)
     calib_end = _calibrate()  # re-probe: catches contention starting mid-run

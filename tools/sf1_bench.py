@@ -143,40 +143,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:200]
         probes[name] = round(benchmod._light_probe_ms(), 1)
-    # per-query dirty-window retry, same policy as bench.py (round-10
-    # verdict task #3): contaminated queries re-run once; both values
-    # recorded; the cleaner-probe run is the defended number
-    retries: dict[str, dict] = {}
-    if probes:
-        floor = min(probes.values())
-        dirty = [
-            n
-            for n in queries
-            if n in timings and probes[n] > benchmod.DIRTY_PROBE_RATIO * floor
-        ]
-        warm_risk = {
-            n for n in dirty if n.startswith(("x_dedup_", "x_sim_", "x_graph_"))
-        }
-        for name in dirty:
-            t0 = time.perf_counter()
-            try:
-                qs[name](spark, dst).write.format("noop").mode("overwrite").save()
-                retry_sec = round(time.perf_counter() - t0, 3)
-            except Exception as e:  # noqa: BLE001 — harness boundary
-                errors[name] = f"retry: {type(e).__name__}: {e}"[:200]
-                continue
-            retry_probe = round(benchmod._light_probe_ms(), 1)
-            use_retry = retry_probe < probes[name]
-            retries[name] = {
-                "first_sec": timings[name],
-                "first_probe_ms": probes[name],
-                "retry_sec": retry_sec,
-                "retry_probe_ms": retry_probe,
-                "defended": "retry" if use_retry else "first",
-                "cache_warm_risk": name in warm_risk,
-            }
-            if use_retry:
-                timings[name] = retry_sec
+    # per-query dirty-window retry, shared policy with bench.py
+    # (round-10 verdict task #3; cache-warming families keep their
+    # first run defended — see bench.CACHE_WARM_PREFIXES)
+    retries = benchmod._self_heal(
+        lambda name: qs[name](spark, dst)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        queries,
+        timings,
+        probes,
+        errors,
+    )
     calib_end = benchmod._calibrate()
     record = {
         "metric": f"sf{int(sf)}_relational_spot_total_wall",
