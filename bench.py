@@ -150,8 +150,48 @@ def _calibrate() -> dict:
     return {
         "calib_py_ms": round(py_ms, 1),
         "calib_np_ms": round(np_ms, 1),
+        "calib_mt_ms": _mt_probe_ms(),
         "_calib_sink": float(b[0]) + acc,  # defeat dead-code elimination
     }
+
+
+def _mt_probe_ms() -> float:
+    """Sustained ALL-CORES compute probe (round 11). The single-core
+    probes miss a contention class found while re-anchoring sf10:
+    episodic external CPU pressure that leaves a ~40 ms single-thread
+    burst clean but inflates sustained 32-core numpy stages (the NSW
+    build measured 38-46 s isolated and 76-86 s in-run across two
+    rounds, with per-query single-thread probes reading clean either
+    way; an interleaved BLAS-pinning A/B ruled out oversubscription).
+    Fixed work split across $SPARK_GRAFT_CPUS threads of GIL-releasing
+    elementwise numpy — the same resource shape as the Arrow-batched
+    UDF stages. One untimed warm lap (allocator, page faults), one
+    timed. Reference on this host class: ~150-210 ms clean (measured
+    253 ms = 1.6× under a deliberate 16-thread hog that left the py/np
+    probes FLAT); a k× reading explains a k× inflation of the
+    numpy-heavy tier (ANN builds, multimodal decode, LM scoring)
+    specifically."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    rng = np.random.default_rng(0)
+    bufs = [rng.random(1_000_000) for _ in range(n)]
+    outs = [b.copy() for b in bufs]
+
+    def work(i: int) -> None:
+        a, o = bufs[i], outs[i]
+        for _ in range(30):
+            np.multiply(a, 1.0001, out=o)
+            o += 0.5
+
+    with ThreadPoolExecutor(n) as ex:
+        list(ex.map(work, range(n)))  # warm lap, untimed
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(n) as ex:
+        list(ex.map(work, range(n)))
+    return round((time.perf_counter() - t0) * 1000, 1)
 
 
 def _job_probe_ms(spark) -> float:
@@ -316,8 +356,10 @@ def main() -> None:
         "calibration": {
             "start_py_ms": calib_start["calib_py_ms"],
             "start_np_ms": calib_start["calib_np_ms"],
+            "start_mt_ms": calib_start["calib_mt_ms"],
             "end_py_ms": calib_end["calib_py_ms"],
             "end_np_ms": calib_end["calib_np_ms"],
+            "end_mt_ms": calib_end["calib_mt_ms"],
             "start_job_ms": start_job_ms,
             "end_job_ms": end_job_ms,
         },

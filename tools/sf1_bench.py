@@ -166,8 +166,10 @@ def main() -> None:
         "calibration": {
             "start_py_ms": calib_start["calib_py_ms"],
             "start_np_ms": calib_start["calib_np_ms"],
+            "start_mt_ms": calib_start["calib_mt_ms"],
             "end_py_ms": calib_end["calib_py_ms"],
             "end_np_ms": calib_end["calib_np_ms"],
+            "end_mt_ms": calib_end["calib_mt_ms"],
         },
         "probes": probes,
     }
