@@ -133,3 +133,20 @@ def test_pagerank_checkpoint_cadence_is_value_identical(spark):
     ra = {r.doc_id: (r.rank, r.n_neighbors) for r in a.collect()}
     rb = {r.doc_id: (r.rank, r.n_neighbors) for r in b.collect()}
     assert ra == rb
+
+
+def test_calibration_carries_the_all_cores_probe():
+    """The round-11 sustained-contention forensics added a fourth
+    calibration probe (calib_mt_ms: fixed all-cores numpy work). Every
+    bench artifact records it start+end — pin the _calibrate contract
+    so an artifact-schema regression is caught before the driver run."""
+    import bench
+
+    c = bench._calibrate()
+    for key in ("calib_py_ms", "calib_np_ms", "calib_mt_ms"):
+        assert key in c, f"missing {key}"
+        assert c[key] > 0
+    # the probe must do real multi-thread work: a second reading exists
+    # and is the same order of magnitude (not a cached constant)
+    again = bench._mt_probe_ms()
+    assert 0.1 < again / max(c["calib_mt_ms"], 0.001) < 10
