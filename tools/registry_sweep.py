@@ -55,13 +55,29 @@ def main() -> int:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(qs):
+    probes: dict[str, float] = {}
+    names = sorted(qs)
+    for name in names:
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+        probes[name] = round(benchmod._light_probe_ms(), 1)
+    # per-query dirty-window retry, same policy as bench.py / sf1_bench
+    # (round-11: the r11 sweep carried a 5x contended-moment outlier on
+    # x_sim_neardup_pairs that took manual re-runs to attribute)
+    retries = benchmod._self_heal(
+        lambda name: qs[name](spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        names,
+        timings,
+        probes,
+        errors,
+    )
     calib_end = benchmod._calibrate()
     record = {
         "metric": "registry_sweep_total_wall",
@@ -78,7 +94,10 @@ def main() -> int:
             "end_np_ms": calib_end["calib_np_ms"],
             "end_mt_ms": calib_end["calib_mt_ms"],
         },
+        "probes": probes,
     }
+    if retries:
+        record["retries"] = retries
     if errors:
         record["errors"] = errors
     # sidecar first, then stop Spark GUARDED, then the JSON print as
