@@ -274,7 +274,17 @@ def _self_heal(run_query, names, timings, probes, errors) -> dict:
             run_query(name)
             retry_sec = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 — harness boundary
-            errors[name] = f"retry: {type(e).__name__}: {e}"[:300]
+            # the retry is OPTIONAL evidence-gathering: its failure must
+            # not fail a run whose defended first-run timing succeeded
+            # (self-review finding, round 11 — errors[] flips the exit
+            # code and made the artifact claim q both timed and errored)
+            retries[name] = {
+                "first_sec": timings[name],
+                "first_probe_ms": probes[name],
+                "retry_error": f"{type(e).__name__}: {e}"[:300],
+                "defended": "first",
+                "cache_warm_risk": warm_risk,
+            }
             continue
         retry_probe = round(_light_probe_ms(), 1)
         use_retry = retry_probe < probes[name] and not warm_risk
@@ -289,6 +299,35 @@ def _self_heal(run_query, names, timings, probes, errors) -> dict:
         if use_retry:
             timings[name] = retry_sec
     return retries
+
+
+def warmup(spark, sf_dir: str) -> None:
+    """JVM/codegen/python-worker warm-up on NEUTRAL plans. Warming on
+    the run's own first query (the pre-round-11 form) silently
+    pre-warmed that query's session caches — for a `--only` slice whose
+    first query is a CACHE_WARM family, the 'defended first run' was
+    then measured WARM, the exact unfair number the first-run-defended
+    policy exists to prevent (self-review finding, round 11). Three
+    plans that touch the expensive machinery without touching any
+    operator cache: a codegen'd range aggregate, a parquet footer read
+    through the noop sink, and a one-row mapInArrow (starts the Arrow
+    python workers)."""
+    from pyspark.sql import functions as F
+
+    try:
+        spark.range(1_000).select(F.sum("id")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+        load_table(spark, sf_dir, "region").limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.range(8).mapInArrow(lambda it: it, "id long").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass  # the timed loop records real errors per-query
 
 
 def main() -> None:
@@ -308,12 +347,7 @@ def main() -> None:
             raise SystemExit(f"--only: unknown queries {unknown}")
         names = only
 
-    # JVM/codegen warm-up on the smallest plan so query 1 isn't charged
-    # for class loading.
-    try:
-        qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass  # the timed loop below will record the error per-query
+    warmup(spark, sf_dir)
 
     start_job_ms = _job_probe_ms(spark)
 
@@ -377,7 +411,13 @@ def main() -> None:
     # print LAST so the headline JSON is the final output line.
     line = json.dumps(record)
     try:
-        (Path(__file__).resolve().parent / "BENCH_LAST.json").write_text(line + "\n")
+        # the sidecar is the PER-QUERY DIFF REFERENCE for sf0.1 driver
+        # runs — a smoke run at another SF must not clobber it
+        # (self-review follow-up, round 11)
+        if sf == 0.1 and "--only" not in sys.argv:
+            (Path(__file__).resolve().parent / "BENCH_LAST.json").write_text(
+                line + "\n"
+            )
     except OSError:
         pass  # sidecar is best-effort; stdout line is the contract
     try:

@@ -66,6 +66,12 @@ def pagerank(
     (k-1)/k of the materialization jobs — the round-10 verdict's A/B
     knob (task #7). The default (every iteration) is the measured
     winner at every SF; see BASELINE.md round-11 for the sf10 A/B."""
+    if checkpoint_every < 1:
+        # 0 would ZeroDivisionError mid-iteration and a negative value
+        # would silently disable every intermediate truncation — the
+        # exact 2^k plan blow-up the knob exists to bound — so fail
+        # fast with the contract instead (self-review finding, round 11)
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = _edges(spark, sf_dir).persist()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()

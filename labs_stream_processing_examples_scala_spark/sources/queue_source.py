@@ -132,7 +132,14 @@ def _stage_lines(queue_dir: str, lines) -> tuple[str, int]:
     with open(stage, "w", encoding="utf-8") as f:
         for line in lines:
             f.write(line + "\n")
-            n += 1
+            # count PHYSICAL lines, not iterator items: publish_poison
+            # feeds raw broker lines whose EMBEDDED newlines become
+            # extra rows in the line-oriented file — an item count
+            # would make a byte-size-validated sidecar that undercounts,
+            # and the stream planner would permanently drop the excess
+            # rows (self-review finding, round 11). JSON-wrapped
+            # publishes escape newlines, so for them this is identical.
+            n += line.count("\n") + 1
         f.flush()
         os.fsync(f.fileno())
     return stage, n
@@ -637,10 +644,18 @@ def heartbeat_consumer(queue_dir: str, group: str, consumer: str, token: str) ->
     path = _lease_path(queue_dir, group, consumer)
     lease = _read_lease(queue_dir, group, consumer)
     if lease is None:
-        # lease removed out-of-band (readmit): re-install our token —
-        # we are the live instance by assumption of a removed fence
-        _atomic_write(path, json.dumps({"token": token, "fenced": False}))
-        return
+        # lease removed out-of-band (readmit_consumer). The ONLY party
+        # holding a token here is a pre-fence zombie that slept through
+        # the whole fence->release->readmit cycle — re-installing its
+        # stale token would resurrect it against claims survivors now
+        # own (self-review finding, round 11). A correctly readmitted
+        # consumer re-registers (fresh token + fresh checkpoint), so a
+        # live instance never heartbeats against a missing lease.
+        raise FencedConsumerError(
+            f"consumer {consumer!r} (group {group!r}) has no lease — its "
+            "id was fenced and readmitted while this instance slept; "
+            "re-register with a fresh checkpoint to rejoin"
+        )
     if lease.get("fenced") or lease.get("token") != token:
         raise FencedConsumerError(
             f"consumer {consumer!r} (group {group!r}) holds a superseded "
@@ -879,7 +894,14 @@ def release_claims(
     d = _claims_dir(queue_dir, group)
     for seg in _group_claims(queue_dir, group).get(consumer, []):
         if seg not in acked:
-            os.remove(os.path.join(d, f"{seg:0{_SEG_DIGITS}d}"))
+            try:
+                os.remove(os.path.join(d, f"{seg:0{_SEG_DIGITS}d}"))
+            except FileNotFoundError:
+                # two survivors can auto-release the same expired
+                # consumer in the same tick; the loser of the remove
+                # race must not die (self-review finding, round 11) —
+                # the claim is gone either way
+                continue
             released.append(seg)
     return sorted(released)
 
@@ -1073,13 +1095,17 @@ class QueueCompetingStreamReader(DataSourceStreamReader):
         # belong to a survivor, and acking them would let retention
         # truncate rows the survivor still owes its sink
         lease = _read_lease(self.queue_dir, self.group, self.consumer)
-        if lease is not None and (
+        if lease is None or (
             lease.get("fenced")
             or (self._token is not None and lease.get("token") != self._token)
         ):
+            # lease None = fenced-then-readmitted while we slept: our
+            # claims may already belong to a survivor, same as fenced
+            # (self-review finding, round 11 — a zombie waking after
+            # readmit_consumer must not double-ACK either)
             raise FencedConsumerError(
                 f"consumer {self.consumer!r} (group {self.group!r}) is "
-                "fenced/superseded — ACK rejected"
+                "fenced/superseded/readmitted — ACK rejected"
             )
         # per-consumer ACK ledger: _consumers/<group>.<consumer>.json —
         # group progress is the set of these files (group_progress)

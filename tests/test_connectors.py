@@ -1026,3 +1026,80 @@ def test_fqueue_lease_scenario_zombie_query_refused(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="(?i)fenced"):
         run_consumer("c1")
+
+
+# --- round 11 self-review: fencing holes + sidecar line count -----------
+
+
+def test_fqueue_heartbeat_with_missing_lease_refuses_zombie():
+    """A zombie that slept through fence -> release -> readmit finds NO
+    lease file. Re-installing its stale token would resurrect it
+    against claims survivors now own — heartbeat must raise instead
+    (self-review finding, round 11)."""
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_hb_")
+    Q.publish(qdir, [("k", "v")])
+    token = Q.register_consumer(qdir, "g", "c1")
+    Q.heartbeat_consumer(qdir, "g", "c1", token)  # normal path OK
+    # fence + readmit while the zombie sleeps (lease file removed)
+    Q.fence_consumer(qdir, "g", "c1")
+    Q.readmit_consumer(qdir, "g", "c1")
+    with pytest.raises(Q.FencedConsumerError, match="re-register"):
+        Q.heartbeat_consumer(qdir, "g", "c1", token)
+    # the legitimate path back in still works: fresh registration
+    t2 = Q.register_consumer(qdir, "g", "c1")
+    Q.heartbeat_consumer(qdir, "g", "c1", t2)
+
+
+def test_fqueue_commit_with_missing_lease_rejected():
+    """Same zombie window on the ACK side: a reader whose lease file is
+    gone (fenced + readmitted while it slept) must not double-ACK
+    segments a survivor may now own."""
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_commit_")
+    Q.publish(qdir, [("k", "v")])
+    rd = Q.QueueCompetingStreamReader(
+        {"path": qdir, "rows_per_batch": "10", "group": "g", "consumer": "c1"}
+    )
+    rows, off = _plan_batch(rd, rd.initialOffset())
+    rd.commit(off)  # live consumer ACKs fine
+    Q.fence_consumer(qdir, "g", "c1")
+    Q.readmit_consumer(qdir, "g", "c1")
+    with pytest.raises(Q.FencedConsumerError, match="readmitted"):
+        rd.commit(off)
+
+
+def test_fqueue_release_claims_survives_concurrent_release(monkeypatch):
+    """Two survivors auto-releasing the same expired consumer race on
+    os.remove of each claim file; the loser must treat the vanished
+    claim as released, not crash its healthy query (self-review
+    finding, round 11)."""
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_race_")
+    Q.publish(qdir, [("k", "v")])
+    # the list/remove race, made deterministic: _group_claims reports a
+    # claim whose file the OTHER survivor already removed
+    monkeypatch.setattr(Q, "_group_claims", lambda qd, g: {"dead": [7]})
+    released = Q.release_claims(qdir, "g", "dead")
+    assert released == [], "vanished claim is already released, not an error"
+
+
+def test_fqueue_poison_embedded_newline_counts_physical_lines():
+    """publish_poison feeds RAW broker lines; an embedded newline is two
+    physical rows in the line-oriented segment. The row-count sidecar
+    must count what the file holds, or the byte-size-validated sidecar
+    undercounts and the stream planner permanently drops the extra row
+    (self-review finding, round 11)."""
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="fq_nl_")
+    seg = Q.publish_poison(qdir, ["bad\nworse", "solo"])
+    assert Q._segment_count(qdir, seg) == 3
+    # the streaming planner now delivers all three rows
+    rd = Q.QueueSimpleStreamReader({"path": qdir, "rows_per_batch": "10"}) if hasattr(Q, "QueueSimpleStreamReader") else Q.QueueStreamReader({"path": qdir, "rows_per_batch": "10"})
+    rows, _ = _plan_batch(rd, rd.initialOffset())
+    assert len(rows) == 3
+    assert all(k is None for _, _, k, _ in rows), "raw lines decode as poison"

@@ -8,7 +8,7 @@ import time
 import pytest
 
 from labs_stream_processing_examples_scala_spark.streaming import stateful as S
-from tests.test_stateful import _SLOT_SCHEMA, _complete_slots, _poll, _restore_provider, _rocksdb
+from tests.test_stateful import _SLOT_SCHEMA, _poll, _restore_provider, _rocksdb
 
 
 def test_shuffle_exchange_count_scopes_by_plan_header():
@@ -150,3 +150,53 @@ def test_calibration_carries_the_all_cores_probe():
     # and is the same order of magnitude (not a cached constant)
     again = bench._mt_probe_ms()
     assert 0.1 < again / max(c["calib_mt_ms"], 0.001) < 10
+
+
+def test_pagerank_checkpoint_every_fails_fast_on_invalid_cadence():
+    """0 would ZeroDivisionError mid-iteration; negatives would silently
+    disable every intermediate truncation (the 2^k plan blow-up the
+    knob bounds). Validation runs before any Spark work."""
+    from labs_stream_processing_examples_scala_spark.operators import graph as GR
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            GR.pagerank(None, "unused", checkpoint_every=bad)
+
+
+def test_self_heal_retry_failure_keeps_the_run_green():
+    """The self-heal retry is optional evidence-gathering: its failure
+    must neither flip the run's exit code (errors[]) nor lose the
+    defended first-run timing (self-review finding, round 11)."""
+    import bench
+
+    timings = {"q_dirty": 1.5, "q_clean": 0.4}
+    probes = {"q_dirty": 400.0, "q_clean": 40.0}
+    errors: dict = {}
+
+    def run_query(name):
+        raise RuntimeError("transient retry hiccup")
+
+    retries = bench._self_heal(
+        run_query, ["q_dirty", "q_clean"], timings, probes, errors
+    )
+    assert errors == {}, "retry failure must not become a run error"
+    assert timings["q_dirty"] == 1.5, "defended first-run timing intact"
+    assert retries["q_dirty"]["defended"] == "first"
+    assert "transient retry hiccup" in retries["q_dirty"]["retry_error"]
+    assert "q_clean" not in retries
+
+
+def test_bench_warmup_populates_no_operator_caches(spark):
+    """Warming on the run's own first query pre-warmed that query's
+    session caches, making a --only slice's 'defended first run' warm.
+    The neutral warm-up must leave every operator cache untouched."""
+    import bench
+    from labs_stream_processing_examples_scala_spark.operators import dedup as D
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann as GA
+    from labs_stream_processing_examples_scala_spark.operators import similarity as SIM
+
+    caches = (D._BANDED_CACHE, SIM._SIG_CACHE, SIM._PROBE_CACHE, GA._GRAPH_CACHE)
+    before = [set(c) for c in caches]
+    bench.warmup(spark, "/root/testdata/sf0.001")
+    after = [set(c) for c in caches]
+    assert before == after, "neutral warm-up must not touch operator caches"

@@ -75,6 +75,31 @@ def main() -> None:
         # streaming consume: partition-planning reader -> noop sink.
         # rows_per_batch admits the whole queue in a few micro-batches;
         # rows_per_partition fans each batch across executor tasks.
+        # Row accounting via a listener, NOT recentProgress: the
+        # progress ring buffer keeps only the last ~100 entries, so a
+        # many-micro-batch run would silently undercount and make the
+        # anchor look like the stream lost rows (self-review finding,
+        # round 11).
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _RowCount(StreamingQueryListener):
+            def __init__(self):
+                self.rows = 0
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                self.rows += int(event.progress.numInputRows)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        counter = _RowCount()
+        spark.streams.addListener(counter)
         t0 = time.perf_counter()
         q = (
             spark.readStream.format("fqueue")
@@ -88,10 +113,14 @@ def main() -> None:
         )
         q.processAllAvailable()
         stream_s = time.perf_counter() - t0
-        rows_seen = sum(
-            int(p.numInputRows) for p in q.recentProgress for _ in [0]
-        )
         q.stop()
+        # the listener bus is async: progress events for the final
+        # micro-batches can land after processAllAvailable returns
+        deadline = time.time() + 30
+        while counter.rows < n_rows and time.time() < deadline:
+            time.sleep(0.2)
+        rows_seen = counter.rows
+        spark.streams.removeListener(counter)
 
         record = {
             "metric": "fqueue_roundtrip_throughput",

@@ -130,8 +130,10 @@ def main() -> None:
 
     calib_start = benchmod._calibrate()
     qs = entrymod.queries()
-    # warm-up on the smallest plan so query 1 isn't charged for JVM init
-    qs[queries[0]](spark, dst).write.format("noop").mode("overwrite").save()
+    # NEUTRAL warm-up (shared with bench.py): warming on queries[0]
+    # pre-warmed that query's session caches, which for a --only slice
+    # starting on a CACHE_WARM family made the defended first run warm
+    benchmod.warmup(spark, dst)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     probes: dict[str, float] = {}
