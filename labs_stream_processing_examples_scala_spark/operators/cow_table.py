@@ -173,6 +173,18 @@ class _writer_lock:
 
     def __enter__(self):
         self.proc_lock.acquire()
+        try:
+            return self._acquire_file_lock()
+        except BaseException:
+            # ANY failure to acquire (ConcurrentWriterError, but also
+            # unexpected OSErrors — read-only FS, ENOSPC — from the
+            # lockfile/guard syscalls) must release the in-process
+            # RLock, or every future writer in this process deadlocks
+            # on a lock nobody holds (self-review finding, round 11)
+            self.proc_lock.release()
+            raise
+
+    def _acquire_file_lock(self):
         while True:
             # every examine/steal/create round is atomic under the
             # sidecar flock — observing a dead holder and removing its
@@ -208,7 +220,7 @@ class _writer_lock:
                         except PermissionError:
                             alive = True  # exists under another uid
                     if alive:
-                        self.proc_lock.release()
+                        # __enter__'s blanket handler releases proc_lock
                         raise ConcurrentWriterError(
                             f"writer pid {holder} holds {self.lock_path}; one "
                             "maintenance writer at a time (module contract)"
@@ -335,11 +347,21 @@ def ensure_generational(path: str) -> None:
     g0 = _gen_dir(path, 0)
     os.makedirs(g0, exist_ok=True)
     for entry in sorted(os.listdir(path)):
+        src = os.path.join(path, entry)
         if _is_partition_entry(entry):
-            _link_tree(os.path.join(path, entry), os.path.join(g0, entry))
-        elif entry == "_SUCCESS":
+            _link_tree(src, os.path.join(g0, entry))
+        elif entry == "_SUCCESS" or (
+            os.path.isfile(src) and not entry.startswith(("_", "."))
+        ):
+            # FLAT legacy layout: plain df.write.parquet() leaves loose
+            # part-*.parquet at root with no partition dirs. Linking
+            # only partition entries migrated such a table into an
+            # EMPTY gen_v0 while flipping the manifest — every later
+            # read scanned nothing and the real data sat orphaned at
+            # root (self-review finding, round 11). Loose data files
+            # are first-class migration input.
             try:
-                os.link(os.path.join(path, entry), os.path.join(g0, entry))
+                os.link(src, os.path.join(g0, entry))
             except FileExistsError:
                 pass
     _write_commit_log(g0, {"version": 0, "operation": "migrate"})
@@ -364,6 +386,13 @@ def _gc_legacy_root(path: str) -> None:
         full = os.path.join(path, e)
         if _is_partition_entry(e) and os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
+        elif os.path.isfile(full) and not e.startswith(("_", ".")):
+            # loose data files of a migrated FLAT legacy table (their
+            # hardlink twins live in the committed generations)
+            try:
+                os.remove(full)
+            except FileNotFoundError:
+                pass
     legacy_success = os.path.join(path, "_SUCCESS")
     if os.path.exists(legacy_success):
         os.remove(legacy_success)
@@ -746,6 +775,54 @@ def changed_partitions(path: str, from_version: int, to_version: int) -> list[st
     )
 
 
+def _delta_changed_partitions(path: str, from_version: int, to_version: int) -> list[str]:
+    """Partition DIR NAMES affected by delete-vector trees that differ
+    between two retained generations (the MOR state cow-level file
+    diffs are blind to). A vector delta ``_deletes/d{K}`` present in
+    exactly ONE of the two generations changed row visibility between
+    them — a restore that rolls a delta back resurrects its rows
+    without touching any data file (self-review finding, round 11).
+    Reads only the deltas' small ``part`` column, via pyarrow (this
+    module stays sparkless on its metadata paths)."""
+    import glob as _glob
+    from urllib.parse import quote
+
+    def _ddirs(v: int) -> dict[str, str]:
+        g = os.path.join(_gen_dir(path, v), "_deletes")
+        return {os.path.basename(d): d for d in _glob.glob(os.path.join(g, "d*"))}
+
+    a, b = _ddirs(from_version), _ddirs(to_version)
+    changed_deltas = [
+        (a | b)[name]
+        for name in set(a) ^ set(b)
+    ]
+    if not changed_deltas:
+        return []
+    # the partition column name, from any 'col=' dir of either gen
+    pcol = None
+    for v in (to_version, from_version):
+        g = _gen_dir(path, v)
+        pcol = next(
+            (e.split("=", 1)[0] for e in sorted(os.listdir(g)) if "=" in e), pcol
+        )
+        if pcol:
+            break
+    import pyarrow.parquet as pq
+
+    parts: set[str] = set()
+    for d in changed_deltas:
+        for f in _glob.glob(os.path.join(d, "*.parquet")):
+            for val in pq.read_table(f, columns=["part"]).column("part").to_pylist():
+                if pcol is None:
+                    parts.add("__HIVE_DEFAULT_PARTITION__")
+                elif val is None:
+                    # Spark's dir spelling for the null partition
+                    parts.add(f"{pcol}=__HIVE_DEFAULT_PARTITION__")
+                else:
+                    parts.add(f"{pcol}={quote(str(val), safe='')}")
+    return sorted(parts)
+
+
 def table_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:
@@ -767,16 +844,35 @@ def table_changes(
     if not changed:
         return new_all.withColumn("change_type", F.lit("insert")).limit(0)
     # partition column = the directory prefix before '='; all entries
-    # share it by construction of partitionBy
-    pcol = changed[0].split("=", 1)[0] if "=" in changed[0] else None
+    # share it by construction of partitionBy. Take it from ANY
+    # '='-bearing entry, not changed[0]: '__HIVE_DEFAULT_PARTITION__'
+    # sorts before lowercase 'col=' names, and deriving from it
+    # disabled pruning whenever the null partition changed — exceptAll
+    # over the FULL table, defeating the ∝-rewritten-data contract
+    # (self-review finding, round 11; mor_table_changes already did
+    # this correctly)
+    pcol = next((e.split("=", 1)[0] for e in changed if "=" in e), None)
+    if pcol is None and any("=" not in e for e in changed):
+        # ONLY the null partition changed: learn the column name from
+        # the table layout so the null-partition prune still applies
+        gen = _gen_dir(path, to_version)
+        pcol = next(
+            (e.split("=", 1)[0] for e in sorted(os.listdir(gen)) if "=" in e),
+            None,
+        )
     from urllib.parse import unquote
 
     def _prune(df: DataFrame) -> DataFrame:
         if pcol is None:
             return df
-        vals = [unquote(e.split("=", 1)[1]) for e in changed if "=" in e]
+        raw = [unquote(e.split("=", 1)[1]) for e in changed if "=" in e]
+        # Spark writes a NULL partition as 'col=__HIVE_DEFAULT_PARTITION__'
+        # — the sentinel is not a value (isin matches no real null), it
+        # means "include the null rows" (self-review follow-up, r11:
+        # null-partition rows silently vanished from the feed)
+        vals = [v for v in raw if v != "__HIVE_DEFAULT_PARTITION__"]
         pred = F.col(pcol).cast("string").isin(vals)
-        if any("=" not in e for e in changed):
+        if len(vals) != len(raw) or any("=" not in e for e in changed):
             pred = pred | F.col(pcol).isNull()
         return df.filter(pred)
 
@@ -794,6 +890,7 @@ def append_cow(
     partition_col: str,
     base_version: int | None = None,
     extra_meta: dict | None = None,
+    keep_generations: int = 1,
 ) -> dict:
     """INSERT INTO — bulk append through the generational commit: the
     new rows land as NEW files inside the staged generation's
@@ -859,13 +956,16 @@ def append_cow(
             "version": new, "operation": "append", "written": written,
         })
         for v in _gen_versions(path):
-            if v <= new - 2:
+            # honor the caller's retention depth — a hardcoded one-back
+            # GC silently destroyed history commit_generation(keep_
+            # generations=N) had retained (self-review finding, r11)
+            if v <= new - 1 - keep_generations:
                 shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
         _gc_legacy_root(path)
         return {"version": new, "written": written}
 
 
-def restore_cow(path: str, version: int) -> dict:
+def restore_cow(path: str, version: int, keep_generations: int = 1) -> dict:
     """RESTORE TABLE TO VERSION — roll the live table back to a
     RETAINED generation as a NEW commit (Delta's RESTORE semantic:
     history moves forward, never rewrites). The restored generation is
@@ -908,14 +1008,22 @@ def restore_cow(path: str, version: int) -> dict:
             "version": new, "operation": "restore", "restored_version": version,
         })
         _write_manifest(path, {**meta, "version": new})
-        # OCC footprint: exactly the partitions the rollback changed
-        # relative to the pre-restore live (both gens on disk here)
+        # OCC footprint: the partitions the rollback changed relative
+        # to the pre-restore live — DATA-file diffs PLUS delete-vector
+        # diffs (a rolled-back vector-only commit resurrects rows
+        # without touching a data file; a footprint blind to it let a
+        # concurrent writer pass conflict check against written=[] —
+        # self-review finding, round 11). Both gens are on disk here.
         _append_root_log(path, new, {
             "version": new, "operation": "restore",
-            "written": changed_partitions(path, live, new),
+            "written": sorted(
+                set(changed_partitions(path, live, new))
+                | set(_delta_changed_partitions(path, live, new))
+            ),
         })
         for v in _gen_versions(path):
-            if v <= new - 2:  # keep ONE prior generation (the pre-restore live)
+            # keep the pre-restore live and keep_generations-1 more
+            if v <= new - 1 - keep_generations:
                 shutil.rmtree(_gen_dir(path, v), ignore_errors=True)
         _gc_legacy_root(path)
         return {"version": new, "restored_version": version}

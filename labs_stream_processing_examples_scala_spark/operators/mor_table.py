@@ -281,6 +281,29 @@ def _visible_with_row_id(
     return data
 
 
+def _planning_read(spark: SparkSession, path: str, base: int, added):
+    """The lock-free planning scan over the resolved base generation.
+    spark.read.parquet resolves files/schema EAGERLY, so a base GC'd by
+    interleaved commits between ``_resolve_base`` releasing its lock
+    and this read raises AnalysisException — which the retry loops
+    did not catch, crashing the caller under exactly the contention the
+    OCC design targets (self-review finding, round 11). Converted to
+    the CommitConflictError the loops re-plan on; any AnalysisException
+    with the base still on disk is a real error and re-raises."""
+    from pyspark.errors import AnalysisException
+
+    base_dir = CT._gen_dir(path, base)
+    try:
+        return _visible_with_row_id(spark, base_dir, added)
+    except AnalysisException:
+        if os.path.isdir(base_dir):
+            raise
+        raise CT.CommitConflictError(
+            f"base generation {base} of {path} was GC'd while planning "
+            "— re-plan from the live version"
+        ) from None
+
+
 def _occ_commit_delta(
     spark: SparkSession,
     path: str,
@@ -291,6 +314,7 @@ def _occ_commit_delta(
     appended: DataFrame | None = None,
     partition_col: str | None = None,
     extra_meta: dict | None = None,
+    keep_generations: int = 1,
 ) -> dict:
     """Commit a planned MOR mutation (vector delta + optional appended
     rows) with optimistic conflict handling: stage from the CURRENT
@@ -354,6 +378,7 @@ def _occ_commit_delta(
              **(log_extra or {})},
             written=written,
             extra_meta=extra_meta,
+            keep_generations=keep_generations,
         )
         return {
             "version": new, "vector_rows": n,
@@ -364,6 +389,7 @@ def _occ_commit_delta(
 def mor_delete(
     spark: SparkSession, path: str, predicate, partition_col: str,
     max_retries: int = 3, lock_timeout: float = 30.0,
+    keep_generations: int = 1,
 ) -> dict:
     """DELETE WHERE ``predicate`` by writing a deletion vector — no data
     file is touched (bytes written ∝ rows deleted, not partition
@@ -388,13 +414,16 @@ def mor_delete(
         # in the wait-and-retry scope (round-8 review finding)
         try:
             base, added = _resolve_base(path)
-            data = _visible_with_row_id(spark, CT._gen_dir(path, base), added)
+            data = _planning_read(spark, path, base, added)
             dv = data.filter(pred).select(
                 F.col("__ref").alias("file_ref"),
                 F.col("__pos").alias("pos"),
                 F.col(partition_col).cast("string").alias("part"),
             )
-            s = _occ_commit_delta(spark, path, base, dv, "mor_delete")
+            s = _occ_commit_delta(
+                spark, path, base, dv, "mor_delete",
+                keep_generations=keep_generations,
+            )
         except CT.CommitConflictError:
             conflicts += 1
             if conflicts >= max_retries:
@@ -423,6 +452,7 @@ def mor_upsert(
     extra_meta: dict | None = None,
     max_retries: int = 3,
     lock_timeout: float = 30.0,
+    keep_generations: int = 1,
 ) -> dict:
     """SCD2 MERGE, merge-on-read form: matched CURRENT rows are
     position-deleted and their closed + reopened versions APPENDED as
@@ -464,8 +494,13 @@ def mor_upsert(
             if not wait():
                 raise
             continue
-        base_dir = CT._gen_dir(path, base)
-        data = _visible_with_row_id(spark, base_dir, added)
+        try:
+            data = _planning_read(spark, path, base, added)
+        except CT.CommitConflictError:
+            conflicts += 1
+            if conflicts >= max_retries:
+                raise
+            continue
         base_cols = [c for c in data.columns if c not in ("__ref", "__pos")]
         carried = [
             c for c in base_cols if c not in {key, versioned_col, *SCD2_COLS}
@@ -550,6 +585,7 @@ def mor_upsert(
                 spark, path, base, dv, "mor_upsert",
                 appended=appended, partition_col=partition_col,
                 extra_meta=extra_meta,
+                keep_generations=keep_generations,
             )
         except CT.CommitConflictError:
             conflicts += 1
@@ -583,7 +619,9 @@ def partitions_with_deletes(spark: SparkSession, path: str) -> list[str | None]:
     )
 
 
-def mor_compact(spark: SparkSession, path: str, partition_col: str) -> dict:
+def mor_compact(
+    spark: SparkSession, path: str, partition_col: str, keep_generations: int = 1
+) -> dict:
     """Fold the deletion vectors into a physical rewrite — the
     maintenance command that bounds the read-side anti-join: rewrite
     ONLY the partitions holding vector rows (applying every delete),
@@ -648,6 +686,7 @@ def mor_compact(spark: SparkSession, path: str, partition_col: str) -> dict:
             # partitions' positions (vectors address file+row) → they
             # are part of the OCC footprint
             written=sorted(touched_dirs),
+            keep_generations=keep_generations,
         )
         return {"version": cur + 1, "compacted": parts, "linked": linked}
 
@@ -675,9 +714,21 @@ def mor_table_changes(
     changed = set(CT.changed_partitions(path, from_version, to_version))
     delta_parts: set[str | None] = set()
     to_dir = CT._gen_dir(path, to_version)
-    for d in _delete_dirs(to_dir):
-        v = int(os.path.basename(d)[1:])
-        if from_version < v <= to_version and glob.glob(os.path.join(d, "*.parquet")):
+    # deltas that changed VISIBILITY between the versions = present in
+    # exactly ONE of the two generations. Under forward history that is
+    # the old rule (d{v}, from < v <= to); the symmetric difference
+    # ALSO catches a restore, which drops rolled-back deltas from the
+    # newer generation without creating any d{v} in the range — the old
+    # rule returned an empty feed for resurrected rows (self-review
+    # finding, round 11).
+    from_dirs = {
+        os.path.basename(d): d
+        for d in _delete_dirs(CT._gen_dir(path, from_version))
+    }
+    to_dirs = {os.path.basename(d): d for d in _delete_dirs(to_dir)}
+    for name in set(from_dirs) ^ set(to_dirs):
+        d = to_dirs.get(name) or from_dirs[name]
+        if glob.glob(os.path.join(d, "*.parquet")):
             delta_parts.update(
                 r[0] for r in spark.read.parquet(d).select("part").distinct().collect()
             )
@@ -687,13 +738,19 @@ def mor_table_changes(
         return new_all.withColumn("change_type", F.lit("insert")).limit(0)
     dir_vals = {e.split("=", 1)[0]: None for e in changed if "=" in e}
     pcol = next(iter(dir_vals), None)
-    include_null = any("=" not in e for e in changed) or any(
-        p is None for p in delta_parts
-    )
     from urllib.parse import unquote
 
+    raw = {unquote(e.split("=", 1)[1]) for e in changed if "=" in e}
+    # Spark spells a NULL partition 'col=__HIVE_DEFAULT_PARTITION__':
+    # the sentinel means "include null rows", it is not an isin value
+    # (self-review follow-up, r11 — same fix as cow table_changes)
+    include_null = (
+        any("=" not in e for e in changed)
+        or "__HIVE_DEFAULT_PARTITION__" in raw
+        or any(p is None for p in delta_parts)
+    )
     vals = sorted(
-        {unquote(e.split("=", 1)[1]) for e in changed if "=" in e}
+        (raw - {"__HIVE_DEFAULT_PARTITION__"})
         | {str(p) for p in delta_parts if p is not None}
     )
 

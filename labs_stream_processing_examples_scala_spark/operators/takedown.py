@@ -59,10 +59,18 @@ def takedown(
     the mapped set when the id spaces differ. Returns the per-store
     stats plus the table version whose change feed carries the audit
     rows."""
-    ids = sorted(set(int(i) for i in doc_ids))
+    # ids pass through AS GIVEN: a takedown list is commonly string/UUID
+    # keyed (copyright/PII purge lists), and both downstream contracts
+    # (isin predicate, delete_ids tombstones) are type-agnostic — the
+    # old int() coercion made such a purge unexecutable (self-review
+    # finding, round 11). Mixed-type inputs sort by (type, value).
+    def _norm(vals):
+        return sorted(set(vals), key=lambda v: (type(v).__name__, str(v)))
+
+    ids = _norm(doc_ids)
     out: dict = {"doc_ids": len(ids)}
     if index is not None:
-        vids = ids if vec_ids is None else sorted(set(int(i) for i in vec_ids))
+        vids = ids if vec_ids is None else _norm(vec_ids)
         # a single index is anything exposing the delete_ids contract;
         # everything else is treated as an iterable OF indexes (sets,
         # generators — not just list/tuple, matching the docstring)

@@ -975,3 +975,58 @@ def test_table_changes_prunes_by_hardlink_identity(spark, tmp_path):
         raise AssertionError("expected ValueError for vacuumed version")
     except ValueError:
         pass
+
+
+# --- round 11 self-review: flat-table migration, null-partition CDF
+# --- pruning, retention depth on the simple verbs -----------------------
+
+
+def test_ensure_generational_migrates_flat_legacy_table(spark, tmp_path):
+    """A plain df.write.parquet() table (loose part files at root, no
+    partition dirs) must migrate its DATA into gen_v0 — the old loop
+    linked only partition entries, flipping the manifest over an EMPTY
+    generation and orphaning the real data (self-review finding, r11)."""
+    path = str(tmp_path / "flat")
+    df = spark.createDataFrame([(k, float(k)) for k in range(10)], "k long, v double")
+    df.write.parquet(path)
+    before = frozenset(tuple(r) for r in spark.read.parquet(path).collect())
+    CT.ensure_generational(path)
+    assert CT.read_manifest(path) == {"version": 0}
+    after = frozenset(tuple(r) for r in CT.read_cow(spark, path).collect())
+    assert after == before, "migrated table must serve the same rows"
+
+
+def test_table_changes_prunes_when_null_partition_sorts_first(spark, tmp_path):
+    """'__HIVE_DEFAULT_PARTITION__' sorts before lowercase 'col='
+    entries; deriving pcol from changed[0] disabled pruning entirely
+    whenever the null partition changed. The feed must stay correct
+    AND pick the partition column from any '='-bearing entry
+    (self-review finding, r11)."""
+    path = str(tmp_path / "t")
+    rows = [(k, None if k % 3 == 0 else ("a" if k % 2 else "b"), float(k))
+            for k in range(12)]
+    df = spark.createDataFrame(rows, "k long, p string, v double")
+    CT.cow_init(df, path, "p")
+    # rewrite the null partition AND one named partition via merge-less
+    # append (touches p=a and the null dir)
+    add = spark.createDataFrame([(100, None, 1.0), (101, "a", 2.0)],
+                                "k long, p string, v double")
+    CT.append_cow(spark, add, path, "p")
+    feed = CT.table_changes(spark, path, 0, 1)
+    got = {(r.k, r.p) for r in feed.filter("change_type = 'insert'").collect()}
+    assert got == {(100, None), (101, "a")}
+    assert feed.filter("change_type = 'delete'").count() == 0
+
+
+def test_append_and_restore_honor_keep_generations(spark, tmp_path):
+    """append_cow/restore_cow hardcoded a one-back GC, destroying
+    history deeper commits had retained (self-review finding, r11)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(0, "A", 0.0)], "k long, p string, v double")
+    CT.cow_init(df, path, "p")
+    add = spark.createDataFrame([(1, "A", 1.0)], "k long, p string, v double")
+    CT.append_cow(spark, add, path, "p", keep_generations=3)
+    CT.append_cow(spark, add, path, "p", keep_generations=3)
+    assert CT._gen_versions(path) == [0, 1, 2]
+    CT.restore_cow(path, 0, keep_generations=3)
+    assert CT._gen_versions(path) == [0, 1, 2, 3]

@@ -482,3 +482,71 @@ def test_mor_upsert_equals_cow_merge_on_twin_targets(spark, tmp_path):
         .collect()
     )
     assert mor_rows == cow_rows
+
+
+# --- round 11 self-review: restore footprint, GC'd-base re-plan,
+# --- retention depth, lock hygiene --------------------------------------
+
+
+def test_restore_footprint_sees_vector_only_rollback(spark, tmp_path):
+    """A restore that rolls back a vector-only commit resurrects rows
+    without touching any data file. Its OCC footprint (root-log
+    `written`) must name the affected partitions — a data-file-only
+    diff is blind to the delta tree, letting a concurrent writer pass
+    conflict check against written=[] (self-review finding, r11)."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    v0_rows = _rows(spark, path)
+    s = MT.mor_delete(spark, path, F.col("p") == "B", "p")
+    v_del = s["version"]
+    r = CT.restore_cow(path, v_del - 1)
+    # the footprint names partition B (the resurrected rows' home)
+    log = CT._read_root_log(path, r["version"])
+    assert any("p=B" in w for w in log["written"]), log["written"]
+    # and the restored relation equals the pre-delete one
+    assert _rows(spark, path) == v0_rows
+    # the feed across the restore shows the resurrected rows as inserts
+    feed = MT.mor_table_changes(spark, path, v_del, r["version"])
+    ins = feed.filter("change_type = 'insert'").count()
+    assert ins == s["deleted_rows"] and ins > 0
+
+
+def test_planning_read_converts_gcd_base_to_conflict(spark, tmp_path):
+    """The lock-free planning scan over a base generation GC'd by
+    interleaved commits must raise the CommitConflictError the retry
+    loops re-plan on, not a raw AnalysisException (self-review r11)."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    with pytest.raises(CT.CommitConflictError, match="GC'd while planning"):
+        MT._planning_read(spark, path, 99, [])
+
+
+def test_mor_keep_generations_pass_through(spark, tmp_path):
+    """mor_delete(keep_generations=3) must retain three prior
+    generations instead of the hardcoded one (self-review r11)."""
+    path = str(tmp_path / "t")
+    _init(spark, path)
+    for k in (0, 1, 2):
+        MT.mor_delete(spark, path, F.col("k") == k, "p", keep_generations=3)
+    assert CT._gen_versions(path) == [0, 1, 2, 3]
+    # and read_mor time travel still serves the retained history
+    assert len(_rows(spark, path, version=1)) == len(_rows(spark, path)) + 2
+
+
+def test_writer_lock_releases_proc_lock_on_live_holder(tmp_path):
+    """ConcurrentWriterError (or any acquire failure) must release the
+    in-process RLock, or every later writer in this process deadlocks
+    (self-review finding, r11)."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    # a LIVE foreign holder: pid 1 exists and is not us
+    with open(os.path.join(path, CT.WRITER_LOCK), "w") as f:
+        f.write("1")
+    for _ in range(2):  # twice: a leaked RLock would deadlock round 2
+        with pytest.raises(CT.ConcurrentWriterError):
+            with CT._writer_lock(path):
+                pass
+    # the in-process lock is free: a non-blocking acquire succeeds
+    lk = CT._proc_lock(path)
+    assert lk.acquire(blocking=False)
+    lk.release()

@@ -206,3 +206,17 @@ def test_takedown_nsw_survives_mid_compaction_crash(spark, tmp_path):
     s3 = takedown(spark, docs_path, "doc_id", "lang", victims, index=nsw)
     assert s3["table"]["deleted_rows"] == 0
     assert [r.vec_id for r in nsw.probe(spark, qvec, 0, 10).collect()] == got3
+
+
+def test_takedown_accepts_string_document_ids(spark, tmp_path):
+    """Purge lists are commonly string/UUID keyed; the old int()
+    coercion made such a takedown unexecutable (self-review, r11)."""
+    path = str(tmp_path / "docs")
+    rows = [(f"doc-{k:05d}", "en" if k % 2 else "fr", float(k)) for k in range(8)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, score double")
+    CT.cow_init(df, path, "lang")
+    out = takedown(spark, path, "doc_id", "lang", ["doc-00003", "doc-00004"])
+    assert out["doc_ids"] == 2
+    left = {r.doc_id for r in MT.read_mor(spark, path).collect()}
+    assert "doc-00003" not in left and "doc-00004" not in left
+    assert len(left) == 6
