@@ -95,8 +95,13 @@ class IncrementalLshDedup:
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         spark = docs.sparkSession
         new_arrs = shingle_arrays_of(docs).filter(F.col("sz") > 0).persist()
+        # persist the banded frame too: it feeds BOTH sides of the
+        # in-batch self-join, the new-vs-index join, and the bucket
+        # write — unpersisted, the 16-perm MinHash fold re-executed
+        # ~4x per micro-batch (the exact pitfall dedup._BANDED_CACHE
+        # documents for the batch path; r11 review)
+        new_buckets = banded_of(minhash_of(new_arrs)).persist()
         try:
-            new_buckets = banded_of(minhash_of(new_arrs))
             old_arrs = self._read_or_empty(spark, self.arrays_dir, _ARR_SCHEMA, before_batch=batch_id)
             old_buckets = self._read_or_empty(spark, self.buckets_dir, _BUCKET_SCHEMA, before_batch=batch_id)
 
@@ -126,6 +131,7 @@ class IncrementalLshDedup:
             self._maybe_compact(spark, batch_id)
         finally:
             new_arrs.unpersist()
+            new_buckets.unpersist()
 
     def _maybe_compact(self, spark: SparkSession, batch_id: int) -> None:
         """Online maintenance: every ``compact_every`` batches, merge
@@ -157,26 +163,14 @@ def run_incremental(
     """Drive a bounded incremental run over a directory of document
     parquet files (one micro-batch per ``files_per_trigger`` files) and
     return the processor for result inspection."""
-    schema = spark.read.parquet(docs_source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(docs_source_dir)
-        .select("doc_id", "text")
-    )
+    from labs_stream_processing_examples_scala_spark.streaming.bounded import drive_bounded
+
     proc = IncrementalLshDedup(workdir, threshold=threshold, compact_every=compact_every)
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .foreachBatch(proc.process_batch)
-        .trigger(availableNow=True)
-        .start()
+    drive_bounded(
+        spark, docs_source_dir, ["doc_id", "text"], proc.process_batch, workdir,
+        files_per_trigger=files_per_trigger, timeout=timeout,
+        label="incremental dedup",
     )
-    q.awaitTermination(timeout)
-    if q.isActive:
-        q.stop()
-    if q.exception() is not None:
-        raise RuntimeError(f"incremental dedup failed: {q.exception()}")
     return proc
 
 

@@ -242,12 +242,26 @@ class IncrementalIvfIndex:
         self._write_meta(
             {"version": new_version, "centroids": [[c, v] for c, v in new_cents]}
         )
-        shutil.rmtree(old_dir, ignore_errors=True)
+        self._sweep_retired(new_version)
         # tombstones folded: the reassignment read self.index(), which
         # already excluded them — clear the set (a crash before this
         # leaves stale tombstones whose anti-join no-ops; harmless)
         shutil.rmtree(self._tombstone_dir(), ignore_errors=True)
         return {"version": new_version, "carried_batch_id": max_id}
+
+    def _sweep_retired(self, live_version: int) -> None:
+        """Remove EVERY retired version dir, not just the immediate
+        predecessor: a crash between a past rebuild's manifest swap and
+        its rmtree left that version orphaned forever, since the next
+        rebuild derived old_dir from the live manifest only (r11
+        review — the docstring's 'removed by the next rebuild' claim
+        is made true here)."""
+        import glob as _glob
+
+        keep = f"ivf_cells_v{live_version}"
+        for d in _glob.glob(os.path.join(self.workdir, "ivf_cells_v*")):
+            if os.path.basename(d) != keep:
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def run_ivf_ingest(
@@ -262,26 +276,15 @@ def run_ivf_ingest(
     """Drive a bounded ingest over a directory of embedding parquet
     files (one micro-batch per ``files_per_trigger`` files) and return
     the index for probing."""
-    schema = spark.read.parquet(embeddings_source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(embeddings_source_dir)
-        .select("vec_id", "embedding")
-    )
+    from labs_stream_processing_examples_scala_spark.streaming.bounded import drive_bounded
+
     proc = IncrementalIvfIndex(workdir, cents_py, compact_every=compact_every)
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .foreachBatch(proc.process_batch)
-        .trigger(availableNow=True)
-        .start()
+    drive_bounded(
+        spark, embeddings_source_dir, ["vec_id", "embedding"],
+        proc.process_batch, workdir,
+        files_per_trigger=files_per_trigger, timeout=timeout,
+        label="ivf ingest",
     )
-    q.awaitTermination(timeout)
-    if q.isActive:
-        q.stop()
-    if q.exception() is not None:
-        raise RuntimeError(f"ivf ingest failed: {q.exception()}")
     return proc
 
 
@@ -313,9 +316,9 @@ def ivf_incremental_topk(
     frame equality."""
     key = (spark.sparkContext.applicationId, sf_dir, n_cells, n_splits)
     if key in _INGEST_WORKDIRS:
-        work = _INGEST_WORKDIRS[key]
-        cents = _seed_centroids(spark, sf_dir, n_cells)
-        proc = IncrementalIvfIndex(work, cents)
+        # manifest exists: the constructor ignores centroids, so don't
+        # pay the _seed_centroids Spark job per cached probe (r11 review)
+        proc = IncrementalIvfIndex(_INGEST_WORKDIRS[key])
         return proc.probe(spark, _query_embedding(spark, sf_dir, query_id), query_id, k, nprobe)
 
     from labs_stream_processing_examples_scala_spark.sources.batch import load_table
@@ -453,7 +456,10 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
             .limit(max(k, rerank))
         )
         if rerank <= k or rerank_source is None:
-            return shortlist
+            # the shortlist was widened to `rerank` for the re-rank
+            # stage; without one, the top-k CONTRACT still holds —
+            # returning all `rerank` rows violated it (r11 review)
+            return shortlist.limit(k)
         qlit = F.array(*[F.lit(float(x)) for x in qvec])
         return (
             rerank_source.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
@@ -530,13 +536,22 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
         try:
             meta = self._meta()
             if validate:
-                n_raw = rows.count()  # also materializes the persist
-                n_codes = self.index(spark).count()
-                if n_raw != n_codes:
+                rows.count()  # materializes the persist
+                # compare the vec_id SETS, not counts: diverged
+                # tombstones (code tier deleted id A, raw tier id B)
+                # leave counts equal while the re-encode would
+                # resurrect A and drop B — and the tombstone clear
+                # below is justified ONLY by set agreement (r11 review)
+                raw_ids = rows.select("vec_id")
+                code_ids = self.index(spark).select("vec_id")
+                extra = raw_ids.exceptAll(code_ids).count()
+                missing = code_ids.exceptAll(raw_ids).count()
+                if extra or missing:
                     raise ValueError(
-                        f"raw table has {n_raw} vectors but the code table has "
-                        f"{n_codes}: quiesce both tiers at the same source "
-                        "position before rebuilding"
+                        f"raw and code tiers disagree on vec_ids (raw-only: "
+                        f"{extra}, code-only: {missing}): quiesce both tiers "
+                        "at the same source position (and apply deletes to "
+                        "both) before rebuilding"
                     )
             n_cells = len(meta["centroids"])
             m = len(meta["codebooks"])
@@ -566,7 +581,7 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
                     "codebooks": new_cb,
                 }
             )  # ← the atomic commit
-            shutil.rmtree(old_dir, ignore_errors=True)
+            self._sweep_retired(new_version)
             # this tier's tombstones are folded: the re-encode read the
             # raw companion, whose own tombstones (the same deleted ids
             # under the both-tiers delete contract) already excluded

@@ -98,9 +98,12 @@ class IncrementalAggView:
             F.max("vmax").alias("vmax"),
         )
 
-    def view(self, spark: SparkSession) -> DataFrame:
-        deltas = read_batched_dir(spark, self.deltas_dir, self.delta_schema)
-        merged = self._merge_partials(deltas)
+    def _finalize(self, merged: DataFrame) -> DataFrame:
+        """Merged partials → the served view. Polymorphic on purpose:
+        view() AND view_as_of() both go through it, so a subclass with
+        a different partial schema finalizes correctly in both (the
+        old isinstance dispatch in view_as_of crashed for the
+        heavy-hitters subclass — self-review finding, round 11)."""
         return merged.select(
             *self.key_cols,
             F.col("cnt").alias("n"),
@@ -109,6 +112,10 @@ class IncrementalAggView:
             F.round("vmax", 6).alias("max_v"),
             F.round(F.col("vsum") / F.col("cnt"), 6).alias("avg_v"),
         )
+
+    def view(self, spark: SparkSession) -> DataFrame:
+        deltas = read_batched_dir(spark, self.deltas_dir, self.delta_schema)
+        return self._finalize(self._merge_partials(deltas))
 
 
 def run_incremental_view(
@@ -125,28 +132,16 @@ def run_incremental_view(
     """Drive a bounded incremental run over a directory of parquet
     files (one micro-batch per ``files_per_trigger`` files) and return
     the processor for view inspection."""
-    schema = spark.read.parquet(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(source_dir)
-        .select(*key_cols, value_col)
-    )
+    from labs_stream_processing_examples_scala_spark.streaming.bounded import drive_bounded
+
     proc = IncrementalAggView(
         workdir, key_cols, key_schema, value_col, compact_every=compact_every
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .foreachBatch(proc.process_batch)
-        .trigger(availableNow=True)
-        .start()
+    drive_bounded(
+        spark, source_dir, [*key_cols, value_col], proc.process_batch, workdir,
+        files_per_trigger=files_per_trigger, timeout=timeout,
+        label="incremental view",
     )
-    q.awaitTermination(timeout)
-    if q.isActive:
-        q.stop()
-    if q.exception() is not None:
-        raise RuntimeError(f"incremental view failed: {q.exception()}")
     return proc
 
 
@@ -251,9 +246,8 @@ class IncrementalDistinctView(IncrementalAggView):
             F.hll_union_agg("sk").alias("sk")
         )
 
-    def view(self, spark: SparkSession) -> DataFrame:
-        deltas = read_batched_dir(spark, self.deltas_dir, self.delta_schema)
-        return self._merge_partials(deltas).select(
+    def _finalize(self, merged: DataFrame) -> DataFrame:
+        return merged.select(
             *self.key_cols,
             F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct"),
         )
@@ -284,28 +278,15 @@ def incremental_distinct_users(
         n_splits, "split"
     ).drop("split").write.mode("overwrite").parquet(src)
 
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .select("event_type", "user_id")
-    )
+    from labs_stream_processing_examples_scala_spark.streaming.bounded import drive_bounded
+
     proc = IncrementalDistinctView(
         work, ["event_type"], "event_type string", "user_id", compact_every=2
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(proc.process_batch)
-        .trigger(availableNow=True)
-        .start()
+    drive_bounded(
+        spark, src, ["event_type", "user_id"], proc.process_batch, work,
+        label="incremental distinct view",
     )
-    q.awaitTermination(600.0)
-    if q.isActive:
-        q.stop()
-    if q.exception() is not None:
-        raise RuntimeError(f"incremental distinct view failed: {q.exception()}")
     _MV_WORKDIRS[key] = work
     return proc.view(spark)
 
@@ -326,24 +307,15 @@ def incremental_distinct_users(
 
 
 def view_as_of(proc: IncrementalAggView, spark: SparkSession, batch_id: int) -> DataFrame:
-    """The aggregate view as of the end of ``batch_id`` (inclusive)."""
+    """The aggregate view as of the end of ``batch_id`` (inclusive).
+    Finalization is the processor's own ``_finalize`` — the old
+    isinstance dispatch selected the base class's vsum/vmin/vmax
+    projection for any subclass it didn't know, crashing for the
+    heavy-hitters view (self-review finding, round 11)."""
     deltas = read_batched_dir(
         spark, proc.deltas_dir, proc.delta_schema, before_batch=batch_id + 1
     )
-    merged = proc._merge_partials(deltas)
-    if isinstance(proc, IncrementalDistinctView):
-        return merged.select(
-            *proc.key_cols,
-            F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct"),
-        )
-    return merged.select(
-        *proc.key_cols,
-        F.col("cnt").alias("n"),
-        F.round("vsum", 6).alias("sum_v"),
-        F.round("vmin", 6).alias("min_v"),
-        F.round("vmax", 6).alias("max_v"),
-        F.round(F.col("vsum") / F.col("cnt"), 6).alias("avg_v"),
-    )
+    return proc._finalize(proc._merge_partials(deltas))
 
 
 # --- sketch-partial variant 2: streaming heavy hitters ----------------
@@ -389,13 +361,11 @@ class IncrementalHeavyHittersView(IncrementalAggView):
             "token", "cnt", "kind"
         )
 
-    def view(self, spark: SparkSession) -> DataFrame:
+    def _finalize(self, merged: DataFrame) -> DataFrame:
         from labs_stream_processing_examples_scala_spark.operators.frequency import (
             K_COUNTERS,
         )
 
-        deltas = read_batched_dir(spark, self.deltas_dir, self.delta_schema)
-        merged = self._merge_partials(deltas)
         totals = merged.filter(F.col("kind") == "total").agg(
             F.sum("cnt").alias("n_total")
         )
@@ -435,25 +405,12 @@ def incremental_heavy_tokens(
         n_splits, "split"
     ).drop("split").write.mode("overwrite").parquet(src)
 
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .select("text")
-    )
+    from labs_stream_processing_examples_scala_spark.streaming.bounded import drive_bounded
+
     proc = IncrementalHeavyHittersView(work, compact_every=2)
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(proc.process_batch)
-        .trigger(availableNow=True)
-        .start()
+    drive_bounded(
+        spark, src, ["text"], proc.process_batch, work,
+        label="incremental heavy-hitters view",
     )
-    q.awaitTermination(600.0)
-    if q.isActive:
-        q.stop()
-    if q.exception() is not None:
-        raise RuntimeError(f"incremental heavy-hitters view failed: {q.exception()}")
     _MV_WORKDIRS[key] = work
     return proc.view(spark)

@@ -227,26 +227,15 @@ def run_nsw_ingest(
     """Drive a bounded ingest over a directory of embedding parquet
     files (one micro-batch per ``files_per_trigger`` files) and return
     the index for probing."""
-    schema = spark.read.parquet(embeddings_source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(embeddings_source_dir)
-        .select("vec_id", "embedding")
-    )
+    from labs_stream_processing_examples_scala_spark.streaming.bounded import drive_bounded
+
     proc = IncrementalNswIndex(workdir, n_shards=n_shards, compact_every=compact_every)
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .foreachBatch(proc.process_batch)
-        .trigger(availableNow=True)
-        .start()
+    drive_bounded(
+        spark, embeddings_source_dir, ["vec_id", "embedding"],
+        proc.process_batch, workdir,
+        files_per_trigger=files_per_trigger, timeout=timeout,
+        label="nsw ingest",
     )
-    q.awaitTermination(timeout)
-    if q.isActive:
-        q.stop()
-    if q.exception() is not None:
-        raise RuntimeError(f"nsw ingest failed: {q.exception()}")
     return proc
 
 
