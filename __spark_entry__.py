@@ -595,7 +595,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
                    l_extendedprice, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
             FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
@@ -607,11 +607,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q4_agg_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   avg(l_quantity) AS avg_qty,
-                   avg(l_discount) AS avg_disc,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -622,11 +622,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q6_rollup": """
             SELECT o_orderpriority, o_orderstatus,
-                   sum(o_totalprice) AS total, count(*) AS n
+                   round(sum(o_totalprice), 6) AS total, count(*) AS n
             FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         """,
         "q7_join_revenue": """
-            SELECT r_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+            SELECT r_name, round(sum(o_totalprice), 6) AS revenue, count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -737,7 +737,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE o_totalprice > cust_avg
         """,
         "q21_having": """
-            SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+            SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 6) AS total
             FROM orders GROUP BY o_custkey HAVING count(*) >= 15
         """,
         "q22_scalar_funcs": """
@@ -760,7 +760,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q23_cube": """
             SELECT o_orderstatus, o_orderpriority,
-                   sum(o_totalprice) AS total, count(*) AS n
+                   round(sum(o_totalprice), 6) AS total, count(*) AS n
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "q24_window_navigation": """

@@ -41,14 +41,27 @@ def asof_join(
     (ts, side, order-col), carry the right side's values forward with
     ``last(..., ignorenulls=True)``, keep left rows. One shuffle on
     ``on``; no state beyond the window frame.
+
+    The carried values travel as ONE STRUCT, not per-column lasts: a
+    per-column carry resurrects a stale value from an OLDER right row
+    whenever the matched row holds NULL in one carried column (torn
+    rows — merge_asof returns the matched row's nulls as nulls;
+    self-review finding, round 11). The struct is non-null for every
+    right row, so ``last(ignorenulls)`` always lands on the matched
+    row as a unit.
     """
     lcols = left.columns
+    for reserved in ("_side", "_rrow"):
+        if reserved in lcols or reserved in right.columns:
+            raise ValueError(
+                f"asof_join reserves column name {reserved!r}; rename it"
+            )
     l = left.select(*lcols).withColumn("_side", F.lit(1))
     r = right.select(
         *on,
         F.col(right_ts).alias(left_ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_rrow"),
     )
     merged = l.unionByName(r, allowMissingColumns=True)
     # tie order: ts, then right-before-left (right rows at the same ts
@@ -58,18 +71,20 @@ def asof_join(
     # _side already separates the sides, so the difference can't bite)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(left_ts), F.col("_side"), F.col(f"_r_{right_cols[0]}"))
+        .orderBy(
+            F.col(left_ts), F.col("_side"), F.col("_rrow").getField(right_cols[0])
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_asof_row")
     )
     return carried.filter(F.col("_side") == 1).select(
-        *lcols, *[f"asof_{c}" for c in right_cols]
+        *lcols,
+        *[
+            F.col("_asof_row").getField(c).alias(f"asof_{c}")
+            for c in right_cols
+        ],
     )
 
 
@@ -84,7 +99,9 @@ def _bucket_seconds(bucket: str) -> int:
     if len(parts) != 2:
         raise ValueError(f"bucket must look like '1 hour', got {bucket!r}")
     n, unit = parts
-    unit = unit.rstrip("s").lower()
+    # lower() BEFORE stripping the plural: 'HOURS'.rstrip('s') keeps
+    # its uppercase S and was rejected (self-review finding, round 11)
+    unit = unit.lower().rstrip("s")
     if not n.isdigit() or int(n) < 1 or unit not in _BUCKET_UNITS:
         raise ValueError(
             f"unsupported bucket {bucket!r}; units: {sorted(_BUCKET_UNITS)}"
@@ -121,8 +138,15 @@ def range_join(
     timezone-free integer keys that match any engine's epoch math.
     """
     keys = list(on or [])
+    if "_bucket" in left.columns or "_bucket" in right.columns:
+        raise ValueError("range_join reserves column name '_bucket'; rename it")
     secs = _bucket_seconds(bucket)
-    if secs % 86400 == 0:
+    # ONLY the exact 1-day grain takes the pure-date path: 'N days'
+    # grains used to fall in too, silently bucketing at 1-day width —
+    # a '7 days' bucket exploded 6x more copies than the documented
+    # window/bucket + 2 bound (self-review finding, round 11); multi-
+    # day grains now use the same epoch floor as sub-day grains
+    if secs == 86400:
         lb = F.to_date(F.col(left_ts) + lower)
         ub = F.to_date(F.col(left_ts) + upper)
         rb = F.to_date(F.col(right_ts))
