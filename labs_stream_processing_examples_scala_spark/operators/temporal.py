@@ -51,7 +51,7 @@ def asof_join(
     row as a unit.
     """
     lcols = left.columns
-    for reserved in ("_side", "_rrow"):
+    for reserved in ("_side", "_rrow", "_asof_row"):
         if reserved in lcols or reserved in right.columns:
             raise ValueError(
                 f"asof_join reserves column name {reserved!r}; rename it"
