@@ -179,6 +179,31 @@ def main() -> None:
         record["retries"] = retries
     if errors:
         record["errors"] = errors
+    # Fat record → sidecar; stdout gets a COMPACT line (same policy as
+    # bench.py, round-12 verdict task #1: the fat line outgrew tail
+    # captures). The per-round BENCH_SF{1,10}_r{N}.json artifact should
+    # be COPIED FROM THE SIDECAR, not from stdout.
+    sidecar = f"BENCH_SF{int(sf)}_LAST.json"
+    try:
+        (Path(__file__).resolve().parent.parent / sidecar).write_text(
+            json.dumps(record) + "\n"
+        )
+    except OSError:
+        sidecar = None
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries_n": len(timings),
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
+        "calibration": record["calibration"],
+        "retries_n": len(retries),
+        "errors_n": len(errors),
+        "detail": sidecar,
+    }
+    if errors:
+        compact["errors"] = {k: errors[k][:80] for k in sorted(errors)[:3]}
     # stop (guarded) BEFORE printing — keeps the JSON the final stdout
     # line even when stop emits WARNs, and a stop() exception must not
     # lose a fully-measured run (round-9 verdict task #2 + review)
@@ -186,7 +211,7 @@ def main() -> None:
         spark.stop()
     except Exception as e:  # noqa: BLE001 — cleanup must not eat the record
         print(f"bench cleanup failed (record intact): {e}", file=sys.stderr)
-    print(json.dumps(record), flush=True)
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
