@@ -404,6 +404,105 @@ def _read_segment_rows(
             yield (seg, pos, key, value)
 
 
+#: lines per Arrow decode block — bounds reader memory to a few MB of
+#: raw line bytes per in-flight block while amortizing the pyarrow
+#: parse + batch build over enough rows to matter
+_DECODE_BLOCK_LINES = 1 << 16
+
+
+def _decode_block_arrow(block: list[bytes], seg: int, start_pos: int):
+    """Decode one block of RAW segment lines into a single Arrow record
+    batch ``(seg, pos, key, value)`` — the consume counterpart of the
+    producer's mapInArrow crossing (round-12 verdict task #2: per-row
+    ``json.loads`` + per-row tuple conversion in the DSv2 reader capped
+    consume at ~420k rows/s/node vs 928k publish).
+
+    Fast path: ONE ``pyarrow.json`` parse over the joined block with an
+    explicit ``(key string, value string)`` schema. That parse is
+    exact-equivalent to :func:`_decode_line` only when every line is a
+    JSON object whose ``key``/``value`` are strings or null AND whose
+    ``value`` is a present, non-null string — anything else either
+    raises (poison line, non-string payload: type conflicts with the
+    explicit schema) or surfaces as a null/short column (missing or
+    null ``value``, blank line skipped by the JSON reader), and the
+    whole block falls back to the per-line decoder, which preserves the
+    documented poison semantics byte-for-byte. Publish always writes
+    ``json.dumps({"key": ..., "value": ...})``, so real queues ride the
+    fast path; a poison segment pays only its own blocks' fallback."""
+    import pyarrow as pa
+
+    n = len(block)
+    keys = vals = None
+    try:
+        from io import BytesIO
+
+        from pyarrow import json as pa_json
+
+        tbl = pa_json.read_json(
+            BytesIO(b"".join(block)),
+            parse_options=pa_json.ParseOptions(
+                explicit_schema=pa.schema(
+                    [("key", pa.string()), ("value", pa.string())]
+                ),
+                unexpected_field_behavior="ignore",
+            ),
+        )
+        # exactness guards (see docstring): every physical line became a
+        # row, and no value is null (a null here is either "value": null
+        # — slow path yields the string "None" — or a missing field —
+        # slow path yields the poison row)
+        if tbl.num_rows == n and tbl.column("value").null_count == 0:
+            tbl = tbl.combine_chunks()
+            keys = tbl.column("key").chunk(0)
+            vals = tbl.column("value").chunk(0)
+    except pa.lib.ArrowException:
+        pass
+    if keys is None:
+        decoded = [
+            _decode_line(ln.rstrip(b"\r\n").decode("utf-8")) for ln in block
+        ]
+        keys = pa.array([k for k, _ in decoded], type=pa.string())
+        vals = pa.array([v for _, v in decoded], type=pa.string())
+    # pyarrow-native seg/pos columns: the DSv2 worker already imports
+    # pyarrow for the Arrow bridge, and skipping numpy here keeps the
+    # per-worker cold start (which dominates small tasks) lean
+    return pa.record_batch(
+        [
+            pa.repeat(pa.scalar(seg, pa.int64()), n),
+            pa.array(range(start_pos, start_pos + n), type=pa.int64()),
+            keys,
+            vals,
+        ],
+        names=["seg", "pos", "key", "value"],
+    )
+
+
+def _read_segment_batches(
+    queue_dir: str, seg: int, start_row: int = 0, end_row: int | None = None
+):
+    """The span read as an iterator of Arrow record batches — what the
+    DSv2 ``read()`` paths yield (PySpark streams RecordBatches through
+    to the JVM untouched, skipping the per-row tuple→Arrow conversion).
+    Binary line iteration; blocks of ``_DECODE_BLOCK_LINES`` bound
+    memory, so a large segment still costs only the span consumed."""
+    with open(_seg_path(queue_dir, seg), "rb") as f:
+        block: list[bytes] = []
+        block_start = 0
+        for pos, line in enumerate(f):
+            if pos < start_row:
+                continue
+            if end_row is not None and pos >= end_row:
+                break
+            if not block:
+                block_start = pos
+            block.append(line)
+            if len(block) >= _DECODE_BLOCK_LINES:
+                yield _decode_block_arrow(block, seg, block_start)
+                block = []
+        if block:
+            yield _decode_block_arrow(block, seg, block_start)
+
+
 # --- Spark DataSource --------------------------------------------------
 
 
@@ -451,10 +550,12 @@ def _maybe_beacon(beacon_dir: str | None) -> None:
         f.write("task")
 
 
-def _read_span(partition: _SpanPartition) -> Iterator[tuple]:
+def _read_span(partition: _SpanPartition) -> Iterator:
+    """Yields Arrow record batches (the DSv2 worker streams them to the
+    JVM untouched — no per-row tuple conversion on the consume path)."""
     _maybe_beacon(partition.beacon_dir)
     try:
-        yield from _read_segment_rows(
+        yield from _read_segment_batches(
             partition.queue_dir, partition.seg, partition.start_row, partition.end_row
         )
     except FileNotFoundError:
@@ -478,7 +579,7 @@ class QueueBatchReader(DataSourceReader):
         return [_SegPartition(self.queue_dir, n) for n in _list_segments(self.queue_dir)]
 
     def read(self, partition: _SegPartition):
-        return _read_segment_rows(partition.queue_dir, partition.seg)
+        return _read_segment_batches(partition.queue_dir, partition.seg)
 
 
 class QueueStreamReader(DataSourceStreamReader):

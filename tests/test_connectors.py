@@ -137,20 +137,34 @@ def test_streaming_sink_into_jdbc(spark, sample, tmp_path):
 from labs_stream_processing_examples_scala_spark.sources import queue_source as Q  # noqa: E402
 
 
+def _read_rows(rd, p):
+    """Flatten read(partition) to row tuples — the consume path yields
+    Arrow record batches since round 12 (tuple yields still accepted)."""
+    out = []
+    for item in rd.read(p):
+        if hasattr(item, "num_rows"):  # pyarrow RecordBatch
+            out.extend(
+                zip(*(item.column(i).to_pylist() for i in range(item.num_columns)))
+            )
+        else:
+            out.append(item)
+    return out
+
+
 def _plan_batch(rd, start):
     """Drive a planning stream reader exactly as the engine does for
     one micro-batch: latestOffset() -> partitions(start, end) ->
     read(partition) per span (executor side in a real query). Returns
     (rows, end)."""
     end = rd.latestOffset()
-    rows = [r for p in rd.partitions(start, end) for r in rd.read(p)]
+    rows = [r for p in rd.partitions(start, end) for r in _read_rows(rd, p)]
     return rows, end
 
 
 def _replay(rd, start, end):
     """NACK replay of a planned batch: partitions(start, end) is
     deterministic over the immutable segments."""
-    return [r for p in rd.partitions(start, end) for r in rd.read(p)]
+    return [r for p in rd.partitions(start, end) for r in _read_rows(rd, p)]
 
 
 def _drain(spark, qdir, ckpt, out, rows_per_batch=100, on_batch=None):
@@ -832,7 +846,7 @@ def test_fqueue_linear_planner_splits_spans_unit():
     assert spans == [(0, 0, 10), (0, 10, 20), (0, 20, 25), (1, 0, 5)], (
         "a multi-segment batch must split into bounded scan partitions"
     )
-    rows = [r for p in parts for r in rd.read(p)]
+    rows = [r for p in parts for r in _read_rows(rd, p)]
     assert [v for _, _, _, v in rows] == [f"v{i}" for i in range(30)]
     assert rd.partitions(end, end) == [], "empty span must plan no partitions"
     # the budget applies on the NEXT tick once position is known
@@ -854,7 +868,7 @@ def test_fqueue_linear_budget_caps_each_batch_unit():
     assert (e2["seg"], e2["row"]) == (0, 8)
     e3 = rd.latestOffset()
     assert (e3["seg"], e3["row"]) == (0, 10), "budget must clamp at true end"
-    rows = [r for p in rd.partitions(start, e1) for r in rd.read(p)]
+    rows = [r for p in rd.partitions(start, e1) for r in _read_rows(rd, p)]
     assert [v for _, _, _, v in rows] == ["v0", "v1", "v2", "v3"]
 
 

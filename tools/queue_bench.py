@@ -66,7 +66,12 @@ def main() -> None:
         sink(df, 1)
         publish_s = time.perf_counter() - t0
 
-        # batch consume (one scan partition per segment, on executors)
+        # batch consume (one scan partition per segment, on executors).
+        # Warm lap first, symmetric with the publish leg above: the
+        # first DSv2 read cold-starts every Python reader worker
+        # simultaneously (~1 s of imports each), which is a per-session
+        # cost, not the steady throughput this anchor defends.
+        spark.read.format("fqueue").option("path", qdir).load().count()
         t0 = time.perf_counter()
         n_batch = spark.read.format("fqueue").option("path", qdir).load().count()
         batch_s = time.perf_counter() - t0
@@ -98,22 +103,30 @@ def main() -> None:
             def onQueryTerminated(self, event):
                 pass
 
+        def _stream_once(ckpt: str):
+            q = (
+                spark.readStream.format("fqueue")
+                .option("path", qdir)
+                .option("rows_per_batch", 500_000)
+                .option("rows_per_partition", 65_536)
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        # warm lap (throwaway checkpoint), symmetric with the other two
+        # legs: the first streaming query pays whole-stage codegen for
+        # the stream plan and stream-engine start — per-query costs, not
+        # the steady consume throughput the anchor defends
+        _stream_once(f"{work}/ckpt_warm")
         counter = _RowCount()
         spark.streams.addListener(counter)
         t0 = time.perf_counter()
-        q = (
-            spark.readStream.format("fqueue")
-            .option("path", qdir)
-            .option("rows_per_batch", 500_000)
-            .option("rows_per_partition", 65_536)
-            .load()
-            .writeStream.format("noop")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .start()
-        )
-        q.processAllAvailable()
+        _stream_once(f"{work}/ckpt")
         stream_s = time.perf_counter() - t0
-        q.stop()
         # the listener bus is async: progress events for the final
         # micro-batches can land after processAllAvailable returns
         deadline = time.time() + 30
