@@ -239,12 +239,48 @@ def current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def _build_driver_window(reg_keys, oracle_keys, rnd: int) -> list[str]:
+def _driver_green_rounds() -> dict[str, int]:
+    """For every entry that has EVER earned a driver-side exact green
+    row, the LATEST round it did so — read from the CORRECTNESS_r*.json
+    artifacts the driver leaves in the repo dir. Deterministic within a
+    round (the driver writes the next artifact only after the round)."""
+    import json as _json
+    import re as _re
+    from pathlib import Path as _Path
+
+    out: dict[str, int] = {}
+    for p in _Path(__file__).parent.glob("CORRECTNESS_r*.json"):
+        m = _re.fullmatch(r"CORRECTNESS_r0*(\d+)\.json", p.name)
+        if not m:
+            continue
+        r = int(m.group(1))
+        try:
+            d = _json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for k, v in d.items():
+            if isinstance(v, dict) and v.get("hash_match"):
+                out[k] = max(out.get(k, -1), r)
+    return out
+
+
+def _driver_checked() -> set[str]:
+    """Entries with at least one driver-side exact green row ever."""
+    return set(_driver_green_rounds())
+
+
+def _build_driver_window(
+    reg_keys, oracle_keys, rnd: int, green_rounds: dict[str, int] | None = None
+) -> list[str]:
     """50 entries: the pinned §2 core, one rotating exact-oracle
-    representative per tier, then rotating fillers from the remaining
-    exact-oracle pool — a different ~25-entry filler slice each round,
-    so every exact entry earns a driver-side green row within a few
-    rounds."""
+    representative per tier, then fillers scheduled LRU — the entries
+    whose last driver-side green row is OLDEST go first, never-checked
+    entries (last green = -1) ahead of everything (round-12 verdict
+    task #5: the blind stride rotation of rounds 10-11 left 26 exact
+    entries without a driver-side green row and its r12 slice covered
+    none of them). LRU makes the full pass finish in ⌈backlog/~25⌉
+    rounds, guarantees consecutive windows share no filler slots, and
+    re-checks every exact entry within ~5 rounds forever after."""
     pool = [k for k in reg_keys if k in oracle_keys and k not in DRIVER_CORE]
     window = list(DRIVER_CORE)
     for _tier, prefixes in DRIVER_TIERS:
@@ -255,10 +291,13 @@ def _build_driver_window(reg_keys, oracle_keys, rnd: int) -> list[str]:
         ]
         if members:
             window.append(members[rnd % len(members)])
+    if green_rounds is None:
+        green_rounds = _driver_green_rounds()
     rest = [k for k in pool if k not in window]
-    need = 50 - len(window)
-    start = (rnd * 23) % len(rest) if rest else 0
-    window.extend(rest[(start + i) % len(rest)] for i in range(min(need, len(rest))))
+    order = {k: i for i, k in enumerate(rest)}
+    # stalest-first; registry order breaks ties deterministically
+    rest.sort(key=lambda k: (green_rounds.get(k, -1), order[k]))
+    window.extend(rest[: 50 - len(window)])
     return window
 
 
@@ -417,6 +456,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sim_lsh_topk": SIM.lsh_topk_multiprobe,  # recall 0.80 ≥ floor 0.50
         "x_sim_lsh_topk_sp": SIM.lsh_topk,  # single-probe baseline, floor 0.10
         "x_sim_ivf_topk": SIM.ivf_topk,  # approximate → rows-only
+        # round 12: the steady-state probe over the MATERIALIZED
+        # inverted file (the nsw_probe counterpart) — what a probe
+        # costs once the index exists; ≡ ivf_topk by construction, so
+        # the local gate pins recall 1.0 vs the batch form
+        "x_sim_ivf_probe": SIM.ivf_probe_topk,
         "x_sim_ivf_trained": SIM.ivf_topk_trained,  # Lloyd-trained cells → rows-only
         # streaming-maintained index probe ≡ x_sim_ivf_topk exactly
         # (frozen centroids, same scoring) — recall floor 1.0 in the

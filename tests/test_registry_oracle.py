@@ -108,6 +108,10 @@ def test_every_query_has_oracle_or_documented_exemption():
         "x_sim_lsh_topk",
         "x_sim_lsh_topk_sp",
         "x_sim_ivf_topk",
+        # round 12: steady-state probe over the materialized inverted
+        # file — proven IDENTICAL to the batch ivf_topk (recall-1.0
+        # floor in the artifact + frame equality in test_round12_fixes)
+        "x_sim_ivf_probe",
         "x_sim_ivf_trained",
         # streaming-maintained IVF index: probe proven IDENTICAL to the
         # batch ivf_topk (recall-1.0 floor in the artifact + frame
@@ -175,15 +179,20 @@ def test_driver_window_samples_every_tier():
         ]
 
     assert not unsampled(window), f"driver window misses tiers: {unsampled(window)}"
-    # rotation: consecutive rounds must differ in >=20 non-core slots,
-    # every rotated window keeps the core pinned and every tier sampled
+    # rotation WITH the round-12 feedback loop: each round's window
+    # earns green rows, which the LRU filler scheduling then sends to
+    # the back of the queue. Simulate that: after each round, its
+    # window entries record that round as their latest green.
     reg_keys = list(m._registry())
     oracle_keys = set(m.oracle_sql())
     rnd = m.current_round()
-    wins = [
-        m._build_driver_window(reg_keys, oracle_keys, r)
-        for r in range(rnd, rnd + 6)
-    ]
+    green = dict(m._driver_green_rounds())
+    wins = []
+    for r in range(rnd, rnd + 6):
+        w = m._build_driver_window(reg_keys, oracle_keys, r, green_rounds=green)
+        wins.append(w)
+        for k in w:
+            green[k] = r
     assert wins[0] == window
     pool = [k for k in reg_keys if k in oracle_keys]
     for a, b in zip(wins, wins[1:]):
@@ -192,8 +201,15 @@ def test_driver_window_samples_every_tier():
         assert not unsampled(a)
         diff = len(set(a) ^ set(b)) // 2
         assert diff >= 20, f"rotation too slow: consecutive windows share all but {diff}"
-    # coverage: within a handful of rounds, (almost) every exact entry
-    # has appeared in some window
-    seen = set().union(*map(set, wins))
-    missed = set(pool) - seen
-    assert len(missed) <= 5, f"rotation starves exact entries: {sorted(missed)}"
+    # convergence: the six simulated rounds leave NOTHING unchecked —
+    # the full pass completes and stays complete
+    missed = set(pool) - set(green)
+    assert not missed, f"rotation starves exact entries: {sorted(missed)}"
+    # LRU freshness: after convergence every exact entry's last green
+    # row is at most ~5 rounds old (the re-check period)
+    stale = [k for k in pool if green[k] < rnd]
+    assert not stale, f"entries never re-checked in 6 rounds: {stale}"
+    # and the never-checked backlog drains into the very first window
+    # (up to the filler capacity)
+    backlog = [k for k in pool if k not in m._driver_checked()]
+    assert len(set(backlog) & set(window)) >= min(len(backlog), 20)

@@ -154,6 +154,9 @@ AUDITS = [
     # materialized inverted file — partition pruning at the scan, and
     # not a single shuffle anywhere in the probe plan
     ("x_sim_ivf_topk", ["PartitionFilters: [cell", "TakeOrderedAndProject"], ["Exchange"]),
+    # round 12: steady-state probe over the materialized inverted file —
+    # identical plan shape to x_sim_ivf_topk (build amortized away)
+    ("x_sim_ivf_probe", ["PartitionFilters: [cell", "TakeOrderedAndProject"], ["Exchange"]),
     # streaming-maintained IVF index: the probe over the ingest-built,
     # compacted inverted file keeps the batch probe's exact plan shape
     ("x_sim_ivf_incremental", ["PartitionFilters: [cell", "TakeOrderedAndProject"], ["Exchange"]),
@@ -301,6 +304,7 @@ BROADCAST_ALLOWED: dict[str, dict[str, str]] = {
     "x_corpus_pipeline": {"bench": "eval-suite"},
     "x_sim_kmeans_step": {"diag": "cells-bounded"},  # exactly n_cells rows
     "x_sim_ivf_topk": {},  # probe is hint-free: pruning, not broadcasting
+    "x_sim_ivf_probe": {},  # same hint-free pruned probe
     "x_sim_lsh_topk": {"q": "query-literal", "probes": "cells-bounded"},
     # the rerank broadcast lives in the shared quantization._exact_rerank
     # helper, which EXTRA_BROADCAST_SOURCES folds into these scans;
@@ -452,6 +456,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "x_corpus_pipeline": 5,   # the audited two wide stages + quality window chain
     "x_sim_kmeans_step": 3,   # (cell,pos) means, counts, diag — all n_cells-bounded
     "x_sim_ivf_topk": 0,      # pruned probe: NO exchange at all
+    "x_sim_ivf_probe": 0,     # steady-state probe: same exchange-free plan
     "x_sim_ivf_incremental": 0,  # same probe over the streaming index
     "q62_funnel": 5,
     "q63_cohort": 4,

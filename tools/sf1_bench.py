@@ -137,6 +137,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     probes: dict[str, float] = {}
+    mt_probes: dict[str, float] = {}
     for name in queries:
         t0 = time.perf_counter()
         try:
@@ -145,6 +146,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:200]
         probes[name] = round(benchmod._light_probe_ms(), 1)
+        # per-query all-cores probe for the sim family (round-12 task
+        # #3: the class that doubled sf10 NSW reads clean on the light
+        # probe — this is where it bit, so this is where it's watched)
+        if name.startswith(benchmod.MT_PROBE_PREFIXES):
+            mt_probes[name] = benchmod._mt_probe_ms()
     # per-query dirty-window retry, shared policy with bench.py
     # (round-10 verdict task #3; cache-warming families keep their
     # first run defended — see bench.CACHE_WARM_PREFIXES)
@@ -157,6 +163,8 @@ def main() -> None:
         timings,
         probes,
         errors,
+        mt_probes=mt_probes,
+        mt_floor_hint=calib_start["calib_mt_ms"],
     )
     calib_end = benchmod._calibrate()
     record = {
@@ -175,6 +183,8 @@ def main() -> None:
         },
         "probes": probes,
     }
+    if mt_probes:
+        record["mt_probes"] = mt_probes
     if retries:
         record["retries"] = retries
     if errors:

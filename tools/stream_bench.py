@@ -1,18 +1,29 @@
-"""Streaming throughput measurement — the reliable enrichment pipeline
-end-to-end (file-fed source → 3 enrichments + errors-as-data → main/DLQ
-parquet sinks with checkpointing), reported as rows/sec.
+"""Streaming throughput measurement — the reference's actual use case
+end-to-end (round-12 verdict task #6), BOTH feeds:
+
+- file-fed: bounded events file stream → 3 enrichments + errors-as-data
+  → main/DLQ parquet sinks with checkpointing (the original leg).
+- fqueue-fed: the same events executor-published into the broker-shaped
+  fqueue (sources/queue_source.py), then broker stream → the same
+  enrichment pipeline → the same sinks. This is the reference topology
+  (RabbitMQ source → enrich → ack/dlq, reference README.md:7) at
+  as-fast-as-storage-allows pacing instead of the demo 1 msg/s.
 
 The reference's own source rates are demo pacing (1 msg/s Rx, 0.5 msg/s
 Akka — BASELINE.md); this measures what the same semantic pipeline
-sustains under Structured Streaming when fed as fast as storage allows.
+sustains under Structured Streaming.
 
 Usage: python tools/stream_bench.py [sf_dir]   (default sf0.1)
-Prints one JSON line {"metric": "stream_pipeline_rows_per_sec", ...}.
+Prints ONE JSON line with both legs' rows/sec and the four calibration
+probes (py/np/mt at start+end, per-job scheduler latency) so a
+contaminated window is detectable from the artifact — copy it to
+STREAM_r{N}.json for the round record.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -28,40 +39,104 @@ from labs_stream_processing_examples_scala_spark.streaming.pipeline import Strea
 from labs_stream_processing_examples_scala_spark.streaming.sources import events_message_stream
 
 
+def _run_leg(spark, work: str, tag: str, msgs) -> dict:
+    pipe = StreamingEnrichmentPipeline(
+        output_path=f"{work}/{tag}/out",
+        dlq_path=f"{work}/{tag}/dlq",
+        checkpoint_path=f"{work}/{tag}/ckpt",
+        chaos=True,  # the honest pipeline: error split + DLQ live
+    )
+    t0 = time.perf_counter()
+    pipe.run_bounded(msgs, timeout=600.0)
+    wall = time.perf_counter() - t0
+    n_main = pipe.output(spark).count()
+    n_dlq = pipe.dlq(spark).count()
+    total = n_main + n_dlq
+    return {
+        "rows_per_sec": round(total / wall, 1),
+        "rows_main": n_main,
+        "rows_dlq": n_dlq,
+        "wall_sec": round(wall, 2),
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import bench as benchmod
+
+    calib_start = benchmod._calibrate()
     spark = get_spark(app_name="stream-bench")
     work = tempfile.mkdtemp(prefix="stream_bench_")
+    record: dict = {}
     try:
-        msgs = events_message_stream(spark, sf_dir)
-        pipe = StreamingEnrichmentPipeline(
-            output_path=f"{work}/out",
-            dlq_path=f"{work}/dlq",
-            checkpoint_path=f"{work}/ckpt",
-            chaos=True,  # the honest pipeline: error split + DLQ live
+        start_job_ms = benchmod._job_probe_ms(spark)
+
+        file_fed = _run_leg(
+            spark, work, "file", events_message_stream(spark, sf_dir)
         )
-        t0 = time.perf_counter()
-        pipe.run_bounded(msgs, timeout=600.0)
-        wall = time.perf_counter() - t0
-        n_main = pipe.output(spark).count()
-        n_dlq = pipe.dlq(spark).count()
-        total = n_main + n_dlq
-        print(
-            json.dumps(
-                {
-                    "metric": "stream_pipeline_rows_per_sec",
-                    "value": round(total / wall, 1),
-                    "unit": "rows/sec",
-                    "rows_main": n_main,
-                    "rows_dlq": n_dlq,
-                    "wall_sec": round(wall, 2),
-                    "sf_dir": sf_dir,
-                }
-            )
+
+        # fqueue-fed: executor-publish the SAME message frame into the
+        # broker (queue_sink — one segment per partition, Arrow
+        # crossing), then consume it through the partition-planning
+        # stream reader into the identical pipeline
+        from labs_stream_processing_examples_scala_spark.sources import (
+            queue_source as QS,
         )
+
+        QS.register(spark)
+        qdir = f"{work}/q"
+        os.makedirs(qdir)
+        # batch twin of the stream message shape (same id/value synthesis)
+        from labs_stream_processing_examples_scala_spark.functions.transforms import (
+            synth_payload,
+        )
+        from labs_stream_processing_examples_scala_spark.sources.batch import (
+            ensure_nanos_readable,
+        )
+
+        ensure_nanos_readable(spark)
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        batch_msgs = events.select(
+            F.col("event_id").cast("string").alias("key"),
+            synth_payload("event_id").alias("value"),
+        )
+        QS.queue_sink(qdir)(batch_msgs, 0)
+        queue_msgs = (
+            spark.readStream.format("fqueue")
+            .option("path", qdir)
+            .option("rows_per_batch", 500_000)
+            .option("rows_per_partition", 65_536)
+            .load()
+            .select(F.col("key").cast("long").alias("id"), F.col("value"))
+        )
+        fqueue_fed = _run_leg(spark, work, "queue", queue_msgs)
+
+        end_job_ms = benchmod._job_probe_ms(spark)
+        calib_end = benchmod._calibrate()
+        record = {
+            "metric": "stream_pipeline_rows_per_sec",
+            "unit": "rows/sec",
+            "file_fed": file_fed,
+            "fqueue_fed": fqueue_fed,
+            "sf_dir": sf_dir,
+            "calibration": {
+                "start_py_ms": calib_start["calib_py_ms"],
+                "start_np_ms": calib_start["calib_np_ms"],
+                "start_mt_ms": calib_start["calib_mt_ms"],
+                "end_py_ms": calib_end["calib_py_ms"],
+                "end_np_ms": calib_end["calib_np_ms"],
+                "end_mt_ms": calib_end["calib_mt_ms"],
+                "start_job_ms": start_job_ms,
+                "end_job_ms": end_job_ms,
+            },
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
-        spark.stop()
+        try:
+            spark.stop()
+        except Exception as e:  # noqa: BLE001 — cleanup must not eat the record
+            print(f"bench cleanup failed (record intact): {e}", file=sys.stderr)
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
