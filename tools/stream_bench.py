@@ -13,7 +13,13 @@ The reference's own source rates are demo pacing (1 msg/s Rx, 0.5 msg/s
 Akka — BASELINE.md); this measures what the same semantic pipeline
 sustains under Structured Streaming.
 
-Usage: python tools/stream_bench.py [sf_dir]   (default sf0.1)
+Both legs are fed the SAME synthesized message set (default 2M rows —
+the queue_bench scale; the sf0.1 events table's 100k rows made the
+wall ~80% query-start and sink-commit overhead, not throughput), so
+the two rows/sec are comparable to each other and to the queue-bench
+consume legs.
+
+Usage: python tools/stream_bench.py [sf_dir] [n_rows]
 Prints ONE JSON line with both legs' rows/sec and the four calibration
 probes (py/np/mt at start+end, per-job scheduler latency) so a
 contaminated window is detectable from the artifact — copy it to
@@ -36,7 +42,6 @@ from pyspark.sql import functions as F
 
 from labs_stream_processing_examples_scala_spark import get_spark
 from labs_stream_processing_examples_scala_spark.streaming.pipeline import StreamingEnrichmentPipeline
-from labs_stream_processing_examples_scala_spark.streaming.sources import events_message_stream
 
 
 def _run_leg(spark, work: str, tag: str, msgs) -> dict:
@@ -46,9 +51,17 @@ def _run_leg(spark, work: str, tag: str, msgs) -> dict:
         checkpoint_path=f"{work}/{tag}/ckpt",
         chaos=True,  # the honest pipeline: error split + DLQ live
     )
+    # processAllAvailable, NOT availableNow: the fqueue reader budgets
+    # latestOffset to rows_per_batch, and the availableNow wrapper
+    # captures only that first budgeted offset — a 2M-row queue would
+    # silently measure 500k rows (caught on the tool's first 2M run)
     t0 = time.perf_counter()
-    pipe.run_bounded(msgs, timeout=600.0)
+    q = pipe.start(msgs)
+    q.processAllAvailable()
+    q.stop()
     wall = time.perf_counter() - t0
+    if q.exception() is not None:
+        raise RuntimeError(f"streaming query failed: {q.exception()}")
     n_main = pipe.output(spark).count()
     n_dlq = pipe.dlq(spark).count()
     total = n_main + n_dlq
@@ -62,7 +75,15 @@ def _run_leg(spark, work: str, tag: str, msgs) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     import bench as benchmod
+
+    from labs_stream_processing_examples_scala_spark.functions.transforms import (
+        synth_payload,
+    )
+    from labs_stream_processing_examples_scala_spark.streaming.sources import (
+        file_stream,
+    )
 
     calib_start = benchmod._calibrate()
     spark = get_spark(app_name="stream-bench")
@@ -71,8 +92,20 @@ def main() -> None:
     try:
         start_job_ms = benchmod._job_probe_ms(spark)
 
+        # ONE synthesized message set feeds both legs — ids shaped like
+        # the reference's Data(id) with the same payload synthesis the
+        # events-table stream uses (events_message_stream)
+        src = f"{work}/msgs"
+        base = spark.range(n_rows).select(
+            F.col("id"), synth_payload("id").alias("value")
+        )
+        base.repartition(32).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        # warm lap: JVM/codegen/python workers + the streaming engine's
+        # per-query start cost (symmetric with queue_bench's legs)
+        _run_leg(spark, work, "file_warm", file_stream(spark, src, schema=schema))
         file_fed = _run_leg(
-            spark, work, "file", events_message_stream(spark, sf_dir)
+            spark, work, "file", file_stream(spark, src, schema=schema)
         )
 
         # fqueue-fed: executor-publish the SAME message frame into the
@@ -86,36 +119,30 @@ def main() -> None:
         QS.register(spark)
         qdir = f"{work}/q"
         os.makedirs(qdir)
-        # batch twin of the stream message shape (same id/value synthesis)
-        from labs_stream_processing_examples_scala_spark.functions.transforms import (
-            synth_payload,
-        )
-        from labs_stream_processing_examples_scala_spark.sources.batch import (
-            ensure_nanos_readable,
-        )
-
-        ensure_nanos_readable(spark)
-        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        batch_msgs = events.select(
-            F.col("event_id").cast("string").alias("key"),
-            synth_payload("event_id").alias("value"),
+        batch_msgs = base.repartition(32).select(
+            F.col("id").cast("string").alias("key"), F.col("value")
         )
         QS.queue_sink(qdir)(batch_msgs, 0)
-        queue_msgs = (
-            spark.readStream.format("fqueue")
-            .option("path", qdir)
-            .option("rows_per_batch", 500_000)
-            .option("rows_per_partition", 65_536)
-            .load()
-            .select(F.col("key").cast("long").alias("id"), F.col("value"))
-        )
-        fqueue_fed = _run_leg(spark, work, "queue", queue_msgs)
+
+        def queue_msgs():
+            return (
+                spark.readStream.format("fqueue")
+                .option("path", qdir)
+                .option("rows_per_batch", 500_000)
+                .option("rows_per_partition", 65_536)
+                .load()
+                .select(F.col("key").cast("long").alias("id"), F.col("value"))
+            )
+
+        _run_leg(spark, work, "queue_warm", queue_msgs())
+        fqueue_fed = _run_leg(spark, work, "queue", queue_msgs())
 
         end_job_ms = benchmod._job_probe_ms(spark)
         calib_end = benchmod._calibrate()
         record = {
             "metric": "stream_pipeline_rows_per_sec",
             "unit": "rows/sec",
+            "n_rows": n_rows,
             "file_fed": file_fed,
             "fqueue_fed": fqueue_fed,
             "sf_dir": sf_dir,
