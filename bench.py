@@ -464,14 +464,19 @@ def main() -> None:
     # ironically caused by round 9's parse-proofing probes). The full
     # record lives in the sidecar; stdout carries the headline value,
     # run-level calibration, the 5 slowest queries, and a pointer.
-    sidecar = (
-        "BENCH_LAST.json"
-        # the sf0.1 sidecar is the PER-QUERY DIFF REFERENCE for driver
-        # runs — a smoke run at another SF or an --only slice must not
-        # clobber it (self-review follow-up, round 11)
-        if sf == 0.1 and "--only" not in sys.argv
-        else "BENCH_LAST_LOCAL.json"
-    )
+    # three sidecar names so no run class clobbers another's reference
+    # (round-12 self-review: an --only slice overwrote the full-smoke
+    # record the BENCH_LOCAL_r{N} round artifacts are copied from —
+    # the same hole the round-11 fix closed for BENCH_LAST.json):
+    #   BENCH_LAST.json        full sf0.1 run (the driver diff reference)
+    #   BENCH_LAST_LOCAL.json  full run at any other SF (smoke record)
+    #   BENCH_LAST_SLICE.json  any --only slice (throwaway)
+    if "--only" in sys.argv:
+        sidecar = "BENCH_LAST_SLICE.json"
+    elif sf == 0.1:
+        sidecar = "BENCH_LAST.json"
+    else:
+        sidecar = "BENCH_LAST_LOCAL.json"
     try:
         (Path(__file__).resolve().parent / sidecar).write_text(
             json.dumps(record) + "\n"

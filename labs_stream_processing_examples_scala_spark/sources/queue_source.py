@@ -155,10 +155,20 @@ def _atomic_write(path: str, text: str) -> None:
     os.replace(tmp, path)
 
 
-def _write_count(queue_dir: str, seg: int, n_rows: int, size: int) -> None:
-    # "rows:bytes" — the byte size validates the sidecar against later
-    # truncation (retention zeroes a segment; its sidecar goes stale)
-    _atomic_write(_count_path(queue_dir, seg), f"{n_rows}:{size}")
+def _write_count(
+    queue_dir: str, seg: int, n_rows: int, size: int, canonical: bool = False
+) -> None:
+    # "rows:bytes[:j]" — the byte size validates the sidecar against
+    # later truncation (retention zeroes a segment; its sidecar goes
+    # stale). The optional ":j" marks a CANONICAL-JSONL segment: the
+    # producer wrote exactly one json.dumps object per line (publish /
+    # queue_sink), which is what licenses the Arrow fast-path decode —
+    # a post-hoc row-count guard alone cannot tell a canonical block
+    # from a poison block where a skipped blank line and a
+    # two-objects-on-one-line line cancel out (round-12 self-review:
+    # that pairing emitted wrong rows and DROPPED the DLQ poison rows).
+    suffix = ":j" if canonical else ""
+    _atomic_write(_count_path(queue_dir, seg), f"{n_rows}:{size}{suffix}")
 
 
 def _segment_count(queue_dir: str, seg: int) -> int | None:
@@ -176,7 +186,7 @@ def _segment_count(queue_dir: str, seg: int) -> int | None:
         return 0
     try:
         with open(_count_path(queue_dir, seg), encoding="utf-8") as f:
-            n_s, sz_s = f.read().split(":")
+            n_s, sz_s = f.read().split(":")[:2]
         if int(sz_s) == size:
             return int(n_s)
     except (FileNotFoundError, ValueError):
@@ -189,11 +199,30 @@ def _segment_count(queue_dir: str, seg: int) -> int | None:
             last = chunk[-1:]
     if last != b"\n":
         n += 1  # a final unterminated line still decodes as one row
+    # recount rewrite NEVER claims canonical: segment provenance is
+    # unknown here (the flag only ever flows from the producer)
     _write_count(queue_dir, seg, n, size)
     return n
 
 
-def _commit_segment(queue_dir: str, stage: str, n_lines: int | None = None) -> int:
+def _segment_is_canonical(queue_dir: str, seg: int) -> bool:
+    """True iff the producer marked this segment canonical JSONL (one
+    json.dumps object per line) AND the sidecar still matches the
+    current byte size. Anything else — poison segments, pre-round-12
+    sidecars, retention-truncated files — reads via the per-line
+    text-mode decoder."""
+    try:
+        size = os.path.getsize(_seg_path(queue_dir, seg))
+        with open(_count_path(queue_dir, seg), encoding="utf-8") as f:
+            parts = f.read().split(":")
+        return len(parts) >= 3 and parts[2] == "j" and int(parts[1]) == size
+    except (FileNotFoundError, ValueError, OSError):
+        return False
+
+
+def _commit_segment(
+    queue_dir: str, stage: str, n_lines: int | None = None, canonical: bool = False
+) -> int:
     """Link the staged file into the next free ``seg-%012d`` slot
     (max+1, gap-safe — the tombstone-delta protocol). os.link, NOT
     os.rename: rename silently OVERWRITES an existing FILE target on
@@ -215,7 +244,7 @@ def _commit_segment(queue_dir: str, stage: str, n_lines: int | None = None) -> i
     size = os.path.getsize(stage)
     os.unlink(stage)
     if n_lines is not None:
-        _write_count(queue_dir, n, n_lines, size)
+        _write_count(queue_dir, n, n_lines, size, canonical=canonical)
     return n
 
 
@@ -234,7 +263,9 @@ def publish(queue_dir: str, records) -> int:
             yield json.dumps({"key": key, "value": value})
 
     stage, n = _stage_lines(queue_dir, lines())
-    return _commit_segment(queue_dir, stage, n)
+    # json.dumps guarantees one single-line object per record — the
+    # canonical-JSONL provenance the Arrow fast-path decode requires
+    return _commit_segment(queue_dir, stage, n, canonical=True)
 
 
 def publish_poison(queue_dir: str, raw_lines: list[str]) -> int:
@@ -477,14 +508,50 @@ def _decode_block_arrow(block: list[bytes], seg: int, start_pos: int):
     )
 
 
+def _rows_to_batch(rows: list[tuple]):
+    """(seg, pos, key, value) tuples → one Arrow record batch."""
+    import pyarrow as pa
+
+    return pa.record_batch(
+        [
+            pa.array([r[0] for r in rows], type=pa.int64()),
+            pa.array([r[1] for r in rows], type=pa.int64()),
+            pa.array([r[2] for r in rows], type=pa.string()),
+            pa.array([r[3] for r in rows], type=pa.string()),
+        ],
+        names=["seg", "pos", "key", "value"],
+    )
+
+
 def _read_segment_batches(
     queue_dir: str, seg: int, start_row: int = 0, end_row: int | None = None
 ):
     """The span read as an iterator of Arrow record batches — what the
     DSv2 ``read()`` paths yield (PySpark streams RecordBatches through
     to the JVM untouched, skipping the per-row tuple→Arrow conversion).
-    Binary line iteration; blocks of ``_DECODE_BLOCK_LINES`` bound
-    memory, so a large segment still costs only the span consumed."""
+    Blocks of ``_DECODE_BLOCK_LINES`` bound memory, so a large segment
+    still costs only the span consumed.
+
+    The binary fast-path loop runs ONLY for producer-marked canonical
+    segments (``_segment_is_canonical``): one json.dumps object per
+    physical line, by construction. A segment of unknown provenance
+    (publish_poison, pre-marker sidecars, truncation) decodes through
+    the TEXT-MODE per-line reader — the same universal-newline
+    semantics ``_read_segment_rows`` has always had, so the two
+    decoders can never disagree on poison shapes the guards can't see
+    (round-12 self-review: a skipped blank line + a two-object line
+    cancel out in the row-count guard; a bare ``\\r`` splits in text
+    mode but not in binary mode)."""
+    if not _segment_is_canonical(queue_dir, seg):
+        rows: list[tuple] = []
+        for row in _read_segment_rows(queue_dir, seg, start_row, end_row):
+            rows.append(row)
+            if len(rows) >= _DECODE_BLOCK_LINES:
+                yield _rows_to_batch(rows)
+                rows = []
+        if rows:
+            yield _rows_to_batch(rows)
+        return
     with open(_seg_path(queue_dir, seg), "rb") as f:
         block: list[bytes] = []
         block_start = 0
@@ -1298,7 +1365,7 @@ def _publish_partition(
     )
     stage, n = _stage_lines(queue_dir, lines)
     if producer_id is None:
-        _commit_segment(queue_dir, stage, n)
+        _commit_segment(queue_dir, stage, n, canonical=True)
         return
     h = hashlib.sha256()
     with open(stage, "rb") as f:
@@ -1308,7 +1375,7 @@ def _publish_partition(
     if os.path.exists(_marker_path(queue_dir, producer_id, batch_id, pid, digest)):
         os.unlink(stage)  # this exact content already committed
         return
-    seg = _commit_segment(queue_dir, stage, n)
+    seg = _commit_segment(queue_dir, stage, n, canonical=True)
     _write_marker(queue_dir, producer_id, batch_id, pid, digest, seg)
 
 

@@ -235,3 +235,64 @@ def test_self_heal_flags_mt_dirty_sim_query(monkeypatch):
         lambda n: ran.append(n), list(timings), dict(timings), probes, {},
         mt_probes={"x_sim_nsw_topk": 165.0}, mt_floor_hint=160.0,
     ) == {}
+
+
+def test_arrow_consume_poison_cancellation_and_bare_cr(tmp_path):
+    """Round-12 self-review: (a) a skipped blank line + a
+    two-objects-on-one-line line cancel in the row-count guard and the
+    old fast path emitted wrong rows, dropping the DLQ poison rows;
+    (b) a bare carriage return splits lines in text mode but not in
+    binary mode. Both shapes must now decode byte-identically to
+    _read_segment_rows (non-canonical segments take the text-mode
+    per-line path)."""
+    from labs_stream_processing_examples_scala_spark.sources import (
+        queue_source as Q,
+    )
+
+    qdir = str(tmp_path / "q")
+    import os
+
+    os.makedirs(qdir)
+    Q.publish_poison(
+        qdir,
+        [
+            '{"key":"a","value":"x"}{"key":"b","value":"y"}',
+            "",
+            "bare\rreturn",
+            '{"key":"c",',
+            '"value":"z"}',
+        ],
+    )
+    for seg in Q._list_segments(qdir):
+        assert not Q._segment_is_canonical(qdir, seg)
+        want = list(Q._read_segment_rows(qdir, seg))
+        got = _batches_to_tuples(Q._read_segment_batches(qdir, seg))
+        assert got == want, (got, want)
+    # poison rows present (key NULL), none dropped
+    assert all(k is None for _, _, k, _ in want) and len(want) >= 5
+
+
+def test_canonical_marker_flows_from_producers(tmp_path):
+    """publish and queue_sink partitions mark segments canonical (fast
+    path); publish_poison and recount-rewritten sidecars do not."""
+    from labs_stream_processing_examples_scala_spark.sources import (
+        queue_source as Q,
+    )
+
+    qdir = str(tmp_path / "q")
+    import os
+
+    os.makedirs(qdir)
+    s0 = Q.publish(qdir, [("k", "v")])
+    s1 = Q.publish_poison(qdir, ["raw"])
+    assert Q._segment_is_canonical(qdir, s0)
+    assert not Q._segment_is_canonical(qdir, s1)
+    # a recount (stale sidecar) demotes: provenance is unknown
+    os.unlink(Q._count_path(qdir, s0))
+    assert Q._segment_count(qdir, s0) == 1
+    assert not Q._segment_is_canonical(qdir, s0)
+    # sidecar byte-size mismatch also demotes (truncation)
+    s2 = Q.publish(qdir, [("a", "b"), ("c", "d")])
+    with open(Q._seg_path(qdir, s2), "w") as f:
+        f.write("")
+    assert not Q._segment_is_canonical(qdir, s2)

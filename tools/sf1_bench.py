@@ -193,7 +193,11 @@ def main() -> None:
     # bench.py, round-12 verdict task #1: the fat line outgrew tail
     # captures). The per-round BENCH_SF{1,10}_r{N}.json artifact should
     # be COPIED FROM THE SIDECAR, not from stdout.
-    sidecar = f"BENCH_SF{int(sf)}_LAST.json"
+    # --only slices get their own name so they never clobber the
+    # full-run sidecar the BENCH_SF{n}_r{N} round artifacts are copied
+    # from (round-12 self-review, same policy as bench.py)
+    slice_tag = "_SLICE" if "--only" in sys.argv else "_LAST"
+    sidecar = f"BENCH_SF{int(sf)}{slice_tag}.json"
     try:
         (Path(__file__).resolve().parent.parent / sidecar).write_text(
             json.dumps(record) + "\n"
