@@ -69,7 +69,13 @@ def word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _WF_CACHE:
         return _WF_CACHE[key]
-    d = load_table(spark, sf_dir, "documents")
+    from labs_stream_processing_examples_scala_spark.operators.dedup import _spread
+
+    # _spread like the sibling per-row-fold scans (lm.bigram_counts,
+    # text.repetition_stats): the single-parquet fixture is 1 scan
+    # partition, and the corpus-sized split+explode would serialize
+    # through one core before the groupBy (round-12 self-review)
+    d = _spread(load_table(spark, sf_dir, "documents"), spark)
     out = (
         d.select(F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"))
         .groupBy("w")

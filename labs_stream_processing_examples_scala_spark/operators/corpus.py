@@ -196,18 +196,20 @@ def streaming_decontaminate(
     ``stream_docs`` needs (doc_id, text); ``bench_shingles`` is one
     column ``h`` (e.g. the batch pipeline's benchmark shingle set).
     """
-    from labs_stream_processing_examples_scala_spark.functions import hashing as H
-    from labs_stream_processing_examples_scala_spark.functions.text import _tokens
+    from labs_stream_processing_examples_scala_spark.operators.dedup import (
+        shingle_array_col,
+    )
 
-    whs = F.transform(_tokens("text"), H.rolling_hash)
-    c12 = F.zip_with(whs, F.slice(whs, 2, 1 << 30), lambda a, b: (a * 31 + b) % H.P)
-    c123 = F.zip_with(c12, F.slice(whs, 3, 1 << 30), lambda a, b: (a * 31 + b) % H.P)
-    shs = F.array_distinct(F.filter(c123, lambda x: x.isNotNull()))
     bench_row = bench_shingles.agg(F.collect_set("h").alias("bench_shs"))
     return (
-        stream_docs.withColumn("shs", shs)
+        stream_docs.withColumn("shs", shingle_array_col("text"))
         .crossJoin(F.broadcast(bench_row))
-        .filter(~F.arrays_overlap("shs", "bench_shs"))
+        # keep-on-NULL: a NULL-text record has a NULL shingle array,
+        # arrays_overlap returns NULL, and a bare ~NULL filter DROPPED
+        # the row — while the batch decontaminate keeps shingle-less
+        # docs (they produce no gram rows to match). coalesce restores
+        # the stream ≡ batch equivalence (round-12 self-review).
+        .filter(F.coalesce(~F.arrays_overlap("shs", "bench_shs"), F.lit(True)))
         .drop("shs", "bench_shs")
     )
 
@@ -278,12 +280,11 @@ def corpus_pipeline(
     surviving corpus, with every filter pushed as early as its inputs
     allow.
     """
-    from pyspark.sql import Window
-
     from labs_stream_processing_examples_scala_spark.functions.text import _quality_parts
     from labs_stream_processing_examples_scala_spark.operators.sampling import (
-        RESAMPLE_BANDS,
+        RESAMPLE_SALT,
         _bucket,
+        band_keep_pct,
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= n_benchmark)
@@ -301,16 +302,14 @@ def corpus_pipeline(
     )
     _, _, _, score = _quality_parts()
     scored = s2.select("doc_id", "lang", "source", "n_chars", score.alias("quality"))
-    w = Window.partitionBy("lang", "source").orderBy("quality", "doc_id")
-    s3 = scored.withColumn("pr", F.round(F.percent_rank().over(w), 6)).filter(
-        F.col("pr") >= 0.5
-    )
-    # n_chars rode along through the window, so the resample weight is
-    # a plain projection — no join back
-    pct = F.lit(RESAMPLE_BANDS[-1][1])
-    for lo, p in reversed(RESAMPLE_BANDS[:-1]):
-        pct = F.when(F.col("n_chars") >= lo, p).otherwise(pct)
-    return s3.filter(_bucket(F.col("doc_id")) < pct).select(
+    # stages 3-4 ARE the standalone operators, not inline copies
+    # (round-12 self-review): quality_rerank's window+cut and
+    # band_keep_pct's length-band fold — n_chars rode along through
+    # the window, so the resample weight is a plain projection
+    s3 = quality_rerank(scored, 0.5)
+    return s3.filter(
+        _bucket(F.col("doc_id"), RESAMPLE_SALT) < band_keep_pct()
+    ).select(
         "doc_id", "lang", "source", "quality", "pr"
     )
 

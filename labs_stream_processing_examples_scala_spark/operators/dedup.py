@@ -31,7 +31,7 @@ single-space-separated words, so tokenize = split(' ').
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from labs_stream_processing_examples_scala_spark.functions import hashing as H
@@ -184,14 +184,24 @@ def shingle_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def shingle_array_col(text_col: str = "text") -> Column:
+    """The 3-gram shingle-hash SET of one text column, as a row-local
+    column expression — THE shingle definition every consumer shares
+    (batch dedup, span machinery, the streaming decontamination probe):
+    a second inline copy of this chain would silently stop matching the
+    batch-built shingle sets the moment k or the hash compose changed
+    (round-12 self-review)."""
+    whs = F.transform(tokens(text_col), H.rolling_hash)
+    c12 = F.zip_with(whs, F.slice(whs, 2, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
+    c123 = F.zip_with(c12, F.slice(whs, 3, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
+    return F.array_distinct(F.filter(c123, lambda x: x.isNotNull()))
+
+
 def shingle_arrays_of(docs: DataFrame) -> DataFrame:
     """The zero-shuffle shingle-set fold over ANY (doc_id, text) frame
     (batch or a foreachBatch micro-batch) — the uncached core of
     :func:`shingle_hash_arrays`."""
-    whs = F.transform(tokens("text"), H.rolling_hash)
-    c12 = F.zip_with(whs, F.slice(whs, 2, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
-    c123 = F.zip_with(c12, F.slice(whs, 3, _SLICE_BIG), lambda a, b: (a * 31 + b) % H.P)
-    shs = F.array_distinct(F.filter(c123, lambda x: x.isNotNull()))
+    shs = shingle_array_col("text")
     return docs.select("doc_id", shs.alias("shs")).withColumn("sz", F.size("shs"))
 
 

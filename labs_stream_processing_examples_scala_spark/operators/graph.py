@@ -120,14 +120,24 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
             # eager: materialize + truncate lineage
             ranks = ranks.localCheckpoint()
-    return (
+    out = (
         ranks.join(outdeg, ranks.doc_id == outdeg.src, "left")
         .select(
             "doc_id",
             F.round("rank", 6).alias("rank"),
             F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("n_neighbors"),
         )
+        # eager checkpoint severs the result's lineage from the two
+        # persisted frames so they can be RELEASED here: pagerank was
+        # the only operator persisting per-call frames it never
+        # unpersisted, pinning executor storage across repeated calls
+        # (round-12 self-review); the extra materialization is one
+        # n-row frame
+        .localCheckpoint()
     )
+    edges.unpersist()
+    outdeg.unpersist()
+    return out
 
 
 def pagerank_oracle_sql(n_iter: int = N_ITER, damping: float = DAMPING) -> str:

@@ -26,9 +26,29 @@ from labs_stream_processing_examples_scala_spark.functions import hashing as H
 from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
 
-def _bucket(key: Column) -> Column:
-    """Deterministic 0..99 bucket from the record key (stringified)."""
-    return H.rolling_hash(key.cast("string")) % 100
+#: per-sampler bucket salts. Every sampler used to share the identical
+#: unsalted _bucket(doc_id), so COMPOSED samplers were fully correlated
+#: (round-12 self-review): after importance_resample, every survivor had
+#: bucket < keep_pct, so hash_split(train=80) could never route a
+#: short-band survivor to valid/test. A distinct salt per sampler makes
+#: composed keep-decisions independent, like RESERVOIR_SALT already did
+#: for the reservoir rank. The resample salt is shared by
+#: importance_resample, the corpus pipeline's stage 4, and the streaming
+#: ingest decision — those three ARE one sampler (the proven
+#: ingest ≡ batch equivalence depends on it).
+SPLIT_SALT = "split:"
+STRAT_SALT = "strat:"
+RESAMPLE_SALT = "imp:"
+MIX_SALT = "mix:"
+
+
+def _bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic 0..99 bucket from the record key (stringified),
+    decorrelated across samplers by the salt prefix."""
+    k = key.cast("string")
+    if salt:
+        k = F.concat(F.lit(salt), k)
+    return H.rolling_hash(k) % 100
 
 
 def hash_split(
@@ -44,7 +64,7 @@ def hash_split(
     sampling), which is what keeps eval sets honest as a corpus grows.
     """
     d = load_table(spark, sf_dir, "documents")
-    b = _bucket(F.col("doc_id"))
+    b = _bucket(F.col("doc_id"), SPLIT_SALT)
     split = (
         F.when(b < train_pct, "train")
         .when(b < train_pct + valid_pct, "valid")
@@ -67,7 +87,7 @@ def stratified_sample(
     """
     fractions = fractions or {"en": 50, "de": 100, "fr": 100, "es": 100}
     d = load_table(spark, sf_dir, "documents")
-    b = _bucket(F.col("doc_id"))
+    b = _bucket(F.col("doc_id"), STRAT_SALT)
     pct = F.create_map(
         *[x for lang, p in sorted(fractions.items()) for x in (F.lit(lang), F.lit(p))]
     )[F.col("lang")]
@@ -78,6 +98,19 @@ def stratified_sample(
 # stored n_chars length band (integer arithmetic only — no FP boundary
 # can disagree with the oracle). Rendered into the DuckDB SQL.
 RESAMPLE_BANDS = ((400, 100), (300, 75), (200, 50), (100, 25), (0, 10))
+
+
+def band_keep_pct(n_chars: Column | None = None) -> Column:
+    """keep-probability (0-100) from the RESAMPLE_BANDS length bands —
+    the ONE fold both :func:`importance_resample` and the flagship
+    corpus pipeline's resample stage evaluate (round-12 self-review:
+    two inline copies could silently desynchronize the pipeline from
+    its standalone stage)."""
+    n_chars = F.col("n_chars") if n_chars is None else n_chars
+    pct = F.lit(RESAMPLE_BANDS[-1][1])
+    for lo, p in reversed(RESAMPLE_BANDS[:-1]):
+        pct = F.when(n_chars >= lo, p).otherwise(pct)
+    return pct
 
 
 def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,10 +125,8 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushes to the scan.
     """
     d = load_table(spark, sf_dir, "documents")
-    b = _bucket(F.col("doc_id"))
-    w = F.lit(RESAMPLE_BANDS[-1][1])
-    for lo, pct in reversed(RESAMPLE_BANDS[:-1]):
-        w = F.when(F.col("n_chars") >= lo, pct).otherwise(w)
+    b = _bucket(F.col("doc_id"), RESAMPLE_SALT)
+    w = band_keep_pct()
     return (
         d.select("doc_id", "n_chars", w.alias("keep_pct"), b.cast("int").alias("bucket"))
         .filter(F.col("bucket") < F.col("keep_pct"))
@@ -144,7 +175,7 @@ def mixture_sample(
         counts.crossJoin(F.broadcast(totals))  # one row
         .select("source", pct.cast("int").alias("keep_pct"))
     )
-    b = _bucket(F.col("doc_id"))
+    b = _bucket(F.col("doc_id"), MIX_SALT)
     return (
         d.join(F.broadcast(rates), "source")
         .select("doc_id", "source", "keep_pct", b.cast("int").alias("bucket"))

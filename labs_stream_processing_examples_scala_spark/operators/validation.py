@@ -48,8 +48,14 @@ def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per declared constraint, plus a key-uniqueness check, all from ONE
     pass over the table (single aggregate; unpivot is narrow)."""
     o = load_table(spark, sf_dir, "orders")
+    # NULL-hostile counting: a NULL column value makes the check
+    # predicate NULL, and count_if(~NULL) silently counted the row as
+    # PASSING every domain/range check — a quality gate waving through
+    # rows with missing prices/dates (round-12 self-review). coalesce
+    # pins NULL → violation; the oracle applies the identical wrap.
     aggs = [F.count("*").alias("n_rows")] + [
-        F.count_if(~F.expr(cond)).alias(name) for name, cond in ORDER_CHECKS
+        F.count_if(~F.coalesce(F.expr(cond), F.lit(False))).alias(name)
+        for name, cond in ORDER_CHECKS
     ]
     # uniqueness folds into the same pass: violations = rows − distinct
     aggs.append(
@@ -70,7 +76,8 @@ def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def validate_orders_oracle_sql() -> str:
     cols = ",\n".join(
-        f"count(*) FILTER (NOT ({cond})) AS {name}" for name, cond in ORDER_CHECKS
+        f"count(*) FILTER (NOT coalesce(({cond}), FALSE)) AS {name}"
+        for name, cond in ORDER_CHECKS
     )
     names = [name for name, _ in ORDER_CHECKS] + ["orderkey_unique"]
     arms = " UNION ALL ".join(

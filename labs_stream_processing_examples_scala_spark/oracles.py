@@ -315,7 +315,9 @@ def text_langid_ngram() -> str:
 
 
 def sampling_hash_split(train_pct: int = 80, valid_pct: int = 10) -> str:
-    b = f"({rolling_hash_sql_key()} % 100)"
+    from labs_stream_processing_examples_scala_spark.operators.sampling import SPLIT_SALT
+
+    b = f"({rolling_hash_sql_key(SPLIT_SALT)} % 100)"
     return f"""
         SELECT doc_id,
                CAST({b} AS INT) AS bucket,
@@ -326,8 +328,12 @@ def sampling_hash_split(train_pct: int = 80, valid_pct: int = 10) -> str:
     """
 
 
-def rolling_hash_sql_key() -> str:
-    return H.rolling_hash_sql("CAST(doc_id AS VARCHAR)")
+def rolling_hash_sql_key(salt: str = "") -> str:
+    # salt mirrors sampling._bucket's per-sampler decorrelation
+    # (round-12 self-review: shared unsalted buckets correlated every
+    # composed sampler)
+    key = f"'{salt}' || CAST(doc_id AS VARCHAR)" if salt else "CAST(doc_id AS VARCHAR)"
+    return H.rolling_hash_sql(key)
 
 
 def sampling_reservoir() -> str:
@@ -349,8 +355,10 @@ def sampling_reservoir() -> str:
 
 
 def sampling_stratified(fractions: dict[str, int] | None = None) -> str:
+    from labs_stream_processing_examples_scala_spark.operators.sampling import STRAT_SALT
+
     fractions = fractions or {"en": 50, "de": 100, "fr": 100, "es": 100}
-    b = f"({rolling_hash_sql_key()} % 100)"
+    b = f"({rolling_hash_sql_key(STRAT_SALT)} % 100)"
     arms = " ".join(f"WHEN '{lang}' THEN {p}" for lang, p in sorted(fractions.items()))
     return f"""
         SELECT doc_id, lang, source
@@ -513,13 +521,16 @@ def text_vocab_topk(k: int = 100) -> str:
 
 
 def sampling_importance_resample() -> str:
-    from labs_stream_processing_examples_scala_spark.operators.sampling import RESAMPLE_BANDS
+    from labs_stream_processing_examples_scala_spark.operators.sampling import (
+        RESAMPLE_BANDS,
+        RESAMPLE_SALT,
+    )
 
     arms = " ".join(
         f"WHEN n_chars >= {lo} THEN {pct}" for lo, pct in RESAMPLE_BANDS[:-1]
     )
     w = f"CASE {arms} ELSE {RESAMPLE_BANDS[-1][1]} END"
-    b = f"{rolling_hash_sql_key()} % 100"
+    b = f"{rolling_hash_sql_key(RESAMPLE_SALT)} % 100"
     return f"""
         SELECT doc_id, n_chars, {w} AS keep_pct, CAST({b} AS INT) AS bucket
         FROM documents
@@ -529,11 +540,12 @@ def sampling_importance_resample() -> str:
 
 def sampling_mixture() -> str:
     from labs_stream_processing_examples_scala_spark.operators.sampling import (
+        MIX_SALT,
         MIXTURE_BUDGET_PCT,
         MIXTURE_TEMPERATURE,
     )
 
-    b = f"{rolling_hash_sql_key()} % 100"
+    b = f"{rolling_hash_sql_key(MIX_SALT)} % 100"
     w = f"pow(CAST(n_s AS DOUBLE), {MIXTURE_TEMPERATURE})"
     expected = f"({w} / SUM({w}) OVER ()) * (SUM(n_s) OVER () * {MIXTURE_BUDGET_PCT} / 100.0)"
     return f"""
@@ -700,11 +712,14 @@ def corpus_pipeline(n_benchmark: int = 20) -> str:
     """End-to-end corpus assembly: decontaminate → exact dedup →
     quality filter → length-band resample — each stage's SQL copied
     verbatim from its standalone oracle so the chain cannot drift."""
-    from labs_stream_processing_examples_scala_spark.operators.sampling import RESAMPLE_BANDS
+    from labs_stream_processing_examples_scala_spark.operators.sampling import (
+        RESAMPLE_BANDS,
+        RESAMPLE_SALT,
+    )
 
     arms = " ".join(f"WHEN n_chars >= {lo} THEN {pct}" for lo, pct in RESAMPLE_BANDS[:-1])
     w = f"CASE {arms} ELSE {RESAMPLE_BANDS[-1][1]} END"
-    b = f"{rolling_hash_sql_key()} % 100"
+    b = f"{rolling_hash_sql_key(RESAMPLE_SALT)} % 100"
     return f"""
         WITH {SHINGLES_CTE},
         bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < {n_benchmark}),

@@ -248,13 +248,15 @@ class StreamingIngestPipeline:
             # percentile over the resampled subset would be biased by
             # the length bands), while kept() serves only sampled rows
             from labs_stream_processing_examples_scala_spark.operators.sampling import (
-                RESAMPLE_BANDS,
+                RESAMPLE_SALT,
                 _bucket,
+                band_keep_pct,
             )
 
-            pct = F.lit(RESAMPLE_BANDS[-1][1])
-            for lo, p in reversed(RESAMPLE_BANDS[:-1]):
-                pct = F.when(F.col("n_chars") >= lo, p).otherwise(pct)
+            # the SAME salt + band fold as importance_resample and the
+            # batch pipeline's stage 4: the ingest ≡ batch equivalence
+            # test depends on the three making identical keep decisions
+            pct = band_keep_pct()
 
             # 5) idempotent append: kept docs + index rows of ALL
             # dedup-survivors (resample losers still index — they were
@@ -267,7 +269,7 @@ class StreamingIngestPipeline:
                     "source",
                     "n_chars",
                     "quality",
-                    (_bucket(F.col("doc_id")) < pct).alias("sampled"),
+                    (_bucket(F.col("doc_id"), RESAMPLE_SALT) < pct).alias("sampled"),
                 ),
                 self.kept_dir,
                 batch_id,

@@ -296,3 +296,131 @@ def test_canonical_marker_flows_from_producers(tmp_path):
     with open(Q._seg_path(qdir, s2), "w") as f:
         f.write("")
     assert not Q._segment_is_canonical(qdir, s2)
+
+
+# --- round-12 task #1: the driver-tail-capture contract ------------------
+
+
+def test_bench_compact_line_fits_driver_tail_capture(tmp_path, monkeypatch):
+    """The driver records the last ~2000 chars of bench stdout; round
+    11's fat headline line outgrew it (BENCH_r11.json parsed:null).
+    Pin the contract: the compact line stays under 1.5 KB with the
+    required keys even at the full 53-query scale, and the fat record
+    goes to the sidecar."""
+    import json as _json
+
+    import bench
+
+    # build a worst-case record shape: 60 long-named queries, full
+    # calibration, errors — then exercise the same compact-projection
+    # the main() path emits
+    timings = {f"x_very_long_query_name_number_{i:03d}": 123.456 for i in range(60)}
+    calib = {k: 9999.9 for k in (
+        "start_py_ms", "start_np_ms", "start_mt_ms",
+        "end_py_ms", "end_np_ms", "end_mt_ms",
+        "start_job_ms", "end_job_ms",
+    )}
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "queries_n": len(timings),
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
+        "calibration": calib,
+        "retries_n": 99,
+        "errors_n": 3,
+        "detail": "BENCH_LAST.json",
+        "errors": {k: "E" * 80 for k in list(timings)[:3]},
+    }
+    line = _json.dumps(compact)
+    assert len(line) < 1500, len(line)
+    parsed = _json.loads(line)
+    for key in ("metric", "value", "unit", "sf", "queries", "calibration"):
+        assert key in parsed
+    # and the real module keeps the pieces this projection relies on
+    assert hasattr(bench, "MT_PROBE_PREFIXES")
+    assert "BENCH_LAST" in open(bench.__file__).read()
+
+
+# --- round-12 review sweep: sampler independence, NULL-hostile checks ----
+
+
+def test_composed_samplers_are_decorrelated(spark):
+    """Unsalted shared buckets made every composed sampler fully
+    correlated: after importance_resample every survivor had
+    bucket < keep_pct, so hash_split could never route short-band
+    survivors to valid/test (round-12 self-review). With per-sampler
+    salts, survivors of one sampler land in ALL THREE splits."""
+    from labs_stream_processing_examples_scala_spark.operators import (
+        sampling as SMP,
+    )
+    from tests.conftest import SF_SMOKE
+
+    surv = SMP.importance_resample(spark, SF_SMOKE).select("doc_id")
+    splits = (
+        SMP.hash_split(spark, SF_SMOKE)
+        .join(surv, "doc_id")
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    got = {r.split for r in splits}
+    assert got == {"train", "valid", "test"}, got
+    # the precise pre-fix impossibility: every survivor had
+    # split-bucket == resample-bucket < keep_pct, so NO survivor could
+    # carry a split bucket at or above its keep percentage
+    surv_full = SMP.importance_resample(spark, SF_SMOKE)
+    joined = SMP.hash_split(spark, SF_SMOKE).join(
+        surv_full.select("doc_id", "keep_pct"), "doc_id"
+    )
+    assert joined.filter("bucket >= keep_pct").count() > 0
+
+
+def test_validate_orders_counts_null_as_violation(spark, tmp_path):
+    """A NULL price/date made the check predicate NULL and the old
+    count_if(~cond) counted the row as PASSING (round-12 self-review).
+    NULLs must count as violations for domain/range checks."""
+    import os
+
+    from labs_stream_processing_examples_scala_spark.operators import (
+        validation as V,
+    )
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    base = load_table(spark, SF_SMOKE, "orders")
+    nulled = base.limit(10).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(NULL AS DOUBLE) AS o_totalprice",
+        "CAST(NULL AS TIMESTAMP) AS o_orderdate",
+        "o_orderpriority",
+        *[c for c in base.columns if c not in (
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")],
+    )
+    work = str(tmp_path / "orders_nulls")
+    os.makedirs(work)
+    base.unionByName(nulled.select(*base.columns)).write.parquet(
+        f"{work}/orders.parquet"
+    )
+    rep = {r.check: r.n_violations for r in V.validate_orders(spark, work).collect()}
+    assert rep["price_positive"] >= 10
+    assert rep["price_below_cap"] >= 10
+    assert rep["date_in_range"] >= 10
+
+
+def test_streaming_decontaminate_keeps_null_text(spark):
+    """NULL text → NULL shingles → NULL arrays_overlap: the bare ~
+    filter dropped the row while batch decontaminate keeps shingle-less
+    docs (round-12 self-review)."""
+    from labs_stream_processing_examples_scala_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(999999999,)], "h long")
+    kept = {r.doc_id for r in CP.streaming_decontaminate(docs, bench).collect()}
+    assert kept == {1, 2, 3}, kept
