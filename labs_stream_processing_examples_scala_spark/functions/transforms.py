@@ -64,6 +64,14 @@ def transform_additional(id_col: Column | str) -> Column:
     return F.concat(F.lit("transformed "), _col(id_col).cast("string"))
 
 
+def transform_additional_py(msg_id) -> str:
+    """The Python-side twin of :func:`transform_additional` for
+    pandas-batch stateful operators — ONE definition of the P4 format
+    (round-12 self-review: the two J3 gather implementations each
+    hardcoded the f-string)."""
+    return f"transformed {msg_id}"
+
+
 def enrich(id_col: Column | str = "id", value: Column | str = "value") -> list[Column]:
     """J1/J4 select-form fan-in: the three parallel enrichments plus the
     transform, as one flat projection (SURVEY §2.3). The reference's

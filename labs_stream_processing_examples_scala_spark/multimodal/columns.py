@@ -269,6 +269,7 @@ def _frames_of(payload: bytes, n_frames: int, every: int) -> list[tuple[int, byt
       "frame" of an unstructured payload).
     """
     raw = payload
+    sample_bytes = 1
     try:
         if payload[:2] == b"P6":
             decoded = codecs.decode_ppm_stream(payload)
@@ -276,9 +277,15 @@ def _frames_of(payload: bytes, n_frames: int, every: int) -> list[tuple[int, byt
         if codecs.sniff_modality(payload) == "audio":
             _, _, samples = codecs.decode_wav(payload)
             raw = samples.tobytes()
+            sample_bytes = samples.dtype.itemsize  # int16 PCM → 2
     except Exception:
         raw = payload  # corrupt/truncated container — byte chunks below
-    chunk = max(len(raw) // n_frames, 1)
+        sample_bytes = 1
+    # chunk on SAMPLE boundaries: an odd byte chunk over int16 PCM
+    # split samples across frames and misaligned every later frame by
+    # one byte (round-12 self-review; the 128-sample fixtures happened
+    # to divide evenly, so tests never saw it)
+    chunk = max(len(raw) // n_frames // sample_bytes, 1) * sample_bytes
     out = []
     for fi in range(0, n_frames, every):
         frame = raw[fi * chunk : (fi + 1) * chunk]
@@ -344,7 +351,11 @@ def _augment_one(payload: bytes) -> list[tuple[str, bytes]]:
                 ("crop", codecs.encode_ppm(crop)),
             ]
         if codecs.sniff_modality(payload) == "audio":
-            rate, _, samples = codecs.decode_wav(payload)
+            # decode_wav returns (n_channels, framerate, samples) —
+            # unpacking rate from slot 0 re-encoded every 'gain' clip
+            # at framerate == channel count, i.e. 1 Hz (round-12
+            # self-review; the old test oracle repeated the same swap)
+            _, rate, samples = codecs.decode_wav(payload)
             return [("gain", codecs.encode_wav(samples // 2, rate))]
     except Exception:
         pass  # corrupt/truncated container — fall through to pass-through

@@ -23,11 +23,58 @@ T = TypeVar("T")
 
 # F1 — temporary-vs-permanent classification
 # (FuturesProcessor.scala:76: IOException | TimeoutException).
+#
+# Two round-12 self-review fixes on the Python rendering of that rule:
+# - IOError is an ALIAS of OSError, so the bare isinstance check called
+#   FileNotFoundError / PermissionError / IsADirectoryError "temporary"
+#   — retrying genuinely permanent errors `times` times and re-raising
+#   them as RetryExhausted, hiding the real class from the R4 router.
+# - Real transient Spark write failures surface as Py4JJavaError (or a
+#   pyspark.errors wrapper), which derives from Exception, not OSError
+#   — so the only failure path with_retry exists for was classified
+#   permanent and never retried. Those are matched by the JAVA-side
+#   class/condition named in the message (IOException, TimeoutException,
+#   connection classes — the reference's own predicate, applied to
+#   where the JVM actually puts it).
 TEMPORARY_EXCEPTIONS: tuple[type[BaseException], ...] = (IOError, TimeoutError, ConnectionError)
+
+#: OSError subclasses that are configuration/caller errors, not
+#: transient conditions — fail fast so the DLQ records the real class
+PERMANENT_OS_ERRORS: tuple[type[BaseException], ...] = (
+    FileNotFoundError,
+    PermissionError,
+    IsADirectoryError,
+    NotADirectoryError,
+)
+
+#: substrings that mark a JVM-surfaced exception as the reference's
+#: IOException | TimeoutException class (plus the connection family
+#: those abstract over)
+_JVM_TEMPORARY_MARKERS = (
+    "IOException",
+    "TimeoutException",
+    "SocketException",
+    "ConnectException",
+    "UnknownHostException",
+    "Connection reset",
+    "Connection refused",
+    "FetchFailed",
+    "temporarily unavailable",
+)
 
 
 def is_temporary_exception(exc: BaseException) -> bool:
-    return isinstance(exc, TEMPORARY_EXCEPTIONS)
+    if isinstance(exc, PERMANENT_OS_ERRORS):
+        return False
+    if isinstance(exc, TEMPORARY_EXCEPTIONS):
+        return True
+    mod = type(exc).__module__ or ""
+    if type(exc).__name__ == "Py4JJavaError" or mod.startswith(
+        ("py4j", "pyspark")
+    ):
+        msg = str(exc)
+        return any(m in msg for m in _JVM_TEMPORARY_MARKERS)
+    return False
 
 
 class RetryExhausted(Exception):

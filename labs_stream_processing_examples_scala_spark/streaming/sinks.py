@@ -65,9 +65,17 @@ def main_and_dlq_sink(
         try:
             ok, bad = split_ok_err(df, err_col)
             with_retry(lambda: on_write(ok, output_path, batch_id), times=retry_times)
-            dlq = bad.withColumn("err_cls", F.col(f"{err_col}.cls")).withColumn(
-                "err_msg", F.col(f"{err_col}.msg")
-            ).drop(err_col)
+            # flatten ALL THREE err fields: origin records WHICH
+            # enrichment step failed — the datum merge_errors'
+            # first-error-wins precedence exists to produce; dropping
+            # it made the persisted DLQ untriageable by stage
+            # (round-12 self-review)
+            dlq = (
+                bad.withColumn("err_cls", F.col(f"{err_col}.cls"))
+                .withColumn("err_msg", F.col(f"{err_col}.msg"))
+                .withColumn("err_origin", F.col(f"{err_col}.origin"))
+                .drop(err_col)
+            )
             with_retry(lambda: on_write(dlq, dlq_path, batch_id), times=retry_times)
         finally:
             df.unpersist()

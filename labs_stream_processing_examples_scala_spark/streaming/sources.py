@@ -64,8 +64,13 @@ def file_stream(spark: SparkSession, path: str, schema=None, fmt: str = "parquet
         )
         os.makedirs(staged, exist_ok=True)
         link = os.path.join(staged, os.path.basename(path))
-        if not os.path.exists(link):
+        try:
             os.symlink(os.path.abspath(path), link)
+        except FileExistsError:
+            pass  # another session staged the same fixture concurrently
+            # (the exists-then-symlink form was a check-then-act race —
+            # round-12 self-review); same target by construction of the
+            # hashed dir, so the existing link is correct
         path = staged
     reader = spark.readStream.format(fmt)
     if schema is not None:

@@ -103,6 +103,40 @@ GATHER_OUTPUT_SCHEMA = (
 GATHER_STATE_SCHEMA = "value string, extra1 string, extra2 string, extra3_name string"
 
 
+def _gather_row(msg_id, value, e1, e2, e3, status, with_status: bool) -> pd.DataFrame:
+    """The one J3 output-row builder, shared by BOTH stateful gather
+    implementations (applyInPandasWithState and transformWithState) —
+    the round-10 timer fix had to be reasoned about twice because each
+    carried its own copy (round-12 self-review)."""
+    out = {
+        "id": msg_id,
+        "value": value,
+        "extra1": e1,
+        "extra2": e2,
+        "extra3_name": e3,
+        "additional": X.transform_additional_py(msg_id),
+    }
+    if with_status:
+        out["status"] = status
+    return pd.DataFrame([out])
+
+
+def _fold_slots(pdf_iter, value, e1, e2, e3):
+    """Accumulate slot arrivals into the (value, e1, e2, e3) state —
+    unexpected slots are dropped-and-logged in the reference (F3,
+    AkkaPipelineActors.scala:55), here simply ignored."""
+    for pdf in pdf_iter:
+        for row in pdf.itertuples(index=False):
+            value = row.value if row.value is not None else value
+            if row.slot == "extra1":
+                e1 = row.res
+            elif row.slot == "extra2":
+                e2 = row.res
+            elif row.slot == "extra3":
+                e3 = row.res
+    return value, e1, e2, e3
+
+
 def _make_gather_fn(ttl_ms: int | None):
     """Build the gather function; with ``ttl_ms`` the state carries an
     INACTIVITY deadline (GroupState ProcessingTimeTimeout — reset on
@@ -110,19 +144,6 @@ def _make_gather_fn(ttl_ms: int | None):
     semantics at reference AkkaPipelineActors.scala:144-151) and a
     timed-out gather emits its partial record with status='timeout'
     (the ``onNotProcessed`` NACK leg, errors-as-data)."""
-
-    def _row(msg_id, value, e1, e2, e3, status):
-        out = {
-            "id": msg_id,
-            "value": value,
-            "extra1": e1,
-            "extra2": e2,
-            "extra3_name": e3,
-            "additional": f"transformed {msg_id}",
-        }
-        if ttl_ms is not None:
-            out["status"] = status
-        return pd.DataFrame([out])
 
     def gather(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
         """Accumulate slot values for one message id; emit when all
@@ -133,22 +154,12 @@ def _make_gather_fn(ttl_ms: int | None):
         value, e1, e2, e3 = state.get if state.exists else (None, None, None, None)
         if ttl_ms is not None and state.hasTimedOut:
             state.remove()
-            yield _row(msg_id, value, e1, e2, e3, "timeout")
+            yield _gather_row(msg_id, value, e1, e2, e3, "timeout", ttl_ms is not None)
             return
-        for pdf in pdf_iter:
-            for row in pdf.itertuples(index=False):
-                value = row.value if row.value is not None else value
-                if row.slot == "extra1":
-                    e1 = row.res
-                elif row.slot == "extra2":
-                    e2 = row.res
-                elif row.slot == "extra3":
-                    e3 = row.res
-                # unexpected slots are dropped-and-logged in the reference
-                # (F3, AkkaPipelineActors.scala:55) — here simply ignored
+        value, e1, e2, e3 = _fold_slots(pdf_iter, value, e1, e2, e3)
         if e1 is not None and e2 is not None and e3 is not None:
             state.remove()
-            yield _row(msg_id, value, e1, e2, e3, "complete")
+            yield _gather_row(msg_id, value, e1, e2, e3, "complete", ttl_ms is not None)
         else:
             state.update((value, e1, e2, e3))
             if ttl_ms is not None:
@@ -323,17 +334,8 @@ def transform_with_state_gather(
             self.state = handle.getValueState("slots", GATHER_STATE_SCHEMA)
 
         def _row(self, msg_id, value, e1, e2, e3, status):
-            out = {
-                "id": msg_id,
-                "value": value,
-                "extra1": e1,
-                "extra2": e2,
-                "extra3_name": e3,
-                "additional": f"transformed {msg_id}",
-            }
-            if use_ttl:
-                out["status"] = status
-            return _pd.DataFrame([out])
+            # the shared J3 row builder (round-12 self-review dedup)
+            return _gather_row(msg_id, value, e1, e2, e3, status, use_ttl)
 
         def handleInputRows(self, key, rows, timerValues):
             (msg_id,) = key
@@ -341,15 +343,7 @@ def transform_with_state_gather(
             value, e1, e2, e3 = (
                 self.state.get() if existed else (None, None, None, None)
             )
-            for pdf in rows:
-                for row in pdf.itertuples(index=False):
-                    value = row.value if row.value is not None else value
-                    if row.slot == "extra1":
-                        e1 = row.res
-                    elif row.slot == "extra2":
-                        e2 = row.res
-                    elif row.slot == "extra3":
-                        e3 = row.res
+            value, e1, e2, e3 = _fold_slots(rows, value, e1, e2, e3)
             if e1 is not None and e2 is not None and e3 is not None:
                 self.state.clear()
                 if use_ttl:

@@ -1158,8 +1158,13 @@ def test_multimodal_augment_matches_numpy_oracle(spark):
             assert np.array_equal(flipped[:, ::-1], px)
             n_img += 1
         elif codecs.sniff_modality(payload) == "audio":
-            rate, _, samples = codecs.decode_wav(payload)
+            # (n_channels, framerate, samples) — the oracle used to
+            # repeat the implementation's slot swap, green-lighting
+            # 1 Hz output (round-12 self-review)
+            _, rate, samples = codecs.decode_wav(payload)
             assert out[(doc_id, "gain")] == codecs.encode_wav(samples // 2, rate)
+            round_trip = codecs.decode_wav(out[(doc_id, "gain")])
+            assert round_trip[1] == rate, "gain clip must keep the framerate"
             n_aud += 1
         elif (doc_id, "none") in out:
             assert out[(doc_id, "none")] == payload

@@ -424,3 +424,90 @@ def test_streaming_decontaminate_keeps_null_text(spark):
     bench = spark.createDataFrame([(999999999,)], "h long")
     kept = {r.doc_id for r in CP.streaming_decontaminate(docs, bench).collect()}
     assert kept == {1, 2, 3}, kept
+
+
+# --- round-12 review sweep 2: retry classification, DLQ origin, WAV ------
+
+
+def test_retry_classification_round12():
+    """IOError is an alias of OSError, so the old check called
+    FileNotFoundError/PermissionError 'temporary' while real transient
+    Spark failures (Py4JJavaError wrapping java.io.IOException) were
+    'permanent' and never retried (round-12 self-review)."""
+    from labs_stream_processing_examples_scala_spark.streaming.retry import (
+        is_temporary_exception,
+    )
+
+    # permanent: configuration/caller errors fail fast
+    assert not is_temporary_exception(FileNotFoundError("missing"))
+    assert not is_temporary_exception(PermissionError("denied"))
+    assert not is_temporary_exception(IsADirectoryError("dir"))
+    assert not is_temporary_exception(ValueError("logic"))
+    # temporary: the python connection/timeout family + generic OSError
+    assert is_temporary_exception(ConnectionResetError("reset"))
+    assert is_temporary_exception(TimeoutError("slow"))
+    assert is_temporary_exception(OSError("disk hiccup"))
+
+    # JVM-surfaced: classified by the java-side condition in the message
+    class Py4JJavaError(Exception):
+        pass
+
+    assert is_temporary_exception(
+        Py4JJavaError("An error occurred: java.io.IOException: Connection reset")
+    )
+    assert is_temporary_exception(
+        Py4JJavaError("java.util.concurrent.TimeoutException: Futures timed out")
+    )
+    assert not is_temporary_exception(
+        Py4JJavaError("org.apache.spark.sql.AnalysisException: column not found")
+    )
+
+
+def test_dlq_persists_err_origin(spark, tmp_path):
+    """The persisted DLQ must carry err.origin — which enrichment step
+    failed is the datum merge_errors' first-error-wins precedence
+    produces; the old flatten dropped it (round-12 self-review)."""
+    from labs_stream_processing_examples_scala_spark.functions.errors import (
+        err_struct,
+    )
+    from labs_stream_processing_examples_scala_spark.streaming.sinks import (
+        main_and_dlq_sink,
+        read_batched_output,
+    )
+
+    df = spark.range(4).select(
+        "id",
+        F.when(
+            F.col("id") % 2 == 0,
+            err_struct(F.lit("IOException"), F.lit("boom"), "enrich2"),
+        ).alias("err"),
+    )
+    out, dlq = str(tmp_path / "out"), str(tmp_path / "dlq")
+    main_and_dlq_sink(out, dlq)(df, 0)
+    rows = read_batched_output(spark, dlq).collect()
+    assert rows and all(r.err_origin == "enrich2" for r in rows)
+    assert {r.err_cls for r in rows} == {"IOException"}
+
+
+def test_wav_gain_keeps_framerate_and_frames_align():
+    """decode_wav returns (n_channels, framerate, samples); the old
+    unpack re-encoded 'gain' clips at 1 Hz, and odd byte chunks split
+    int16 samples across frame boundaries (round-12 self-review)."""
+    import numpy as np
+
+    from labs_stream_processing_examples_scala_spark.multimodal import (
+        codecs,
+        columns,
+    )
+
+    samples = (np.arange(136, dtype="<i2") * 7) % 2000
+    wav = codecs.encode_wav(samples, framerate=8000)
+    [(op, out)] = columns._augment_one(wav)
+    assert op == "gain"
+    nch, rate, got = codecs.decode_wav(out)
+    assert rate == 8000 and nch == 1
+    assert np.array_equal(got, samples // 2)
+    # 136 samples / 16 frames -> 8 samples (16 bytes) per frame, never
+    # an odd-byte split
+    frames = columns._frames_of(wav, n_frames=16, every=1)
+    assert frames and all(len(f) % 2 == 0 for _, f in frames)
