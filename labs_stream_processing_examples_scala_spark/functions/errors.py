@@ -32,17 +32,32 @@ def err_struct(cls: Column, msg: Column, origin: str) -> Column:
     return F.struct(cls.alias("cls"), msg.alias("msg"), F.lit(origin).alias("origin"))
 
 
-def chaos_err(id_col: Column | str, origin: str = "enrich") -> Column:
+def chaos_err(
+    id_col: Column | str, origin: str = "enrich", step: int | None = None
+) -> Column:
     """R7 deterministic chaos: null for ok rows, an err struct otherwise.
 
     ``id % 5 == 0`` fails (20%, Services.scala:20); of those,
     ``id % 10 == 0`` is temporary (50%, Services.scala:23) and surfaces as
     ``IOException`` (Services.scala:107-111), the rest permanent
     (``Exception``).
-    """
+
+    ``step`` (1-based) makes a MULTI-STEP pipeline's failures
+    per-step: with f = ⌊id/5⌋ % 3, step i fails iff f < i — so f=0
+    rows fail all three steps (first-error-wins → enrich1), f=1 rows
+    fail steps 2-3 (→ enrich2), f=2 rows fail step 3 only (→ enrich3).
+    The UNION of failing rows stays exactly ``id % 5 == 0`` (every
+    downstream count/oracle unchanged), every origin is reachable, and
+    the E2 precedence still has multi-failure rows to act on. Without
+    ``step``, the predicate made all three origins fire on the same
+    rows and the merged origin could only ever be the first (round-12
+    self-review)."""
     id_c = F.col(id_col) if isinstance(id_col, str) else id_col
+    fails = id_c % 5 == 0
+    if step is not None:
+        fails = fails & (F.pmod(F.floor(id_c / F.lit(5)), F.lit(3)) < step)
     return F.when(
-        id_c % 5 == 0,
+        fails,
         err_struct(
             F.when(id_c % 10 == 0, F.lit("IOException")).otherwise(F.lit("Exception")),
             F.concat(F.lit("chaos failure for id "), id_c.cast("string")),

@@ -139,6 +139,13 @@ def invalidate_cache(sf_dir: str | None = None) -> None:
     for key in list(_lm._LM_CACHE):
         if sf_dir is None or key[1] == sf_dir:
             _lm._LM_CACHE.pop(key).unpersist()
+    from labs_stream_processing_examples_scala_spark.operators import (
+        quantization as _qz,
+    )
+
+    for key in list(_qz._CODES_CACHE):
+        if sf_dir is None or key[1] == sf_dir:
+            _qz._CODES_CACHE.pop(key).unpersist()
 
 
 def _spread(d: DataFrame, spark: SparkSession) -> DataFrame:

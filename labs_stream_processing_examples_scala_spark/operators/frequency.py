@@ -120,14 +120,14 @@ def _summaries_cached(spark: SparkSession, sf_dir: str, docs: "DataFrame") -> "D
     pinned a fresh copy per heavy_hitters() call for the session's
     lifetime (self-review finding, round 11)."""
     from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _cache_get_refresh,
         _cache_put_bounded,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _SUMMARY_CACHE:
-        df = _SUMMARY_CACHE.pop(key)
-        _SUMMARY_CACHE[key] = df  # refresh recency
-        return df
+    hit = _cache_get_refresh(_SUMMARY_CACHE, key)
+    if hit is not None:
+        return hit
     out = docs.mapInArrow(
         _misra_gries_partition, schema="token string, cnt long, kind string"
     ).persist()

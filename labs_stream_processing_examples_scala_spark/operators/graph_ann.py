@@ -262,12 +262,14 @@ def nsw_build(
     if n_shards is None:
         n_shards = _auto_shards(_corpus_rows(spark, sf_dir))
     key = (spark.sparkContext.applicationId, sf_dir, n_shards, m)
-    if key in _GRAPH_CACHE:
-        # refresh recency (see similarity._cache_put_bounded): a hit
-        # re-inserts so the hottest graph is never the eviction victim
-        df = _GRAPH_CACHE.pop(key)
-        _GRAPH_CACHE[key] = df
-        return df
+    from labs_stream_processing_examples_scala_spark.operators.similarity import (
+        _cache_get_refresh,
+        _cache_put_bounded,
+    )
+
+    hit = _cache_get_refresh(_GRAPH_CACHE, key)
+    if hit is not None:
+        return hit  # recency refreshed: hottest graph never evicted
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -281,10 +283,6 @@ def nsw_build(
     out = e.mapInPandas(
         make_shard_builder(m, ef_construction), _GRAPH_SCHEMA
     ).persist()
-    from labs_stream_processing_examples_scala_spark.operators.similarity import (
-        _cache_put_bounded,
-    )
-
     _cache_put_bounded(_GRAPH_CACHE, key, out, _GRAPH_CACHE_MAX)
     return out
 
@@ -595,7 +593,12 @@ def nsw_topk_batch(
             found = _greedy_search(vecs, nbrs, qn, ef_search, entry=entries, vn=vn)
             # self-filter BEFORE the top-k cut: the query's home shard
             # must still contribute k real candidates (review finding:
-            # slicing first lost the shard's k-th best)
+            # slicing first lost the shard's k-th best).
+            # DELIBERATE divergence from the single-query probes, which
+            # keep all ef results per shard: truncating to k here is
+            # top-k-correct (each shard's local top-k is a superset of
+            # its contribution to the global top-k) and shrinks the
+            # Window input |Q|-fold (round-12 review adjudication).
             kept = [
                 (sim, i) for sim, i in found if int(ids[i]) != int(qids[qi])
             ][: max(k, 1)]

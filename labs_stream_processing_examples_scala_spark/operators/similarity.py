@@ -374,12 +374,21 @@ def _assign_cell(cents_py: list[tuple[int, list[float]]], vec_col: str = "vec") 
     the former broadcast-join form), argmax with lowest-cell tie-break
     (== row_number over (sim DESC, cell ASC)). Zero exchange."""
     vn = norm(F.col(vec_col))
+
+    def _sim(c):
+        # zero-norm guard (round-12 self-review): one all-zero
+        # embedding made vn*cnorm == 0 and ANSI DIVIDE_BY_ZERO killed
+        # the whole index build — the same degenerate-row hazard
+        # _unit_vec/_safe_cosine already guard. dot is 0 for a zero
+        # vector, so the guarded sim is 0 and the lowest cell wins
+        # deterministically; non-zero vectors are bit-identical.
+        denom = vn * c["cnorm"]
+        safe = F.when(denom == F.lit(0.0), F.lit(1.0)).otherwise(denom)
+        return dot(F.col(vec_col), c["cvec"]) / safe
+
     sims = F.transform(
         _centroid_literal(sorted(cents_py)),
-        lambda c: F.struct(
-            (dot(F.col(vec_col), c["cvec"]) / (vn * c["cnorm"])).alias("sim"),
-            c["cell"].alias("cell"),
-        ),
+        lambda c: F.struct(_sim(c).alias("sim"), c["cell"].alias("cell")),
     )
     best = F.aggregate(
         sims,
@@ -644,9 +653,9 @@ _PROBE_CACHE_MAX = 4  # round-9 ADVICE: each entry persists the full
 
 def _cache_put_bounded(cache: dict, key, df: DataFrame, max_entries: int) -> None:
     """Insert with LRU eviction: dicts iterate in insertion order and
-    HIT paths re-insert (pop + put), so the first key is the least
-    recently used; evicted entries are unpersisted so the executor
-    storage is actually released (complements the explicit
+    HIT paths refresh via :func:`_cache_get_refresh`, so the first key
+    is the least recently used; evicted entries are unpersisted so the
+    executor storage is actually released (complements the explicit
     dedup.invalidate_cache sweep)."""
     while len(cache) >= max_entries:
         oldest = next(iter(cache))
@@ -654,16 +663,25 @@ def _cache_put_bounded(cache: dict, key, df: DataFrame, max_entries: int) -> Non
     cache[key] = df
 
 
+def _cache_get_refresh(cache: dict, key):
+    """LRU hit: pop + re-insert so insertion order stays eviction
+    order — the invariant _cache_put_bounded's eviction depends on,
+    previously hand-copied at every hit site (round-12 self-review).
+    Returns the entry or None."""
+    if key not in cache:
+        return None
+    df = cache.pop(key)
+    cache[key] = df
+    return df
+
+
 def _probe_expanded(
     spark: SparkSession, sf_dir: str, n_tables: int, bits: int, n_probes: int
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, n_tables, bits, n_probes)
-    if key in _PROBE_CACHE:
-        # refresh recency: dict order is the eviction order, so a hit
-        # re-inserts — the hottest entry is never the eviction victim
-        df = _PROBE_CACHE.pop(key)
-        _PROBE_CACHE[key] = df
-        return df
+    hit = _cache_get_refresh(_PROBE_CACHE, key)
+    if hit is not None:
+        return hit
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("vec")
     )

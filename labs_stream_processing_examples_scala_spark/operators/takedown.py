@@ -68,6 +68,30 @@ def takedown(
         return sorted(set(vals), key=lambda v: (type(v).__name__, str(v)))
 
     ids = _norm(doc_ids)
+    # Coerce ids against the TABLE SCHEMA BEFORE any mutation: a list
+    # the isin predicate cannot type-coerce (string UUIDs vs a bigint
+    # column, or a mixed list) used to raise AFTER the index tombstone
+    # step, leaving the takedown permanently half-applied with no
+    # completing retry (round-12 self-review). Schema-driven coercion
+    # keeps the round-11 string-purge-list contract: a string column
+    # stringifies every id, an integer column demands integer-like ids
+    # and fails FAST otherwise.
+    from pyspark.sql import functions as F
+
+    dtype = dict(MT.read_mor(spark, docs_path).dtypes).get(doc_id_col)
+    if dtype is None:
+        raise ValueError(f"column {doc_id_col!r} not in table at {docs_path}")
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        try:
+            ids = sorted({int(v) for v in ids})
+        except (TypeError, ValueError):
+            bad = [v for v in ids if not str(v).lstrip("-").isdigit()]
+            raise ValueError(
+                f"takedown ids {bad!r} are not coercible to the {dtype} "
+                f"column {doc_id_col!r}; nothing was deleted"
+            ) from None
+    elif dtype == "string":
+        ids = sorted({str(v) for v in ids})
     out: dict = {"doc_ids": len(ids)}
     if index is not None:
         vids = ids if vec_ids is None else _norm(vec_ids)
@@ -77,8 +101,6 @@ def takedown(
         indexes = [index] if hasattr(index, "delete_ids") else list(index)
         stats_list = [ix.delete_ids(spark, vids) for ix in indexes]
         out["index"] = stats_list[0] if len(stats_list) == 1 else stats_list
-    from pyspark.sql import functions as F
-
     stats = MT.mor_delete(
         spark, docs_path, F.col(doc_id_col).isin(ids), partition_col
     )

@@ -56,7 +56,7 @@ def enrichment_with_errors(messages: DataFrame, chaos: bool = False) -> DataFram
     """
     id_c, v = F.col("id"), F.col("value")
     if chaos:
-        errs = [E.chaos_err(id_c, origin=f"enrich{i}") for i in (1, 2, 3)]
+        errs = [E.chaos_err(id_c, origin=f"enrich{i}", step=i) for i in (1, 2, 3)]
     else:
         errs = [F.lit(None).cast(E.ERR_SCHEMA)] * 3
     err = E.merge_errors(*errs).alias("err")
@@ -101,14 +101,24 @@ def gather_groupby_form(messages: DataFrame) -> DataFrame:
             )
         )
     )
+    # completeness = all three DISTINCT slots present, not row count:
+    # an at-least-once replay (or any duplicated id) produced 6 slot
+    # rows and count(*)==3 silently DROPPED the message entirely
+    # (round-12 self-review). Per-slot presence indicators keep the
+    # plan expand-free (count(DISTINCT) would add an Expand), and
+    # min(value) is deterministic across duplicate arrivals where
+    # first() was not.
+    def _has(slot: str) -> Column:
+        return F.max(F.when(F.col("slot") == slot, 1))
+
     gathered = (
         slots.groupBy("id")
         .agg(
-            F.first("value").alias("value"),
+            F.min("value").alias("value"),
             F.max(F.when(F.col("slot") == "extra1", F.col("res"))).alias("extra1"),
             F.max(F.when(F.col("slot") == "extra2", F.col("res"))).alias("extra2"),
             F.max(F.when(F.col("slot") == "extra3", F.col("res"))).alias("extra3_name"),
-            F.count("*").alias("_slots"),
+            (_has("extra1") + _has("extra2") + _has("extra3")).alias("_slots"),
         )
         .filter(F.col("_slots") == 3)
         .drop("_slots")

@@ -49,7 +49,7 @@ def get_spark(
         # fixture parquet carries TIMESTAMP(NANOS) which Spark cannot read
         # natively; read as long and convert (sources.batch.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

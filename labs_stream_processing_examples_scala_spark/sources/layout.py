@@ -134,11 +134,14 @@ def normalize_dim(c: Column, lo: float, hi: float) -> Column:
     (lo, hi) bounds come from table stats — at scale, from the catalog;
     here callers pass min/max directly."""
     span = max(hi - lo, 1e-300)
-    scaled = ((c.cast("double") - F.lit(lo)) / F.lit(span)) * F.lit((1 << Z_BITS) - 1)
-    return F.least(
-        F.lit((1 << Z_BITS) - 1).cast("long"),
-        F.greatest(F.lit(0).cast("long"), scaled.cast("long")),
-    )
+    top = float((1 << Z_BITS) - 1)
+    scaled = ((c.cast("double") - F.lit(lo)) / F.lit(span)) * F.lit(top)
+    # clamp in DOUBLE space BEFORE the long cast: casting an extreme
+    # outlier (or NaN) first raised CAST_INVALID_INPUT/overflow under
+    # ANSI instead of clamping as documented (round-12 self-review);
+    # NaN maps to the low edge via nanvl
+    clamped = F.least(F.lit(top), F.greatest(F.lit(0.0), F.nanvl(scaled, F.lit(0.0))))
+    return clamped.cast("long")
 
 
 def write_zordered(
@@ -181,15 +184,25 @@ def file_skip_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
     for f in _P(path).glob("*.parquet"):
         md = pq.read_metadata(f)
         fmin, fmax = None, None
+        stats_complete = True
         for rg in range(md.num_row_groups):
             rgm = md.row_group(rg)
             for ci in range(rgm.num_columns):
                 c = rgm.column(ci)
-                if c.path_in_schema == col and c.statistics is not None:
-                    s = c.statistics
-                    fmin = s.min if fmin is None else min(fmin, s.min)
-                    fmax = s.max if fmax is None else max(fmax, s.max)
+                if c.path_in_schema == col:
+                    if c.statistics is None:
+                        # a stat-less row group can hold ANYTHING — a
+                        # real engine cannot skip it, so neither may
+                        # this helper (round-12 self-review: judging
+                        # from only the stats-bearing groups overstated
+                        # pruning effectiveness)
+                        fmin = fmax = None
+                        stats_complete = False
+                    elif stats_complete:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
         total += 1
-        if fmin is not None and (fmax < lo or fmin > hi):
+        if stats_complete and fmin is not None and (fmax < lo or fmin > hi):
             skippable += 1
     return skippable, total

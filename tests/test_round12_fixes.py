@@ -511,3 +511,88 @@ def test_wav_gain_keeps_framerate_and_frames_align():
     # an odd-byte split
     frames = columns._frames_of(wav, n_frames=16, every=1)
     assert frames and all(len(f) % 2 == 0 for _, f in frames)
+
+
+# --- round-12 review sweep 3: takedown typing, zero-norm, gather dups ----
+
+
+def test_takedown_rejects_uncoercible_ids_before_mutating(spark, tmp_path):
+    """String UUIDs against a bigint doc_id column used to raise at the
+    isin step AFTER the index tombstones — a permanently half-applied
+    takedown. Schema-driven coercion now fails FAST, before anything
+    mutates (round-12 self-review)."""
+    from labs_stream_processing_examples_scala_spark.operators import takedown as TD
+
+    path = str(tmp_path / "docs")
+    df = spark.createDataFrame(
+        [(k, "A" if k % 2 else "B", f"t{k}") for k in range(12)],
+        "doc_id long, p string, text string",
+    )
+    CT.cow_init(MG.scd2_init(df), path, "p")
+
+    class _SpyIndex:
+        calls = 0
+
+        def delete_ids(self, spark, ids):
+            _SpyIndex.calls += 1
+            return {"tombstones": len(list(ids))}
+
+    with pytest.raises(ValueError, match="not coercible"):
+        TD.takedown(spark, path, "doc_id", "p", ["doc-7", "doc-9"], index=_SpyIndex())
+    assert _SpyIndex.calls == 0, "index must not be tombstoned on a bad id list"
+    # integer-like strings coerce and the takedown completes end-to-end
+    out = TD.takedown(spark, path, "doc_id", "p", ["3", 5], index=_SpyIndex())
+    assert _SpyIndex.calls == 1 and out["table"]["deleted_rows"] > 0
+
+
+def test_assign_cell_survives_zero_vector(spark):
+    """One all-zero embedding made the IVF assignment divide by zero
+    under ANSI, killing the whole index build (round-12 self-review)."""
+    from labs_stream_processing_examples_scala_spark.operators import (
+        similarity as SIM,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 2.0, 0.0])],
+        "vec_id long, vec array<double>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    got = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", SIM._assign_cell(cents).alias("cell")
+        ).collect()
+    }
+    assert got[1] == 0 and got[2] == 1
+    assert got[0] == 0, "zero vector lands in the lowest cell deterministically"
+
+
+def test_gather_groupby_form_tolerates_duplicate_ids(spark):
+    """An at-least-once replay duplicates a message id; the count(*)==3
+    completeness check silently DROPPED such ids (6 slot rows), while
+    the reference emits the gathered record (round-12 self-review)."""
+    from labs_stream_processing_examples_scala_spark.plans import enrichment as P
+
+    msgs = spark.createDataFrame(
+        [(1, "abc"), (2, "xyz"), (2, "xyz")], "id long, value string"
+    )
+    rows = {r.id: r for r in P.gather_groupby_form(msgs).collect()}
+    assert set(rows) == {1, 2}, "duplicated id must still be emitted"
+    assert rows[2].extra1 == "zyx" and rows[2].extra2 == "XYZ"
+
+
+def test_normalize_dim_clamps_nan_and_outliers(spark):
+    """Clamping must happen in double space before the long cast: ANSI
+    raised on NaN / extreme outliers instead of clamping as documented
+    (round-12 self-review)."""
+    from labs_stream_processing_examples_scala_spark.sources import layout as L
+
+    df = spark.createDataFrame(
+        [(0.0,), (10.0,), (float("nan"),), (1e300,), (-1e300,)], "a double"
+    )
+    vals = [
+        r.z for r in df.select(L.normalize_dim(F.col("a"), 0.0, 10.0).alias("z")).collect()
+    ]
+    top = (1 << L.Z_BITS) - 1
+    assert all(0 <= v <= top for v in vals), vals
+    assert vals[1] == top and vals[3] == top and vals[4] == 0

@@ -95,8 +95,18 @@ def test_errors_split_and_classification(spark):
     assert tmp == 10  # 50% of failures temporary (Services.scala:23)
     # E3 guard: failed rows never compute downstream transform
     assert bad.filter(F.col("additional").isNotNull()).count() == 0
-    # E2 merge: first error wins — origin of merged err is enrich1
-    assert bad.select(F.col("err.origin")).distinct().collect()[0][0] == "enrich1"
+    # E2 merge: first error wins, and every step's origin is reachable
+    # (round-12 self-review: all three steps used to fail the SAME rows,
+    # so the merged origin could only ever be enrich1). With
+    # f = floor(id/5) % 3: f=0 rows fail steps 1-3 (merge -> enrich1),
+    # f=1 rows fail 2-3 (-> enrich2), f=2 rows fail 3 only (-> enrich3).
+    got = {
+        r.id: r.origin
+        for r in bad.select("id", F.col("err.origin").alias("origin")).collect()
+    }
+    assert set(got.values()) == {"enrich1", "enrich2", "enrich3"}
+    for i, origin in got.items():
+        assert origin == f"enrich{(i // 5) % 3 + 1}", (i, origin)
 
 
 def test_error_rows_do_not_kill_query(spark):
