@@ -65,17 +65,20 @@ def main_and_dlq_sink(
         try:
             ok, bad = split_ok_err(df, err_col)
             with_retry(lambda: on_write(ok, output_path, batch_id), times=retry_times)
-            # flatten ALL THREE err fields: origin records WHICH
-            # enrichment step failed — the datum merge_errors'
-            # first-error-wins precedence exists to produce; dropping
-            # it made the persisted DLQ untriageable by stage
-            # (round-12 self-review)
-            dlq = (
-                bad.withColumn("err_cls", F.col(f"{err_col}.cls"))
-                .withColumn("err_msg", F.col(f"{err_col}.msg"))
-                .withColumn("err_origin", F.col(f"{err_col}.origin"))
-                .drop(err_col)
+            # flatten the err fields INCLUDING origin when the struct
+            # carries it: origin records WHICH enrichment step failed —
+            # the datum merge_errors' first-error-wins precedence
+            # exists to produce; dropping it made the persisted DLQ
+            # untriageable by stage (round-12 self-review). Callers may
+            # classify with a minimal (cls, msg) struct — the fqueue
+            # malformed-guard does — so origin stays optional.
+            dlq = bad.withColumn("err_cls", F.col(f"{err_col}.cls")).withColumn(
+                "err_msg", F.col(f"{err_col}.msg")
             )
+            err_fields = {f.name for f in bad.schema[err_col].dataType.fields}
+            if "origin" in err_fields:
+                dlq = dlq.withColumn("err_origin", F.col(f"{err_col}.origin"))
+            dlq = dlq.drop(err_col)
             with_retry(lambda: on_write(dlq, dlq_path, batch_id), times=retry_times)
         finally:
             df.unpersist()
