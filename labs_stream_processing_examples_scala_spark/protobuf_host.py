@@ -50,15 +50,28 @@ def ensure_protobuf() -> bool:
         if not os.path.isdir(os.path.join(d, "google", "protobuf", "internal")):
             continue
         # append (not insert): only the `google` namespace should come
-        # from here; everything else keeps resolving from site-packages
-        if d not in sys.path:
+        # from here; everything else keeps resolving from site-packages.
+        # VERIFY the builder import before committing the mutation: a
+        # pre-3.20 host runtime passes the isdir probe but fails the
+        # import, and leaving the dir on sys.path/PYTHONPATH would make
+        # every later `import google.protobuf` (driver, forked workers,
+        # subprocesses) resolve the incompatible runtime — turning a
+        # clean 'protobuf unavailable' into downstream gencode errors
+        # (round-12 self-review).
+        added_sys = d not in sys.path
+        if added_sys:
             sys.path.append(d)
         pp = os.environ.get("PYTHONPATH", "")
-        if d not in pp.split(os.pathsep):
+        added_pp = d not in pp.split(os.pathsep)
+        if added_pp:
             os.environ["PYTHONPATH"] = (pp + os.pathsep + d) if pp else d
         try:
             from google.protobuf.internal import builder  # noqa: F401
         except ImportError:
+            if added_sys:
+                sys.path.remove(d)
+            if added_pp:
+                os.environ["PYTHONPATH"] = pp
             continue
         # pyspark's generated *_pb2.py may be one minor version ahead of
         # the host runtime (e.g. gencode 6.33 vs runtime 6.32), which the

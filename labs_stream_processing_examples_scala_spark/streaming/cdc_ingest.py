@@ -204,20 +204,29 @@ def run_cdc_ingest(
     )
     q = (
         stream.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(target_path + ".ckpt"))
+        .option("checkpointLocation", target_path + ".ckpt")
         .foreachBatch(sink.process_batch)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    finished = q.awaitTermination(timeout)
     if q.isActive:
         q.stop()
     if q.exception() is not None:
         raise RuntimeError(f"cdc ingest failed: {q.exception()}")
+    if not finished:
+        # the drive_bounded contract, which this block never inherited
+        # (round-12 self-review): a timeout with CDC batches still
+        # pending must NOT return the half-merged target as success —
+        # _cdc_stream would memoize the sink and serve a partial SCD2
+        # table for the rest of the session
+        raise TimeoutError(
+            f"cdc ingest timed out after {timeout}s with batches pending"
+        )
     return sink
 
 
-_CDC_WORKDIRS: dict[tuple, str] = {}
+_CDC_WORKDIRS: dict[tuple, tuple[str, CdcMergeSink]] = {}
 _CDC_TMP: list[str] = []
 _BATCH_DATES = ("1997-06-01", "1998-06-01", "1999-06-01")
 

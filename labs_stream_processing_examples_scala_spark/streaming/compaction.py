@@ -192,11 +192,20 @@ def compact_batched_dir(
                 shutil.rmtree(os.path.join(path, f"_batch_id={i}"), ignore_errors=True)
             os.rename(os.path.join(path, STAGING), os.path.join(path, f"_batch_id={marker['target_id']}"))
             os.remove(_marker_path(path))
+            # files_before is unknowable here (the crash already
+            # deleted an unknown subset of the sources), so report the
+            # post-resume count for both — the documented stats keys
+            # must exist on EVERY compacted=True return (round-12
+            # self-review: the resume path returned without them,
+            # KeyError-ing callers exactly in the crash-recovery case)
+            n_after = _n_files(path)
             return {
                 "compacted": True,
                 "resumed": True,
                 "sources": marker["sources"],
                 "target_id": marker["target_id"],
+                "files_before": n_after,
+                "files_after": n_after,
             }
         # uncommitted: roll the stale attempt back
         shutil.rmtree(os.path.join(path, STAGING), ignore_errors=True)

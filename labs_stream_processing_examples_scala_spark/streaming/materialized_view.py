@@ -151,18 +151,43 @@ _MV_WORKDIRS: dict[tuple, str] = {}
 _MV_TMP: list[str] = []
 
 
+def _drive_mv_entry(spark, key, prefix, frame, split_col, select_cols, make_proc, label):
+    """Shared registry-entry drive — memoized temp workdir, pmod split
+    write, bounded drive (round-12 self-review: the three MV entries
+    carried near-identical copies of this block, so a change to the
+    drive shape had to be applied three times). ``make_proc`` builds
+    the processor from the workdir; ``key[2]`` is n_splits."""
+    import tempfile
+
+    from labs_stream_processing_examples_scala_spark.streaming.bounded import drive_bounded
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    _MV_TMP.append(work)
+    src = os.path.join(work, "src")
+    n_splits = key[2]
+    frame.withColumn("split", F.pmod(F.col(split_col), F.lit(n_splits))).repartitionByRange(
+        n_splits, "split"
+    ).drop("split").write.mode("overwrite").parquet(src)
+    proc = make_proc(work)
+    drive_bounded(spark, src, select_cols, proc.process_batch, work, label=label)
+    _MV_WORKDIRS[key] = work
+    return proc
+
+
 def incremental_event_stats(
-    spark: SparkSession, sf_dir: str, n_splits: int = 3
+    spark: SparkSession, sf_dir: str, n_splits: int = 4
 ) -> DataFrame:
     """x_mv_event_stats — the events table ingested in ``n_splits``
-    micro-batches through the incremental view (with a row-collapsing
-    compaction after batch 1); the served view must equal the batch
-    GROUP BY over the whole table — which is exactly its SQL oracle.
+    micro-batches through the incremental view, with a row-collapsing
+    compaction that REALLY FIRES at batch 3 (round-12 self-review:
+    with 3 splits the only compact_every=2 trigger was batch 1, where
+    keep_latest left a single eligible dir below min_batches — the
+    oracle gate never executed the advertised compaction path); the
+    served view must equal the batch GROUP BY over the whole table —
+    which is exactly its SQL oracle.
 
     Temp-workdir lifecycle mirrors incremental_lsh_pairs: memoized per
     (session, params), removed at interpreter exit."""
-    import tempfile
-
     from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
     key = (spark.sparkContext.applicationId, sf_dir, n_splits)
@@ -171,23 +196,14 @@ def incremental_event_stats(
             _MV_WORKDIRS[key], ["event_type"], "event_type string", "value"
         ).view(spark)
 
-    work = tempfile.mkdtemp(prefix="incr_mv_")
-    _MV_TMP.append(work)
-    src = os.path.join(work, "src")
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    ev.withColumn("split", F.pmod(F.col("event_id"), F.lit(n_splits))).repartitionByRange(
-        n_splits, "split"
-    ).drop("split").write.mode("overwrite").parquet(src)
-    proc = run_incremental_view(
-        spark,
-        src,
-        work,
-        key_cols=["event_type"],
-        key_schema="event_type string",
-        value_col="value",
-        compact_every=2,
+    proc = _drive_mv_entry(
+        spark, key, "incr_mv_", ev, "event_id", ["event_type", "value"],
+        lambda w: IncrementalAggView(
+            w, ["event_type"], "event_type string", "value", compact_every=2
+        ),
+        label="incremental view",
     )
-    _MV_WORKDIRS[key] = work
     return proc.view(spark)
 
 
@@ -254,14 +270,13 @@ class IncrementalDistinctView(IncrementalAggView):
 
 
 def incremental_distinct_users(
-    spark: SparkSession, sf_dir: str, n_splits: int = 3
+    spark: SparkSession, sf_dir: str, n_splits: int = 4
 ) -> DataFrame:
     """x_mv_distinct_users — distinct user_id per event_type maintained
-    incrementally over 3 micro-batches with a sketch-merging
-    compaction. Rows-only (sketch internals are engine-specific);
+    incrementally over ``n_splits`` micro-batches with a sketch-merging
+    compaction that fires at batch 3 (4 splits for the same reason as
+    incremental_event_stats). Rows-only (sketch internals are engine-specific);
     tolerance vs exact distinct in tests/test_materialized_view.py."""
-    import tempfile
-
     from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
     key = (spark.sparkContext.applicationId, sf_dir, n_splits, "distinct")
@@ -270,24 +285,14 @@ def incremental_distinct_users(
             _MV_WORKDIRS[key], ["event_type"], "event_type string", "user_id"
         ).view(spark)
 
-    work = tempfile.mkdtemp(prefix="incr_mvd_")
-    _MV_TMP.append(work)
-    src = os.path.join(work, "src")
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
-    ev.withColumn("split", F.pmod(F.col("event_id"), F.lit(n_splits))).repartitionByRange(
-        n_splits, "split"
-    ).drop("split").write.mode("overwrite").parquet(src)
-
-    from labs_stream_processing_examples_scala_spark.streaming.bounded import drive_bounded
-
-    proc = IncrementalDistinctView(
-        work, ["event_type"], "event_type string", "user_id", compact_every=2
-    )
-    drive_bounded(
-        spark, src, ["event_type", "user_id"], proc.process_batch, work,
+    proc = _drive_mv_entry(
+        spark, key, "incr_mvd_", ev, "event_id", ["event_type", "user_id"],
+        lambda w: IncrementalDistinctView(
+            w, ["event_type"], "event_type string", "user_id", compact_every=2
+        ),
         label="incremental distinct view",
     )
-    _MV_WORKDIRS[key] = work
     return proc.view(spark)
 
 
@@ -382,35 +387,23 @@ class IncrementalHeavyHittersView(IncrementalAggView):
 
 
 def incremental_heavy_tokens(
-    spark: SparkSession, sf_dir: str, n_splits: int = 3
+    spark: SparkSession, sf_dir: str, n_splits: int = 4
 ) -> DataFrame:
     """x_mv_heavy_tokens — the streaming heavy-hitters view over the
     documents table ingested in ``n_splits`` micro-batches (with a
     summary-merging compaction). Rows-only (bounded-error estimates);
     the error-bound contract is pinned by
     tests/test_materialized_view.py."""
-    import tempfile
-
     from labs_stream_processing_examples_scala_spark.sources.batch import load_table
 
     key = (spark.sparkContext.applicationId, sf_dir, n_splits, "hh")
     if key in _MV_WORKDIRS:
         return IncrementalHeavyHittersView(_MV_WORKDIRS[key]).view(spark)
 
-    work = tempfile.mkdtemp(prefix="incr_mvh_")
-    _MV_TMP.append(work)
-    src = os.path.join(work, "src")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    d.withColumn("split", F.pmod(F.col("doc_id"), F.lit(n_splits))).repartitionByRange(
-        n_splits, "split"
-    ).drop("split").write.mode("overwrite").parquet(src)
-
-    from labs_stream_processing_examples_scala_spark.streaming.bounded import drive_bounded
-
-    proc = IncrementalHeavyHittersView(work, compact_every=2)
-    drive_bounded(
-        spark, src, ["text"], proc.process_batch, work,
+    proc = _drive_mv_entry(
+        spark, key, "incr_mvh_", d, "doc_id", ["text"],
+        lambda w: IncrementalHeavyHittersView(w, compact_every=2),
         label="incremental heavy-hitters view",
     )
-    _MV_WORKDIRS[key] = work
     return proc.view(spark)
