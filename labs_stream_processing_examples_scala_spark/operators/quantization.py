@@ -53,8 +53,12 @@ PQ_K = 16  # codewords per subspace (4-bit codes)
 # trained codebooks per (session, sf_dir, m, k, n_iter, tol) — the
 # offline artifact a deployment trains once and ships as a literal
 _PQ_CACHE: dict[tuple, tuple[list[list[list[float]]], int]] = {}
-#: (session, sf_dir, m, k_codes, n_iter) → persisted (vec_id, codes)
+#: (session, sf_dir, m, k_codes, n_iter) → persisted (vec_id, codes).
+#: LRU-bounded like the sibling _PROBE_CACHE/_GRAPH_CACHE: each entry
+#: persists the full encoded corpus, so varying params must evict, not
+#: pin executor storage until an invalidate_cache sweep (r12 ADVICE).
 _CODES_CACHE: dict[tuple, "DataFrame"] = {}
+_CODES_CACHE_MAX = 4
 
 
 def _unit_vec(col: str = "vec") -> Column:
@@ -348,9 +352,12 @@ def pq_encode(
     shuffle of any kind (plan-audited — MapInArrow, zero Exchange).
     Parity with the Catalyst reference fold is pinned by
     tests/test_extensions.py (numpy oracle + cross-impl agreement)."""
+    from .similarity import _cache_get_refresh, _cache_put_bounded
+
     key = (spark.sparkContext.applicationId, sf_dir, m, k_codes, n_iter)
-    if key in _CODES_CACHE:
-        return _CODES_CACHE[key]
+    hit = _cache_get_refresh(_CODES_CACHE, key)
+    if hit is not None:
+        return hit
     cb, _ = pq_train(spark, sf_dir, m, k_codes, n_iter)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("vec")
@@ -361,7 +368,7 @@ def pq_encode(
     # held for the IVF-PQ tier, which materializes codes (round-12
     # self-review). Swept by dedup.invalidate_cache like the siblings.
     out = e.mapInArrow(_encode_map(cb), schema="vec_id long, codes array<int>").persist()
-    _CODES_CACHE[key] = out
+    _cache_put_bounded(_CODES_CACHE, key, out, _CODES_CACHE_MAX)
     return out
 
 

@@ -82,10 +82,34 @@ def takedown(
     if dtype is None:
         raise ValueError(f"column {doc_id_col!r} not in table at {docs_path}")
     if dtype in ("tinyint", "smallint", "int", "bigint"):
+        # int(3.7) would silently truncate to 3 and delete a document
+        # the caller never named — on a destructive op whose contract is
+        # reject-before-mutate (round-12 ADVICE). Accept only exact
+        # integers: ints/bools, integral floats, and digit strings.
+        def _exact_int(v):
+            if isinstance(v, bool) or isinstance(v, int):
+                return int(v)
+            if isinstance(v, float):
+                if v.is_integer():
+                    return int(v)
+                raise ValueError(v)
+            s = str(v).strip()
+            if s.lstrip("-").isdigit():
+                return int(s)
+            raise ValueError(v)
+
         try:
-            ids = sorted({int(v) for v in ids})
+            ids = sorted({_exact_int(v) for v in ids})
         except (TypeError, ValueError):
-            bad = [v for v in ids if not str(v).lstrip("-").isdigit()]
+            bad = [
+                v
+                for v in ids
+                if not (
+                    isinstance(v, (int, bool))
+                    or (isinstance(v, float) and v.is_integer())
+                    or str(v).strip().lstrip("-").isdigit()
+                )
+            ]
             raise ValueError(
                 f"takedown ids {bad!r} are not coercible to the {dtype} "
                 f"column {doc_id_col!r}; nothing was deleted"

@@ -61,7 +61,10 @@ def ensure_protobuf() -> bool:
         added_sys = d not in sys.path
         if added_sys:
             sys.path.append(d)
-        pp = os.environ.get("PYTHONPATH", "")
+        pp_orig = os.environ.get("PYTHONPATH")  # None ≠ "": rollback must
+        # restore UNSET, not leave a defined-but-empty var behind for
+        # subprocesses to inherit (round-12 ADVICE)
+        pp = pp_orig or ""
         added_pp = d not in pp.split(os.pathsep)
         if added_pp:
             os.environ["PYTHONPATH"] = (pp + os.pathsep + d) if pp else d
@@ -71,7 +74,10 @@ def ensure_protobuf() -> bool:
             if added_sys:
                 sys.path.remove(d)
             if added_pp:
-                os.environ["PYTHONPATH"] = pp
+                if pp_orig is None:
+                    os.environ.pop("PYTHONPATH", None)
+                else:
+                    os.environ["PYTHONPATH"] = pp_orig
             continue
         # pyspark's generated *_pb2.py may be one minor version ahead of
         # the host runtime (e.g. gencode 6.33 vs runtime 6.32), which the

@@ -138,6 +138,11 @@ def main() -> None:
         record = {
             "metric": "fqueue_roundtrip_throughput",
             "unit": "rows_per_sec",
+            # r12 added untimed warm laps before every timed leg, so
+            # numbers from r12 onward are steady-state, not
+            # cold-start-inclusive; the flag keeps cross-round
+            # comparisons honest (r12 ADVICE)
+            "methodology": "warm-lap-r12",
             "n_rows": n_rows,
             "n_partitions": n_parts,
             "publish_s": round(publish_s, 2),

@@ -142,6 +142,9 @@ def main() -> None:
         record = {
             "metric": "stream_pipeline_rows_per_sec",
             "unit": "rows/sec",
+            # warm legs (file_warm/queue_warm) added r12: timed legs are
+            # steady-state, not cold-start-inclusive (r12 ADVICE)
+            "methodology": "warm-lap-r12",
             "n_rows": n_rows,
             "file_fed": file_fed,
             "fqueue_fed": fqueue_fed,
