@@ -398,6 +398,24 @@ def _poll(fn, timeout=90.0, step=0.5):
     return val
 
 
+def _contention_factor(cap: float = 6.0) -> float:
+    """How crushed this host is right now, as a deadline multiplier.
+
+    Ratio of bench.py's single-core calibration probes to their idle
+    nominals (~565 ms python loop / ~137 ms all-cores slice on this
+    host class, measured across rounds 8-12). The TWS restart scenario
+    flaked once in a full-suite run when RocksDB state recovery plus
+    the recovery micro-batch outlasted the flat 90 s poll under
+    documented episodic contention (round-12 verdict task #2) — the
+    pre-stop arm already had a crushed-host escape; this gives the
+    post-restart arm one that scales with the MEASURED slowdown
+    instead of a blind constant."""
+    import bench as benchmod
+
+    c = benchmod._calibrate()
+    return min(cap, max(1.0, c["calib_py_ms"] / 565.0, c["calib_mt_ms"] / 137.0))
+
+
 _SLOT_SCHEMA = "id long, value string, slot string, res string"
 
 
@@ -516,7 +534,10 @@ def test_tws_gather_ttl_deadline_survives_restart(spark, tmp_path):
         time.sleep(16)  # TTL lapses while the query is DOWN
         q2 = start()
         try:
-            got = _poll(lambda: 7 in rows() and rows())
+            # 90 s is enough on an idle host; under measured contention
+            # the restarted query's state recovery + recovery batch can
+            # legitimately outlast it — scale, don't guess (r12 task #2)
+            got = _poll(lambda: 7 in rows() and rows(), timeout=90.0 * _contention_factor())
             assert got and 7 in got, "recovered timer never fired after restart"
             assert got[7].status == "timeout" and got[7].extra2 == "leg"
         finally:
