@@ -59,10 +59,13 @@ def assert_df_equals_oracle(sdf, con, sql):
                 elif isinstance(v, bool):
                     out.append(str(bool(v)))
                 elif isinstance(v, float):
-                    out.append(f"{round(v, 6):.6f}")
+                    # + 0.0 folds -0.0 into +0.0 (round-13 fuzz: Spark
+                    # normalizes the distinct representative, DuckDB
+                    # keeps -0.0 — numerically equal, must compare equal)
+                    out.append(f"{round(v, 6) + 0.0:.6f}")
                 elif hasattr(v, "item"):
                     iv = v.item()
-                    out.append(f"{round(iv, 6):.6f}" if isinstance(iv, float) else str(iv))
+                    out.append(f"{round(iv, 6) + 0.0:.6f}" if isinstance(iv, float) else str(iv))
                 else:
                     out.append(str(v))
             rows.append(tuple(out))

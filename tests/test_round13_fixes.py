@@ -158,6 +158,100 @@ def test_bench_tools_carry_methodology_flag():
             assert '"methodology": "warm-lap-r12"' in f.read(), tool
 
 
+# --- verdict task 1: differential query fuzzing vs DuckDB --------------
+
+
+def test_query_fuzz_smoke(spark):
+    """A small seeded slice of the fuzz grammar stays mismatch-free in
+    the suite, so grammar or engine-semantics regressions surface before
+    the round artifact (FUZZ_r{N}.json carries the full ≥200-query run).
+    Same views, same comparator (check_oracle.canonical) as the tool."""
+    import duckdb
+
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+    from tools.query_fuzz import TABLES as FUZZ_TABLES
+    from tools.query_fuzz import run_differential
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in FUZZ_TABLES:
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    res = run_differential(spark, con, seed=131, n=30)
+    assert not res["errors"], res["errors"][:3]
+    assert not res["mismatches"], res["mismatches"][:3]
+    assert res["passed"] >= 28  # n minus at most the oversize guard
+
+
+def test_spark_grouping_sets_empty_divergence(spark, duck):
+    """Adjudicated fuzz finding (seeds 14/15, six independent hits, all
+    minimizing to this): ROLLUP/CUBE/GROUPING SETS over an EMPTY input.
+    ANSI (DuckDB, Postgres) emit the global grouping-set row — all keys
+    NULL, COUNT(*)=0 — because GROUP BY GROUPING SETS ((k), ()) contains
+    the empty set, and a global aggregate over empty input is one row.
+    Spark plans grouping sets as Expand + a KEYED aggregate on
+    spark_grouping_id; a keyed aggregate over empty input emits nothing,
+    so Spark returns 0 rows. tools/query_fuzz.py adjudicates exactly
+    this (spark 0 rows / duck 1 row / grouping-set marker) as
+    'spark-empty-grouping-sets'. If this test ever fails, Spark fixed
+    the divergence — remove the adjudication rather than widen it."""
+    sql = "SELECT r_name, COUNT(*) AS c0 FROM region WHERE r_regionkey < 0 GROUP BY ROLLUP(r_name)"
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "region").createOrReplaceTempView("region")
+    assert spark.sql(sql).count() == 0, "Spark's empty-input grouping-set behavior changed"
+    drows = duck.execute(sql).fetchall()
+    assert drows == [(None, 0)], "DuckDB's ANSI grand-total row changed"
+    # the plain global aggregate (no grouping sets) agrees in both
+    assert spark.sql("SELECT COUNT(*) AS c0 FROM region WHERE r_regionkey < 0").collect()[0][0] == 0
+
+
+def test_query_fuzz_adjudication_is_narrow():
+    """The adjudication must only absorb the pinned divergence — a
+    0-vs-1 rowcount WITHOUT a grouping-set marker, or a grouping-set
+    query with any other rowcount pair, stays a real mismatch."""
+    from tools.query_fuzz import _adjudicate
+
+    assert _adjudicate("SELECT .. GROUP BY ROLLUP(x)", 0, 1) == "spark-empty-grouping-sets"
+    assert _adjudicate("SELECT .. GROUP BY CUBE(x, y)", 0, 1) == "spark-empty-grouping-sets"
+    assert _adjudicate("SELECT .. GROUP BY x", 0, 1) is None
+    assert _adjudicate("SELECT .. GROUP BY ROLLUP(x)", 1, 2) is None
+    assert _adjudicate("SELECT .. GROUP BY ROLLUP(x)", 0, 2) is None
+
+
+def test_canonical_folds_negative_zero():
+    """Round-13 fuzz finding #2 (seed 16 #116, a UNION of `0 * -2`):
+    Spark's NormalizeFloatingNumbers emits +0.0 as the distinct
+    representative, DuckDB keeps -0.0 — numerically equal values must
+    not canonicalize to different strings. Also covers a tiny negative
+    rounding to -0.0 (e.g. -1e-9 at 6 dp)."""
+    import pandas as pd
+
+    from tools.check_oracle import canonical
+
+    neg = pd.DataFrame({"c0": [-0.0, -1e-9]})
+    pos = pd.DataFrame({"c0": [0.0, 0.0]})
+    assert canonical(neg)[2] == canonical(pos)[2] == [("0.000000",), ("0.000000",)]
+
+
+def test_query_fuzz_is_seed_deterministic():
+    """(seed, index) must be a stable repro handle: the same seed
+    generates byte-identical SQL across runs/processes."""
+    import random
+
+    from tools.query_fuzz import Gen
+
+    a = [Gen(random.Random(99)).generate() for _ in range(1)]
+    qs1 = []
+    g = Gen(random.Random(7))
+    for _ in range(40):
+        qs1.append(g.generate())
+    g2 = Gen(random.Random(7))
+    qs2 = [g2.generate() for _ in range(40)]
+    assert qs1 == qs2
+    assert a  # silence unused-var lint paths
+
+
 # --- judge observation: temporal helpers guard synthesized columns -----
 
 

@@ -274,6 +274,16 @@ def _pytest_ref_exists(ref: str) -> bool:
         return False
 
 
+def _fmt_float(v: float) -> str:
+    """6-dp canonical form with the zero representations folded:
+    round-13 fuzz found Spark's NormalizeFloatingNumbers emits +0.0 as
+    the DISTINCT/grouping representative where DuckDB keeps -0.0 (e.g.
+    `0 * -2` through a UNION) — numerically equal values must not
+    canonicalize to '-0.000000' vs '0.000000'. `+ 0.0` maps -0.0 to
+    +0.0 and is the identity for every other value."""
+    return f"{round(v, 6) + 0.0:.6f}"
+
+
 def canonical(df: pd.DataFrame) -> tuple[int, list[str], list[tuple]]:
     df = df.reindex(sorted(df.columns), axis=1)
     rows = []
@@ -285,11 +295,11 @@ def canonical(df: pd.DataFrame) -> tuple[int, list[str], list[tuple]]:
             elif isinstance(v, bool):
                 out.append(str(bool(v)))
             elif isinstance(v, float):
-                out.append(f"{round(v, 6):.6f}")
+                out.append(_fmt_float(v))
             elif hasattr(v, "item"):  # numpy scalar
                 iv = v.item()
                 if isinstance(iv, float):
-                    out.append(f"{round(iv, 6):.6f}")
+                    out.append(_fmt_float(iv))
                 elif isinstance(iv, bool):
                     out.append(str(bool(iv)))
                 else:

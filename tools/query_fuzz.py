@@ -1,0 +1,642 @@
+"""Differential query fuzzing vs DuckDB (round-12 verdict task #1).
+
+Every one of the 159 declared registry queries is green, so the
+remaining correctness risk is query shapes nobody declared. This tool
+generates seeded random queries over the fixture schema from a grammar
+restricted to the ANSI subset Spark SQL and DuckDB implement with
+identical semantics, runs the SAME SQL text on both engines over the
+same parquet, and compares with check_oracle.canonical (order
+insensitive, floats formatted at 6 dp).
+
+Shapes (the verdict's list): scalar-fn chains with NULL/unicode edge
+literals, 1-2-key GROUP BY + HAVING (plus a ROLLUP variant), 2-4-way
+equi joins along the TPC-H FK paths (inner/left/right/full), EXISTS /
+NOT EXISTS semi/anti forms, window functions (rank family, lag/lead,
+ROWS and RANGE frame aggregates), and set ops.
+
+Dialect guardrails are SEMANTIC choices, not weakened coverage — each
+keeps the two engines' answers comparable where their defaults differ:
+- SUM(int) -> CAST(.. AS DOUBLE): DuckDB widens to HUGEINT (pandas
+  float64/object), Spark to BIGINT; the cast makes one canonical value.
+- floor/ceil -> CAST(.. AS DOUBLE): Spark returns BIGINT, DuckDB DOUBLE.
+- string concat via || only: DuckDB's concat() skips NULLs, Spark's
+  propagates; || is NULL-propagating in both.
+- division always CAST(.. AS DOUBLE) / NULLIF(.., 0): identical float
+  division and no div-by-zero (ANSI Spark raises, DuckDB errors).
+- SUM/AVG of doubles wrapped in ROUND(.., 3): accumulation order is
+  engine-private; 3 dp sits far inside double's error at fixture scale
+  while canonical formats at 6 dp.
+- order-sensitive windows must leave tie rows indistinguishable in the
+  PROJECTED columns (the fixture's keys are NOT unique — it carries
+  deliberate duplicate rows for the dedup tier): row_number/ntile
+  project keys only and ORDER BY those keys; lag/lead and ROWS-frame
+  aggregates additionally put the windowed column in the ORDER BY.
+  Value-deterministic ones (rank/dense_rank/percent_rank/cume_dist,
+  RANGE frames) may order by any data column.
+- -0.0 vs +0.0: Spark normalizes the distinct/grouping representative
+  to +0.0, DuckDB keeps -0.0 (found by seed 16: a UNION of `0 * -2`);
+  check_oracle.canonical folds the two zero spellings.
+- events.ts is never projected raw (TIMESTAMP_NANOS parquet: Spark
+  reads it via the nanosAsLong conversion, DuckDB natively; fixture
+  nanos are micro-aligned today but that is data, not schema).
+
+Usage:
+  python tools/query_fuzz.py [--seed 13] [--n 220] [--json FUZZ.json]
+                             [--sf-dir /root/testdata/sf0.01] [--repro I]
+
+Exit 0 iff every generated query matches (or is explicitly skipped as
+oversized). Mismatches print the SQL + first differing canonical row;
+--repro re-runs a single index for minimization.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.check_oracle import canonical  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents".split()
+
+# --- fixture schema the grammar draws from ---------------------------
+# num: (column, lo, hi) — plausible literal range for predicates
+# strs: (column, [sample values])   key: unique-tuple for ROWS ordering
+META = {
+    "region": {
+        "num": [("r_regionkey", 0, 4)],
+        "strs": [("r_name", ["EUROPE", "AMERICA", "ASIA", "AFRICA", "MIDDLE EAST"])],
+        "ts": [],
+        "key": ["r_regionkey"],
+    },
+    "nation": {
+        "num": [("n_nationkey", 0, 24), ("n_regionkey", 0, 4)],
+        "strs": [("n_name", ["FRANCE", "GERMANY", "CHINA", "KENYA"])],
+        "ts": [],
+        "key": ["n_nationkey"],
+    },
+    "customer": {
+        "num": [("c_custkey", 1, 1500), ("c_nationkey", 0, 24), ("c_acctbal", -999.0, 9997.0)],
+        "strs": [
+            (
+                "c_mktsegment",
+                ["MACHINERY", "HOUSEHOLD", "FURNITURE", "BUILDING", "AUTOMOBILE"],
+            )
+        ],
+        "ts": [],
+        "key": ["c_custkey"],
+    },
+    "supplier": {
+        "num": [("s_suppkey", 1, 100), ("s_nationkey", 0, 24), ("s_acctbal", -999.0, 9997.0)],
+        "strs": [("s_name", ["Supplier#1", "Supplier#9"])],
+        "ts": [],
+        "key": ["s_suppkey"],
+    },
+    "part": {
+        "num": [("p_partkey", 1, 2000), ("p_size", 1, 50), ("p_retailprice", 900.0, 2100.0)],
+        "strs": [
+            ("p_brand", ["Brand#10", "Brand#15", "Brand#23", "Brand#25"]),
+            ("p_type", ["ECONOMY", "STANDARD", "LARGE", "MEDIUM", "SMALL", "PROMO"]),
+        ],
+        "ts": [],
+        "key": ["p_partkey"],
+    },
+    "orders": {
+        "num": [("o_orderkey", 1, 60000), ("o_custkey", 1, 1500), ("o_totalprice", 1013.0, 499979.0)],
+        "strs": [
+            ("o_orderstatus", ["P", "O", "F"]),
+            (
+                "o_orderpriority",
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            ),
+        ],
+        "ts": [("o_orderdate", 1995, 2001)],
+        "key": ["o_orderkey"],
+    },
+    "lineitem": {
+        "num": [
+            ("l_orderkey", 1, 60000),
+            ("l_partkey", 1, 2000),
+            ("l_suppkey", 1, 100),
+            ("l_linenumber", 1, 7),
+            ("l_quantity", 1.0, 50.0),
+            ("l_extendedprice", 900.0, 105000.0),
+            ("l_discount", 0.0, 0.1),
+            ("l_tax", 0.0, 0.08),
+        ],
+        "strs": [
+            ("l_returnflag", ["R", "A", "N"]),
+            ("l_linestatus", ["O", "F"]),
+        ],
+        "ts": [("l_shipdate", 1995, 2001)],
+        "key": ["l_orderkey", "l_linenumber"],
+    },
+    "events": {
+        "num": [("event_id", 1, 10000), ("user_id", 1, 1000), ("value", 0.0, 100.0)],
+        "strs": [("event_type", ["click", "signup", "purchase", "error", "view"])],
+        "ts": [],  # ts deliberately excluded (nanos parquet — see module doc)
+        "key": ["event_id"],
+    },
+    "documents": {
+        "num": [("doc_id", 0, 500), ("n_chars", 1, 5000)],
+        "strs": [("lang", ["fr", "zh", "de", "en", "es"]), ("source", ["src1", "src2", "src5"])],
+        "ts": [],
+        "key": ["doc_id"],
+    },
+}
+
+# FK edges: (left_table, left_col, right_table, right_col). Chains walk
+# these so joins are always key-equi (never cartesian-ish).
+FK = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+UNICODE_LITS = ["naïve", "Ωmega", "δata", "東京", "café"]
+
+
+class Gen:
+    """Seeded query generator. Every choice flows from one Random so a
+    (seed, index) pair is a stable repro handle."""
+
+    def __init__(self, rng: random.Random):
+        self.r = rng
+        self._alias_n = 0
+
+    # --- scalar expression grammar -----------------------------------
+
+    def num_lit(self, lo, hi):
+        if isinstance(lo, float) or isinstance(hi, float):
+            return f"{round(self.r.uniform(lo, hi), 3)}"
+        return str(self.r.randint(int(lo), int(hi)))
+
+    def num_expr(self, cols, depth=0):
+        """A double-typed numeric expression over qualified columns."""
+        c, lo, hi = self.r.choice(cols)
+        base = f"CAST({c} AS DOUBLE)"
+        if depth >= 2 or self.r.random() < 0.35:
+            return base
+        op = self.r.choice(["add", "mul", "abs", "round", "coalesce", "case", "div", "floorceil", "nullif"])
+        sub = self.num_expr(cols, depth + 1)
+        lit = self.num_lit(lo, hi)
+        if op == "add":
+            return f"({sub} + {lit})"
+        if op == "mul":
+            return f"({sub} * {self.num_lit(-3, 3)})"
+        if op == "abs":
+            return f"ABS({sub})"
+        if op == "round":
+            return f"ROUND({sub}, {self.r.randint(0, 3)})"
+        if op == "coalesce":
+            return f"COALESCE(NULLIF({sub}, {lit}), {self.num_lit(lo, hi)})"
+        if op == "nullif":
+            return f"NULLIF({sub}, {lit})"
+        if op == "case":
+            return f"(CASE WHEN {sub} > {lit} THEN {sub} ELSE {self.num_lit(lo, hi)} END)"
+        if op == "div":
+            return f"({sub} / NULLIF(CAST({c} AS DOUBLE), 0))"
+        # floor/ceil: Spark -> BIGINT, DuckDB -> DOUBLE; cast re-unifies
+        f = self.r.choice(["FLOOR", "CEIL"])
+        return f"CAST({f}({sub}) AS DOUBLE)"
+
+    def str_expr(self, cols, depth=0):
+        c, _vals = self.r.choice(cols)
+        base = c
+        if depth >= 2 or self.r.random() < 0.4:
+            return base
+        op = self.r.choice(["upper", "lower", "substr", "trim", "replace", "concat", "coalesce"])
+        sub = self.str_expr(cols, depth + 1)
+        if op == "upper":
+            return f"UPPER({sub})"
+        if op == "lower":
+            return f"LOWER({sub})"
+        if op == "substr":
+            return f"SUBSTR({sub}, {self.r.randint(1, 3)}, {self.r.randint(1, 8)})"
+        if op == "trim":
+            return f"TRIM({sub})"
+        if op == "replace":
+            a = self.r.choice("aeoRST")
+            return f"REPLACE({sub}, '{a}', '{self.r.choice(UNICODE_LITS)}')"
+        if op == "concat":
+            # || propagates NULL in both engines (concat() would not)
+            return f"({sub} || '·' || {self.str_expr(cols, depth + 1)})"
+        # VARCHAR(64): Spark's parser requires a length; DuckDB accepts
+        # and ignores it — both yield a plain string-typed NULL
+        return f"COALESCE(NULLIF({sub}, '{self.r.choice(UNICODE_LITS)}'), CAST(NULL AS VARCHAR(64)), {sub})"
+
+    # --- predicates ---------------------------------------------------
+
+    def predicate(self, meta, alias, depth=0):
+        """Boolean expr over one table's (aliased) columns."""
+        q = lambda c: f"{alias}.{c}" if alias else c  # noqa: E731
+        kind = self.r.choice(["numcmp", "between", "in_str", "like", "null", "strcmp", "tscmp"])
+        if kind == "tscmp" and not meta["ts"]:
+            kind = "numcmp"
+        if kind == "numcmp":
+            c, lo, hi = self.r.choice(meta["num"])
+            cmp_ = self.r.choice(["<", "<=", ">", ">=", "=", "<>"])
+            p = f"{q(c)} {cmp_} {self.num_lit(lo, hi)}"
+        elif kind == "between":
+            c, lo, hi = self.r.choice(meta["num"])
+            a, b = sorted([self.r.uniform(lo, hi), self.r.uniform(lo, hi)])
+            p = f"{q(c)} BETWEEN {round(a, 3)} AND {round(b, 3)}"
+        elif kind == "in_str":
+            c, vals = self.r.choice(meta["strs"])
+            pick = self.r.sample(vals, k=min(len(vals), self.r.randint(1, 3)))
+            maybe_unicode = [f"'{v}'" for v in pick] + [f"'{self.r.choice(UNICODE_LITS)}'"]
+            p = f"{q(c)} IN ({', '.join(maybe_unicode)})"
+        elif kind == "like":
+            c, vals = self.r.choice(meta["strs"])
+            frag = self.r.choice(vals)[: self.r.randint(1, 3)]
+            shape = self.r.choice([f"{frag}%", f"%{frag}%", f"%{frag}"])
+            p = f"{q(c)} LIKE '{shape}'"
+        elif kind == "null":
+            c, lo, hi = self.r.choice(meta["num"])
+            p = f"NULLIF({q(c)}, {self.num_lit(lo, hi)}) IS {self.r.choice(['NULL', 'NOT NULL'])}"
+        elif kind == "strcmp":
+            c, vals = self.r.choice(meta["strs"])
+            v = self.r.choice(vals + [self.r.choice(UNICODE_LITS)])
+            p = f"{q(c)} {self.r.choice(['=', '<>', '<', '>'])} '{v}'"
+        else:  # tscmp
+            c, ylo, yhi = self.r.choice(meta["ts"])
+            y = self.r.randint(ylo, yhi)
+            m = self.r.randint(1, 12)
+            p = f"{q(c)} {self.r.choice(['<', '>='])} TIMESTAMP '{y}-{m:02d}-01 00:00:00'"
+        if depth < 1 and self.r.random() < 0.45:
+            glue = self.r.choice(["AND", "OR"])
+            other = self.predicate(meta, alias, depth + 1)
+            p = f"({p} {glue} {other})"
+        if self.r.random() < 0.12:
+            p = f"NOT ({p})"
+        return p
+
+    # --- aggregates -----------------------------------------------------
+
+    def agg_item(self, meta, alias, idx):
+        q = lambda c: f"{alias}.{c}" if alias else c  # noqa: E731
+        kind = self.r.choice(["count", "countc", "countd", "sum", "avg", "min", "max", "mins", "maxs"])
+        if kind == "count":
+            return f"COUNT(*) AS c{idx}"
+        if kind == "countc":
+            c = self.r.choice(meta["num"])[0]
+            return f"COUNT({q(c)}) AS c{idx}"
+        if kind == "countd":
+            c = self.r.choice(meta["num"] + [(s, 0, 0) for s, _ in meta["strs"]])[0]
+            return f"COUNT(DISTINCT {q(c)}) AS c{idx}"
+        if kind in ("sum", "avg"):
+            c, lo, hi = self.r.choice(meta["num"])
+            fn = kind.upper()
+            # ROUND(.., 3): engine-private accumulation order on doubles
+            return f"ROUND({fn}(CAST({q(c)} AS DOUBLE)), 3) AS c{idx}"
+        if kind in ("min", "max"):
+            c, lo, hi = self.r.choice(meta["num"])
+            return f"CAST({kind.upper()}({q(c)}) AS DOUBLE) AS c{idx}"
+        c = self.r.choice(meta["strs"])[0]
+        return f"{kind[:3].upper()}({q(c)}) AS c{idx}"
+
+    # --- query shapes ---------------------------------------------------
+
+    def q_scalar_chain(self):
+        t = self.r.choice(TABLES)
+        m = META[t]
+        items = []
+        n_items = self.r.randint(2, 5)
+        for i in range(n_items):
+            if self.r.random() < 0.5 and m["strs"]:
+                items.append(f"{self.str_expr(m['strs'])} AS c{i}")
+            else:
+                items.append(f"{self.num_expr(m['num'])} AS c{i}")
+        # anchor with the unique key so DISTINCT-less output is stable
+        key_items = [f"{k} AS k{i}" for i, k in enumerate(m["key"])]
+        sel = ", ".join(key_items + items)
+        where = self.predicate(m, "")
+        distinct = "DISTINCT " if self.r.random() < 0.2 else ""
+        if distinct:
+            sel = ", ".join(items)  # DISTINCT over exprs alone
+        return f"SELECT {distinct}{sel} FROM {t} WHERE {where}"
+
+    def q_groupby(self, rollup=False):
+        t = self.r.choice([t for t in TABLES if META[t]["strs"]])
+        m = META[t]
+        n_keys = self.r.randint(1, min(2, len(m["strs"])))
+        keys = [c for c, _ in self.r.sample(m["strs"], k=n_keys)]
+        aggs = [self.agg_item(m, "", i) for i in range(self.r.randint(1, 3))]
+        gb = f"ROLLUP({', '.join(keys)})" if rollup else ", ".join(keys)
+        sel_keys = list(keys)
+        if rollup:
+            sel_keys = keys + [f"GROUPING({keys[0]}) AS g0"]
+        sql = (
+            f"SELECT {', '.join(sel_keys + aggs)} FROM {t} "
+            f"WHERE {self.predicate(m, '')} GROUP BY {gb}"
+        )
+        if self.r.random() < 0.5 and not rollup:
+            sql += f" HAVING COUNT(*) > {self.r.randint(0, 5)}"
+        return sql
+
+    def _join_chain(self, n_tables):
+        """Random FK walk -> (FROM clause, [(alias, meta)])."""
+        edge = self.r.choice(FK)
+        lt, lc, rt, rc = edge
+        parts = [(lt, "t0"), (rt, "t1")]
+        jtype = self.r.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+        frm = f"{lt} t0 {jtype} {rt} t1 ON t0.{lc} = t1.{rc}"
+        used = {lt, rt}
+        k = 2
+        while k < n_tables:
+            cands = [e for e in FK if (e[0] in used) != (e[2] in used)]
+            if not cands:
+                break
+            e = self.r.choice(cands)
+            lt2, lc2, rt2, rc2 = e
+            if lt2 in used:
+                known, kc, new, nc = lt2, lc2, rt2, rc2
+            else:
+                known, kc, new, nc = rt2, rc2, lt2, lc2
+            ka = next(a for t, a in parts if t == known)
+            na = f"t{k}"
+            parts.append((new, na))
+            jt = self.r.choice(["JOIN", "JOIN", "LEFT JOIN"])
+            frm += f" {jt} {new} {na} ON {ka}.{kc} = {na}.{nc}"
+            used.add(new)
+            k += 1
+        return frm, [(a, META[t]) for t, a in parts]
+
+    def q_join(self):
+        frm, ametas = self._join_chain(self.r.randint(2, 4))
+        # filter on 1-2 of the participating tables
+        preds = [self.predicate(m, a) for a, m in self.r.sample(ametas, k=self.r.randint(1, 2))]
+        where = " AND ".join(preds)
+        if self.r.random() < 0.5:
+            # aggregation on top
+            ga, gm = self.r.choice(ametas)
+            if not gm["strs"]:
+                gkey = f"{ga}.{gm['num'][0][0]}"
+            else:
+                gkey = f"{ga}.{self.r.choice(gm['strs'])[0]}"
+            aa, am = self.r.choice(ametas)
+            aggs = [self.agg_item(am, aa, i) for i in range(self.r.randint(1, 2))]
+            return (
+                f"SELECT {gkey} AS k0, {', '.join(aggs)} FROM {frm} "
+                f"WHERE {where} GROUP BY {gkey}"
+            )
+        cols = []
+        for i in range(self.r.randint(2, 4)):
+            aa, am = self.r.choice(ametas)
+            if self.r.random() < 0.5 and am["strs"]:
+                cols.append(f"{aa}.{self.r.choice(am['strs'])[0]} AS c{i}")
+            else:
+                cols.append(f"CAST({aa}.{self.r.choice(am['num'])[0]} AS DOUBLE) AS c{i}")
+        return f"SELECT {', '.join(cols)} FROM {frm} WHERE {where}"
+
+    def q_exists(self):
+        """Semi/anti join as correlated EXISTS — the SQL spelling of the
+        engine's left_semi/left_anti plans."""
+        edge = self.r.choice([e for e in FK if e[0] in ("lineitem", "orders", "customer", "nation")])
+        child, cc, parent, pc = edge
+        neg = self.r.choice(["EXISTS", "NOT EXISTS"])
+        pm, cm = META[parent], META[child]
+        inner_pred = self.predicate(cm, "c")
+        outer_pred = self.predicate(pm, "p")
+        key_sel = ", ".join(f"p.{k} AS k{i}" for i, k in enumerate(pm["key"]))
+        return (
+            f"SELECT {key_sel}, {self.num_expr([(f'p.{c}', lo, hi) for c, lo, hi in pm['num']])} AS c0 "
+            f"FROM {parent} p WHERE {outer_pred} AND {neg} "
+            f"(SELECT 1 FROM {child} c WHERE c.{cc} = p.{pc} AND {inner_pred})"
+        )
+
+    def q_window(self):
+        t = self.r.choice(["lineitem", "orders", "customer", "events", "documents", "part"])
+        m = META[t]
+        pcol = self.r.choice(m["strs"])[0] if m["strs"] else m["num"][0][0]
+        ukey = ", ".join(m["key"])
+        vcol, lo, hi = self.r.choice(m["num"])
+        fam = self.r.choice(["rank", "row", "lag", "frame_rows", "frame_range", "ntile", "pct"])
+        if fam == "rank":
+            fn = self.r.choice(["RANK()", "DENSE_RANK()"])
+            w = f"OVER (PARTITION BY {pcol} ORDER BY {vcol})"
+            item = f"{fn} {w} AS c0"
+        elif fam == "row":
+            item = f"ROW_NUMBER() OVER (PARTITION BY {pcol} ORDER BY {ukey}) AS c0"
+        elif fam == "lag":
+            # the fixture's "keys" are NOT unique (it deliberately
+            # carries duplicate rows for the dedup tier — first fuzz
+            # mismatch, seed 13 #64, was exactly a LAG tie on a dup
+            # (l_orderkey, l_linenumber) pair). Appending the windowed
+            # column to the ORDER BY makes tie rows indistinguishable
+            # in every projected column, so any tie permutation yields
+            # the same canonical multiset.
+            fn = self.r.choice(["LAG", "LEAD"])
+            item = (
+                f"CAST({fn}({vcol}, {self.r.randint(1, 3)}) "
+                f"OVER (PARTITION BY {pcol} ORDER BY {ukey}, {vcol}) AS DOUBLE) AS c0"
+            )
+        elif fam == "frame_rows":
+            # same tie rule as lag: the summed column joins the ORDER BY
+            k = self.r.randint(1, 5)
+            item = (
+                f"ROUND(SUM(CAST({vcol} AS DOUBLE)) OVER (PARTITION BY {pcol} ORDER BY {ukey}, {vcol} "
+                f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW), 3) AS c0"
+            )
+        elif fam == "frame_range":
+            agg = self.r.choice(["MIN", "MAX", "COUNT"])
+            cast = "" if agg == "COUNT" else "CAST"
+            expr = f"{vcol}" if agg == "COUNT" else f"CAST({vcol} AS DOUBLE)"
+            item = (
+                f"CAST({agg}({expr}) OVER (PARTITION BY {pcol} ORDER BY {vcol} "
+                f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS c0"
+            )
+        elif fam == "ntile":
+            item = f"NTILE({self.r.randint(2, 7)}) OVER (PARTITION BY {pcol} ORDER BY {ukey}) AS c0"
+        else:
+            fn = self.r.choice(["PERCENT_RANK()", "CUME_DIST()"])
+            item = f"ROUND({fn} OVER (PARTITION BY {pcol} ORDER BY {vcol}), 6) AS c0"
+        keysel = ", ".join(f"{k} AS k{i}" for i, k in enumerate(m["key"]))
+        return f"SELECT {keysel}, {item} FROM {t} WHERE {self.predicate(m, '')}"
+
+    def q_setop(self):
+        t = self.r.choice(TABLES)
+        m = META[t]
+        # scalar projections only: set-op equality on doubles must be
+        # bit-identical, which holds for same-input same-op arithmetic
+        # but NOT for aggregation accumulation order
+        items = [f"{self.num_expr(m['num'])} AS c0"]
+        if m["strs"]:
+            items.append(f"{self.str_expr(m['strs'])} AS c1")
+        sel = ", ".join(items)
+        op = self.r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        p1, p2 = self.predicate(m, ""), self.predicate(m, "")
+        return f"SELECT {sel} FROM {t} WHERE {p1} {op} SELECT {sel} FROM {t} WHERE {p2}"
+
+    def q_datefn(self):
+        t = self.r.choice(["orders", "lineitem"])
+        m = META[t]
+        c, ylo, yhi = m["ts"][0]
+        part = self.r.choice(["year", "month", "quarter", "day"])
+        keysel = ", ".join(f"{k} AS k{i}" for i, k in enumerate(m["key"]))
+        items = [
+            f"EXTRACT({part.upper()} FROM {c}) AS c0",
+            f"DATE_TRUNC('{self.r.choice(['month', 'year'])}', {c}) AS c1",
+        ]
+        return f"SELECT {keysel}, {', '.join(items)} FROM {t} WHERE {self.predicate(m, '')}"
+
+    def generate(self):
+        shape = self.r.choices(
+            ["scalar", "groupby", "rollup", "join", "exists", "window", "setop", "datefn"],
+            weights=[18, 16, 5, 22, 10, 16, 8, 5],
+        )[0]
+        if shape == "scalar":
+            return shape, self.q_scalar_chain()
+        if shape == "groupby":
+            return shape, self.q_groupby()
+        if shape == "rollup":
+            return shape, self.q_groupby(rollup=True)
+        if shape == "join":
+            return shape, self.q_join()
+        if shape == "exists":
+            return shape, self.q_exists()
+        if shape == "window":
+            return shape, self.q_window()
+        if shape == "setop":
+            return shape, self.q_setop()
+        return shape, self.q_datefn()
+
+
+MAX_ROWS = 300_000  # result-size guard: compare frames, not datasets
+
+# Adjudicated engine-semantic differences (fuzz run, round 13): a
+# mismatch matching one of these is a DOCUMENTED divergence, not a bug.
+# 1. "spark-empty-grouping-sets": ROLLUP/CUBE/GROUPING SETS over an
+#    EMPTY input — ANSI (and DuckDB/Postgres) emit one global-set row
+#    (all grouping keys NULL, COUNT(*)=0); Spark plans grouping sets as
+#    Expand + a KEYED aggregate on spark_grouping_id, and a keyed
+#    aggregate over empty input emits nothing. Minimized from 6
+#    independent seed-14/15 finds; pinned by
+#    tests/test_round13_fixes.py::test_spark_grouping_sets_empty_divergence.
+_GROUPING_MARKERS = ("ROLLUP(", "CUBE(", "GROUPING SETS")
+
+
+def _adjudicate(sql: str, sn: int, dn: int) -> str | None:
+    """Return the adjudication tag for a known semantic difference, or
+    None if the mismatch is unexplained (a real finding)."""
+    if sn == 0 and dn == 1 and any(m in sql for m in _GROUPING_MARKERS):
+        return "spark-empty-grouping-sets"
+    return None
+
+
+def run_differential(spark, con, seed: int, n: int, only_index: int | None = None):
+    rng = random.Random(seed)
+    gen = Gen(rng)
+    results = {"passed": 0, "mismatches": [], "errors": [], "adjudicated": [], "skipped_oversize": 0, "shapes": {}}
+    for i in range(n):
+        shape, sql = gen.generate()
+        if only_index is not None and i != only_index:
+            continue
+        results["shapes"][shape] = results["shapes"].get(shape, 0) + 1
+        rec = {"seed": seed, "index": i, "shape": shape, "sql": sql}
+        try:
+            ddf = con.execute(sql).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"duckdb error: {exc}"
+            results["errors"].append(rec)
+            continue
+        if len(ddf) > MAX_ROWS:
+            results["skipped_oversize"] += 1
+            continue
+        try:
+            sdf = spark.sql(sql).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"spark error: {exc}"
+            results["errors"].append(rec)
+            continue
+        sn, scols, srows = canonical(sdf)
+        dn, dcols, drows = canonical(ddf)
+        if scols != dcols:
+            rec["err"] = f"columns spark={scols} duckdb={dcols}"
+        elif sn != dn:
+            rec["err"] = f"rowcount spark={sn} duckdb={dn}"
+        elif srows != drows:
+            d = next(j for j, (a, b) in enumerate(zip(srows, drows)) if a != b)
+            rec["err"] = f"first diff at sorted-row {d}: spark={srows[d]} duckdb={drows[d]}"
+        if "err" in rec:
+            tag = _adjudicate(sql, sn, dn)
+            if tag:
+                rec["adjudicated_as"] = tag
+                results["adjudicated"].append(rec)
+            else:
+                results["mismatches"].append(rec)
+        else:
+            results["passed"] += 1
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--seeds", default=None, help="comma list; overrides --seed, one run each")
+    ap.add_argument("--n", type=int, default=220)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--repro", type=int, default=None, help="run only this query index")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from labs_stream_processing_examples_scala_spark import get_spark
+    from labs_stream_processing_examples_scala_spark.sources.batch import load_table
+
+    t0 = time.time()
+    spark = get_spark(app_name="query-fuzz")
+    con = duckdb.connect()
+    for t in TABLES:
+        load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    seeds = [int(s) for s in args.seeds.split(",")] if args.seeds else [args.seed]
+    res = run_differential(spark, con, seeds[0], args.n, only_index=args.repro)
+    for extra in seeds[1:]:
+        r2 = run_differential(spark, con, extra, args.n)
+        res["passed"] += r2["passed"]
+        res["skipped_oversize"] += r2["skipped_oversize"]
+        for k in ("mismatches", "errors", "adjudicated"):
+            res[k].extend(r2[k])
+        for sh, c in r2["shapes"].items():
+            res["shapes"][sh] = res["shapes"].get(sh, 0) + c
+    record = {
+        "metric": "query_fuzz_differential",
+        "seed": seeds[0] if len(seeds) == 1 else seeds,
+        "n": args.n * len(seeds),
+        "sf_dir": args.sf_dir,
+        "passed": res["passed"],
+        "mismatches_n": len(res["mismatches"]),
+        "errors_n": len(res["errors"]),
+        "adjudicated_n": len(res["adjudicated"]),
+        "skipped_oversize": res["skipped_oversize"],
+        "shapes": res["shapes"],
+        "mismatches": res["mismatches"][:20],
+        "errors": res["errors"][:20],
+        "adjudicated": res["adjudicated"][:20],
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+    if args.json:
+        Path(args.json).write_text(json.dumps(record, indent=1))
+    for m in res["mismatches"]:
+        print(f"MISMATCH #{m['index']} [{m['shape']}]: {m['err']}\n  {m['sql']}", file=sys.stderr)
+    for e in res["errors"]:
+        print(f"ERROR    #{e['index']} [{e['shape']}]: {e['err']}\n  {e['sql']}", file=sys.stderr)
+    print(json.dumps({k: record[k] for k in ("seed", "n", "passed", "mismatches_n", "errors_n", "adjudicated_n", "skipped_oversize", "elapsed_s")}))
+    spark.stop()
+    return 0 if not res["mismatches"] and not res["errors"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
