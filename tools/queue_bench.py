@@ -103,11 +103,11 @@ def main() -> None:
             def onQueryTerminated(self, event):
                 pass
 
-        def _stream_once(ckpt: str):
+        def _stream_once(ckpt: str, rows_per_batch: int = 500_000):
             q = (
                 spark.readStream.format("fqueue")
                 .option("path", qdir)
-                .option("rows_per_batch", 500_000)
+                .option("rows_per_batch", rows_per_batch)
                 .option("rows_per_partition", 65_536)
                 .load()
                 .writeStream.format("noop")
@@ -135,6 +135,18 @@ def main() -> None:
         rows_seen = counter.rows
         spark.streams.removeListener(counter)
 
+        # rows_per_batch sweep (round-12 verdict task #3): each
+        # micro-batch pays a fixed DSv2 planning cost (latestOffset /
+        # partitions / commit Python hops), so throughput scales with
+        # batch size until the batch covers the backlog. Recording the
+        # curve justifies the default the pipeline bench uses instead
+        # of hand-waving it.
+        sweep = {}
+        for rpb in (250_000, 500_000, 1_000_000, 2_000_000):
+            t0 = time.perf_counter()
+            _stream_once(f"{work}/ckpt_rpb_{rpb}", rows_per_batch=rpb)
+            sweep[str(rpb)] = round(n_rows / (time.perf_counter() - t0))
+
         record = {
             "metric": "fqueue_roundtrip_throughput",
             "unit": "rows_per_sec",
@@ -152,6 +164,7 @@ def main() -> None:
             "stream_consume_s": round(stream_s, 2),
             "stream_consume_rows_per_sec": round(n_rows / stream_s),
             "stream_rows_observed": rows_seen,
+            "stream_rpb_sweep_rows_per_sec": sweep,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

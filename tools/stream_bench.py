@@ -128,7 +128,12 @@ def main() -> None:
             return (
                 spark.readStream.format("fqueue")
                 .option("path", qdir)
-                .option("rows_per_batch", 500_000)
+                # 1M: queue_bench's r13 rows_per_batch sweep (250k →
+                # ~310-330k rows/s, 500k → ~466-582k, 1M → ~520-628k)
+                # — each micro-batch pays a fixed DSv2 planning cost,
+                # so the batch budget should cover the 2M backlog in a
+                # few batches without collapsing to batch-in-disguise
+                .option("rows_per_batch", 1_000_000)
                 .option("rows_per_partition", 65_536)
                 .load()
                 .select(F.col("key").cast("long").alias("id"), F.col("value"))
