@@ -151,7 +151,133 @@ def join_lines(plan: str) -> list[str]:
     return out
 
 
+def _stage_summaries(ui: str, app: str, after_stage: int) -> list[dict]:
+    """Per-stage shuffle + task-skew summary from the Spark UI REST API
+    (stages completed after `after_stage`): bytes through each
+    exchange, task count, and the max/median task-time ratio — the
+    straggler detector the round-12 verdict asked for at sf10."""
+    import json as _json
+    import urllib.request
+
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete") as r:
+        stages = _json.load(r)
+    out = []
+    for st in stages:
+        sid = st["stageId"]
+        if sid <= after_stage:
+            continue
+        if not (st.get("shuffleReadBytes") or st.get("shuffleWriteBytes")):
+            continue
+        q = "quantiles=0.0,0.5,1.0"
+        try:
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages/{sid}/{st['attemptId']}"
+                f"/taskSummary?{q}"
+            ) as r:
+                ts = _json.load(r)
+            run_min, run_med, run_max = ts["executorRunTime"]
+        except Exception:  # noqa: BLE001 — summary may be evicted; keep the stage row
+            run_min = run_med = run_max = None
+        out.append(
+            {
+                "stage": sid,
+                "tasks": st["numCompleteTasks"],
+                "shuffle_read_mb": round(st.get("shuffleReadBytes", 0) / 1e6, 1),
+                "shuffle_write_mb": round(st.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "task_ms_med": run_med,
+                "task_ms_max": run_max,
+                "straggler_ratio": (
+                    round(run_max / run_med, 2) if run_med else None
+                ),
+            }
+        )
+    return out
+
+
+def anchor_main() -> None:
+    """--anchor DIR mode (round-12 verdict task #5): run the two
+    fastest-growing sf10 shuffle movers (q48_tpch_q7, q30_tpch_q3) on
+    the REAL unskewed anchor corpus with the engine's default AQE
+    thresholds, and record (a) the final adaptive join strategy, (b)
+    AQE activity (coalesced shuffle reads / skew splits), (c) exchange
+    sizes and per-stage task-time skew. Expectation on unskewed data:
+    shuffle joins on fact⋈fact edges, AQE coalesce active, skew splits
+    unneeded, no straggler (max/median task time well under 4×)."""
+    import json as _json
+
+    import __spark_entry__ as entrymod
+
+    from labs_stream_processing_examples_scala_spark import get_spark
+
+    dst = sys.argv[sys.argv.index("--anchor") + 1]
+    out_json = None
+    if "--json" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--json") + 1]
+    import bench as benchmod
+
+    calib_start = benchmod._calibrate()
+    spark = get_spark(app_name="aqe-anchor", extra_conf={"spark.ui.enabled": "true"})
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    qs = entrymod.queries()
+    record: dict = {
+        "metric": "aqe_anchor_evidence",
+        "sf_dir": dst,
+        "conf": {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.adaptive.coalescePartitions.enabled",
+                "spark.sql.adaptive.skewJoin.enabled",
+                "spark.sql.shuffle.partitions",
+            )
+        },
+        "queries": {},
+    }
+    last_stage = -1
+    for name in ("q48_tpch_q7", "q30_tpch_q3"):
+        df = qs[name](spark, dst)
+        t0 = time.time()
+        df.collect()
+        wall = time.time() - t0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        stages = _stage_summaries(ui, app, last_stage)
+        if stages:
+            last_stage = max(s["stage"] for s in stages)
+        record["queries"][name] = {
+            "wall_s": round(wall, 1),
+            "join_nodes": join_lines(plan),
+            "skew_splits": plan.count("skew=true"),
+            "coalesced_reads": plan.count("coalesced"),
+            "stages": stages,
+            "max_straggler_ratio": max(
+                (s["straggler_ratio"] for s in stages if s["straggler_ratio"]),
+                default=None,
+            ),
+        }
+        print(f"{name}: {wall:.1f}s, skew={record['queries'][name]['skew_splits']}, "
+              f"coalesced={record['queries'][name]['coalesced_reads']}, "
+              f"straggler={record['queries'][name]['max_straggler_ratio']}")
+    calib_end = benchmod._calibrate()
+    record["calibration"] = {
+        "start_py_ms": calib_start["calib_py_ms"],
+        "start_np_ms": calib_start["calib_np_ms"],
+        "start_mt_ms": calib_start["calib_mt_ms"],
+        "end_py_ms": calib_end["calib_py_ms"],
+        "end_np_ms": calib_end["calib_np_ms"],
+        "end_mt_ms": calib_end["calib_mt_ms"],
+    }
+    if out_json:
+        Path(out_json).write_text(_json.dumps(record, indent=1))
+    print(_json.dumps({k: record["queries"][k]["wall_s"] for k in record["queries"]}))
+    spark.stop()
+
+
 def main() -> None:
+    if "--anchor" in sys.argv:
+        anchor_main()
+        return
     markdown = "--markdown" in sys.argv
     from labs_stream_processing_examples_scala_spark import get_spark
     import __spark_entry__ as entrymod
