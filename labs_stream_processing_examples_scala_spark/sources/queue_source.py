@@ -233,6 +233,62 @@ def _segment_count(queue_dir: str, seg: int) -> int | None:
     return _segment_count_sized(queue_dir, seg, size)
 
 
+# --- span seek index ---------------------------------------------------
+# Byte offset of every _OFFSET_EVERY-th row, so a span read SEEKS to
+# its start instead of line-scanning from byte 0. Without it, a
+# segment split into S spans re-reads O(S²/2) span-lengths of bytes
+# per micro-batch — irrelevant at test scale, THE read-amplification
+# term at broker scale (a 512 MB segment in 2 MB spans would scan
+# ~64 GB of skip bytes per batch). Built lazily by the first reader
+# that needs it (one pass, persisted, size-validated — exactly the
+# _counts recount protocol) because the producer's staged write is
+# text-mode and should not pay tell() per line.
+_OFFSET_EVERY = 65536
+_OFFSETS_CACHE: dict[tuple[str, int, int], list[int]] = {}
+_OFFSETS_CACHE_MAX = 1024
+
+
+def _offsets_path(queue_dir: str, seg: int) -> str:
+    return os.path.join(queue_dir, "_offsets", f"{seg:0{_SEG_DIGITS}d}")
+
+
+def _segment_offsets(queue_dir: str, seg: int, size: int) -> list[int]:
+    """offsets[k] = byte position of row k*_OFFSET_EVERY. Valid only
+    for the exact byte size it was built at (immutable-once-visible
+    segments make that a permanent fact; truncation/rewrite changes
+    the size and invalidates)."""
+    key = (queue_dir, seg, size)
+    hit = _OFFSETS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    offs: list[int] | None = None
+    try:
+        with open(_offsets_path(queue_dir, seg), encoding="utf-8") as f:
+            sz_s, every_s, body = f.read().split(":", 2)
+        if int(sz_s) == size and int(every_s) == _OFFSET_EVERY:
+            offs = [int(x) for x in body.split(",")] if body else [0]
+    except (FileNotFoundError, ValueError):
+        pass
+    if offs is None:
+        offs = [0]
+        pos = 0
+        row = 0
+        with open(_seg_path(queue_dir, seg), "rb") as f:
+            for line in f:
+                pos += len(line)
+                row += 1
+                if row % _OFFSET_EVERY == 0:
+                    offs.append(pos)
+        _atomic_write(
+            _offsets_path(queue_dir, seg),
+            f"{size}:{_OFFSET_EVERY}:{','.join(map(str, offs))}",
+        )
+    while len(_OFFSETS_CACHE) >= _OFFSETS_CACHE_MAX:
+        _OFFSETS_CACHE.pop(next(iter(_OFFSETS_CACHE)))
+    _OFFSETS_CACHE[key] = offs
+    return offs
+
+
 def _scan_segments(queue_dir: str) -> list[tuple[int, int]]:
     """One scandir pass → sorted [(seg, byte_size)]. The planning path's
     only directory touch per call: batches what used to be a listdir
@@ -605,9 +661,20 @@ def _read_segment_batches(
             yield _rows_to_batch(rows)
         return
     with open(_seg_path(queue_dir, seg), "rb") as f:
+        row = 0
+        if start_row >= _OFFSET_EVERY:
+            # seek to the last byte checkpoint at-or-before start_row
+            # instead of line-scanning from byte 0 (the O(spans²)
+            # read-amplification fix — see _segment_offsets)
+            offs = _segment_offsets(queue_dir, seg, os.fstat(f.fileno()).st_size)
+            chk = min(start_row // _OFFSET_EVERY, len(offs) - 1)
+            f.seek(offs[chk])
+            row = chk * _OFFSET_EVERY
         block: list[bytes] = []
         block_start = 0
-        for pos, line in enumerate(f):
+        for line in f:
+            pos = row
+            row += 1
             if pos < start_row:
                 continue
             if end_row is not None and pos >= end_row:

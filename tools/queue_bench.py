@@ -104,6 +104,12 @@ def main() -> None:
                 pass
 
         def _stream_once(ckpt: str, rows_per_batch: int = 500_000):
+            # span fixed at 65536 across the sweep: an r13 A/B showed
+            # narrower spans LOSE (2.0-2.5 s at 65k vs 3.1 s at 32k/16k
+            # for the same 1M-rpb consume) — each DSv2 Python read task
+            # carries a fixed cost that a ~2 MB span amortizes and a
+            # halved span does not, so the sweep measures the batch-
+            # budget effect at the task size the pipeline actually uses
             q = (
                 spark.readStream.format("fqueue")
                 .option("path", qdir)

@@ -124,16 +124,24 @@ def main() -> None:
         )
         QS.queue_sink(qdir)(batch_msgs, 0)
 
-        def queue_msgs():
+        def queue_msgs(rows_per_batch: int = 2_000_000):
+            # rows_per_batch per queue_bench's r13 sweep (250k →
+            # ~310-330k rows/s, 500k → ~466-582k, 1M → ~520-628k,
+            # 2M → ~540-715k): each micro-batch pays a fixed DSv2
+            # planning + sink-txn cost, so the budget should cover the
+            # backlog — the defended leg uses the sweep argmax (2M,
+            # Kafka's maxOffsetsPerTrigger tuned to backlog), and a 1M
+            # multi-batch leg is recorded alongside so the micro-batch
+            # overhead stays visible in the artifact.
+            # rows_per_partition stays 65536: an r13 A/B (noop consume,
+            # same session) measured 65k spans at 2.0-2.5 s vs 3.1 s
+            # for 32k/16k — each DSv2 Python read task carries a fixed
+            # cost, so halving the span to fill all 32 cores LOSES to
+            # 16 well-fed tasks at this payload size (~2 MB JSONL/span)
             return (
                 spark.readStream.format("fqueue")
                 .option("path", qdir)
-                # 1M: queue_bench's r13 rows_per_batch sweep (250k →
-                # ~310-330k rows/s, 500k → ~466-582k, 1M → ~520-628k)
-                # — each micro-batch pays a fixed DSv2 planning cost,
-                # so the batch budget should cover the 2M backlog in a
-                # few batches without collapsing to batch-in-disguise
-                .option("rows_per_batch", 1_000_000)
+                .option("rows_per_batch", rows_per_batch)
                 .option("rows_per_partition", 65_536)
                 .load()
                 .select(F.col("key").cast("long").alias("id"), F.col("value"))
@@ -141,6 +149,7 @@ def main() -> None:
 
         _run_leg(spark, work, "queue_warm", queue_msgs())
         fqueue_fed = _run_leg(spark, work, "queue", queue_msgs())
+        fqueue_fed_1m = _run_leg(spark, work, "queue_1m", queue_msgs(1_000_000))
 
         end_job_ms = benchmod._job_probe_ms(spark)
         calib_end = benchmod._calibrate()
@@ -152,7 +161,8 @@ def main() -> None:
             "methodology": "warm-lap-r12",
             "n_rows": n_rows,
             "file_fed": file_fed,
-            "fqueue_fed": fqueue_fed,
+            "fqueue_fed": fqueue_fed,  # sweep-argmax batch budget (2M)
+            "fqueue_fed_rpb1m": fqueue_fed_1m,  # multi-batch form
             "sf_dir": sf_dir,
             "calibration": {
                 "start_py_ms": calib_start["calib_py_ms"],
