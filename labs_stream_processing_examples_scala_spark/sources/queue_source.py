@@ -252,11 +252,20 @@ def _offsets_path(queue_dir: str, seg: int) -> str:
     return os.path.join(queue_dir, "_offsets", f"{seg:0{_SEG_DIGITS}d}")
 
 
-def _segment_offsets(queue_dir: str, seg: int, size: int) -> list[int]:
+def _segment_offsets(queue_dir: str, seg: int, size: int, fobj=None) -> list[int]:
     """offsets[k] = byte position of row k*_OFFSET_EVERY. Valid only
     for the exact byte size it was built at (immutable-once-visible
     segments make that a permanent fact; truncation/rewrite changes
-    the size and invalidates)."""
+    the size and invalidates).
+
+    When the caller passes its open binary file ``fobj``, the build
+    scans THAT descriptor (position restored) so the offsets are
+    guaranteed to describe exactly the bytes the caller will read —
+    a second open-by-path could see a segment truncated between the
+    caller's fstat and the scan, and caching THOSE offsets under the
+    caller's size key would misalign every later seek (round-13
+    self-review). Persist/cache only when the scanned byte count
+    matches ``size``."""
     key = (queue_dir, seg, size)
     hit = _OFFSETS_CACHE.get(key)
     if hit is not None:
@@ -269,23 +278,36 @@ def _segment_offsets(queue_dir: str, seg: int, size: int) -> list[int]:
             offs = [int(x) for x in body.split(",")] if body else [0]
     except (FileNotFoundError, ValueError):
         pass
+    scanned = size
     if offs is None:
         offs = [0]
         pos = 0
         row = 0
-        with open(_seg_path(queue_dir, seg), "rb") as f:
-            for line in f:
+        src = fobj if fobj is not None else open(_seg_path(queue_dir, seg), "rb")
+        saved = src.tell() if fobj is not None else None
+        try:
+            if fobj is not None:
+                src.seek(0)
+            for line in src:
                 pos += len(line)
                 row += 1
                 if row % _OFFSET_EVERY == 0:
                     offs.append(pos)
-        _atomic_write(
-            _offsets_path(queue_dir, seg),
-            f"{size}:{_OFFSET_EVERY}:{','.join(map(str, offs))}",
-        )
-    while len(_OFFSETS_CACHE) >= _OFFSETS_CACHE_MAX:
-        _OFFSETS_CACHE.pop(next(iter(_OFFSETS_CACHE)))
-    _OFFSETS_CACHE[key] = offs
+        finally:
+            if fobj is not None:
+                src.seek(saved)
+            else:
+                src.close()
+        scanned = pos
+        if scanned == size:
+            _atomic_write(
+                _offsets_path(queue_dir, seg),
+                f"{size}:{_OFFSET_EVERY}:{','.join(map(str, offs))}",
+            )
+    if scanned == size:
+        while len(_OFFSETS_CACHE) >= _OFFSETS_CACHE_MAX:
+            _OFFSETS_CACHE.pop(next(iter(_OFFSETS_CACHE)))
+        _OFFSETS_CACHE[key] = offs
     return offs
 
 
@@ -666,7 +688,7 @@ def _read_segment_batches(
             # seek to the last byte checkpoint at-or-before start_row
             # instead of line-scanning from byte 0 (the O(spans²)
             # read-amplification fix — see _segment_offsets)
-            offs = _segment_offsets(queue_dir, seg, os.fstat(f.fileno()).st_size)
+            offs = _segment_offsets(queue_dir, seg, os.fstat(f.fileno()).st_size, fobj=f)
             chk = min(start_row // _OFFSET_EVERY, len(offs) - 1)
             f.seek(offs[chk])
             row = chk * _OFFSET_EVERY

@@ -477,6 +477,122 @@ class Gen:
         p1, p2 = self.predicate(m, ""), self.predicate(m, "")
         return f"SELECT {sel} FROM {t} WHERE {p1} {op} SELECT {sel} FROM {t} WHERE {p2}"
 
+    def q_scalar_subquery(self):
+        """Correlated scalar subquery in the SELECT list — the shape
+        behind Spark's historical correlated-COUNT bugs, worth fuzzing
+        differentially forever."""
+        edge = self.r.choice([e for e in FK if e[0] in ("lineitem", "orders")])
+        child, cc, parent, pc = edge
+        pm, cm = META[parent], META[child]
+        agg = self.r.choice(
+            [
+                "COUNT(*)",
+                f"CAST(COUNT(c.{cm['num'][0][0]}) AS BIGINT)",
+                f"ROUND(SUM(CAST(c.{self.r.choice(cm['num'])[0]} AS DOUBLE)), 3)",
+                f"CAST(MIN(c.{self.r.choice(cm['num'])[0]}) AS DOUBLE)",
+            ]
+        )
+        inner_pred = self.predicate(cm, "c")
+        key_sel = ", ".join(f"p.{k} AS k{i}" for i, k in enumerate(pm["key"]))
+        return (
+            f"SELECT {key_sel}, (SELECT {agg} FROM {child} c "
+            f"WHERE c.{cc} = p.{pc} AND {inner_pred}) AS c0 "
+            f"FROM {parent} p WHERE {self.predicate(pm, 'p')}"
+        )
+
+    def q_in_subquery(self):
+        edge = self.r.choice(FK)
+        child, cc, parent, pc = edge
+        pm, cm = META[parent], META[child]
+        neg = self.r.choice(["IN", "NOT IN"])
+        # key columns are non-null in both tables, so NOT IN keeps
+        # two-valued semantics (a NULL in the subquery would null it out)
+        key_sel = ", ".join(f"{k} AS k{i}" for i, k in enumerate(cm["key"]))
+        return (
+            f"SELECT {key_sel}, {self.num_expr(cm['num'])} AS c0 FROM {child} "
+            f"WHERE {self.predicate(cm, '')} AND {cc} {neg} "
+            f"(SELECT {pc} FROM {parent} WHERE {self.predicate(pm, '')})"
+        )
+
+    def q_agg_case(self):
+        """Conditional aggregation — SUM/COUNT over CASE, the pivot-ish
+        hand-rolled shape."""
+        t = self.r.choice([t for t in TABLES if META[t]["strs"]])
+        m = META[t]
+        gkey = self.r.choice(m["strs"])[0]
+        vcol, lo, hi = self.r.choice(m["num"])
+        cond = self.predicate(m, "")
+        items = [
+            f"ROUND(SUM(CASE WHEN {cond} THEN CAST({vcol} AS DOUBLE) ELSE 0.0 END), 3) AS c0",
+            f"COUNT(CASE WHEN {self.predicate(m, '')} THEN 1 END) AS c1",
+        ]
+        return f"SELECT {gkey} AS k0, {', '.join(items)} FROM {t} GROUP BY {gkey}"
+
+    def q_groupby_expr(self):
+        t = self.r.choice([t for t in TABLES if META[t]["strs"]])
+        m = META[t]
+        scol = self.r.choice(m["strs"])[0]
+        expr = self.r.choice(
+            [
+                f"SUBSTR({scol}, 1, {self.r.randint(1, 3)})",
+                f"UPPER(SUBSTR({scol}, 1, 2))",
+                f"LENGTH({scol})",
+            ]
+        )
+        aggs = [self.agg_item(m, "", i) for i in range(self.r.randint(1, 2))]
+        return (
+            f"SELECT {expr} AS k0, {', '.join(aggs)} FROM {t} "
+            f"WHERE {self.predicate(m, '')} GROUP BY {expr}"
+        )
+
+    def q_topk(self):
+        """ORDER BY + LIMIT. Deterministic because the ORDER BY covers
+        EVERY projected column: rows tying across the LIMIT boundary
+        are projection-identical, so either choice yields the same
+        canonical multiset (same rule as the window tie handling)."""
+        t = self.r.choice(TABLES)
+        m = META[t]
+        vcol, lo, hi = self.r.choice(m["num"])
+        cols = [f"{k} AS k{i}" for i, k in enumerate(m["key"])] + [f"CAST({vcol} AS DOUBLE) AS c0"]
+        order = ", ".join([f"CAST({vcol} AS DOUBLE) {self.r.choice(['ASC', 'DESC'])}", *m["key"]])
+        return (
+            f"SELECT {', '.join(cols)} FROM {t} WHERE {self.predicate(m, '')} "
+            f"ORDER BY {order} LIMIT {self.r.randint(1, 50)}"
+        )
+
+    def q_range_frame_bounded(self):
+        """RANGE BETWEEN n PRECEDING AND m FOLLOWING on a numeric order
+        key — value-determined frames, tie-safe for any aggregate."""
+        t = self.r.choice(["lineitem", "orders", "customer", "part", "events"])
+        m = META[t]
+        pcol = self.r.choice(m["strs"])[0] if m["strs"] else m["num"][0][0]
+        vcol, lo, hi = self.r.choice(m["num"])
+        n = round(self.r.uniform(0, (hi - lo) / 5 or 1), 2)
+        mm = round(self.r.uniform(0, (hi - lo) / 5 or 1), 2)
+        agg = self.r.choice(["COUNT", "MIN", "MAX"])
+        expr = f"{vcol}" if agg == "COUNT" else f"CAST({vcol} AS DOUBLE)"
+        keysel = ", ".join(f"{k} AS k{i}" for i, k in enumerate(m["key"]))
+        return (
+            f"SELECT {keysel}, CAST({agg}({expr}) OVER (PARTITION BY {pcol} "
+            f"ORDER BY CAST({vcol} AS DOUBLE) RANGE BETWEEN {n} PRECEDING "
+            f"AND {mm} FOLLOWING) AS DOUBLE) AS c0 FROM {t} WHERE {self.predicate(m, '')}"
+        )
+
+    def q_derived(self):
+        """Aggregate over a derived table that itself filters/projects."""
+        t = self.r.choice([t for t in TABLES if META[t]["strs"]])
+        m = META[t]
+        gkey = self.r.choice(m["strs"])[0]
+        vcol, lo, hi = self.r.choice(m["num"])
+        inner = (
+            f"SELECT {gkey} AS g, {self.num_expr(m['num'])} AS v FROM {t} "
+            f"WHERE {self.predicate(m, '')}"
+        )
+        return (
+            f"SELECT g AS k0, COUNT(*) AS c0, ROUND(SUM(v), 3) AS c1 "
+            f"FROM ({inner}) d GROUP BY g HAVING COUNT(*) > {self.r.randint(0, 3)}"
+        )
+
     def q_datefn(self):
         t = self.r.choice(["orders", "lineitem"])
         m = META[t]
@@ -491,24 +607,31 @@ class Gen:
 
     def generate(self):
         shape = self.r.choices(
-            ["scalar", "groupby", "rollup", "join", "exists", "window", "setop", "datefn"],
-            weights=[18, 16, 5, 22, 10, 16, 8, 5],
+            [
+                "scalar", "groupby", "rollup", "join", "exists", "window",
+                "setop", "datefn", "scalar_subquery", "in_subquery",
+                "agg_case", "groupby_expr", "topk", "range_frame", "derived",
+            ],
+            weights=[13, 11, 4, 16, 7, 12, 6, 4, 6, 6, 4, 3, 3, 3, 2],
         )[0]
-        if shape == "scalar":
-            return shape, self.q_scalar_chain()
-        if shape == "groupby":
-            return shape, self.q_groupby()
-        if shape == "rollup":
-            return shape, self.q_groupby(rollup=True)
-        if shape == "join":
-            return shape, self.q_join()
-        if shape == "exists":
-            return shape, self.q_exists()
-        if shape == "window":
-            return shape, self.q_window()
-        if shape == "setop":
-            return shape, self.q_setop()
-        return shape, self.q_datefn()
+        fn = {
+            "scalar": self.q_scalar_chain,
+            "groupby": self.q_groupby,
+            "rollup": lambda: self.q_groupby(rollup=True),
+            "join": self.q_join,
+            "exists": self.q_exists,
+            "window": self.q_window,
+            "setop": self.q_setop,
+            "datefn": self.q_datefn,
+            "scalar_subquery": self.q_scalar_subquery,
+            "in_subquery": self.q_in_subquery,
+            "agg_case": self.q_agg_case,
+            "groupby_expr": self.q_groupby_expr,
+            "topk": self.q_topk,
+            "range_frame": self.q_range_frame_bounded,
+            "derived": self.q_derived,
+        }[shape]
+        return shape, fn()
 
 
 MAX_ROWS = 300_000  # result-size guard: compare frames, not datasets
