@@ -206,6 +206,45 @@ def test_spark_grouping_sets_empty_divergence(spark, duck):
     assert spark.sql("SELECT COUNT(*) AS c0 FROM region WHERE r_regionkey < 0").collect()[0][0] == 0
 
 
+def test_duckdb_round_tie_divergence(spark, duck):
+    """Adjudicated fuzz finding #3 (seed 27 #196): ROUND on DOUBLE near
+    a decimal tie. 94143.4/52 is binarily 1810.4499999999998 — strictly
+    below the tie — so Spark (BigDecimal over the binary value) and
+    Python round to 1810.4, while DuckDB rounds the value's DECIMAL
+    representation half-away ('1810.45' → 1810.5). If this pin fails,
+    DuckDB changed its double-round convention — retire the
+    'round-tie-convention' adjudication rather than widen it."""
+    s = spark.sql("SELECT ROUND(CAST(94143.4 AS DOUBLE) / 52, 1) AS r").collect()[0].r
+    d = duck.execute("SELECT ROUND(CAST(94143.4 AS DOUBLE) / 52, 1)").fetchone()[0]
+    assert s == 1810.4, "Spark's binary-value rounding changed"
+    assert d == 1810.5, "DuckDB's decimal-repr rounding changed"
+    assert round(94143.4 / 52, 1) == 1810.4  # Python sides with the binary value
+
+
+def test_round_tie_adjudicator_is_structural():
+    """The round-tie adjudicator must accept only diffs within one unit
+    of the coarsest ROUND digit on float columns of otherwise-identical
+    rows — and reject anything else."""
+    from tools.query_fuzz import _round_tie_ok
+
+    sql = "SELECT k, ROUND(x, 1) AS c0 FROM t"
+    ok_a = [("1810.400000", "k1"), ("5.000000", "k2")]
+    ok_b = [("1810.500000", "k1"), ("5.000000", "k2")]
+    assert _round_tie_ok(sql, ok_a, ok_b)
+    # diff beyond one rounded-digit unit -> real mismatch
+    bad_b = [("1810.600000", "k1"), ("5.000000", "k2")]
+    assert not _round_tie_ok(sql, ok_a, bad_b)
+    # non-float column differing -> real mismatch
+    assert not _round_tie_ok(sql, ok_a, [("1810.400000", "k9"), ("5.000000", "k2")])
+    # no ROUND in the query -> never adjudicated
+    assert not _round_tie_ok("SELECT k, x AS c0 FROM t", ok_a, ok_b)
+    # duplicate non-float keys: per-group sorted pairing within unit
+    dup_a = [("1.000000", "k"), ("2.000000", "k")]
+    dup_b = [("1.100000", "k"), ("2.100000", "k")]
+    assert _round_tie_ok(sql, dup_a, dup_b)
+    assert not _round_tie_ok(sql, dup_a, [("1.000000", "k"), ("2.300000", "k")])
+
+
 def test_query_fuzz_adjudication_is_narrow():
     """The adjudication must only absorb the pinned divergence — a
     0-vs-1 rowcount WITHOUT a grouping-set marker, or a grouping-set

@@ -645,14 +645,71 @@ MAX_ROWS = 300_000  # result-size guard: compare frames, not datasets
 #    aggregate over empty input emits nothing. Minimized from 6
 #    independent seed-14/15 finds; pinned by
 #    tests/test_round13_fixes.py::test_spark_grouping_sets_empty_divergence.
+# 2. "round-tie-convention": ROUND on DOUBLE near a decimal tie —
+#    Spark (BigDecimal over the binary value) and Python round by the
+#    TRUE binary value (94143.4/52 = 1810.4499999999998 → 1810.4 at
+#    1 dp), while DuckDB rounds via the value's decimal representation
+#    half-away ("1810.45" → 1810.5). Found by seed 27 #196; pinned by
+#    tests/test_round13_fixes.py::test_duckdb_round_tie_divergence.
+#    Adjudicated only when the two answers agree up to ONE unit in the
+#    last rounded digit on every row (verified structurally below).
 _GROUPING_MARKERS = ("ROLLUP(", "CUBE(", "GROUPING SETS")
+_ROUND_RE = __import__("re").compile(r"ROUND\(.*?,\s*(\d+)\)")
+_FLOAT_RE = __import__("re").compile(r"^-?\d+\.\d{6}$")
 
 
-def _adjudicate(sql: str, sn: int, dn: int) -> str | None:
+def _round_tie_ok(sql: str, srows, drows) -> bool:
+    """True iff every difference between the two canonical row sets is
+    a float column within one unit of the COARSEST ROUND precision in
+    the query — i.e. the engines agree up to rounding convention."""
+    # min(ps) = coarsest rounded digit. The non-greedy regex can also
+    # capture an inner fn's small int arg (SUBSTR(x, 1, 2)), which only
+    # makes the unit COARSER — bounded over-permissiveness (≤0.1 abs,
+    # and only on float cells of otherwise row-identical results),
+    # accepted for a fuzz adjudicator.
+    ps = [int(m) for m in _ROUND_RE.findall(sql)]
+    if not ps or len(srows) != len(drows) or not srows:
+        return False
+    unit = 10.0 ** -min(ps) * 1.0000001
+    is_float = [
+        _FLOAT_RE.match(a) is not None or _FLOAT_RE.match(b) is not None
+        for a, b in zip(srows[0], drows[0])
+    ]
+
+    def grouped(rows):
+        g: dict[tuple, list[list[float]]] = {}
+        for r in rows:
+            key = tuple(v for v, fl in zip(r, is_float) if not fl)
+            g.setdefault(key, []).append(
+                [float(v) for v, fl in zip(r, is_float) if fl]
+            )
+        return g
+
+    try:
+        ga, gb = grouped(srows), grouped(drows)
+    except ValueError:  # a "float" cell that isn't (∅ etc.)
+        return False
+    if set(ga) != set(gb):
+        return False
+    for key, avals in ga.items():
+        bvals = gb[key]
+        if len(avals) != len(bvals):
+            return False
+        # within a non-float key group, numerically sorted float
+        # tuples must pair within one rounded-digit unit
+        for ta, tb in zip(sorted(avals), sorted(bvals)):
+            if any(abs(x - y) > unit for x, y in zip(ta, tb)):
+                return False
+    return True
+
+
+def _adjudicate(sql: str, sn: int, dn: int, srows=None, drows=None) -> str | None:
     """Return the adjudication tag for a known semantic difference, or
     None if the mismatch is unexplained (a real finding)."""
     if sn == 0 and dn == 1 and any(m in sql for m in _GROUPING_MARKERS):
         return "spark-empty-grouping-sets"
+    if srows is not None and drows is not None and _round_tie_ok(sql, srows, drows):
+        return "round-tie-convention"
     return None
 
 
@@ -691,7 +748,7 @@ def run_differential(spark, con, seed: int, n: int, only_index: int | None = Non
             d = next(j for j, (a, b) in enumerate(zip(srows, drows)) if a != b)
             rec["err"] = f"first diff at sorted-row {d}: spark={srows[d]} duckdb={drows[d]}"
         if "err" in rec:
-            tag = _adjudicate(sql, sn, dn)
+            tag = _adjudicate(sql, sn, dn, srows, drows)
             if tag:
                 rec["adjudicated_as"] = tag
                 results["adjudicated"].append(rec)
@@ -747,7 +804,7 @@ def main() -> int:
         "shapes": res["shapes"],
         "mismatches": res["mismatches"][:20],
         "errors": res["errors"][:20],
-        "adjudicated": res["adjudicated"][:20],
+        "adjudicated": res["adjudicated"][:60],
         "elapsed_s": round(time.time() - t0, 1),
     }
     if args.json:
