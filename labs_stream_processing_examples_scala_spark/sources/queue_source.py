@@ -204,10 +204,17 @@ def _segment_count_sized(queue_dir: str, seg: int, size: int) -> int:
     if n is None:
         n = 0
         last = b"\n"
-        with open(_seg_path(queue_dir, seg), "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 20), b""):
-                n += chunk.count(b"\n")
-                last = chunk[-1:]
+        try:
+            with open(_seg_path(queue_dir, seg), "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    n += chunk.count(b"\n")
+                    last = chunk[-1:]
+        except FileNotFoundError:
+            # unlinked (retention purge) between the caller's scandir
+            # and this recount — the old stat-inside path tolerated
+            # that as "no rows"; planning must too (round-13 review).
+            # NOT cached: the key's size came from the vanished file.
+            return 0
         if last != b"\n":
             n += 1  # a final unterminated line still decodes as one row
         # recount rewrite NEVER claims canonical: segment provenance is

@@ -360,6 +360,25 @@ def test_span_seek_index_offsets_are_exact(tmp_path):
     assert rec["key"] == str(QS._OFFSET_EVERY)
 
 
+def test_segment_count_tolerates_purge_race(tmp_path):
+    """A segment unlinked (retention purge) between the planner's
+    scandir and the recount must read as 0 rows, not crash planning —
+    the behavior the old stat-inside path had (round-13 review). The
+    vanished-file result must not be cached under the stale size key."""
+    import labs_stream_processing_examples_scala_spark.sources.queue_source as QS
+
+    qdir = str(tmp_path / "q")
+    seg = QS.publish(qdir, [("a", "1"), ("b", "2")])
+    import os as _os
+
+    size = _os.path.getsize(QS._seg_path(qdir, seg))
+    _os.unlink(QS._seg_path(qdir, seg))
+    _os.unlink(QS._count_path(qdir, seg))  # force the recount path
+    QS._COUNT_CACHE.pop((qdir, seg, size), None)
+    assert QS._segment_count_sized(qdir, seg, size) == 0
+    assert (qdir, seg, size) not in QS._COUNT_CACHE
+
+
 # --- judge observation: temporal helpers guard synthesized columns -----
 
 
