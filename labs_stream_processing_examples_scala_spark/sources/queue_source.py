@@ -502,6 +502,14 @@ def _purge_segment(queue_dir: str, seg: int) -> bool:
         f.truncate(0)
         f.flush()
         os.fsync(f.fileno())
+    # drop the seek-index sidecar with the data it described (round-13
+    # ADVICE: retention otherwise accumulates stale _offsets files
+    # forever — the size check already invalidates them, so this is
+    # purely a disk-usage fix; absent is fine)
+    try:
+        os.remove(_offsets_path(queue_dir, seg))
+    except FileNotFoundError:
+        pass
     return True
 
 

@@ -153,9 +153,11 @@ def test_bench_tools_carry_methodology_flag():
     """The r12 warm-lap change made throughput numbers systematically
     faster than prior cold-start-inclusive rounds; the emitted records
     must say so (round-12 ADVICE)."""
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
     for tool in ("tools/queue_bench.py", "tools/stream_bench.py"):
-        with open(f"/root/repo/{tool}") as f:
-            assert '"methodology": "warm-lap-r12"' in f.read(), tool
+        assert '"methodology": "warm-lap-r12"' in (repo / tool).read_text(), tool
 
 
 # --- verdict task 1: differential query fuzzing vs DuckDB --------------

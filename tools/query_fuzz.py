@@ -660,17 +660,18 @@ _FLOAT_RE = __import__("re").compile(r"^-?\d+\.\d{6}$")
 
 def _round_tie_ok(sql: str, srows, drows) -> bool:
     """True iff every difference between the two canonical row sets is
-    a float column within one unit of the COARSEST ROUND precision in
-    the query — i.e. the engines agree up to rounding convention."""
-    # min(ps) = coarsest rounded digit. The non-greedy regex can also
-    # capture an inner fn's small int arg (SUBSTR(x, 1, 2)), which only
-    # makes the unit COARSER — bounded over-permissiveness (≤0.1 abs,
-    # and only on float cells of otherwise row-identical results),
-    # accepted for a fuzz adjudicator.
+    a float cell differing by EXACTLY one unit in the last digit of one
+    of the query's ROUND precisions — the only shape the documented
+    divergence (binary-value vs decimal-representation half-rounding)
+    can produce. A tie at ROUND(x, p) rounds the two ways to values
+    exactly 10^-p apart, so any other delta — including a sub-unit
+    drift under a coarse ROUND(x, 0) from a scalar num_expr — is a REAL
+    mismatch and must surface (round-13 ADVICE: the old ≤unit band let
+    a 0-digit ROUND adjudicate away diffs up to ±1.0 absolute)."""
     ps = [int(m) for m in _ROUND_RE.findall(sql)]
     if not ps or len(srows) != len(drows) or not srows:
         return False
-    unit = 10.0 ** -min(ps) * 1.0000001
+    units = sorted({10.0 ** -p for p in set(ps)})
     is_float = [
         _FLOAT_RE.match(a) is not None or _FLOAT_RE.match(b) is not None
         for a, b in zip(srows[0], drows[0])
@@ -695,20 +696,33 @@ def _round_tie_ok(sql: str, srows, drows) -> bool:
         bvals = gb[key]
         if len(avals) != len(bvals):
             return False
-        # within a non-float key group, numerically sorted float
-        # tuples must pair within one rounded-digit unit
+        # within a non-float key group, numerically sorted float tuples
+        # must pair cell-by-cell at delta 0 or EXACTLY one ROUND unit
         for ta, tb in zip(sorted(avals), sorted(bvals)):
-            if any(abs(x - y) > unit for x, y in zip(ta, tb)):
-                return False
+            for x, y in zip(ta, tb):
+                d = abs(x - y)
+                if d == 0.0:
+                    continue
+                if not any(abs(d - u) <= u * 1e-6 for u in units):
+                    return False
     return True
 
 
-def _adjudicate(sql: str, sn: int, dn: int, srows=None, drows=None) -> str | None:
+def _adjudicate(
+    sql: str, sn: int, dn: int, srows=None, drows=None, cols_match: bool = True
+) -> str | None:
     """Return the adjudication tag for a known semantic difference, or
-    None if the mismatch is unexplained (a real finding)."""
+    None if the mismatch is unexplained (a real finding). The round-tie
+    arm only applies to SAME-SCHEMA results (round-13 ADVICE: a column
+    mismatch whose values happen to pair up must stay a finding)."""
     if sn == 0 and dn == 1 and any(m in sql for m in _GROUPING_MARKERS):
         return "spark-empty-grouping-sets"
-    if srows is not None and drows is not None and _round_tie_ok(sql, srows, drows):
+    if (
+        cols_match
+        and srows is not None
+        and drows is not None
+        and _round_tie_ok(sql, srows, drows)
+    ):
         return "round-tie-convention"
     return None
 
@@ -748,7 +762,7 @@ def run_differential(spark, con, seed: int, n: int, only_index: int | None = Non
             d = next(j for j, (a, b) in enumerate(zip(srows, drows)) if a != b)
             rec["err"] = f"first diff at sorted-row {d}: spark={srows[d]} duckdb={drows[d]}"
         if "err" in rec:
-            tag = _adjudicate(sql, sn, dn, srows, drows)
+            tag = _adjudicate(sql, sn, dn, srows, drows, cols_match=scols == dcols)
             if tag:
                 rec["adjudicated_as"] = tag
                 results["adjudicated"].append(rec)
