@@ -46,6 +46,27 @@ def test_round_tie_mixed_precisions_use_exact_units():
     assert not _round_tie_ok(sql, [("2.150000", "5.000000")], [("2.200000", "5.000000")])
 
 
+def test_round_precision_extraction_paren_balanced():
+    """ROUND precisions must come from the call's REAL last argument:
+    the old regex grabbed NULLIF's `, 0)` inside
+    ``ROUND(x / NULLIF(y, 0), 1)`` (seed 27 #196, the original
+    round-tie find, stopped adjudicating under the exact-unit rule
+    until this parser replaced the regex)."""
+    from tools.query_fuzz import _round_precisions, _round_tie_ok
+
+    sql = (
+        "SELECT l_orderkey AS k0, ROUND((CAST(l_extendedprice AS DOUBLE) "
+        "/ NULLIF(CAST(l_suppkey AS DOUBLE), 0)), 1) AS c0 FROM lineitem"
+    )
+    assert _round_precisions(sql) == {1}
+    # the seed-27 tie itself: 1810.4 vs 1810.5 at precision 1 adjudicates
+    assert _round_tie_ok(sql, [("1810.400000", "4784")], [("1810.500000", "4784")])
+    # nested ROUND calls both surface
+    assert _round_precisions("ROUND(ROUND(x, 3) + y, 1)") == {1, 3}
+    # non-integer precision argument (expression) contributes nothing
+    assert _round_precisions("ROUND(x, 1 + 1)") == set()
+
+
 # --- ADVICE 2: adjudication applied to column-schema mismatches --------
 
 

@@ -654,8 +654,41 @@ MAX_ROWS = 300_000  # result-size guard: compare frames, not datasets
 #    Adjudicated only when the two answers agree up to ONE unit in the
 #    last rounded digit on every row (verified structurally below).
 _GROUPING_MARKERS = ("ROLLUP(", "CUBE(", "GROUPING SETS")
-_ROUND_RE = __import__("re").compile(r"ROUND\(.*?,\s*(\d+)\)")
 _FLOAT_RE = __import__("re").compile(r"^-?\d+\.\d{6}$")
+
+
+def _round_precisions(sql: str) -> set[int]:
+    """The exact integer precisions of every ROUND(expr, p) call, by
+    paren balancing. The old non-greedy regex grabbed the FIRST
+    `, <digits>)` after `ROUND(` — inside e.g.
+    ``ROUND(x / NULLIF(y, 0), 1)`` that is NULLIF's 0, not the real
+    precision 1, which both mis-sized the adjudication unit and (with
+    the exact-unit rule) mis-rejected genuine ties (round-14 find while
+    closing the round-13 ADVICE clamp)."""
+    out: set[int] = set()
+    i = 0
+    while True:
+        j = sql.find("ROUND(", i)
+        if j < 0:
+            return out
+        depth = 0
+        last_comma = None
+        k = j + 5
+        for k in range(j + 5, len(sql)):
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                last_comma = k
+        if depth == 0 and last_comma is not None:
+            arg = sql[last_comma + 1 : k].strip()
+            if arg.isdigit():
+                out.add(int(arg))
+        i = j + 6  # continue INSIDE this call so nested ROUNDs are seen
 
 
 def _round_tie_ok(sql: str, srows, drows) -> bool:
@@ -668,10 +701,10 @@ def _round_tie_ok(sql: str, srows, drows) -> bool:
     drift under a coarse ROUND(x, 0) from a scalar num_expr — is a REAL
     mismatch and must surface (round-13 ADVICE: the old ≤unit band let
     a 0-digit ROUND adjudicate away diffs up to ±1.0 absolute)."""
-    ps = [int(m) for m in _ROUND_RE.findall(sql)]
+    ps = _round_precisions(sql)
     if not ps or len(srows) != len(drows) or not srows:
         return False
-    units = sorted({10.0 ** -p for p in set(ps)})
+    units = sorted({10.0 ** -p for p in ps})
     is_float = [
         _FLOAT_RE.match(a) is not None or _FLOAT_RE.match(b) is not None
         for a, b in zip(srows[0], drows[0])
