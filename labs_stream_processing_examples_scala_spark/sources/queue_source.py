@@ -98,15 +98,126 @@ class FencedConsumerError(RuntimeError):
     broker analogue of an epoch/generation fencing error."""
 
 
+# --- segment codec (round-13 verdict task #3) --------------------------
+# The queue's WIRE FORMAT is a per-queue choice pinned at first publish:
+#   jsonl (default) — one JSON object per line; poison lines decode as
+#     key=NULL errors-as-data rows; seek via the _offsets byte index.
+#   arrow — Arrow IPC *file* segments (length-prefixed binary blocks +
+#     a footer of batch offsets): the decode-bound JSONL term vanishes
+#     (no JSON parse on the consume path) and the IPC footer IS the
+#     seek index — get_batch(i) random-accesses one block, so a span
+#     read never scans skip bytes. Uniform _ARROW_BATCH_ROWS blocks
+#     (recorded in the count sidecar as ":a<block>") let the reader
+#     jump straight to start_row's block.
+# Per-queue (a `_codec` marker file, atomic first-wins claim), NOT
+# per-segment: mixed-extension slots would break the single-namespace
+# atomicity of the max+1 slot race (two producers with different
+# extensions could both "win" slot N). The marker is immutable; a
+# conflicting explicit codec raises. Offsets, claims, ACK ledgers,
+# retention, and the (seg, pos, key, value) schema are codec-blind.
+
+_CODECS = ("jsonl", "arrow")
+_SEG_EXT = {"jsonl": ".jsonl", "arrow": ".arrow"}
+_ARROW_BATCH_ROWS = 1 << 16
+_CODEC_CACHE: dict[str, str] = {}
+
+
+def _codec_path(queue_dir: str) -> str:
+    return os.path.join(queue_dir, "_codec")
+
+
+def _read_codec_marker(queue_dir: str) -> str | None:
+    try:
+        with open(_codec_path(queue_dir), encoding="utf-8") as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def queue_codec(queue_dir: str) -> str:
+    """The queue's pinned wire codec; unmarked queues are legacy JSONL.
+    Positive reads cache forever (the marker is immutable once linked);
+    absence is deliberately uncached — the marker appears at the first
+    publish and must be seen then."""
+    c = _CODEC_CACHE.get(queue_dir)
+    if c is not None:
+        return c
+    c = _read_codec_marker(queue_dir)
+    if c is None:
+        return "jsonl"
+    if c not in _CODECS:
+        raise ValueError(f"unknown fqueue codec marker {c!r} in {queue_dir}")
+    _CODEC_CACHE[queue_dir] = c
+    return c
+
+
+def set_queue_codec(queue_dir: str, codec: str) -> str:
+    """Pin (or verify) the queue's codec. First-wins and atomic under
+    the same stage + os.link protocol as segment publish, so two
+    producers racing different codecs resolve to exactly one marker and
+    the loser RAISES instead of writing unreadable segments."""
+    if codec not in _CODECS:
+        raise ValueError(f"unknown fqueue codec {codec!r}; choose from {_CODECS}")
+    cur = _read_codec_marker(queue_dir)
+    if cur is None:
+        os.makedirs(queue_dir, exist_ok=True)
+        stage = os.path.join(
+            queue_dir, f"_codec_stage_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        )
+        with open(stage, "w", encoding="utf-8") as f:
+            f.write(codec)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(stage, _codec_path(queue_dir))
+        except FileExistsError:
+            pass  # lost the claim — adopt the winner's codec below
+        os.unlink(stage)
+        cur = _read_codec_marker(queue_dir)
+    if cur != codec:
+        raise ValueError(
+            f"queue {queue_dir} is pinned to codec {cur!r}; refusing to "
+            f"publish {codec!r} segments into it"
+        )
+    _CODEC_CACHE[queue_dir] = cur
+    return cur
+
+
+def _resolve_codec(queue_dir: str, codec: str | None) -> str:
+    """Producer-side codec resolution: an explicit ``codec`` pins the
+    queue (or verifies the existing pin); ``None`` follows the queue's
+    marker, falling back to ``$FQUEUE_DEFAULT_CODEC`` (test/bench knob)
+    then JSONL for brand-new queues. Always pins — after the first
+    publish every producer and reader agrees from the marker alone."""
+    if codec is None:
+        codec = _read_codec_marker(queue_dir) or os.environ.get(
+            "FQUEUE_DEFAULT_CODEC", "jsonl"
+        )
+    return set_queue_codec(queue_dir, codec)
+
+
 # --- broker-side API (producer / retention) ---------------------------
 
 
 def _seg_path(queue_dir: str, n: int) -> str:
-    return os.path.join(queue_dir, f"{_SEG_PREFIX}{n:0{_SEG_DIGITS}d}.jsonl")
+    ext = _SEG_EXT[queue_codec(queue_dir)]
+    return os.path.join(queue_dir, f"{_SEG_PREFIX}{n:0{_SEG_DIGITS}d}{ext}")
 
 
 def _count_path(queue_dir: str, n: int) -> str:
     return os.path.join(queue_dir, "_counts", f"{n:0{_SEG_DIGITS}d}")
+
+
+def _seg_number(name: str) -> int | None:
+    """Segment number from a directory entry name, any codec ext."""
+    if not name.startswith(_SEG_PREFIX):
+        return None
+    for ext in _SEG_EXT.values():
+        if name.endswith(ext):
+            body = name[len(_SEG_PREFIX) : -len(ext)]
+            if body.isdigit():
+                return int(body)
+    return None
 
 
 def _list_segments(queue_dir: str) -> list[int]:
@@ -114,12 +225,7 @@ def _list_segments(queue_dir: str) -> list[int]:
         names = os.listdir(queue_dir)
     except FileNotFoundError:
         return []
-    out = []
-    for nm in names:
-        if nm.startswith(_SEG_PREFIX) and nm.endswith(".jsonl"):
-            body = nm[len(_SEG_PREFIX) : -len(".jsonl")]
-            if body.isdigit():
-                out.append(int(body))
+    out = [n for n in map(_seg_number, names) if n is not None]
     return sorted(out)
 
 
@@ -156,18 +262,25 @@ def _atomic_write(path: str, text: str) -> None:
 
 
 def _write_count(
-    queue_dir: str, seg: int, n_rows: int, size: int, canonical: bool = False
+    queue_dir: str, seg: int, n_rows: int, size: int, mark: str = ""
 ) -> None:
-    # "rows:bytes[:j]" — the byte size validates the sidecar against
+    # "rows:bytes[:mark]" — the byte size validates the sidecar against
     # later truncation (retention zeroes a segment; its sidecar goes
-    # stale). The optional ":j" marks a CANONICAL-JSONL segment: the
-    # producer wrote exactly one json.dumps object per line (publish /
-    # queue_sink), which is what licenses the Arrow fast-path decode —
-    # a post-hoc row-count guard alone cannot tell a canonical block
-    # from a poison block where a skipped blank line and a
-    # two-objects-on-one-line line cancel out (round-12 self-review:
-    # that pairing emitted wrong rows and DROPPED the DLQ poison rows).
-    suffix = ":j" if canonical else ""
+    # stale). The optional mark records producer-known provenance:
+    #   "j"        CANONICAL-JSONL: exactly one json.dumps object per
+    #              line (publish / queue_sink) — licenses the Arrow
+    #              fast-path JSON decode. A post-hoc row-count guard
+    #              alone cannot tell a canonical block from a poison
+    #              block where a skipped blank line and a
+    #              two-objects-on-one-line line cancel out (round-12
+    #              self-review: that pairing emitted wrong rows and
+    #              DROPPED the DLQ poison rows).
+    #   "a<rows>"  arrow codec: uniform IPC batches of <rows> rows
+    #              (last one partial) — licenses the reader's jump to
+    #              start_row's batch index without scanning prior
+    #              batch lengths.
+    # Recounts never write a mark (provenance flows from the producer).
+    suffix = f":{mark}" if mark else ""
     _atomic_write(_count_path(queue_dir, seg), f"{n_rows}:{size}{suffix}")
 
 
@@ -202,23 +315,29 @@ def _segment_count_sized(queue_dir: str, seg: int, size: int) -> int:
     except (FileNotFoundError, ValueError):
         pass
     if n is None:
-        n = 0
-        last = b"\n"
-        try:
-            with open(_seg_path(queue_dir, seg), "rb") as f:
-                for chunk in iter(lambda: f.read(1 << 20), b""):
-                    n += chunk.count(b"\n")
-                    last = chunk[-1:]
-        except FileNotFoundError:
-            # unlinked (retention purge) between the caller's scandir
-            # and this recount — the old stat-inside path tolerated
-            # that as "no rows"; planning must too (round-13 review).
-            # NOT cached: the key's size came from the vanished file.
-            return 0
-        if last != b"\n":
-            n += 1  # a final unterminated line still decodes as one row
-        # recount rewrite NEVER claims canonical: segment provenance is
-        # unknown here (the flag only ever flows from the producer)
+        if queue_codec(queue_dir) == "arrow":
+            try:
+                n = _arrow_segment_rows(_seg_path(queue_dir, seg))
+            except FileNotFoundError:
+                return 0  # purged between scandir and recount; uncached
+        else:
+            n = 0
+            last = b"\n"
+            try:
+                with open(_seg_path(queue_dir, seg), "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        n += chunk.count(b"\n")
+                        last = chunk[-1:]
+            except FileNotFoundError:
+                # unlinked (retention purge) between the caller's scandir
+                # and this recount — the old stat-inside path tolerated
+                # that as "no rows"; planning must too (round-13 review).
+                # NOT cached: the key's size came from the vanished file.
+                return 0
+            if last != b"\n":
+                n += 1  # a final unterminated line still decodes as one row
+        # recount rewrite NEVER claims a provenance mark: that flows
+        # only from the producer (see _write_count)
         _write_count(queue_dir, seg, n, size)
     while len(_COUNT_CACHE) >= _COUNT_CACHE_MAX:
         _COUNT_CACHE.pop(next(iter(_COUNT_CACHE)))
@@ -328,14 +447,12 @@ def _scan_segments(queue_dir: str) -> list[tuple[int, int]]:
     try:
         with os.scandir(queue_dir) as it:
             for e in it:
-                nm = e.name
-                if nm.startswith(_SEG_PREFIX) and nm.endswith(".jsonl"):
-                    body = nm[len(_SEG_PREFIX) : -len(".jsonl")]
-                    if body.isdigit():
-                        try:
-                            out.append((int(body), e.stat().st_size))
-                        except FileNotFoundError:
-                            pass  # unlinked between scan and stat
+                n = _seg_number(e.name)
+                if n is not None:
+                    try:
+                        out.append((n, e.stat().st_size))
+                    except FileNotFoundError:
+                        pass  # unlinked between scan and stat
     except FileNotFoundError:
         return []
     out.sort()
@@ -357,8 +474,95 @@ def _segment_is_canonical(queue_dir: str, seg: int) -> bool:
         return False
 
 
+def _segment_arrow_block(queue_dir: str, seg: int, size: int) -> int | None:
+    """The uniform IPC batch row count the PRODUCER recorded for this
+    arrow segment (count-sidecar mark ``a<rows>``), or None when the
+    sidecar is missing/stale/unmarked — the reader then accumulates
+    batch lengths from index 0 instead of jumping (correct, just no
+    skip)."""
+    try:
+        with open(_count_path(queue_dir, seg), encoding="utf-8") as f:
+            parts = f.read().split(":")
+        if len(parts) >= 3 and parts[2].startswith("a") and int(parts[1]) == size:
+            return int(parts[2][1:])
+    except (FileNotFoundError, ValueError, OSError):
+        pass
+    return None
+
+
+def _arrow_segment_rows(path: str) -> int:
+    """Total row count of an Arrow IPC file segment (recount fallback —
+    the producer sidecar is the normal source). Memory-mapped, so the
+    batches are touched lazily page-by-page, not slurped. A
+    retention-truncated (0-byte) or externally mangled file counts as
+    zero rows — the same degrade-to-empty posture as the JSONL
+    recount's missing-file arm."""
+    import pyarrow as pa
+
+    if os.path.getsize(path) == 0:
+        return 0
+    try:
+        with pa.memory_map(path, "r") as mm, pa.ipc.open_file(mm) as rd:
+            return sum(
+                rd.get_batch(i).num_rows for i in range(rd.num_record_batches)
+            )
+    except pa.lib.ArrowInvalid:
+        return 0
+
+
+def _read_arrow_segment_batches(
+    queue_dir: str, seg: int, start_row: int = 0, end_row: int | None = None
+):
+    """Span read over an Arrow IPC file segment → (seg, pos, key, value)
+    record batches. The IPC footer is the seek index: ``get_batch(i)``
+    random-accesses exactly one block, so a span read touches only its
+    own batches — the generalization of the JSONL ``_offsets`` byte
+    index the round-13 verdict asked for, for free in the format. With
+    the producer's uniform-block sidecar mark the reader jumps straight
+    to ``start_row``'s batch index; otherwise it walks batch lengths
+    from 0 (metadata-cheap under the memory map)."""
+    import pyarrow as pa
+
+    path = _seg_path(queue_dir, seg)
+    size = os.path.getsize(path)
+    if size == 0:
+        return  # retention-truncated
+    block = _segment_arrow_block(queue_dir, seg, size)
+    # OSFile, not memory_map: yielded batches must own their buffers —
+    # a consumer can hold one past this generator's close, and a batch
+    # still referencing a closed map would be use-after-free
+    with pa.OSFile(path, "rb") as f, pa.ipc.open_file(f) as rd:
+        nb = rd.num_record_batches
+        if block and start_row > 0:
+            i0 = min(start_row // block, max(nb - 1, 0))
+            pos = i0 * block
+        else:
+            i0, pos = 0, 0
+        for i in range(i0, nb):
+            b = rd.get_batch(i)
+            bn = b.num_rows
+            if end_row is not None and pos >= end_row:
+                return
+            if pos + bn <= start_row:
+                pos += bn
+                continue
+            lo = max(0, start_row - pos)
+            hi = bn if end_row is None else min(bn, end_row - pos)
+            sl = b.slice(lo, hi - lo)
+            yield pa.record_batch(
+                [
+                    pa.repeat(pa.scalar(seg, pa.int64()), sl.num_rows),
+                    pa.array(range(pos + lo, pos + hi), type=pa.int64()),
+                    sl.column(0),
+                    sl.column(1),
+                ],
+                names=["seg", "pos", "key", "value"],
+            )
+            pos += bn
+
+
 def _commit_segment(
-    queue_dir: str, stage: str, n_lines: int | None = None, canonical: bool = False
+    queue_dir: str, stage: str, n_lines: int | None = None, mark: str = ""
 ) -> int:
     """Link the staged file into the next free ``seg-%012d`` slot
     (max+1, gap-safe — the tombstone-delta protocol). os.link, NOT
@@ -381,33 +585,101 @@ def _commit_segment(
     size = os.path.getsize(stage)
     os.unlink(stage)
     if n_lines is not None:
-        _write_count(queue_dir, n, n_lines, size, canonical=canonical)
+        _write_count(queue_dir, n, n_lines, size, mark=mark)
     return n
 
 
-def publish(queue_dir: str, records) -> int:
+def _stage_arrow(queue_dir: str, pairs) -> tuple[str, int]:
+    """Durably write a staged Arrow IPC file segment of (key, value)
+    pairs in uniform ``_ARROW_BATCH_ROWS`` batches (fsync'd); return
+    (path, row count). Values normalize exactly as the JSONL decode
+    would render them — key: None stays NULL (the poison/null-key
+    discriminator), anything else stringifies; value: str(value), so
+    value=None round-trips as the string "None" on both codecs."""
+    import pyarrow as pa
+
+    os.makedirs(queue_dir, exist_ok=True)
+    stage = os.path.join(queue_dir, f"_stage_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    schema = pa.schema([("key", pa.string()), ("value", pa.string())])
+    n = 0
+    with open(stage, "wb") as f:
+        with pa.ipc.new_file(f, schema) as w:
+            ks: list[str | None] = []
+            vs: list[str] = []
+            for k, v in pairs:
+                ks.append(None if k is None else str(k))
+                vs.append(str(v))
+                if len(ks) >= _ARROW_BATCH_ROWS:
+                    w.write_batch(
+                        pa.record_batch(
+                            [pa.array(ks, pa.string()), pa.array(vs, pa.string())],
+                            schema=schema,
+                        )
+                    )
+                    n += len(ks)
+                    ks, vs = [], []
+            if ks:
+                w.write_batch(
+                    pa.record_batch(
+                        [pa.array(ks, pa.string()), pa.array(vs, pa.string())],
+                        schema=schema,
+                    )
+                )
+                n += len(ks)
+        f.flush()
+        os.fsync(f.fileno())
+    return stage, n
+
+
+def _stage_records(queue_dir: str, pairs, codec: str) -> tuple[str, int, str]:
+    """Stage (key, value) pairs under the queue's codec → (stage path,
+    row count, count-sidecar provenance mark)."""
+    if codec == "arrow":
+        stage, n = _stage_arrow(queue_dir, pairs)
+        return stage, n, f"a{_ARROW_BATCH_ROWS}"
+    lines = (json.dumps({"key": k, "value": v}) for k, v in pairs)
+    stage, n = _stage_lines(queue_dir, lines)
+    # json.dumps guarantees one single-line object per record — the
+    # canonical-JSONL provenance the Arrow fast-path decode requires
+    return stage, n, "j"
+
+
+def publish(queue_dir: str, records, codec: str | None = None) -> int:
     """Append one immutable segment of ``records`` (iterable of
     (key, value) pairs or {"key","value"} dicts; values stringified).
     Atomic: a reader either sees the whole segment or none of it.
+    ``codec`` pins a NEW queue's wire format ("jsonl" default /
+    "arrow"); on an existing queue it must match the pinned marker.
     Returns the segment number."""
 
-    def lines():
+    def pairs():
         for rec in records:
             if isinstance(rec, dict):
-                key, value = rec.get("key"), rec.get("value")
+                yield rec.get("key"), rec.get("value")
             else:
-                key, value = rec
-            yield json.dumps({"key": key, "value": value})
+                yield rec
 
-    stage, n = _stage_lines(queue_dir, lines())
-    # json.dumps guarantees one single-line object per record — the
-    # canonical-JSONL provenance the Arrow fast-path decode requires
-    return _commit_segment(queue_dir, stage, n, canonical=True)
+    resolved = _resolve_codec(queue_dir, codec)
+    stage, n, mark = _stage_records(queue_dir, pairs(), resolved)
+    return _commit_segment(queue_dir, stage, n, mark=mark)
 
 
-def publish_poison(queue_dir: str, raw_lines: list[str]) -> int:
+def publish_poison(queue_dir: str, raw_lines: list[str], codec: str | None = None) -> int:
     """Append a segment of RAW lines (not JSON-wrapped) — the test
-    hook for the DLQ contract: these decode as key=NULL poison rows."""
+    hook for the DLQ contract: these decode as key=NULL poison rows.
+    On an arrow queue the same contract is expressed natively: each
+    physical line becomes a (key=NULL, value=raw) row — note a raw
+    line that happens to be a valid {"key","value"} object therefore
+    stays poison under arrow (the broker never re-parses payloads)
+    while jsonl would decode it; tests feeding invalid lines see
+    identical rows on both codecs."""
+    resolved = _resolve_codec(queue_dir, codec)
+    if resolved == "arrow":
+        physical = [
+            part for ln in raw_lines for part in ln.rstrip("\n").split("\n")
+        ]
+        stage, n = _stage_arrow(queue_dir, ((None, ln) for ln in physical))
+        return _commit_segment(queue_dir, stage, n, mark=f"a{_ARROW_BATCH_ROWS}")
     stage, n = _stage_lines(queue_dir, (ln.rstrip("\n") for ln in raw_lines))
     return _commit_segment(queue_dir, stage, n)
 
@@ -568,6 +840,12 @@ def _decode_line(line: str) -> tuple[str | None, str]:
 def _read_segment_rows(
     queue_dir: str, seg: int, start_row: int = 0, end_row: int | None = None
 ) -> Iterator[tuple]:
+    if queue_codec(queue_dir) == "arrow":
+        # codec-blind row view (tests/tools use this as the generic
+        # reader): flatten the arrow span batches back to tuples
+        for b in _read_arrow_segment_batches(queue_dir, seg, start_row, end_row):
+            yield from zip(*(c.to_pylist() for c in b.columns))
+        return
     # stream line-by-line: a segment is never slurped whole, so a large
     # segment costs the reader only the span it consumes
     with open(_seg_path(queue_dir, seg), encoding="utf-8") as f:
@@ -687,6 +965,9 @@ def _read_segment_batches(
     (round-12 self-review: a skipped blank line + a two-object line
     cancel out in the row-count guard; a bare ``\\r`` splits in text
     mode but not in binary mode)."""
+    if queue_codec(queue_dir) == "arrow":
+        yield from _read_arrow_segment_batches(queue_dir, seg, start_row, end_row)
+        return
     if not _segment_is_canonical(queue_dir, seg):
         rows: list[tuple] = []
         for row in _read_segment_rows(queue_dir, seg, start_row, end_row):
@@ -1496,6 +1777,7 @@ def _publish_partition(
     batch_id: int,
     pid: int,
     rows,
+    codec: str = "jsonl",
 ) -> None:
     """Executor-side publish of one partition's rows as one segment,
     under the same stage + fsync + os.link slot protocol as
@@ -1518,12 +1800,10 @@ def _publish_partition(
         return
     from itertools import chain
 
-    lines = (
-        json.dumps({"key": r[0], "value": r[1]}) for r in chain([first], rows)
-    )
-    stage, n = _stage_lines(queue_dir, lines)
+    pairs = ((r[0], r[1]) for r in chain([first], rows))
+    stage, n, mark = _stage_records(queue_dir, pairs, codec)
     if producer_id is None:
-        _commit_segment(queue_dir, stage, n, canonical=True)
+        _commit_segment(queue_dir, stage, n, mark=mark)
         return
     h = hashlib.sha256()
     with open(stage, "rb") as f:
@@ -1533,7 +1813,7 @@ def _publish_partition(
     if os.path.exists(_marker_path(queue_dir, producer_id, batch_id, pid, digest)):
         os.unlink(stage)  # this exact content already committed
         return
-    seg = _commit_segment(queue_dir, stage, n, canonical=True)
+    seg = _commit_segment(queue_dir, stage, n, mark=mark)
     _write_marker(queue_dir, producer_id, batch_id, pid, digest, seg)
 
 
@@ -1542,6 +1822,7 @@ def queue_sink(
     key_col: str = "key",
     value_col: str = "value",
     producer_id: str | None = None,
+    codec: str | None = None,
 ):
     """foreachBatch writer publishing each micro-batch from the
     EXECUTORS — one segment per non-empty partition (round-9 verdict
@@ -1569,6 +1850,10 @@ def queue_sink(
 
     def write(batch_df, batch_id: int) -> None:
         sel = batch_df.select(key_col, value_col)
+        # resolve the wire codec ON THE DRIVER, once per batch, and pin
+        # the marker before executors stage — every partition then
+        # writes the same format and the slot race stays single-namespace
+        resolved = _resolve_codec(queue_dir, codec)
 
         def pub(batches):
             from pyspark import TaskContext
@@ -1581,7 +1866,9 @@ def queue_sink(
                     vals = b.column(1).to_pylist()
                     yield from zip(keys, vals)
 
-            _publish_partition(queue_dir, producer_id, batch_id, pid, rows())
+            _publish_partition(
+                queue_dir, producer_id, batch_id, pid, rows(), codec=resolved
+            )
             return
             yield  # pragma: no cover — makes pub a generator
 

@@ -114,7 +114,7 @@ def test_arrow_consume_decode_matches_per_line_decoder(tmp_path):
 
     os.makedirs(qdir)
     # clean fast-path segment
-    Q.publish(qdir, [(f"k{i}", f"v{i}-é中") for i in range(100)])
+    Q.publish(qdir, [(f"k{i}", f"v{i}-é中") for i in range(100)], codec="jsonl")
     # a segment of every nasty shape (raw lines, bypassing publish)
     Q.publish_poison(
         qdir,
@@ -156,7 +156,7 @@ def test_arrow_consume_block_boundaries(tmp_path, monkeypatch):
     import os
 
     os.makedirs(qdir)
-    Q.publish(qdir, [(str(i), str(i * i)) for i in range(50)])
+    Q.publish(qdir, [(str(i), str(i * i)) for i in range(50)], codec="jsonl")
     monkeypatch.setattr(Q, "_DECODE_BLOCK_LINES", 7)
     want = list(Q._read_segment_rows(qdir, 0, 3, 44))
     got = _batches_to_tuples(Q._read_segment_batches(qdir, 0, 3, 44))
@@ -283,7 +283,7 @@ def test_canonical_marker_flows_from_producers(tmp_path):
     import os
 
     os.makedirs(qdir)
-    s0 = Q.publish(qdir, [("k", "v")])
+    s0 = Q.publish(qdir, [("k", "v")], codec="jsonl")
     s1 = Q.publish_poison(qdir, ["raw"])
     assert Q._segment_is_canonical(qdir, s0)
     assert not Q._segment_is_canonical(qdir, s1)

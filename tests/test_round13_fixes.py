@@ -306,7 +306,7 @@ def test_span_seek_index_decode_equivalence(tmp_path):
 
     qdir = str(tmp_path / "q")
     n = QS._OFFSET_EVERY * 2 + 1234  # spans 3 checkpoints
-    seg = QS.publish(qdir, ((str(i), f"v{i}") for i in range(n)))
+    seg = QS.publish(qdir, ((str(i), f"v{i}") for i in range(n)), codec="jsonl")
 
     def span(a, b):
         rows = []
@@ -349,7 +349,7 @@ def test_span_seek_index_offsets_are_exact(tmp_path):
 
     qdir = str(tmp_path / "q")
     n = QS._OFFSET_EVERY + 50
-    seg = QS.publish(qdir, ((str(i), "x") for i in range(n)))
+    seg = QS.publish(qdir, ((str(i), "x") for i in range(n)), codec="jsonl")
     import json as _json
     import os as _os
 

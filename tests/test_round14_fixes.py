@@ -85,6 +85,166 @@ def test_adjudicate_round_tie_gated_on_schema_match():
     assert _adjudicate(gs, 0, 1, cols_match=False) == "spark-empty-grouping-sets"
 
 
+# --- verdict task 3: the fqueue arrow segment codec --------------------
+# (the full 44-test scenario battery additionally runs under
+#  FQUEUE_DEFAULT_CODEC=arrow as a round artifact — COVERAGE.md)
+
+
+def test_arrow_codec_roundtrip_matches_jsonl(tmp_path):
+    """Same records through both codecs must decode to identical
+    (seg, pos, key, value) rows — the wire format is an encoding
+    choice, never a semantics choice."""
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    recs = [(f"k{i}", f"v{i}-é中\t") for i in range(500)] + [(None, "nullkey")]
+    rows = {}
+    for codec in ("jsonl", "arrow"):
+        qdir = str(tmp_path / codec)
+        Q.publish(qdir, recs, codec=codec)
+        rows[codec] = [
+            r for s in Q._list_segments(qdir) for r in Q._read_segment_rows(qdir, s)
+        ]
+    assert rows["jsonl"] == rows["arrow"] and len(rows["arrow"]) == 501
+
+
+def test_arrow_codec_pin_is_immutable_and_race_safe(tmp_path):
+    """The _codec marker is first-wins: a conflicting explicit codec
+    raises before writing any segment; implicit publishes adopt the
+    winner. Two racing producers with different codecs resolve to
+    exactly one marker."""
+    import threading
+
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    import pytest
+
+    qdir = str(tmp_path / "q")
+    Q.publish(qdir, [("a", "1")], codec="arrow")
+    with pytest.raises(ValueError, match="pinned to codec 'arrow'"):
+        Q.publish(qdir, [("b", "2")], codec="jsonl")
+    # implicit follows the marker; no jsonl segment ever appeared
+    Q.publish(qdir, [("c", "3")])
+    import os
+
+    assert all(f.endswith(".arrow") for f in os.listdir(qdir) if f.startswith("seg-"))
+    # race: two threads pin different codecs on a FRESH queue — exactly
+    # one wins, the other raises (never a mixed-extension queue)
+    q2 = str(tmp_path / "q2")
+    outcomes = []
+
+    def pub(codec):
+        try:
+            Q.publish(q2, [(codec, "x")], codec=codec)
+            outcomes.append(("ok", codec))
+        except ValueError:
+            outcomes.append(("conflict", codec))
+
+    ts = [threading.Thread(target=pub, args=(c,)) for c in ("jsonl", "arrow")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    exts = {f.rsplit(".", 1)[1] for f in os.listdir(q2) if f.startswith("seg-")}
+    assert len(exts) == 1, f"mixed-codec queue: {exts}"
+
+
+def test_arrow_codec_stream_roundtrip_exact(spark, tmp_path):
+    """s4_queue_roundtrip's shape on the arrow codec: publish → Spark
+    availableNow stream → parquet, byte-identical key/value, poison
+    rows (key NULL) intact, offsets/ACK machinery codec-blind."""
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    qdir = str(tmp_path / "q")
+    Q.register(spark)
+    Q.publish(qdir, [(str(i), f"m{i}") for i in range(10)], codec="arrow")
+    Q.publish_poison(qdir, ['{"torn', "noise"])
+    Q.publish(qdir, [("10", "m10")])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("fqueue")
+        .option("path", qdir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    ok = sorted(r.value for r in got if r.key is not None)
+    poison = sorted(r.value for r in got if r.key is None)
+    assert ok == sorted(f"m{i}" for i in range(11))
+    assert poison == sorted(['{"torn', "noise"])
+
+
+def test_arrow_uniform_block_jump_matches_walk(tmp_path):
+    """Span reads that JUMP via the producer's uniform-block sidecar
+    mark must equal the walk-from-0 fallback (sidecar recounted away),
+    across block boundaries."""
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    qdir = str(tmp_path / "q")
+    n = Q._ARROW_BATCH_ROWS + 137  # two IPC batches
+    Q.publish(qdir, ((str(i), "x") for i in range(n)), codec="arrow")
+    probes = [
+        (0, 5),
+        (Q._ARROW_BATCH_ROWS - 2, Q._ARROW_BATCH_ROWS + 2),
+        (Q._ARROW_BATCH_ROWS, Q._ARROW_BATCH_ROWS + 5),
+        (n - 3, n),
+    ]
+    jump = {p: list(Q._read_segment_rows(qdir, 0, *p)) for p in probes}
+    # strip the producer mark: the reader must fall back to the walk
+    import os
+
+    size = os.path.getsize(Q._seg_path(qdir, 0))
+    Q._write_count(qdir, 0, n, size)  # no mark
+    walk = {p: list(Q._read_segment_rows(qdir, 0, *p)) for p in probes}
+    assert jump == walk
+    for (a, b), rows in jump.items():
+        assert [k for _, _, k, _ in rows] == [str(i) for i in range(a, min(b, n))]
+
+
+def test_arrow_purge_truncation_reads_empty(tmp_path):
+    """Retention truncates arrow segments in place like jsonl ones:
+    0 bytes ⇒ 0 rows everywhere, slot never reused, no reader crash."""
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    qdir = str(tmp_path / "q")
+    Q.publish(qdir, [("a", "1"), ("b", "2")], codec="arrow")
+    Q.publish(qdir, [("c", "3")], codec="arrow")
+    assert Q._purge_segment(qdir, 0)
+    assert Q._segment_count(qdir, 0) == 0
+    assert list(Q._read_segment_batches(qdir, 0)) == []
+    assert [r[3] for r in Q._read_segment_rows(qdir, 1)] == ["3"]
+    # next slot allocation stays above the purged one
+    assert Q.publish(qdir, [("d", "4")]) == 2
+
+
+def test_arrow_queue_sink_publishes_arrow_segments(spark, tmp_path):
+    """queue_sink(codec='arrow') publishes executor-side IPC segments;
+    the digest-marker idempotence contract is codec-blind."""
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    import os
+
+    qdir = str(tmp_path / "q")
+    df = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(20)], "key string, value string"
+    ).repartition(3)
+    sink = Q.queue_sink(qdir, producer_id="prod-ar", codec="arrow")
+    sink(df, 0)
+    segs = Q._list_segments(qdir)
+    assert segs and all(
+        f.endswith(".arrow") for f in os.listdir(qdir) if f.startswith("seg-")
+    )
+    rows = [r for s in segs for r in Q._read_segment_rows(qdir, s)]
+    assert sorted(r[2] for r in rows) == sorted(str(i) for i in range(20))
+    # replay of the same batch is a no-op under the producer marker
+    sink(df, 0)
+    assert Q._list_segments(qdir) == segs
+
+
 # --- ADVICE 4: retention left _offsets sidecars behind forever ---------
 
 
