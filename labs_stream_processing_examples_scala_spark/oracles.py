@@ -336,11 +336,13 @@ def rolling_hash_sql_key(salt: str = "") -> str:
     return H.rolling_hash_sql(key)
 
 
-def sampling_reservoir() -> str:
+def sampling_reservoir(k: int | None = None) -> str:
     from labs_stream_processing_examples_scala_spark.operators.sampling import (
         RESERVOIR_K,
         RESERVOIR_SALT,
     )
+
+    k = RESERVOIR_K if k is None else k
 
     h = H.rolling_hash_sql(f"'{RESERVOIR_SALT}' || CAST(doc_id AS VARCHAR)")
     return f"""
@@ -350,7 +352,7 @@ def sampling_reservoir() -> str:
                                            ORDER BY {h}, doc_id) AS INT) AS rn
             FROM documents
         )
-        SELECT * FROM ranked WHERE rn <= {RESERVOIR_K}
+        SELECT * FROM ranked WHERE rn <= {k}
     """
 
 
@@ -538,16 +540,21 @@ def sampling_importance_resample() -> str:
     """
 
 
-def sampling_mixture() -> str:
+def sampling_mixture(
+    temperature: float | None = None, budget_pct: int | None = None
+) -> str:
     from labs_stream_processing_examples_scala_spark.operators.sampling import (
         MIX_SALT,
         MIXTURE_BUDGET_PCT,
         MIXTURE_TEMPERATURE,
     )
 
+    temperature = MIXTURE_TEMPERATURE if temperature is None else float(temperature)
+    budget_pct = MIXTURE_BUDGET_PCT if budget_pct is None else budget_pct
+
     b = f"{rolling_hash_sql_key(MIX_SALT)} % 100"
-    w = f"pow(CAST(n_s AS DOUBLE), {MIXTURE_TEMPERATURE})"
-    expected = f"({w} / SUM({w}) OVER ()) * (SUM(n_s) OVER () * {MIXTURE_BUDGET_PCT} / 100.0)"
+    w = f"pow(CAST(n_s AS DOUBLE), {temperature})"
+    expected = f"({w} / SUM({w}) OVER ()) * (SUM(n_s) OVER () * {budget_pct} / 100.0)"
     return f"""
         WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
         rates AS (
