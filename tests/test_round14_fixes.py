@@ -245,6 +245,43 @@ def test_arrow_queue_sink_publishes_arrow_segments(spark, tmp_path):
     assert Q._list_segments(qdir) == segs
 
 
+# --- verdict task 4: recall floor margins ------------------------------
+
+
+def test_recall_floor_discipline():
+    """Every gating recall floor is either an IDENTITY assertion (1.0 —
+    probe ≡ batch path by construction) or sits with real margin below
+    its r13 measured value; the single-probe teaching baseline is
+    non-gating (its 10-query band is mean 0.27 sd 0.155 min 0.10 — any
+    floor would sit inside its own noise) and must stay pinned to the
+    multiprobe-dominance pytest (round-13 verdict task #4)."""
+    from tools.check_oracle import (
+        NON_GATING_RECALL,
+        RECALL_SPECS,
+        _pytest_ref_exists,
+    )
+
+    assert "x_sim_lsh_topk_sp" in NON_GATING_RECALL
+    assert "x_sim_lsh_topk_sp" not in RECALL_SPECS
+    for name, (_, ref) in NON_GATING_RECALL.items():
+        assert _pytest_ref_exists(ref), (name, ref)
+    # r13 measured values (CORRECTNESS_LOCAL_r13.json); every gating
+    # floor is identity (==1.0 with measured 1.0) or margin ≥ 0.15
+    measured = {
+        "x_sim_ivf_incremental": 1.0, "x_sim_lsh_topk": 0.8,
+        "x_sim_ivf_topk": 1.0, "x_sim_ivf_probe": 1.0,
+        "x_sim_ivf_trained": 0.9, "x_sim_pq_topk": 0.7,
+        "x_sim_ivfpq_topk": 0.8, "x_sim_sq_topk": 1.0,
+        "x_sim_nsw_topk": 1.0, "x_sim_nsw_probe": 1.0,
+        "x_sim_nsw_batch": 1.0, "x_sim_nsw_incremental": 1.0,
+        "x_sim_lsh_neardup": 0.9, "x_sim_lsh_neardup_sp": 0.356,
+    }
+    for name, (_, floor) in RECALL_SPECS.items():
+        got = measured[name]
+        identity = floor == 1.0
+        assert identity or got - floor >= 0.15, (name, floor, got)
+
+
 # --- ADVICE 4: retention left _offsets sidecars behind forever ---------
 
 

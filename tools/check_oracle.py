@@ -149,15 +149,23 @@ def _recall_ivf_incremental(spark, sf_dir: str) -> float:
 
 
 # name -> (compute(spark, sf_dir) -> float, floor)
+#
+# Floor discipline (round-14, closing the round-13 "zero margin" item):
+# every STATISTICAL floor must sit ≥1 observed standard deviation below
+# its measured value (variance bands measured across query ids 0-9 at
+# sf0.01, recorded in COVERAGE.md). Floors of exactly 1.0 are IDENTITY
+# assertions, not statistical floors — x_sim_ivf_probe and
+# x_sim_ivf_incremental claim the SAME rows as their batch counterpart
+# (same centroids, same scoring), so zero margin is their contract and
+# any deviation is a bug, not noise (measured sd across 10 query ids:
+# 0.0 for both).
 RECALL_SPECS = {
-    "x_sim_ivf_incremental": (_recall_ivf_incremental, 1.0),
-    # round-7 default swap: x_sim_lsh_topk IS the multiprobe form now;
-    # the single-probe teaching baseline keeps its honest 0.10 floor
-    # under the _sp name (round-6 verdict "What's wrong #2")
+    "x_sim_ivf_incremental": (_recall_ivf_incremental, 1.0),  # identity
+    # round-7 default swap: x_sim_lsh_topk IS the multiprobe form now
+    # (floor 0.50 = the observed 10-query minimum; mean 0.73, sd 0.17)
     "x_sim_lsh_topk": (_recall_topk("lsh_topk_multiprobe"), 0.50),
-    "x_sim_lsh_topk_sp": (_recall_topk("lsh_topk"), 0.10),
     "x_sim_ivf_topk": (_recall_topk("ivf_topk"), 0.50),
-    "x_sim_ivf_probe": (_recall_ivf_probe, 1.0),  # ≡ ivf_topk: identity floor
+    "x_sim_ivf_probe": (_recall_ivf_probe, 1.0),  # identity (see above)
     "x_sim_ivf_trained": (_recall_topk("ivf_topk_trained"), 0.50),
     "x_sim_pq_topk": (_recall_topk("pq_topk_rerank"), 0.50),
     "x_sim_ivfpq_topk": (_recall_topk("ivfpq_topk"), 0.50),
@@ -174,6 +182,23 @@ RECALL_SPECS = {
     # (single-probe was 0.356); the _sp baseline keeps its honest floor
     "x_sim_lsh_neardup": (_recall_neardup(4), 0.70),
     "x_sim_lsh_neardup_sp": (_recall_neardup(1), 0.20),
+}
+
+# NON-GATING contrast records (round-13 verdict task #4): entries whose
+# purpose is to DOCUMENT a deliberately-weak baseline next to its
+# strong default. Their recall is still computed and recorded in the
+# artifact, but it never fails the gate — the measured 10-query band
+# for single-probe LSH is mean 0.27, sd 0.155, min 0.10 (the registry
+# query), so any gating floor would sit inside its own noise. The REAL
+# invariant — multiprobe dominates single-probe on every query — is
+# pinned by the referenced pytest, whose existence the gate verifies
+# (same no-prose-only-exemptions rule as PYTEST_REFS).
+# name -> (compute(spark, sf_dir) -> float, pinning pytest ref)
+NON_GATING_RECALL = {
+    "x_sim_lsh_topk_sp": (
+        _recall_topk("lsh_topk"),
+        "tests/test_extensions.py::test_lsh_topk_multiprobe_dominates",
+    ),
 }
 
 
@@ -383,7 +408,19 @@ def main() -> int:
             continue
         rec = check_one(spark, con, fn, oracles.get(name), sf_dir)
         if rec["err"] == "rows-only (no oracle SQL)":
-            if name in RECALL_SPECS:
+            if name in NON_GATING_RECALL:
+                compute, ref = NON_GATING_RECALL[name]
+                rec["pytest_ref"] = ref
+                rec["gating"] = False
+                try:
+                    rec["recall"] = round(compute(spark, sf_dir), 3)
+                except Exception as exc:  # noqa: BLE001
+                    rec["rows_match"] = False
+                    rec["err"] = f"recall computation failed: {exc}"
+                if not _pytest_ref_exists(ref):
+                    rec["rows_match"] = False
+                    rec["err"] = f"referenced pytest proof missing: {ref}"
+            elif name in RECALL_SPECS:
                 compute, bound = RECALL_SPECS[name]
                 try:
                     rec["recall"] = round(compute(spark, sf_dir), 3)
@@ -421,8 +458,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: {rec['err']}")
         elif rec["err"] and rec["err"].startswith("rows-only"):
-            if "recall" in rec:
+            if "recall" in rec and "recall_bound" in rec:
                 extra = f", recall {rec['recall']}≥{rec['recall_bound']}"
+            elif "recall" in rec:
+                extra = f", recall {rec['recall']} (non-gating contrast)"
             elif "tol_err" in rec:
                 extra = f", tol {rec['tol_err']}≤{rec['tol_bound']}"
             elif "pytest_ref" in rec:
