@@ -549,10 +549,15 @@ def _read_arrow_segment_batches(
             lo = max(0, start_row - pos)
             hi = bn if end_row is None else min(bn, end_row - pos)
             sl = b.slice(lo, hi - lo)
+            # np.arange, not range(): the position column is 65k rows
+            # per block and pa.array(range(...)) boxes every int; the
+            # DSv2 worker already carries numpy via the Arrow bridge
+            import numpy as np
+
             yield pa.record_batch(
                 [
                     pa.repeat(pa.scalar(seg, pa.int64()), sl.num_rows),
-                    pa.array(range(pos + lo, pos + hi), type=pa.int64()),
+                    pa.array(np.arange(pos + lo, pos + hi, dtype=np.int64)),
                     sl.column(0),
                     sl.column(1),
                 ],

@@ -248,8 +248,9 @@ def main() -> None:
 
     calib_start = benchmod._calibrate()
     start_job_ms = benchmod._job_probe_ms(spark)
+    scale = os.path.basename(args.sf_dir.rstrip("/")).replace("_bench_data", "")
     record = {
-        "metric": "incremental_index_ingest_sf1",
+        "metric": f"incremental_index_ingest_{scale}",
         "sf_dir": args.sf_dir,
         "splits": args.splits,
         "ivf": bench_ivf(spark, args.sf_dir, args.splits),
