@@ -153,7 +153,15 @@ def mixture_sample(
 
     FP discipline: the per-source percentage uses pow/floor only
     (floor, not round — no half-to-even boundary to disagree across
-    engines); both engines compute the identical IEEE expression.
+    engines); both engines compute the identical IEEE expression —
+    EXCEPT ``SUM(w)``, whose accumulation order is engine-private. On
+    a corpus with uniform source counts the floored quantity lands
+    EXACTLY on an integer, and the summation-order ε (~1e-13 relative)
+    flips the floor across engines (found by the round-14 builder
+    fuzzer at temperature 0.86 / budget 61: Spark 60 vs DuckDB 61 on
+    every source). The ``+ 1e-9`` before FLOOR absorbs that ε on both
+    sides — far above any summation-order perturbation at percentage
+    scale, far below the 1-percentage-point resolution of the result.
 
     Scale: one map-side-combined groupBy(source) over a low-cardinality
     key (the per-source count table is SOURCES rows, never SF-scaled);
@@ -170,7 +178,10 @@ def mixture_sample(
         F.sum("n_s").alias("tot_docs"), F.sum(w).alias("tot_w")
     )
     expected = (w / F.col("tot_w")) * (F.col("tot_docs") * budget_pct / 100.0)
-    pct = F.least(F.lit(100.0), F.floor(F.lit(100.0) * expected / F.col("n_s")))
+    pct = F.least(
+        F.lit(100.0),
+        F.floor(F.lit(100.0) * expected / F.col("n_s") + F.lit(1e-9)),
+    )
     rates = (
         counts.crossJoin(F.broadcast(totals))  # one row
         .select("source", pct.cast("int").alias("keep_pct"))

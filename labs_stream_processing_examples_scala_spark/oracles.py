@@ -559,7 +559,7 @@ def sampling_mixture(
         WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
         rates AS (
             SELECT source,
-                   CAST(LEAST(100.0, FLOOR(100.0 * {expected} / n_s)) AS INT) AS keep_pct
+                   CAST(LEAST(100.0, FLOOR(100.0 * {expected} / n_s + 1e-9)) AS INT) AS keep_pct
             FROM counts
         )
         SELECT d.doc_id, d.source, r.keep_pct, CAST({b} AS INT) AS bucket

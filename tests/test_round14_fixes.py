@@ -245,6 +245,26 @@ def test_arrow_queue_sink_publishes_arrow_segments(spark, tmp_path):
     assert Q._list_segments(qdir) == segs
 
 
+# --- builder-fuzz find #1: mixture_sample floor-boundary flip ----------
+
+
+def test_mixture_sample_floor_boundary_stable(spark, duck):
+    """Round-14 builder fuzzer (seeds 21 #86 / 22 #75): on a corpus
+    with UNIFORM source counts the mixture keep-percentage lands
+    exactly on an integer, and SUM(w)'s engine-private accumulation
+    order flips FLOOR across engines (Spark 60 vs DuckDB 61 at
+    T=0.86/budget=61). Both sides now add 1e-9 before FLOOR; the
+    minimized find must stay hash-equal."""
+    from labs_stream_processing_examples_scala_spark import oracles as O
+    from labs_stream_processing_examples_scala_spark.operators import sampling as SMP
+
+    from tests.conftest import SF_SMOKE, assert_df_equals_oracle
+
+    for t, b in ((0.86, 61), (0.6, 55)):
+        sdf = SMP.mixture_sample(spark, SF_SMOKE, temperature=t, budget_pct=b)
+        assert_df_equals_oracle(sdf, duck, O.sampling_mixture(t, b))
+
+
 # --- verdict task 4: recall floor margins ------------------------------
 
 
