@@ -474,6 +474,31 @@ def _segment_is_canonical(queue_dir: str, seg: int) -> bool:
         return False
 
 
+#: canonical record schema order; ``columns`` option values must be a
+#: subset, and batches are always yielded in this relative order
+_FULL_COLUMNS = ("seg", "pos", "key", "value")
+
+
+def _parse_columns(options) -> tuple[str, ...] | None:
+    """The opt-in ``columns`` projection (DSv2 Python sources get no
+    planner column pruning, so a consumer that only needs the payload —
+    the common pipeline shape — can declare it and skip shipping the
+    (seg, pos) broker-offset columns across the Arrow bridge and
+    through JVM row conversion). Canonical order is enforced so the
+    declared schema and every yielded batch agree."""
+    raw = options.get("columns")
+    if not raw:
+        return None
+    want = [c.strip() for c in str(raw).split(",") if c.strip()]
+    bad = [c for c in want if c not in _FULL_COLUMNS]
+    if bad:
+        raise ValueError(
+            f"fqueue columns option: unknown column(s) {bad}; choose from {_FULL_COLUMNS}"
+        )
+    cols = tuple(c for c in _FULL_COLUMNS if c in want)
+    return None if cols == _FULL_COLUMNS else cols
+
+
 def _segment_arrow_block(queue_dir: str, seg: int, size: int) -> int | None:
     """The uniform IPC batch row count the PRODUCER recorded for this
     arrow segment (count-sidecar mark ``a<rows>``), or None when the
@@ -511,7 +536,11 @@ def _arrow_segment_rows(path: str) -> int:
 
 
 def _read_arrow_segment_batches(
-    queue_dir: str, seg: int, start_row: int = 0, end_row: int | None = None
+    queue_dir: str,
+    seg: int,
+    start_row: int = 0,
+    end_row: int | None = None,
+    columns: tuple[str, ...] | None = None,
 ):
     """Span read over an Arrow IPC file segment → (seg, pos, key, value)
     record batches. The IPC footer is the seek index: ``get_batch(i)``
@@ -549,20 +578,27 @@ def _read_arrow_segment_batches(
             lo = max(0, start_row - pos)
             hi = bn if end_row is None else min(bn, end_row - pos)
             sl = b.slice(lo, hi - lo)
-            # np.arange, not range(): the position column is 65k rows
-            # per block and pa.array(range(...)) boxes every int; the
-            # DSv2 worker already carries numpy via the Arrow bridge
-            import numpy as np
+            cols = columns or _FULL_COLUMNS
+            arrays, names = [], []
+            for name in cols:
+                if name == "seg":
+                    arrays.append(pa.repeat(pa.scalar(seg, pa.int64()), sl.num_rows))
+                elif name == "pos":
+                    # np.arange, not range(): the position column is 65k
+                    # rows per block and pa.array(range(...)) boxes every
+                    # int; the DSv2 worker already carries numpy via the
+                    # Arrow bridge. Built (like seg) only when selected —
+                    # the `columns` pruning saves the build AND the
+                    # JVM-crossing/row-conversion of the excluded columns
+                    import numpy as np
 
-            yield pa.record_batch(
-                [
-                    pa.repeat(pa.scalar(seg, pa.int64()), sl.num_rows),
-                    pa.array(np.arange(pos + lo, pos + hi, dtype=np.int64)),
-                    sl.column(0),
-                    sl.column(1),
-                ],
-                names=["seg", "pos", "key", "value"],
-            )
+                    arrays.append(pa.array(np.arange(pos + lo, pos + hi, dtype=np.int64)))
+                elif name == "key":
+                    arrays.append(sl.column(0))
+                else:
+                    arrays.append(sl.column(1))
+                names.append(name)
+            yield pa.record_batch(arrays, names=names)
             pos += bn
 
 
@@ -952,7 +988,11 @@ def _rows_to_batch(rows: list[tuple]):
 
 
 def _read_segment_batches(
-    queue_dir: str, seg: int, start_row: int = 0, end_row: int | None = None
+    queue_dir: str,
+    seg: int,
+    start_row: int = 0,
+    end_row: int | None = None,
+    columns: tuple[str, ...] | None = None,
 ):
     """The span read as an iterator of Arrow record batches — what the
     DSv2 ``read()`` paths yield (PySpark streams RecordBatches through
@@ -971,17 +1011,25 @@ def _read_segment_batches(
     cancel out in the row-count guard; a bare ``\\r`` splits in text
     mode but not in binary mode)."""
     if queue_codec(queue_dir) == "arrow":
-        yield from _read_arrow_segment_batches(queue_dir, seg, start_row, end_row)
+        yield from _read_arrow_segment_batches(
+            queue_dir, seg, start_row, end_row, columns=columns
+        )
         return
+
+    def _prune(batch):
+        # jsonl paths: decode dominates, so full-build + zero-copy
+        # select is fine — the win is the skipped JVM crossing
+        return batch.select(list(columns)) if columns else batch
+
     if not _segment_is_canonical(queue_dir, seg):
         rows: list[tuple] = []
         for row in _read_segment_rows(queue_dir, seg, start_row, end_row):
             rows.append(row)
             if len(rows) >= _DECODE_BLOCK_LINES:
-                yield _rows_to_batch(rows)
+                yield _prune(_rows_to_batch(rows))
                 rows = []
         if rows:
-            yield _rows_to_batch(rows)
+            yield _prune(_rows_to_batch(rows))
         return
     with open(_seg_path(queue_dir, seg), "rb") as f:
         row = 0
@@ -1006,19 +1054,20 @@ def _read_segment_batches(
                 block_start = pos
             block.append(line)
             if len(block) >= _DECODE_BLOCK_LINES:
-                yield _decode_block_arrow(block, seg, block_start)
+                yield _prune(_decode_block_arrow(block, seg, block_start))
                 block = []
         if block:
-            yield _decode_block_arrow(block, seg, block_start)
+            yield _prune(_decode_block_arrow(block, seg, block_start))
 
 
 # --- Spark DataSource --------------------------------------------------
 
 
 class _SegPartition(InputPartition):
-    def __init__(self, queue_dir: str, seg: int):
+    def __init__(self, queue_dir: str, seg: int, columns: tuple[str, ...] | None = None):
         self.queue_dir = queue_dir
         self.seg = seg
+        self.columns = columns
 
 
 class _SpanPartition(InputPartition):
@@ -1033,12 +1082,14 @@ class _SpanPartition(InputPartition):
         start_row: int,
         end_row: int,
         beacon_dir: str | None = None,
+        columns: tuple[str, ...] | None = None,
     ):
         self.queue_dir = queue_dir
         self.seg = seg
         self.start_row = start_row
         self.end_row = end_row
         self.beacon_dir = beacon_dir
+        self.columns = columns
 
 
 def _maybe_beacon(beacon_dir: str | None) -> None:
@@ -1065,7 +1116,11 @@ def _read_span(partition: _SpanPartition) -> Iterator:
     _maybe_beacon(partition.beacon_dir)
     try:
         yield from _read_segment_batches(
-            partition.queue_dir, partition.seg, partition.start_row, partition.end_row
+            partition.queue_dir,
+            partition.seg,
+            partition.start_row,
+            partition.end_row,
+            columns=partition.columns,
         )
     except FileNotFoundError:
         # segment file missing (externally removed): planned spans over
@@ -1083,12 +1138,18 @@ class QueueBatchReader(DataSourceReader):
         self.queue_dir = options.get("path")
         if not self.queue_dir:
             raise ValueError("fqueue requires .option('path', <queue dir>)")
+        self.columns = _parse_columns(options)
 
     def partitions(self):
-        return [_SegPartition(self.queue_dir, n) for n in _list_segments(self.queue_dir)]
+        return [
+            _SegPartition(self.queue_dir, n, self.columns)
+            for n in _list_segments(self.queue_dir)
+        ]
 
     def read(self, partition: _SegPartition):
-        return _read_segment_batches(partition.queue_dir, partition.seg)
+        return _read_segment_batches(
+            partition.queue_dir, partition.seg, columns=partition.columns
+        )
 
 
 class QueueStreamReader(DataSourceStreamReader):
@@ -1118,6 +1179,7 @@ class QueueStreamReader(DataSourceStreamReader):
         self.rows_per_partition = int(options.get("rows_per_partition", 10000))
         self.group = options.get("group", "default")
         self.beacon_dir = options.get("task_beacon_dir")
+        self.columns = _parse_columns(options)
         self._pos: tuple[int, int] | None = None
 
     def initialOffset(self) -> dict:
@@ -1185,6 +1247,7 @@ class QueueStreamReader(DataSourceStreamReader):
                         a,
                         min(a + self.rows_per_partition, last),
                         self.beacon_dir,
+                        self.columns,
                     )
                 )
         return parts
@@ -1571,6 +1634,7 @@ class QueueCompetingStreamReader(DataSourceStreamReader):
         self.consumer = str(options["consumer"])
         self.lease_timeout_s = float(options.get("lease_timeout_s", 0) or 0)
         self.beacon_dir = options.get("task_beacon_dir")
+        self.columns = _parse_columns(options)
         # _pos: (claimed list, idx, row) this process last planned.
         # _token: our lease fencing token. BOTH are lazy — __init__ runs
         # in several harness processes (the offsets runner AND the
@@ -1694,6 +1758,7 @@ class QueueCompetingStreamReader(DataSourceStreamReader):
                         a,
                         min(a + self.rows_per_partition, last),
                         self.beacon_dir,
+                        self.columns,
                     )
                 )
         return parts
@@ -1742,7 +1807,9 @@ class QueueDataSource(DataSource):
         return "fqueue"
 
     def schema(self) -> str:
-        return "seg bigint, pos bigint, key string, value string"
+        cols = _parse_columns(self.options) or _FULL_COLUMNS
+        types = {"seg": "bigint", "pos": "bigint", "key": "string", "value": "string"}
+        return ", ".join(f"{c} {types[c]}" for c in cols)
 
     def reader(self, schema) -> QueueBatchReader:
         return QueueBatchReader(self.options)

@@ -321,3 +321,97 @@ def test_purge_removes_offsets_sidecar(tmp_path):
     assert not os.path.exists(QS._offsets_path(qdir, seg))
     # idempotent second purge (already empty) must not raise either
     assert not QS._purge_segment(qdir, seg)
+
+
+# --- columns projection option (DSv2 python sources get no planner ----
+#     column pruning; the option is the engine's stand-in, added for
+#     the stream-bench finding that the (seg, pos) broker-offset
+#     columns cost JVM crossing the pipeline legs never use)
+
+
+def test_columns_option_prunes_schema_and_values(spark, tmp_path):
+    """`.option("columns", "key,value")` must shrink the declared
+    schema, normalize to canonical order, and return exactly the full
+    read's projection — on BOTH codecs, batch and streaming reads."""
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    Q.register(spark)
+    for codec in ("jsonl", "arrow"):
+        qdir = str(tmp_path / codec)
+        Q.publish(qdir, [(str(i), f"v{i}") for i in range(300)], codec=codec)
+        full = spark.read.format("fqueue").option("path", qdir).load()
+        kv = (
+            spark.read.format("fqueue")
+            .option("path", qdir)
+            # reversed request: canonical order must win
+            .option("columns", "value,key")
+            .load()
+        )
+        assert kv.columns == ["key", "value"]
+        assert kv.exceptAll(full.select("key", "value")).count() == 0
+        assert full.select("key", "value").exceptAll(kv).count() == 0
+        sdf = (
+            spark.readStream.format("fqueue")
+            .option("path", qdir)
+            .option("rows_per_batch", 300)
+            .option("rows_per_partition", 64)
+            .option("columns", "key,value")
+            .load()
+        )
+        assert sdf.columns == ["key", "value"]
+        out, ckpt = str(tmp_path / f"out_{codec}"), str(tmp_path / f"ck_{codec}")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.columns == ["key", "value"]
+        assert got.exceptAll(full.select("key", "value")).count() == 0
+
+
+def test_columns_option_rejects_unknown_names():
+    from labs_stream_processing_examples_scala_spark.sources.queue_source import (
+        _parse_columns,
+    )
+    import pytest
+
+    assert _parse_columns({"columns": "key , value"}) == ("key", "value")
+    assert _parse_columns({}) is None
+    # full set normalizes to None (no pruning)
+    assert _parse_columns({"columns": "value,key,pos,seg"}) is None
+    with pytest.raises(ValueError, match="unknown column"):
+        _parse_columns({"columns": "key,nope"})
+
+
+def test_columns_option_competing_consumer(spark, tmp_path):
+    """The competing-consumers reader honors the projection too (the
+    claim/ACK ledger is offset-based, not row-column-based, so pruning
+    seg/pos is safe there)."""
+    from labs_stream_processing_examples_scala_spark.sources import queue_source as Q
+
+    Q.register(spark)
+    qdir = str(tmp_path / "q")
+    Q.publish(qdir, [(str(i), f"v{i}") for i in range(200)], codec="arrow")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("fqueue")
+        .option("path", qdir)
+        .option("consumer", "c1")
+        .option("rows_per_batch", 200)
+        .option("rows_per_partition", 64)
+        .option("columns", "key,value")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.columns == ["key", "value"]
+    assert got.count() == 200

@@ -124,7 +124,7 @@ def main() -> None:
         )
         QS.queue_sink(qdir)(batch_msgs, 0)
 
-        def queue_msgs(rows_per_batch: int = 2_000_000, path: str = qdir):
+        def queue_msgs(rows_per_batch: int | None = None, path: str = qdir):
             # rows_per_batch per queue_bench's r13 sweep (250k →
             # ~310-330k rows/s, 500k → ~466-582k, 1M → ~520-628k,
             # 2M → ~540-715k): each micro-batch pays a fixed DSv2
@@ -138,11 +138,28 @@ def main() -> None:
             # for 32k/16k — each DSv2 Python read task carries a fixed
             # cost, so halving the span to fill all 32 cores LOSES to
             # 16 well-fed tasks at this payload size (~2 MB JSONL/span)
+            # the budget covers the backlog unless a multi-batch form is
+            # explicitly requested (the 2M hardcode predated the
+            # parameterized n_rows — at 20M it silently measured 10
+            # micro-batch fixed costs instead of throughput)
+            if rows_per_batch is None:
+                rows_per_batch = n_rows
+            # span size: 65536 is the paired-A/B argmax at the 2M
+            # protocol (16 well-fed tasks beat 32/61 starved ones);
+            # ≥4M backlogs fill all cores either way, and the r14
+            # paired 20M sweeps favored 262144 (fewer DSv2 python
+            # tasks, each still one wave)
+            rpp = 65_536 if n_rows <= 4_000_000 else 262_144
             return (
                 spark.readStream.format("fqueue")
                 .option("path", path)
                 .option("rows_per_batch", rows_per_batch)
-                .option("rows_per_partition", 65_536)
+                .option("rows_per_partition", rpp)
+                # the pipeline consumes only the payload: declare it so
+                # the (seg, pos) broker-offset columns never cross the
+                # Arrow bridge (DSv2 python sources get no planner
+                # column pruning — the option is the engine's stand-in)
+                .option("columns", "key,value")
                 .load()
                 .select(F.col("key").cast("long").alias("id"), F.col("value"))
             )
