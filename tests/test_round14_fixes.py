@@ -415,3 +415,32 @@ def test_columns_option_competing_consumer(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.columns == ["key", "value"]
     assert got.count() == 200
+
+
+def test_pack_stats_round_tie_adjudicates_narrowly():
+    """r14 builder-fuzz find: pack_stats budget=1920 → fill_ratio
+    1923/1920 = 1.0015625, an EXACT decimal tie at the oracle's
+    round(..., 6) — Spark (BigDecimal HALF_UP) prints 1.001563,
+    DuckDB (float-multiply half-even) 1.001562. The builder fuzzer
+    adjudicates EXACTLY this shape via the SQL-layer _round_tie_ok
+    and nothing wider. If Spark or DuckDB ever changes its rounding
+    convention, this test fails and the adjudication must be removed."""
+    from labs_stream_processing_examples_scala_spark import oracles as O
+    from tools.query_fuzz import _round_precisions, _round_tie_ok
+
+    sql = O.pack_stats(1920, 8)
+    assert 6 in _round_precisions(sql)
+    srow = [("1.001563", "29", "1923", "0", "0")]
+    drow = [("1.001562", "29", "1923", "0", "0")]
+    assert _round_tie_ok(sql, srow, drow)
+    # sub-unit drift (not a tie) must stay a finding
+    assert not _round_tie_ok(sql, [("1.001570", "29", "1923", "0", "0")], drow)
+    # and a non-ROUND column differing must stay a finding
+    assert not _round_tie_ok(sql, [("1.001563", "30", "1923", "0", "0")], drow)
+    # the convention itself, pinned: Spark's round is HALF_UP on the tie
+    import pyspark.sql.functions as F
+    from labs_stream_processing_examples_scala_spark import get_spark
+
+    s = get_spark()
+    got = s.range(1).select(F.round(F.lit(1923) / F.lit(1920), 6).alias("r")).first()["r"]
+    assert f"{got:.6f}" == "1.001563"

@@ -414,6 +414,7 @@ def main() -> int:
             res["passed"] += r["passed"]
             res["mismatches"].extend(r["mismatches"])
             res["errors"].extend(r["errors"])
+            res["adjudicated"].extend(r["adjudicated"])
             for nm, c in r["families"].items():
                 res["families"][nm] = res["families"].get(nm, 0) + c
     record = {
@@ -424,6 +425,8 @@ def main() -> int:
         "passed": res["passed"],
         "mismatches_n": len(res["mismatches"]),
         "errors_n": len(res["errors"]),
+        "adjudicated_n": len(res["adjudicated"]),
+        "adjudicated": res["adjudicated"][:20],
         "families": dict(sorted(res["families"].items())),
         "families_n": len(res["families"]),
         "mismatches": res["mismatches"][:20],
@@ -444,7 +447,7 @@ def main() -> int:
                 k: record[k]
                 for k in (
                     "seed", "n", "passed", "mismatches_n", "errors_n",
-                    "families_n", "elapsed_s",
+                    "adjudicated_n", "families_n", "elapsed_s",
                 )
             }
         )
@@ -460,7 +463,7 @@ def run_builder_fuzz(spark, con, seed, args):
     names = sorted(fams)
     weights = [fams[nm][0] for nm in names]
     rng = random.Random(seed)
-    results = {"passed": 0, "mismatches": [], "errors": [], "families": {}}
+    results = {"passed": 0, "mismatches": [], "errors": [], "adjudicated": [], "families": {}}
     for i in range(args.n):
         nm = rng.choices(names, weights=weights)[0]
         _, gen, run, sql_of = fams[nm]
@@ -491,12 +494,30 @@ def run_builder_fuzz(spark, con, seed, args):
         elif sn != dn:
             rec["err"] = f"rowcount spark={sn} duckdb={dn}"
         elif srows != drows:
-            d = next(j for j, (a, b) in enumerate(zip(srows, drows)) if a != b)
-            rec["err"] = (
-                f"first diff at sorted-row {d}: spark={srows[d]} duckdb={drows[d]}"
-            )
+            # the one standing numeric adjudication, same policy as the
+            # SQL-text layer: an explicit ROUND in the oracle whose
+            # argument lands on an exact decimal tie rounds HALF_UP in
+            # Spark (BigDecimal on the shortest decimal form) but down
+            # in DuckDB (float-multiply half-even) — e.g. pack_stats
+            # budget=1920: 1923/1920 = 1.0015625 → 1.001563 vs
+            # 1.001562 (r14 builder-fuzz find, pinned in
+            # tests/test_round14_fixes.py). _round_tie_ok requires the
+            # delta be EXACTLY one unit of a paren-balanced ROUND
+            # precision from the SQL text on otherwise-identical rows.
+            from tools.query_fuzz import _round_tie_ok
+
+            if _round_tie_ok(sql, srows, drows):
+                rec["adjudicated"] = "round-tie-convention"
+                results["adjudicated"].append(rec)
+            else:
+                d = next(j for j, (a, b) in enumerate(zip(srows, drows)) if a != b)
+                rec["err"] = (
+                    f"first diff at sorted-row {d}: spark={srows[d]} duckdb={drows[d]}"
+                )
         if "err" in rec:
             results["mismatches"].append(rec)
+        elif "adjudicated" in rec:
+            pass  # recorded above, not a pass and not a finding
         else:
             results["passed"] += 1
     return results

@@ -666,11 +666,15 @@ def _round_precisions(sql: str) -> set[int]:
     the exact-unit rule) mis-rejected genuine ties (round-14 find while
     closing the round-13 ADVICE clamp)."""
     out: set[int] = set()
+    hay = sql.upper()  # the builder oracles write round(...) lowercase
     i = 0
     while True:
-        j = sql.find("ROUND(", i)
+        j = hay.find("ROUND(", i)
         if j < 0:
             return out
+        if j > 0 and (hay[j - 1].isalnum() or hay[j - 1] == "_"):
+            i = j + 6  # AROUND(/XROUND( — not the function
+            continue
         depth = 0
         last_comma = None
         k = j + 5
