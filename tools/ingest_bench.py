@@ -88,7 +88,7 @@ def _split_source(spark, df, work: str, splits: int, key: str) -> str:
     return src
 
 
-def bench_ivf(spark, sf_dir: str, splits: int) -> dict:
+def bench_ivf(spark, sf_dir: str, splits: int, timeout: float = 1800.0) -> dict:
     from labs_stream_processing_examples_scala_spark.operators.similarity import (
         _query_embedding,
         _seed_centroids,
@@ -111,7 +111,7 @@ def bench_ivf(spark, sf_dir: str, splits: int) -> dict:
         t0 = time.perf_counter()
         drive_bounded(
             spark, src, ["vec_id", "embedding"], proc.process_batch, work,
-            files_per_trigger=1, timeout=1800.0, label="sf1 ivf ingest",
+            files_per_trigger=1, timeout=timeout, label="ivf ingest",
         )
         ingest_s = time.perf_counter() - t0
         qvec = _query_embedding(spark, sf_dir, 0)
@@ -135,7 +135,7 @@ def bench_ivf(spark, sf_dir: str, splits: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def bench_nsw(spark, sf_dir: str, splits: int) -> dict:
+def bench_nsw(spark, sf_dir: str, splits: int, timeout: float = 1800.0) -> dict:
     from labs_stream_processing_examples_scala_spark.operators.similarity import (
         _query_embedding,
         brute_force_topk,
@@ -156,7 +156,7 @@ def bench_nsw(spark, sf_dir: str, splits: int) -> dict:
         t0 = time.perf_counter()
         drive_bounded(
             spark, src, ["vec_id", "embedding"], proc.process_batch, work,
-            files_per_trigger=1, timeout=1800.0, label="sf1 nsw ingest",
+            files_per_trigger=1, timeout=timeout, label="nsw ingest",
         )
         ingest_s = time.perf_counter() - t0
         qvec = _query_embedding(spark, sf_dir, 0)
@@ -180,7 +180,7 @@ def bench_nsw(spark, sf_dir: str, splits: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def bench_dedup(spark, sf_dir: str, splits: int) -> dict:
+def bench_dedup(spark, sf_dir: str, splits: int, timeout: float = 1800.0) -> dict:
     from labs_stream_processing_examples_scala_spark.operators.dedup import (
         lsh_candidate_pairs,
     )
@@ -200,7 +200,7 @@ def bench_dedup(spark, sf_dir: str, splits: int) -> dict:
         t0 = time.perf_counter()
         drive_bounded(
             spark, src, ["doc_id", "text"], proc.process_batch, work,
-            files_per_trigger=1, timeout=1800.0, label="sf1 dedup ingest",
+            files_per_trigger=1, timeout=timeout, label="dedup ingest",
         )
         ingest_s = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -233,6 +233,9 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/tmp/sf1_bench_data")
     ap.add_argument("--splits", type=int, default=8)
     ap.add_argument("--json", default=None)
+    # sf10 drives 150x the sf1 vector rows through the same bounded
+    # harness; the per-drive timeout must scale with the corpus
+    ap.add_argument("--timeout", type=float, default=1800.0)
     args = ap.parse_args()
 
     import bench as benchmod
@@ -253,9 +256,9 @@ def main() -> None:
         "metric": f"incremental_index_ingest_{scale}",
         "sf_dir": args.sf_dir,
         "splits": args.splits,
-        "ivf": bench_ivf(spark, args.sf_dir, args.splits),
-        "nsw": bench_nsw(spark, args.sf_dir, args.splits),
-        "lsh_dedup": bench_dedup(spark, args.sf_dir, args.splits),
+        "ivf": bench_ivf(spark, args.sf_dir, args.splits, args.timeout),
+        "nsw": bench_nsw(spark, args.sf_dir, args.splits, args.timeout),
+        "lsh_dedup": bench_dedup(spark, args.sf_dir, args.splits, args.timeout),
     }
     calib_end = benchmod._calibrate()
     record["calibration"] = {
