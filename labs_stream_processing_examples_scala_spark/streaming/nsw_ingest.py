@@ -86,13 +86,20 @@ class IncrementalNswIndex:
         self.compact_every = compact_every
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # live segments scale their shard count with the BATCH row
+        # count, exactly like the merged rebuild scales with history
+        # (round-14 sf10 find: a fixed 8 shards put 54k rows in one
+        # per-shard graph at 430k-row micro-batches — quadratic blocked
+        # build AND degraded greedy recall, 0.4 vs the 0.85 floor; the
+        # count() job is noise next to the build it bounds)
+        shards = max(self.n_shards, _auto_shards(batch_df.count()))
         rows = (
             batch_df.select(
                 "vec_id",
                 F.col("embedding").cast("array<double>").alias("vec"),
-                F.pmod(F.xxhash64("vec_id"), F.lit(self.n_shards)).cast("int").alias("part"),
+                F.pmod(F.xxhash64("vec_id"), F.lit(shards)).cast("int").alias("part"),
             )
-            .repartition(self.n_shards, "part")
+            .repartition(shards, "part")
         )
         seg_rows = rows.mapInPandas(
             make_shard_builder(self.m, self.ef_construction, seg=batch_id),

@@ -444,3 +444,32 @@ def test_pack_stats_round_tie_adjudicates_narrowly():
     s = get_spark()
     got = s.range(1).select(F.round(F.lit(1923) / F.lit(1920), 6).alias("r")).first()["r"]
     assert f"{got:.6f}" == "1.001563"
+
+
+def test_nsw_live_segments_auto_scale_shards(spark, tmp_path, monkeypatch):
+    """Live per-batch NSW segments must scale their shard count with
+    the batch row count (the merged rebuild already did): at sf10 a
+    fixed 8 shards put 54k rows in ONE per-shard graph — quadratic
+    blocked build and 0.4 recall vs the 0.85 floor (r14 sf10 ingest
+    find). Proxy at test scale: shrink SHARD_TARGET_ROWS and assert a
+    single batch lands more than n_shards parts."""
+    from labs_stream_processing_examples_scala_spark.operators import graph_ann
+    from labs_stream_processing_examples_scala_spark.streaming.nsw_ingest import (
+        IncrementalNswIndex,
+    )
+
+    monkeypatch.setattr(graph_ann, "SHARD_TARGET_ROWS", 16)
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proc = IncrementalNswIndex(str(tmp_path / "idx"), compact_every=None)
+    proc.process_batch(df, 0)
+    parts = proc.segments(spark).select("part").distinct().count()
+    assert parts > proc.n_shards, f"expected auto-scaled shards, got {parts}"
+    # and the probe still returns k results over the scaled layout
+    got = proc.probe(spark, rows[0][1], query_id=-1, k=5).collect()
+    assert len(got) == 5

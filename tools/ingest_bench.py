@@ -236,6 +236,7 @@ def main() -> None:
     # sf10 drives 150x the sf1 vector rows through the same bounded
     # harness; the per-drive timeout must scale with the corpus
     ap.add_argument("--timeout", type=float, default=1800.0)
+    ap.add_argument("--only", default=None, help="comma list of tiers: ivf,nsw,lsh_dedup")
     args = ap.parse_args()
 
     import bench as benchmod
@@ -256,9 +257,15 @@ def main() -> None:
         "metric": f"incremental_index_ingest_{scale}",
         "sf_dir": args.sf_dir,
         "splits": args.splits,
-        "ivf": bench_ivf(spark, args.sf_dir, args.splits, args.timeout),
-        "nsw": bench_nsw(spark, args.sf_dir, args.splits, args.timeout),
-        "lsh_dedup": bench_dedup(spark, args.sf_dir, args.splits, args.timeout),
+        **{
+            name: fn(spark, args.sf_dir, args.splits, args.timeout)
+            for name, fn in (
+                ("ivf", bench_ivf),
+                ("nsw", bench_nsw),
+                ("lsh_dedup", bench_dedup),
+            )
+            if args.only is None or name in args.only.split(",")
+        },
     }
     calib_end = benchmod._calibrate()
     record["calibration"] = {
