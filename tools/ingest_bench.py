@@ -161,10 +161,18 @@ def bench_nsw(spark, sf_dir: str, splits: int, timeout: float = 1800.0) -> dict:
         ingest_s = time.perf_counter() - t0
         qvec = _query_embedding(spark, sf_dir, 0)
         t0 = time.perf_counter()
-        got = {r.vec_id for r in proc.probe(spark, qvec, 0, 10).collect()}
+        got = proc.probe(spark, qvec, 0, 10).collect()
         probe_s = time.perf_counter() - t0
-        brute = [r.vec_id for r in brute_force_topk(spark, sf_dir).collect()]
-        recall = len(set(brute) & got) / max(len(brute), 1)
+        brute = brute_force_topk(spark, sf_dir).collect()
+        # tie-robust recall@10 (ann-benchmarks convention): a returned
+        # item counts iff its similarity reaches the true k-th-best.
+        # The synthesized scale corpora replicate base vectors (sf10:
+        # ×1500), so EVERY top-k is a vec_id tie among exact copies —
+        # id-intersection "recall" measured which copies the search
+        # happened to visit, not answer quality (r14 find: 0.7 by ids,
+        # every returned sim = 1.0).
+        kth = min(r.cos_sim for r in brute) if brute else 0.0
+        recall = sum(1 for r in got if r.cos_sim >= kth - 1e-9) / max(len(brute), 1)
         return {
             "rows": n,
             "batches": len(walls),
@@ -174,6 +182,7 @@ def bench_nsw(spark, sf_dir: str, splits: int, timeout: float = 1800.0) -> dict:
             "index_bytes": _dir_bytes(work),
             "probe_s": round(probe_s, 2),
             "recall_vs_brute": round(recall, 3),
+            "recall_metric": "sim-threshold (tie-robust, ann-benchmarks convention)",
             "recall_floor": 0.85,
         }
     finally:
