@@ -12,11 +12,18 @@ centrality-for-curation shape.
 Power iteration, join-form (the textbook distributed plan):
   per iteration: ranks ⋈ out-degrees (contribution = r/outdeg) ⋈ edges
   → groupBy(dst) sum — ONE keyed shuffle per iteration on the edge
-  list; dangling mass (isolated docs — a symmetric graph has in-edges
-  iff out-edges) redistributes uniformly via a one-row broadcast
-  frame, never a collected scalar. For a fixed small n_iter the whole
-  loop unrolls into ONE plan and ONE action — the only driver traffic
-  is N, once.
+  list. Dangling mass is CLOSED-FORM (round-14 optimization): in a
+  symmetrized graph a node has in-edges iff it has out-edges, so every
+  dangling node's rank is the same scalar v_k = base + d·m_{k-1}/n and
+  the dangling mass follows the driver-side recurrence
+  m_k = n_dangling · v_k — two counts the build already pays, then a
+  Python float per iteration. That removes the second reference each
+  generation previously made to its predecessor (the dangling-mass
+  aggregate), so the logical plan grows LINEARLY in n_iter instead of
+  2^k and the whole loop unrolls into ONE plan and ONE action with no
+  per-iteration lineage truncation (was: localCheckpoint every
+  iteration = 6 materialization round-trips, 66 Spark jobs at sf0.1;
+  now ~1/3 of that — see OPTIMIZATION_r14.md).
 
 A FIXED iteration count (default 5) keeps the operator exactly
 SQL-expressible: the DuckDB oracle unrolls the same five update steps
@@ -50,75 +57,93 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
 
 
+def dangling_mass_schedule(
+    n: int, n_dangling: int, n_iter: int, damping: float
+) -> list[float]:
+    """The per-iteration dangling mass, closed form.
+
+    In the symmetrized graph a node has in-edges iff it has out-edges,
+    so a dangling node never receives contributions: its rank after
+    update k is exactly v_k = (1-d)/n + d·(0 + m_{k-1}/n), the same
+    scalar for every dangling node, giving
+    m_k = n_dangling · v_k  (m_0 = n_dangling · (1/n)).
+
+    Every operation is a plain IEEE double op, so DuckDB evaluating the
+    same recurrence (pagerank_oracle_sql) produces bit-identical
+    scalars; versus the pre-round-14 distributed sum the value differs
+    only by summation-order ulps (~1e-16), far inside the 6-decimal
+    output rounding — equivalence proven by the exact oracle gate at
+    sf0.001/sf0.01/sf0.1 and an old-vs-new exceptAll (OPTIMIZATION_r14.md)."""
+    d = float(damping)
+    base = (1.0 - d) / n
+    ms = [n_dangling * (1.0 / n)]
+    for _ in range(n_iter):
+        ms.append(n_dangling * (base + d * (ms[-1] / n)))
+    return ms
+
+
 def pagerank(
     spark: SparkSession,
     sf_dir: str,
     n_iter: int = N_ITER,
     damping: float = DAMPING,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = N_ITER,
 ) -> DataFrame:
     """x_graph_pagerank — (doc_id, rank, n_neighbors) after ``n_iter``
     power iterations over the similarity graph.
 
-    ``checkpoint_every`` sets the lineage-truncation cadence: each
-    update references the previous generation twice, so k generations
-    without a checkpoint grow the logical plan ~2^k-fold while saving
-    (k-1)/k of the materialization jobs — the round-10 verdict's A/B
-    knob (task #7). The default (every iteration) is the measured
-    winner at every SF; see BASELINE.md round-11 for the sf10 A/B."""
+    ``checkpoint_every`` sets the lineage-truncation cadence. Since the
+    round-14 closed-form dangling mass, each update references the
+    previous generation ONCE, so the unrolled plan grows linearly and
+    the default cadence is n_iter (no intermediate truncation: one
+    action runs the whole loop). The knob remains for very large
+    n_iter, where truncating every k iterations bounds plan size at the
+    cost of one materialization per checkpoint."""
     if checkpoint_every < 1:
         # 0 would ZeroDivisionError mid-iteration and a negative value
-        # would silently disable every intermediate truncation — the
-        # exact 2^k plan blow-up the knob exists to bound — so fail
-        # fast with the contract instead (self-review finding, round 11)
+        # would silently disable every intermediate truncation — so
+        # fail fast with the contract instead (self-review, round 11)
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = _edges(spark, sf_dir).persist()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
-    outdeg.count()  # eager: consumed every iteration (and fixes the
-    # lazy-persist multi-subtree race, see frequency.heavy_hitters)
+    n_nondangling = outdeg.count()  # eager: consumed every iteration (and
+    # fixes the lazy-persist multi-subtree race, see frequency.heavy_hitters)
 
     n = nodes.count()  # fixed-size driver scalar (one long)
     d = float(damping)
     base = (1.0 - d) / n
+    mass = dangling_mass_schedule(n, n - n_nondangling, n_iter, damping)
 
-    # Each update references the previous generation TWICE (dangling
-    # mass + contributions), so every generation's LOGICAL plan must be
-    # truncated, not merely cached: persist() leaves the logical tree
-    # in place and analysis re-walks it — doubled per reference, the
-    # tree grows 2^k and iteration wall went 1.7 → 107 s by round 5.
-    # localCheckpoint (eager) replaces the plan with a leaf, exactly
-    # the connected-components loop's fix (operators/dedup.py); the
-    # same blowup is what the oracle's AS MATERIALIZED guards against
-    # in DuckDB. The dangling mass rides the plan as a one-row
-    # broadcast frame (no per-round collect).
-    ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # The dangling mass is a literal per iteration (closed form above),
+    # so each generation references its predecessor exactly once via
+    # the contribution join: the logical plan grows LINEARLY in n_iter
+    # and the loop unrolls into one plan/one action. (Pre-round-14 the
+    # mass was a distributed aggregate — a SECOND reference per
+    # generation, 2^k tree growth, and a localCheckpoint every
+    # iteration to contain it: 6 materialization round-trips per call.)
+    ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank"))
     for it in range(n_iter):
-        with_deg = ranks.join(outdeg, ranks.doc_id == outdeg.src, "left")
-        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
-        )
         contrib = (
-            with_deg.filter(F.col("outdeg").isNotNull())
+            ranks.join(outdeg, ranks.doc_id == outdeg.src)
             .select("src", (F.col("rank") / F.col("outdeg")).alias("c"))
             .join(edges, "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))  # one row
-            .select(
-                "doc_id",
-                (
-                    F.lit(base)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("m") / F.lit(float(n)))
-                ).alias("rank"),
-            )
+        ranks = nodes.join(contrib, nodes.doc_id == contrib.dst, "left").select(
+            "doc_id",
+            (
+                F.lit(base)
+                + F.lit(d)
+                * (
+                    F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    + F.lit(mass[it]) / F.lit(float(n))
+                )
+            ).alias("rank"),
         )
-        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
-            # eager: materialize + truncate lineage
+        if it != n_iter - 1 and (it + 1) % checkpoint_every == 0:
+            # eager: materialize + truncate lineage (opt-in cadence)
             ranks = ranks.localCheckpoint()
     out = (
         ranks.join(outdeg, ranks.doc_id == outdeg.src, "left")
@@ -142,27 +167,28 @@ def pagerank(
 
 def pagerank_oracle_sql(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
     """DuckDB oracle: the SAME ``n_iter`` update steps unrolled as
-    chained CTEs over the same pair set (O.dedup_lsh_pairs)."""
+    chained CTEs over the same pair set (O.dedup_lsh_pairs), with the
+    dangling mass as the same closed-form scalar recurrence the engine
+    uses (dangling_mass_schedule) — every m_k CTE is the identical IEEE
+    expression over (n, nd), so both engines carry bit-equal mass."""
     from labs_stream_processing_examples_scala_spark import oracles as O
 
     d = float(damping)
-    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs, and the
-    # unrolled recursion references r_k twice (m_k and r_{k+1}) — left
-    # inlined, the pair computation re-expands 2^n_iter times
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs, and each
+    # r_k is referenced by the next generation's contribution join —
+    # left inlined, the pair computation re-expands n_iter-fold
     ctes = [
         f"pairs AS MATERIALIZED ({O.dedup_lsh_pairs()})",
         "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs"
         " UNION ALL SELECT doc_b, doc_a FROM pairs)",
         "outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
         "n AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+        "nd AS MATERIALIZED (SELECT n.n - (SELECT count(*) FROM outdeg) AS nd FROM n)",
+        "m0 AS MATERIALIZED (SELECT nd.nd * (1.0 / n.n) AS m FROM nd, n)",
         "r0 AS MATERIALIZED (SELECT doc_id, 1.0 / n AS rank FROM documents, n)",
     ]
     for k in range(n_iter):
         prev, cur = f"r{k}", f"r{k + 1}"
-        ctes.append(
-            f"m{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS m FROM {prev} "
-            f"WHERE doc_id NOT IN (SELECT src FROM outdeg))"
-        )
         ctes.append(
             f"{cur} AS MATERIALIZED ("
             f"SELECT d.doc_id, (1.0 - {d}) / n.n + {d} * (coalesce(s.in_sum, 0.0) + m{k}.m / n.n) AS rank "
@@ -174,6 +200,12 @@ def pagerank_oracle_sql(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
             f"  GROUP BY e.dst"
             f") s ON s.dst = d.doc_id)"
         )
+        if k + 1 < n_iter:
+            ctes.append(
+                f"m{k + 1} AS MATERIALIZED ("
+                f"SELECT nd.nd * ((1.0 - {d}) / n.n + {d} * (m{k}.m / n.n)) AS m "
+                f"FROM nd, n, m{k})"
+            )
     return (
         "WITH " + ",\n".join(ctes) + f"""
         SELECT r.doc_id, round(r.rank, 6) AS rank,
