@@ -68,6 +68,70 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _seq_acc(M: "np.ndarray", w: "np.ndarray | None" = None) -> "np.ndarray":
+    """Dim-sequential accumulation over the columns of ``M`` —
+    ``acc = (0.0 + p_0) + p_1 ...`` per row, the exact IEEE order of the
+    :func:`dot`/:func:`norm` left folds, vectorized across rows
+    (round-14 optimization; guide §4.2). ``w`` weights each column
+    (dot against a constant vector); ``None`` squares it (norm)."""
+    n, ndim = M.shape
+    acc = np.zeros(n)
+    for i in range(ndim):
+        col = M[:, i]
+        acc = acc + (col * col if w is None else col * w[i])
+    return acc
+
+
+def _cos_pair_udf():
+    """Arrow-vectorized twin of ``cosine(col_a, col_b)`` — bit-identical
+    by construction (same left-to-right folds, see :func:`_seq_acc`;
+    zero denominators raise like ANSI DIVIDE_BY_ZERO does in the
+    Catalyst form). Parity pinned by tests/test_round14_opt.py."""
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series(np.empty(0))
+        A = np.vstack(va.to_numpy())
+        B = np.vstack(vb.to_numpy())
+        num = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            num = num + A[:, i] * B[:, i]
+        den = np.sqrt(_seq_acc(A)) * np.sqrt(_seq_acc(B))
+        if np.any(den == 0.0):
+            raise ValueError(
+                "[DIVIDE_BY_ZERO] zero-norm vector in cosine scoring "
+                "(matches the Catalyst form's ANSI divide-by-zero)"
+            )
+        return pd.Series(num / den)
+
+    return cos
+
+
+def _cos_const_udf(qvec: list[float]):
+    """Arrow-vectorized twin of ``dot(vec, lit(q)) / (norm(vec) *
+    lit(norm_py(q)))`` — the :func:`_probe_index_rows` scoring shape;
+    bit-identical (same folds, same precomputed query norm)."""
+    q = np.array([float(x) for x in qvec])
+    qn = _norm_py(list(qvec))
+
+    @F.pandas_udf("double")
+    def cos(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0))
+        V = np.vstack(vs.to_numpy())
+        num = _seq_acc(V, q)
+        den = np.sqrt(_seq_acc(V)) * qn
+        if np.any(den == 0.0):
+            raise ValueError(
+                "[DIVIDE_BY_ZERO] zero-norm vector in cosine scoring "
+                "(matches the Catalyst form's ANSI divide-by-zero)"
+            )
+        return pd.Series(num / den)
+
+    return cos
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, query_id: int) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.filter(F.col("vec_id") == query_id).select(
@@ -84,7 +148,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int
     return (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != query_id)
-        .select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
+        .select("vec_id", F.round(_cos_pair_udf()(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -138,7 +202,7 @@ def cosine_neardup_pairs(
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .select("vec_a", "vec_b", F.round(_cos_pair_udf()(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -311,7 +375,7 @@ def lsh_topk(
             .withColumn("qvec", F.array(*[F.lit(float(x)) for x in qvec]))
         )
     return (
-        cand.select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
+        cand.select("vec_id", F.round(_cos_pair_udf()(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -368,11 +432,20 @@ def _centroid_literal(cents_py: list[tuple[int, list[float]]]) -> Column:
     )
 
 
-def _assign_cell(cents_py: list[tuple[int, list[float]]], vec_col: str = "vec") -> Column:
-    """Row-local nearest-centroid id: cosine to each literal centroid
-    (same fold order as :func:`cosine`, so FP results are identical to
-    the former broadcast-join form), argmax with lowest-cell tie-break
-    (== row_number over (sim DESC, cell ASC)). Zero exchange."""
+def _assign_cell_expr(
+    cents_py: list[tuple[int, list[float]]], vec_col: str = "vec"
+) -> Column:
+    """Row-local nearest-centroid id as a pure Catalyst expression:
+    cosine to each literal centroid (same fold order as :func:`cosine`,
+    so FP results are identical to the former broadcast-join form),
+    argmax with lowest-cell tie-break (== row_number over (sim DESC,
+    cell ASC)). Zero exchange.
+
+    Kept as the PARITY REFERENCE for :func:`_assign_cell` (the shipped
+    Arrow-vectorized form) — higher-order functions never whole-stage-
+    codegen, so this fold runs interpreted: 16 cells × 64 dims of
+    boxed-double ops per row was the dominant term of the sf10 IVF
+    build. tests/test_round14_opt.py pins bit-equality of the two."""
     vn = norm(F.col(vec_col))
 
     def _sim(c):
@@ -397,6 +470,57 @@ def _assign_cell(cents_py: list[tuple[int, list[float]]], vec_col: str = "vec") 
         lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
     )
     return best["cell"]
+
+
+def _assign_cell(cents_py: list[tuple[int, list[float]]], vec_col: str = "vec") -> Column:
+    """Row-local nearest-centroid id, Arrow-vectorized (round-14
+    optimization; guide §4.2 — dense linear algebra belongs in numpy).
+
+    BIT-IDENTICAL to :func:`_assign_cell_expr` by construction: every
+    accumulation runs in the SAME left-to-right IEEE order as the
+    Catalyst fold, vectorized across the rows of the batch instead of
+    across the dims of one row —
+
+    - dot/norm: ``acc = acc + V[:, i] * c[i]`` for i in dim order ==
+      the ``F.aggregate`` left fold (0.0 + p_0) + p_1 ... per row;
+    - the zero-denominator guard and the strict-``>`` ascending-cell
+      argmax (first max wins == lowest cell on ties) are replicated
+      elementwise, including Spark's NaN-is-greatest comparison
+      semantics for non-finite inputs.
+
+    The interpreted fold form remains above as the parity reference;
+    equality is pinned by tests/test_round14_opt.py on the fixture and
+    on adversarial vectors (zeros, ties, NaN)."""
+    cents = sorted(cents_py)
+    cells = [int(c) for c, _ in cents]
+    cvecs = [[float(x) for x in v] for _, v in cents]
+    cnorms = [_norm_py(v) for v in cvecs]
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        V = np.vstack(vs.to_numpy())  # (n, dim) float64
+        n, ndim = V.shape
+        vn = np.zeros(n)
+        for i in range(ndim):  # dim-sequential == the Catalyst fold order
+            vn = vn + V[:, i] * V[:, i]
+        vn = np.sqrt(vn)
+        best_sim = np.full(n, -2.0)
+        best_cell = np.full(n, -1, dtype=np.int64)
+        for cell, cv, cn in zip(cells, cvecs, cnorms):
+            acc = np.zeros(n)
+            for i in range(ndim):
+                acc = acc + V[:, i] * cv[i]
+            denom = vn * cn
+            sim = acc / np.where(denom == 0.0, 1.0, denom)
+            # Spark `>`: NaN compares greater than any non-NaN value
+            m = (sim > best_sim) | (np.isnan(sim) & ~np.isnan(best_sim))
+            best_sim = np.where(m, sim, best_sim)
+            best_cell = np.where(m, cell, best_cell)
+        return pd.Series(best_cell.astype(np.int32))
+
+    return assign(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def _seed_centroids(
@@ -482,7 +606,7 @@ def _probe_index_rows(
         .filter(F.col("vec_id") != query_id)
         .select(
             "vec_id",
-            F.round(dot(F.col("vec"), qlit) / (norm(F.col("vec")) * qn), 6).alias("cos_sim"),
+            F.round(_cos_const_udf(qvec)(F.col("vec")), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
@@ -777,7 +901,7 @@ def lsh_neardup_pairs(
         )
         .select(
             "vec_a", "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(_cos_pair_udf()(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
