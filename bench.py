@@ -262,6 +262,16 @@ CACHE_WARM_PREFIXES = (
     "x_pack_",
     "x_bpe_",
     "x_text_lm",
+    # round 15 (r14 verdict task #2c): the MERGE family materializes
+    # its base/target tables into the session on first run, so a retry
+    # re-runs warm — r13's q70_merge_mor published a 0.64 s warm retry
+    # against a 5.4 s cold first run, and the round-over-round diff
+    # read the next cold run as a fake 5× regression. Defend first-run
+    # here like every other cache-warming family.
+    "q65_",
+    "q66_",
+    "q68_",
+    "q70_",
 )
 
 
@@ -340,6 +350,50 @@ def _self_heal(
         if use_retry:
             timings[name] = retry_sec
     return retries
+
+
+def sidecar_name(sf: float, cpus: int, only_slice: bool) -> str:
+    """Sidecar selection — qualified by CPU COUNT when the run is
+    throttled below the machine (round 15, r14 verdict task #2b: the
+    driver's 8-core scaling run clobbered the only full 32-core record
+    of round 14). BENCH_LAST.json is reserved for full-machine sf0.1
+    runs; a reduced-core run writes BENCH_LAST_c{N}.json."""
+    throttled = cpus != (os.cpu_count() or cpus)
+    if only_slice:
+        return "BENCH_LAST_SLICE.json"
+    if sf == 0.1:
+        return f"BENCH_LAST_c{cpus}.json" if throttled else "BENCH_LAST.json"
+    return "BENCH_LAST_LOCAL.json"
+
+
+def compact_line(record, timings, retries, errors, sidecar, sf, cpus) -> str:
+    """The ONE stdout JSON line the driver parses. Round 15 (r14 verdict
+    task #2a): it now carries EVERY query at 2 dp with compact
+    separators — the 5-slowest-only form made the driver's
+    round-over-round diff see 3 common queries and 35 phantom
+    drops/news each round. 53 entries at ~25 chars ≈ 1.4 KB;
+    calibration ms rounded to ints; the whole line must stay under the
+    driver's 2000-char tail capture (pinned by
+    tests/test_round15_opt.py with the real HEADLINE names). Full
+    precision + per-query probes still live in the sidecar."""
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "queries_n": len(timings),
+        "queries": {
+            k: round(v, 2) for k, v in sorted(timings.items(), key=lambda kv: -kv[1])
+        },
+        "calibration": {k: int(round(v)) for k, v in record["calibration"].items()},
+        "retries_n": len(retries),
+        "errors_n": len(errors),
+        "detail": sidecar,
+    }
+    if errors:  # name the first few so a red run is diagnosable from the line
+        compact["errors"] = {k: errors[k][:80] for k in sorted(errors)[:3]}
+    return json.dumps(compact, separators=(",", ":"))
 
 
 def warmup(spark, sf_dir: str) -> None:
@@ -471,33 +525,16 @@ def main() -> None:
     #   BENCH_LAST.json        full sf0.1 run (the driver diff reference)
     #   BENCH_LAST_LOCAL.json  full run at any other SF (smoke record)
     #   BENCH_LAST_SLICE.json  any --only slice (throwaway)
-    if "--only" in sys.argv:
-        sidecar = "BENCH_LAST_SLICE.json"
-    elif sf == 0.1:
-        sidecar = "BENCH_LAST.json"
-    else:
-        sidecar = "BENCH_LAST_LOCAL.json"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sidecar = sidecar_name(sf, cpus, "--only" in sys.argv)
+    record["cpus"] = cpus
     try:
         (Path(__file__).resolve().parent / sidecar).write_text(
             json.dumps(record) + "\n"
         )
     except OSError:
         sidecar = None  # sidecar is best-effort; stdout line is the contract
-    compact = {
-        "metric": record["metric"],
-        "value": record["value"],
-        "unit": "sec",
-        "sf": sf,
-        "queries_n": len(timings),
-        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
-        "calibration": record["calibration"],
-        "retries_n": len(retries),
-        "errors_n": len(errors),
-        "detail": sidecar,
-    }
-    if errors:  # name the first few so a red run is diagnosable from the line
-        compact["errors"] = {k: errors[k][:80] for k in sorted(errors)[:3]}
-    line = json.dumps(compact)
+    line = compact_line(record, timings, retries, errors, sidecar, sf, cpus)
     try:
         from labs_stream_processing_examples_scala_spark import release_persisted_rdds
         from labs_stream_processing_examples_scala_spark.operators import dedup as _dedup

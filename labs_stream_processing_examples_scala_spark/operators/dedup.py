@@ -906,12 +906,12 @@ def dup_span_stats(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> Dat
     projection barrier that keeps CollapseProject from re-inlining the
     hash chain (a per-distinct-element HOF count here was measured 10×
     slower: the nested lambda re-inlined the whole chain per element).
-    Then groupBy (doc_id, h) with map-side combine absorbs positional
-    multiplicity, a count-over-h WINDOW finds cross-doc grams in the
-    same exchange that would otherwise only build the global agg, and
-    the per-doc agg produces the fractions. Two shuffles of the
-    distinct-gram stream (was three with the agg+join-back form —
-    measured 1.74 s → 1.04 s warm at sf0.1, identical output) — at
+    Then ONE h-keyed exchange carries the gram stream: the (doc_id, h)
+    multiplicity agg and the count-over-h WINDOW both ride it
+    (hashpartitioning(h) satisfies both clustered distributions), and
+    the per-doc agg pays the only other shuffle. One full shuffle of
+    the gram stream + one of the per-(doc,h) survivors (was two of the
+    gram stream + one, and three with the r1 agg+join-back form) — at
     100 TB this is the standard inverted-index dedup shape and every
     shuffle key is the partition key.
 
@@ -924,14 +924,28 @@ def dup_span_stats(spark: SparkSession, sf_dir: str, k: int = SPAN_WORDS) -> Dat
     # (round-8 review: the span transforms' "same construction and
     # combined key as dup_span_stats" invariant must be structural, not
     # copy-paste); the agg ignores the pos column
+    #
+    # Round 15 (r14 verdict task #4): shuffle the positional stream
+    # ONCE, by h. The explicit repartition("h") keys the exchange on h
+    # alone; hashpartitioning(h) then satisfies BOTH downstream
+    # distribution requirements — ClusteredDistribution(doc_id, h) for
+    # the multiplicity agg (partitioning exprs ⊆ grouping exprs) and
+    # ClusteredDistribution(h) for the cross-doc window — so the
+    # groupBy and the Window ride the same exchange. The old form paid
+    # two full shuffles of the gram stream (by (doc_id, h) for the agg,
+    # then by h for the window); the map-side combine the old first
+    # shuffle got buys almost nothing here because positional
+    # multiplicity within one doc is rare (cnt ≈ 1), so its shuffle
+    # carried the full stream anyway. REPARTITION_BY_COL stays
+    # AQE-coalescible, so partition count remains scale-adaptive.
     per = (
         positional_gram_occurrences(spark, sf_dir, k)
+        .repartition("h")
         .groupBy("doc_id", "h")
         .agg(F.count("*").alias("cnt"))
     )
     # cross-doc gram count as a WINDOW over h rather than a groupBy(h)
-    # + join back: one exchange of the per-(doc,h) stream instead of
-    # two (A/B at sf0.1: 1.74 s → 1.04 s warm, output identical).
+    # + join back (round-2 A/B: 1.74 s → 1.04 s warm, output identical).
     # Group size per h = number of docs containing that gram — the same
     # bound the join's build side had; boilerplate-gram skew hits both
     # forms equally.

@@ -23,7 +23,8 @@ Power iteration, join-form (the textbook distributed plan):
   2^k and the whole loop unrolls into ONE plan and ONE action with no
   per-iteration lineage truncation (was: localCheckpoint every
   iteration = 6 materialization round-trips, 66 Spark jobs at sf0.1;
-  now ~1/3 of that — see OPTIMIZATION_r14.md).
+  measured 50 after — plans/r14/_stats_{before,after}.json, analyzed
+  in OPTIMIZATION_r15.md).
 
 A FIXED iteration count (default 5) keeps the operator exactly
 SQL-expressible: the DuckDB oracle unrolls the same five update steps
@@ -73,7 +74,8 @@ def dangling_mass_schedule(
     scalars; versus the pre-round-14 distributed sum the value differs
     only by summation-order ulps (~1e-16), far inside the 6-decimal
     output rounding — equivalence proven by the exact oracle gate at
-    sf0.001/sf0.01/sf0.1 and an old-vs-new exceptAll (OPTIMIZATION_r14.md)."""
+    sf0.001/sf0.01/sf0.1 and an old-vs-new exceptAll (see
+    tests/test_round14_opt.py and OPTIMIZATION_r15.md)."""
     d = float(damping)
     base = (1.0 - d) / n
     ms = [n_dangling * (1.0 / n)]

@@ -1,5 +1,6 @@
 """Optimization-round measurement: dump `.explain("formatted")` for every
-headline query into plans/r14/<query>_{before,after}.txt and record
+headline query into plans/$SPARK_GRAFT_ROUND/<query>_{before,after}.txt
+(default plans/r15/) and record
 per-query plan-shape stats (Exchange count, join strategies, Python
 boundary nodes) plus the number of Spark jobs each query's BUILD +
 noop-sink RUN issues (job count x scheduler latency is the fixed
@@ -73,9 +74,15 @@ def main() -> int:
     run = "--run" in args
     names = list(benchmod.HEADLINE)
     if "--only" in args:
-        names = args[args.index("--only") + 1].split(",")
+        idx = args.index("--only")
+        if idx + 1 >= len(args):  # r14 ADVICE: trailing --only raised IndexError
+            raise SystemExit("usage: --only name1,name2,...")
+        names = args[idx + 1].split(",")
 
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    import os as _os
+
+    round_dir = _os.environ.get("SPARK_GRAFT_ROUND", "r15")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / round_dir
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark(app_name=f"opt-measure-{tag}")
