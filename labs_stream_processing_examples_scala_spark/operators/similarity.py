@@ -145,10 +145,16 @@ def brute_force_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int
     TakeOrderedAndProject; no shuffle of the embedding table."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("vec"))
     q = _query_vec(spark, sf_dir, query_id)
+    # Catalyst fold, NOT the Arrow pair UDF: the round-15 A/B
+    # (AB_SIM_r15.json, 1M rows × 64 dims) measured the two-array-per-row
+    # Arrow boundary at 0.73× the interpreted fold — serializing both
+    # vectors to Python costs more than numpy saves. (The one-array
+    # const shape is flat and the 16-centroid assign shape wins 1.6×,
+    # so those keep their round-14 vectorization.)
     return (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != query_id)
-        .select("vec_id", F.round(_cos_pair_udf()(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
+        .select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -202,7 +208,9 @@ def cosine_neardup_pairs(
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(_cos_pair_udf()(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        # Catalyst fold: the Arrow pair UDF measured 0.73× here
+        # (AB_SIM_r15.json — two arrays/row across the Python boundary)
+        .select("vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -375,7 +383,10 @@ def lsh_topk(
             .withColumn("qvec", F.array(*[F.lit(float(x)) for x in qvec]))
         )
     return (
-        cand.select("vec_id", F.round(_cos_pair_udf()(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
+        # Catalyst fold (round-15 A/B: the Arrow pair shape reads 0.73×;
+        # vs a constant query the Arrow/Catalyst forms are flat, and the
+        # fold ships no vectors to Python at all)
+        cand.select("vec_id", F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -901,7 +912,9 @@ def lsh_neardup_pairs(
         )
         .select(
             "vec_a", "vec_b",
-            F.round(_cos_pair_udf()(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            # Catalyst fold: the Arrow pair UDF measured 0.73× on this
+            # two-array-per-row shape (AB_SIM_r15.json)
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
