@@ -86,12 +86,26 @@ def _cos_pair_udf():
     """Arrow-vectorized twin of ``cosine(col_a, col_b)`` — bit-identical
     by construction (same left-to-right folds, see :func:`_seq_acc`;
     zero denominators raise like ANSI DIVIDE_BY_ZERO does in the
-    Catalyst form). Parity pinned by tests/test_round14_opt.py."""
+    Catalyst form — note the error CLASS differs: one Python ValueError
+    per batch here vs a per-row ArithmeticException in Catalyst; the
+    query-level outcome matches). Parity pinned by
+    tests/test_round14_opt.py.
+
+    Round 15: NO LONGER USED in query paths — the 1M-row A/B
+    (AB_SIM_r15.json) measured this two-array-per-row shape at 0.73× the
+    Catalyst fold, so the call sites reverted. Kept as the measured
+    counter-example and for the parity/A-B tooling."""
 
     @F.pandas_udf("double")
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series(np.empty(0))
+        if va.isna().any() or vb.isna().any():
+            raise ValueError(
+                "NULL vector in cosine pair scoring (the Catalyst form "
+                "propagates NULL; this vectorized form requires non-null "
+                "arrays — filter them upstream)"
+            )
         A = np.vstack(va.to_numpy())
         B = np.vstack(vb.to_numpy())
         num = np.zeros(len(A))
@@ -119,6 +133,12 @@ def _cos_const_udf(qvec: list[float]):
     def cos(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series(np.empty(0))
+        if vs.isna().any():
+            raise ValueError(
+                "NULL vector in cosine scoring (the Catalyst form "
+                "propagates NULL; this vectorized form requires non-null "
+                "arrays — filter them upstream)"
+            )
         V = np.vstack(vs.to_numpy())
         num = _seq_acc(V, q)
         den = np.sqrt(_seq_acc(V)) * qn

@@ -109,21 +109,57 @@ class IncrementalLshDedup:
             # Orientation (doc_a < doc_b) holds for BOTH directions of a
             # new/old collision, so a new doc with a smaller id than an
             # indexed one still yields one correctly-oriented pair.
+            #
+            # Round 15 (r14 verdict task #9): the verify stage was the
+            # dominant, GROWING leg of the micro-batch (sf1 profile,
+            # LSH_PROFILE_r15.json: verify 17.1 s of 44.6 total legs,
+            # rising with the accumulated candidate count) because the
+            # old form joined candidates against old∪new arrays TWICE —
+            # the growing array table crossed the shuffle twice per
+            # batch. Every candidate has ≥1 NEW endpoint, so split by
+            # class: new-vs-old pairs broadcast the (micro-batch-sized)
+            # new arrays and shuffle the accumulated table ONCE; in-batch
+            # pairs verify entirely against broadcasts, no shuffle. The
+            # two classes are disjoint (one has an old endpoint, the
+            # other none), so per-class distinct == the old
+            # union-then-distinct, and the union of their verified
+            # outputs is row-identical (jaccard is symmetric; the
+            # (least, greatest) orientation is applied the same way).
             no = (
                 new_buckets.select(F.col("doc_id").alias("n"), "band", "bucket")
                 .join(old_buckets.select(F.col("doc_id").alias("o"), "band", "bucket"), ["band", "bucket"])
                 .filter(F.col("n") != F.col("o"))
-                .select(F.least("n", "o").alias("doc_a"), F.greatest("n", "o").alias("doc_b"))
+                .select("n", "o")
+                .distinct()
             )
             nn = (
                 new_buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
                 .join(new_buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket"), ["band", "bucket"])
                 .filter(F.col("doc_a") < F.col("doc_b"))
                 .select("doc_a", "doc_b")
+                .distinct()
             )
-            cand = no.union(nn).distinct()
-            all_arrs = old_arrs.union(new_arrs)
-            pairs = _verified_pairs(cand, all_arrs, all_arrs, self.threshold)
+            bn = F.broadcast(new_arrs)
+            no_pairs = (
+                no.join(
+                    bn.select(F.col("doc_id").alias("n"), F.col("shs").alias("sn"), F.col("sz").alias("sz_n")),
+                    "n",
+                )
+                .join(
+                    old_arrs.select(F.col("doc_id").alias("o"), F.col("shs").alias("so"), F.col("sz").alias("sz_o")),
+                    "o",
+                )
+                .withColumn("n_inter", F.size(F.array_intersect("sn", "so")))
+                .withColumn("jaccard", F.col("n_inter") / (F.col("sz_n") + F.col("sz_o") - F.col("n_inter")))
+                .filter(F.col("jaccard") >= self.threshold)
+                .select(
+                    F.least("n", "o").alias("doc_a"),
+                    F.greatest("n", "o").alias("doc_b"),
+                    "jaccard",
+                )
+            )
+            nn_pairs = _verified_pairs(nn, bn, bn, self.threshold)
+            pairs = no_pairs.union(nn_pairs)
 
             idempotent_write(pairs, self.pairs_dir, batch_id)
             idempotent_write(new_arrs, self.arrays_dir, batch_id)

@@ -21,6 +21,13 @@ as a total. A drift guard asserts the final accumulated pair set equals
 the real processor's batch-equivalence contract (same count as the
 batch operator at the same threshold).
 
+NOTE: this replays the PRE-round-15 dataflow (union-distinct candidates
+verified against old∪new arrays joined twice) — it is the attribution
+measurement that MOTIVATED the round-15 split-verify rewrite in
+incremental_dedup.process_batch (new-vs-old broadcast + single shuffle
+of the accumulated arrays). Keep it as the before-shape profiler; the
+after-shape is covered by the ingest benches and equivalence tests.
+
 Usage:
   python tools/lsh_profile.py [--sf-dir /tmp/sf1_bench_data] [--splits 7]
                               [--json LSH_PROFILE_r15.json]
